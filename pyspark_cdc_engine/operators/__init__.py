@@ -1,0 +1,11 @@
+"""Batch operator library backing ``__spark_entry__.queries()``.
+
+Each module registers named queries into :mod:`.registry`; importing this package
+loads them all.
+"""
+
+from pyspark_cdc_engine.operators.registry import REGISTRY, Query, load_table  # noqa: F401
+from pyspark_cdc_engine.operators import core  # noqa: F401,E402
+from pyspark_cdc_engine.operators import cdc_like  # noqa: F401,E402
+from pyspark_cdc_engine.operators import text  # noqa: F401,E402
+from pyspark_cdc_engine.operators import vectors  # noqa: F401,E402

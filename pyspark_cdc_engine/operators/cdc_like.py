@@ -1,0 +1,156 @@
+"""Batch-expressible analogs of the CDC pipeline's core operators (SURVEY §2.3,
+§2.9, §2.10), so the DuckDB oracle can verify their semantics on the driver's
+testdata. The real streaming implementations live in
+:mod:`pyspark_cdc_engine.streaming` / :mod:`pyspark_cdc_engine.scd1` and are
+golden-tested in ``tests/``; these queries prove the same dataflow shapes
+(union → key → buffer → assemble; ordered-clause merge) batch-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_cdc_engine.operators.registry import dsum_sql, load_table, register
+from pyspark_cdc_engine.tables import MergeClause, merge_dataframes
+
+
+def _best_per_key(df: DataFrame, status: str) -> DataFrame:
+    """Top-1 lineitem per orderkey for one linestatus: version := l_linenumber."""
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_linenumber").desc(), F.col("l_partkey")
+    )
+    return (
+        df.filter(F.col("l_linestatus") == status)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").cast("double").alias("version"),
+            F.col("l_quantity").alias("qty"),
+        )
+    )
+
+
+_BEST_SQL = """
+  SELECT l_orderkey AS okey,
+         CAST(l_linenumber AS DOUBLE) AS version,
+         l_quantity AS qty
+  FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_partkey
+           ) AS _rn
+    FROM lineitem WHERE l_linestatus = '{status}'
+  ) WHERE _rn = 1
+"""
+
+
+@register(
+    "version_merge_batch",
+    survey="J4,F11,F12,§2.9",
+    oracle=f"""
+    WITH tgt AS ({_BEST_SQL.format(status='F')}),
+         src AS ({_BEST_SQL.format(status='O')})
+    SELECT
+      COALESCE(t.okey, s.okey) AS okey,
+      CASE WHEN t.okey IS NOT NULL AND s.okey IS NOT NULL
+                AND s.version > COALESCE(t.version, 0) THEN s.version
+           WHEN t.okey IS NOT NULL THEN t.version
+           ELSE s.version END AS version,
+      CASE WHEN t.okey IS NOT NULL AND s.okey IS NOT NULL
+                AND s.version > COALESCE(t.version, 0) THEN s.qty
+           WHEN t.okey IS NOT NULL THEN t.qty
+           ELSE s.qty END AS qty,
+      CASE WHEN t.okey IS NOT NULL AND s.okey IS NOT NULL
+                AND s.version > COALESCE(t.version, 0) THEN 'U'
+           WHEN t.okey IS NOT NULL AND s.okey IS NOT NULL THEN 'M'
+           WHEN t.okey IS NOT NULL THEN 'T'
+           ELSE 'I' END AS origin
+    FROM tgt t FULL OUTER JOIN src s ON t.okey = s.okey
+    WHERE t.okey IS NOT NULL OR s.version IS NOT NULL
+    """,
+)
+def version_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The version-aware ordered-clause MERGE (ScdType1MergeApp.scala:95-132)
+    run through the engine's merge_dataframes: clause 1 updates when the source
+    is strictly newer, clause 2 touches only bookkeeping, the insert clause is
+    guarded on source.version IS NOT NULL. Verified cell-for-cell against a
+    FULL OUTER JOIN + CASE oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    target = _best_per_key(li, "F").withColumn("origin", F.lit("T"))
+    source = _best_per_key(li, "O")
+    clauses = [
+        MergeClause(
+            "update",
+            "source.version IS NOT NULL AND source.version > COALESCE(target.version, 0)",
+            {"version": "source.version", "qty": "source.qty", "origin": "'U'"},
+        ),
+        MergeClause("update", None, {"origin": "'M'"}),
+        MergeClause(
+            "insert",
+            "source.version IS NOT NULL",
+            {"okey": "source.okey", "version": "source.version",
+             "qty": "source.qty", "origin": "'I'"},
+        ),
+    ]
+    return merge_dataframes(
+        target, source, "target.okey = source.okey", clauses,
+        ["okey", "version", "qty", "origin"],
+    )
+
+
+@register(
+    "tx_assembly_batch",
+    survey="J1,J2,T3,F5",
+    oracle=f"""
+    SELECT key AS okey,
+           CAST(SUM(CASE WHEN kind = 'ORDERS' THEN 1 ELSE 0 END) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN kind = 'LINE_ITEMS' THEN 1 ELSE 0 END) AS BIGINT) AS n_items,
+           {dsum_sql("CASE WHEN kind = 'LINE_ITEMS' THEN amount ELSE 0 END", 6)} AS items_total
+    FROM (
+      SELECT 'ORDERS' AS kind, o_orderkey AS key, o_totalprice AS amount FROM orders
+      UNION ALL
+      SELECT 'LINE_ITEMS' AS kind, l_orderkey AS key,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM lineitem
+    )
+    GROUP BY key
+    HAVING SUM(CASE WHEN kind = 'ORDERS' THEN 1 ELSE 0 END) >= 1
+       AND SUM(CASE WHEN kind = 'LINE_ITEMS' THEN 1 ELSE 0 END) >= 1
+    """,
+)
+def tx_assembly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of the stateful transaction-assembly join (J1,
+    TransactionalCdcProcessingApp.scala:59-72): union tagged event streams,
+    key, buffer into per-key arrays, emit only 'complete' groups (here:
+    parent present AND ≥1 child — the event-count completion analog, T3).
+    One shuffle on the group key, exactly like the streaming plan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit("ORDERS").alias("kind"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("LINE_ITEMS").alias("kind"),
+        F.col("l_orderkey").alias("key"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+    )
+    unioned = o.unionByName(li)
+    assembled = unioned.groupBy(F.col("key").alias("okey")).agg(
+        F.collect_list(F.when(F.col("kind") == "ORDERS", F.struct("amount"))).alias("orders"),
+        F.collect_list(
+            F.when(F.col("kind") == "LINE_ITEMS",
+                   F.struct(F.col("amount").cast("decimal(28,6)").alias("amount")))
+        ).alias("items"),
+    )
+    complete = assembled.filter((F.size("orders") >= 1) & (F.size("items") >= 1))
+    return complete.select(
+        "okey",
+        F.size("orders").cast("bigint").alias("n_orders"),
+        F.size("items").cast("bigint").alias("n_items"),
+        F.expr(
+            "CAST(aggregate(items, CAST(0 AS DECIMAL(28,6)),"
+            " (acc, it) -> CAST(acc + it.amount AS DECIMAL(28,6))) AS DOUBLE)"
+        ).alias("items_total"),
+    )

@@ -1,0 +1,505 @@
+"""Core relational operator queries (SURVEY §2.2-2.8) on the TPC-H-ish testdata.
+
+Each query re-expresses one or more inventory rows from the reference's query
+surface (db/query_table.sql, db/query_scd1_table.sql, ScdType1MergeApp.scala)
+as idiomatic DataFrame plans over the driver's tables, with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_cdc_engine.operators.registry import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    load_table,
+    register,
+)
+
+
+# --------------------------------------------------------------------- A2/A3
+@register(
+    "agg_orders_by_status",
+    survey="A2",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS cnt,
+           {dsum_sql('o_totalprice', 2)} AS sum_total,
+           {davg_sql('o_totalprice', 2)} AS avg_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with count/sum/avg grouped by status (db/query_table.sql:32-40)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", 2).alias("sum_total"),
+            davg("o_totalprice", 2).alias("avg_total"),
+        )
+    )
+
+
+@register(
+    "pricing_summary",
+    survey="A2,O1,F18",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 2)} AS sum_qty,
+           {dsum_sql('l_extendedprice', 2)} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           {davg_sql('l_quantity', 2)} AS avg_qty,
+           {davg_sql('l_extendedprice', 2)} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped multi-aggregate scan; filter pushed to parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("sum_disc_price"),
+            davg("l_quantity", 2).alias("avg_qty"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "global_count",
+    survey="A3",
+    oracle="SELECT COUNT(*) AS cnt FROM lineitem",
+)
+def global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate (db/query_table.sql:11)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "having_multi_item_orders",
+    survey="A4",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 4
+    """,
+)
+def having_multi_item_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING filter (uniqueness probe, db/query_scd1_table.sql:14-19)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 4)
+    )
+
+
+# ----------------------------------------------------------------------- W1/W2
+@register(
+    "top1_order_per_customer",
+    survey="W1,P6",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC NULLS LAST, o_orderdate DESC NULLS LAST, o_orderkey
+             ) AS _rn
+      FROM orders
+    ) WHERE _rn = 1
+    """,
+)
+def top1_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group via row_number with desc_nulls_last multi-key ordering —
+    the ScdType1MergeApp.scala:181-185 idiom (best order row before MERGE)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc_nulls_last(),
+        F.col("o_orderdate").desc_nulls_last(),
+        F.col("o_orderkey"),
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "best_line_per_order",
+    survey="W2,P5",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_quantity DESC NULLS LAST, l_linenumber
+             ) AS _rn
+      FROM lineitem
+    ) WHERE _rn = 1
+    """,
+)
+def best_line_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number ordered by a nested struct field (ScdType1MergeApp.scala:190-193):
+    the ordering key is accessed through a struct column, exercising nested-field
+    resolution in the window spec."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "line", F.struct("l_linenumber", "l_quantity")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("line.l_quantity").desc_nulls_last(), F.col("line.l_linenumber")
+    )
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("l_orderkey", F.col("line.l_linenumber").alias("l_linenumber"),
+                F.col("line.l_quantity").alias("l_quantity"))
+    )
+
+
+# ------------------------------------------------------------------------- O1
+@register(
+    "topk_orders",
+    survey="O1,O2",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Catalyst plans TakeOrderedAndProject — no full sort at scale."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------- U1/U2
+@register(
+    "union_padded_counts",
+    survey="U1,U2,P3",
+    oracle="""
+    SELECT src, flag, COUNT(*) AS cnt FROM (
+      SELECT 'orders' AS src, o_orderkey AS key, CAST(NULL AS VARCHAR) AS flag FROM orders
+      UNION ALL
+      SELECT 'lineitem' AS src, l_orderkey AS key, l_returnflag AS flag FROM lineitem
+    ) GROUP BY src, flag
+    """,
+)
+def union_padded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union with typed-null padding + literal tag columns — the
+    TransactionalCdcProcessingApp.scala:59-62 pattern (3-way topic union)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("src"),
+        F.col("o_orderkey").alias("key"),
+        F.lit(None).cast("string").alias("flag"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem").alias("src"),
+        F.col("l_orderkey").alias("key"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    return o.unionByName(li).groupBy("src", "flag").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ------------------------------------------------------------------------- J3
+@register(
+    "left_join_order_items",
+    survey="J3,F12,A1",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_totalprice,
+           COALESCE(li.item_cnt, 0) AS item_cnt,
+           COALESCE(li.sum_qty, 0.0) AS sum_qty
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey, COUNT(*) AS item_cnt, {dsum_sql('l_quantity', 2)} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+    ) li ON o.o_orderkey = li.l_orderkey
+    """,
+)
+def left_join_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi left outer join reassembling parent + aggregated children
+    (ScdType1MergeApp.scala:203-205); COALESCE null-defaulting (F12)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("item_cnt"), dsum("l_quantity", 2).alias("sum_qty"))
+    )
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce("item_cnt", F.lit(0)).alias("item_cnt"),
+        F.coalesce("sum_qty", F.lit(0.0)).alias("sum_qty"),
+    )
+
+
+# ------------------------------------------------------------------- J5/F6/F7
+@register(
+    "explode_roundtrip",
+    survey="J5,F6,F7,A1",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list(struct) per key, flatten across groups, then LATERAL-VIEW-style
+    explode back to rows (db/query_table.sql:36-40 + ScdType1MergeApp.scala:195-200).
+    Round-trips the original table, proving the nest/unnest pair is lossless."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        li.groupBy("l_orderkey", "l_returnflag")
+        .agg(F.collect_list(F.struct("l_linenumber", "l_quantity")).alias("items"))
+        .groupBy("l_orderkey")
+        .agg(F.flatten(F.collect_list("items")).alias("items"))
+    )
+    return nested.select("l_orderkey", F.explode("items").alias("it")).select(
+        "l_orderkey",
+        F.col("it.l_linenumber").alias("l_linenumber"),
+        F.col("it.l_quantity").alias("l_quantity"),
+    )
+
+
+# -------------------------------------------------------------------- F1 HOFs
+@register(
+    "array_dedup_hof",
+    survey="F1,F5",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber FROM (
+      SELECT l_orderkey, l_partkey, l_linenumber,
+             MAX(l_linenumber) OVER (PARTITION BY l_orderkey, l_partkey) AS _mx
+      FROM lineitem
+    ) WHERE l_linenumber = _mx
+    """,
+)
+def array_dedup_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's array-dedup-by-key-keeping-max-version expression
+    (dedupExpr, ScdType1MergeApp.scala:212-213): filter(arr, e -> NOT exists(arr,
+    o -> o.key = e.key AND o.version > e.version)), applied per order with
+    partkey as the entity key and linenumber as the version."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_partkey", "l_linenumber")).alias("arr")
+    )
+    deduped = nested.withColumn(
+        "arr",
+        F.expr(
+            "filter(arr, e -> NOT exists(arr, o -> o.l_partkey = e.l_partkey"
+            " AND o.l_linenumber > e.l_linenumber))"
+        ),
+    )
+    return deduped.select("l_orderkey", F.explode("arr").alias("e")).select(
+        "l_orderkey",
+        F.col("e.l_partkey").alias("l_partkey"),
+        F.col("e.l_linenumber").alias("l_linenumber"),
+    )
+
+
+@register(
+    "array_fold_aggregate",
+    survey="A5,F8,F13",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum_sql('l_quantity', 2)} AS total_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def array_fold_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array fold — aggregate(lineItems, 0, (acc, li) -> acc + li.qty) and the
+    GREATEST-based max fold (db/query_table.sql:114; db/query_scd1_table.sql:138).
+    Decimal accumulator keeps the fold order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.col("l_quantity").cast("decimal(28,2)")).alias("qtys")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.expr(
+            "CAST(aggregate(qtys, CAST(0 AS DECIMAL(28,2)),"
+            " (acc, q) -> CAST(acc + q AS DECIMAL(28,2))) AS DOUBLE)"
+        ).alias("total_qty"),
+        F.expr(
+            "CAST(aggregate(qtys, CAST(NULL AS DECIMAL(28,2)),"
+            " (acc, q) -> CASE WHEN acc IS NULL THEN q ELSE greatest(acc, q) END) AS DOUBLE)"
+        ).alias("max_qty"),
+    )
+
+
+@register(
+    "first_element_sorted",
+    survey="F3,F4",
+    oracle="""
+    SELECT l_orderkey, l_partkey AS first_partkey FROM (
+      SELECT l_orderkey, l_partkey,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS _rn
+      FROM lineitem
+    ) WHERE _rn = 1
+    """,
+)
+def first_element_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_element_at(sorted_array, 1) — the ANSI-safe array head the reference
+    uses to flatten possibly-empty arrays (ScdType1MergeApp.scala:153-154)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct("l_linenumber", "l_partkey"))).alias("arr")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.try_element_at("arr", F.lit(1)).getField("l_partkey").alias("first_partkey"),
+    )
+
+
+# ----------------------------------------------------------- F11/F12/F13/F18
+@register(
+    "case_bucket_summary",
+    survey="F11,F13,F18,A2",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS bucket,
+           COUNT(*) AS cnt,
+           {dsum_sql('GREATEST(o_totalprice, 50000.0)', 2)} AS sum_floored
+    FROM orders GROUP BY 1
+    """,
+)
+def case_bucket_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN change-type derivation pattern (db/create_table.deltalake.sql:123-126)
+    + GREATEST, aggregated for compact comparison."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+    )
+    return (
+        o.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.greatest("o_totalprice", F.lit(50000.0)), 2).alias("sum_floored"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ F9 / F14 / F16
+@register(
+    "json_extract_events",
+    survey="F9,P1,F10",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a declared schema + typed projection — the CDC parse pattern
+    (TransactionalCdcProcessingApp.scala:94-113) applied to the events.props payload."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "struct<k: bigint>"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("p.k")).cast("bigint").alias("sum_k"),
+    )
+
+
+@register(
+    "concat_key_groups",
+    survey="F14,F16,F17",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS tx_key,
+           COUNT(*) AS cnt,
+           regexp_extract(MIN(event_type), '([^_]+)$', 1) AS type_suffix
+    FROM events GROUP BY 1
+    """,
+)
+def concat_key_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-key building via concat_ws(':', xid, csn)
+    (TransactionalCdcProcessingApp.scala:71) + suffix extraction mirroring the
+    APPUSER.ORDERS -> ORDERS table-name strip (DataChangeEvent.scala:43-45)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("tx_key", F.concat_ws(":", F.col("user_id").cast("string"), "event_type"))
+        .groupBy("tx_key")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.regexp_extract(F.min("event_type"), r"([^_]+)$", 1).alias("type_suffix"),
+        )
+    )
+
+
+# --------------------------------------------------------------- flagship join
+@register(
+    "region_revenue",
+    survey="J3,A2,P4,O1",
+    oracle=f"""
+    SELECT r.r_name AS region, o.o_orderstatus AS status,
+           COUNT(DISTINCT o.o_orderkey) AS order_cnt,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice IS NOT NULL
+    GROUP BY r.r_name, o.o_orderstatus
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship star-join: fact-fact join on orderkey + broadcast dimension chain
+    (customer→nation→region), null-guard filter (P4). Dimensions are explicitly
+    broadcast — at 100 TB the fact-side shuffle on orderkey is the only exchange."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count_distinct(F.col("o_orderkey")).alias("order_cnt"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------- streaming analog
+@register(
+    "tumbling_window_events",
+    survey="T-batch,F10",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           {dsum_sql('value', 6)} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch equivalent of the streaming windowed agg;
+    the same groupBy(window(ts), type) plan runs under readStream unchanged)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", 6).alias("sum_value"))
+    )

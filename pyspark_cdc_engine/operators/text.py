@@ -1,0 +1,246 @@
+"""Text-analysis and deduplication operators over the ``documents`` table —
+the beyond-reference, training-data-pipeline surface (SURVEY §7 M5).
+
+All scoring arithmetic is built from engine-portable primitives (length /
+replace / md5 / integer math) so every operator here has an exact DuckDB
+oracle. The scale-path variants that need hash families (MinHash/SimHash) live
+in :mod:`pyspark_cdc_engine.operators.dedup_scale` with rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_cdc_engine.operators.registry import load_table, register
+
+
+def _occurrences(col: str, needle: str) -> F.Column:
+    """Occurrence count via length arithmetic — identical semantics in DuckDB."""
+    return (
+        (F.length(F.col(col)) - F.length(F.replace(F.col(col), F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+def _occurrences_sql(col: str, needle: str) -> str:
+    return (
+        f"CAST((LENGTH({col}) - LENGTH(REPLACE({col}, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+    )
+
+
+@register(
+    "text_stats",
+    survey="M5-text",
+    oracle=f"""
+    SELECT doc_id,
+           LENGTH(text) AS char_len,
+           {_occurrences_sql('text', ' ')} + 1 AS word_cnt,
+           {_occurrences_sql('text', 'the ')} AS stopword_hits,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / ({_occurrences_sql('text', ' ')} + 1) AS avg_word_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring primitives: length, whitespace token count, stopword hits,
+    average word length. Pure column arithmetic — stays in whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    word_cnt = (_occurrences("text", " ") + 1).alias("word_cnt")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("char_len"),
+        word_cnt,
+        _occurrences("text", "the ").alias("stopword_hits"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / (_occurrences("text", " ") + 1)
+        ).alias("avg_word_len"),
+    )
+
+
+@register(
+    "quality_score",
+    survey="M5-text",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN LENGTH(text) >= 200
+                     AND {_occurrences_sql('text', ' ')} + 1 >= 40
+                     AND {_occurrences_sql('text', 'the ')} >= 1
+                THEN 'keep' ELSE 'drop' END AS verdict,
+           CAST({_occurrences_sql('text', 'the ')} AS DOUBLE)
+             / ({_occurrences_sql('text', ' ')} + 1) AS stopword_ratio
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop quality gate combining length, token count and stopword ratio —
+    the standard pretraining-corpus filter shape."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _occurrences("text", " ") + 1
+    stop = _occurrences("text", "the ")
+    return d.select(
+        "doc_id",
+        F.when(
+            (F.length("text") >= 200) & (words >= 40) & (stop >= 1), "keep"
+        ).otherwise("drop").alias("verdict"),
+        (stop.cast("double") / words).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "token_count",
+    survey="M5-text",
+    oracle=f"""
+    SELECT doc_id,
+           {_occurrences_sql('text', ' ')} + 1 AS ws_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + the chars/4 BPE heuristic."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (_occurrences("text", " ") + 1).alias("ws_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
+    )
+
+
+@register(
+    "exact_dedup",
+    survey="M5-dedup,A2",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           COUNT(*) AS copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication by content hash: groupBy(md5(text)), keep min doc_id.
+    At 100 TB this is the one-shuffle hash-partition dedup; the fingerprint is
+    computed map-side so only (hash, id) pairs shuffle, never the text."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    survey="M5-text",
+    oracle="""
+    SELECT doc_id,
+           md5(substr(text, 1, 64)) AS head_fp,
+           md5(substr(text, GREATEST(LENGTH(text) - 63, 1), 64)) AS tail_fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content-defined head/tail hashes (the cheap
+    first-pass near-dup signal before shingle methods)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 64).cast("binary")).alias("head_fp"),
+        F.md5(
+            F.expr("substring(text, GREATEST(LENGTH(text) - 63, 1), 64)").cast("binary")
+        ).alias("tail_fp"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    survey="M5-text,F11",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_occurrences_sql('text', ' the ')} + {_occurrences_sql('text', ' a ')} >= 2
+                THEN 'en-like' ELSE 'other' END AS detected
+    FROM documents
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-marker language ID heuristic (counts of high-frequency English
+    function words); at scale this generalizes to a per-language marker matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    score = _occurrences("text", " the ") + _occurrences("text", " a ")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(score >= 2, "en-like").otherwise("other").alias("detected"),
+    )
+
+
+_SHINGLE_W = 8  # words per shingle; distinctive enough that shared shingles ≈ near-dup
+
+
+@register(
+    "jaccard_near_dup_pairs",
+    survey="M5-dedup,J5,A2",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), UNNEST(range(1, len(w) - {_SHINGLE_W} + 2)) AS t(i),
+      LATERAL (SELECT array_to_string(list_slice(w, i, i + {_SHINGLE_W} - 1), ' ') AS sh)
+    ),
+    sets AS (SELECT DISTINCT doc_id, sh FROM shingled),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sets a JOIN sets b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    """,
+)
+def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (word-shingle) Jaccard near-duplicate pairs. The exact algorithm:
+    shingle → distinct (doc, shingle) → self-join on shingle → |∩|/|∪| ≥ τ.
+    The shingle equi-join IS the candidate generation step MinHash-LSH
+    approximates; at 100 TB you swap the join key from raw shingle to LSH band
+    hash (see minhash_lsh_bands) and this plan is otherwise unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _SHINGLE_W
+    sets = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(text, ' ')) - {w} + 1, 0)),"
+                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {w})))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.2)

@@ -1,0 +1,127 @@
+"""Embedding / similarity-search operators over the ``embeddings`` table
+(SURVEY §7 M5: ANN over an array<float> column).
+
+Numeric portability: dot products and norms are accumulated in DECIMAL (exact,
+order-independent) and only converted to DOUBLE for the final sqrt/division,
+so Spark's HOF fold and DuckDB's unnest+SUM produce bit-identical scores and
+therefore identical top-k ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_cdc_engine.operators.registry import load_table, register
+
+_DEC = "DECIMAL(26,12)"
+_N_QUERIES = 8
+_TOP_K = 5
+
+
+def _norm2_dec(col: str) -> str:
+    """SQL (Spark) expr: exact decimal sum of squares of a float array."""
+    return (
+        f"aggregate({col}, CAST(0 AS {_DEC}), (acc, x) -> "
+        f"CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {_DEC}) AS {_DEC}))"
+    )
+
+
+@register(
+    "cosine_topk_bruteforce",
+    survey="M5-ann,W1,O1",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id,
+             CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {_DEC}))
+                   FROM UNNEST(embedding) AS t(x)) AS DOUBLE) AS norm2
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                           AS {_DEC})) AS DOUBLE) AS dot
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id,
+      UNNEST(range(1, len(q.embedding) + 1)) AS t(i)
+      WHERE q.vec_id < {_N_QUERIES}
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             d.dot / SQRT(nq.norm2 * nc.norm2) AS cos_sim
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nc ON nc.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against the
+    full corpus, dot products via zip_with + exact decimal fold (no UDF, no
+    shuffle until the per-query top-k). At 100 TB: queries broadcast, corpus
+    scanned once, TakeOrdered per query — the right baseline before IVF/LSH."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
+    )
+    q = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm2").alias("q_norm2"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_norm2"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    dot_expr = (
+        f"CAST(aggregate(zip_with(q_emb, c_emb, (x, y) -> "
+        f"CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {_DEC})), "
+        f"CAST(0 AS {_DEC}), (acc, p) -> CAST(acc + p AS {_DEC})) AS DOUBLE)"
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (F.expr(dot_expr) / F.sqrt(F.col("q_norm2") * F.col("c_norm2"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+@register(
+    "vector_stats",
+    survey="M5-ann,A2",
+    oracle=f"""
+    SELECT label, COUNT(*) AS cnt,
+           CAST(SUM(CAST(SQRT(CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {_DEC}))
+                                    FROM UNNEST(embedding) AS t(x)) AS DOUBLE)) AS {_DEC}))
+                AS DOUBLE) / COUNT(*) AS avg_norm,
+           MIN(len(embedding)) AS dim
+    FROM embeddings GROUP BY label
+    """,
+)
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus statistics over the embedding column (count, mean L2
+    norm, dimensionality) — the sanity profile before any ANN build."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm", F.sqrt(F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)"))
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.sum(F.col("norm").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("avg_norm"),
+        F.min(F.size("embedding")).alias("dim"),
+    )

@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+Reference parity: SparkSessionCreator.scala:17-42 (Delta extensions + RocksDB state
+store + Hive toggle). Ours targets plain OSS Spark 4.x: Delta jars are optional (gated),
+RocksDB state store is built in, and every conf is chosen for the 100 TB design point
+(AQE on, skew-join handling, shuffle partitions sized to the cluster, UTC timezone so
+results compare bit-for-bit against the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that matter at scale. On a real 1000-executor cluster
+# spark.sql.shuffle.partitions should be ~2-3x total cores (or left to AQE coalescing
+# with a high initial number); locally we size to the test box.
+_BASE_CONFS: dict[str, str] = {
+    # AQE: runtime re-planning — coalesce post-shuffle partitions, convert
+    # sort-merge to broadcast when a side turns out small, split skewed partitions.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic comparisons vs DuckDB (which is UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # ANSI mode is default-on in Spark 4; keep it, and use try_* functions where
+    # the reference relied on lenient behavior (SURVEY §2.8 F3).
+    "spark.sql.ansi.enabled": "true",
+    # Arrow for all pandas interchange (stateful ops, pandas UDFs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Nested-schema pruning so struct-path projections reach the parquet scan.
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # Streaming state store: RocksDB (same provider the reference configures,
+    # reference.conf:14) — spills to disk, snapshots to the checkpoint location.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.shuffle.partitions": "32",
+    # 128 MB parquet split targets — keeps task count proportional to data volume.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def get_spark(
+    app_name: str = "pyspark-cdc-engine",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+    warehouse_dir: str | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract) or
+    ``local[*]``. On a real cluster, pass ``master=None`` with the conf coming from
+    spark-submit and only the semantic confs here apply.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(_BASE_CONFS)
+    if warehouse_dir:
+        confs["spark.sql.warehouse.dir"] = warehouse_dir
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
