@@ -1,0 +1,60 @@
+"""Pipeline wiring: CDC topics -> transaction assembly -> SCD2 deltalite table
+(TransactionalCdcProcessingApp end-to-end, SURVEY §3.1), and the SCD2 -> SCD1
+chained stream (§3.2 skeleton; merge logic in :mod:`pyspark_cdc_engine.scd1`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_cdc_engine.parse import (
+    parse_data_change_events,
+    parse_transaction_metadata,
+    unify_event_streams,
+)
+from pyspark_cdc_engine.sources import read_text_batch, read_text_stream
+from pyspark_cdc_engine.streaming.tx_state import (
+    assemble_transactions_batch,
+    assemble_transactions_stream,
+)
+from pyspark_cdc_engine.tables import DeltaliteTable
+
+
+def cdc_to_scd2_stream(
+    spark: SparkSession,
+    cdc_dir: str,
+    meta_dir: str,
+    table: DeltaliteTable,
+    checkpoint_dir: str,
+    ttl_minutes: int | None = None,
+):
+    """File-source variant of the ingest pipeline (Kafka swaps in via
+    sources.read_kafka_stream with no other changes). Returns the started
+    StreamingQuery; caller awaits/stops. availableNow drains everything
+    currently in the dirs then stops — the test/backfill trigger."""
+    cdc = parse_data_change_events(read_text_stream(spark, cdc_dir))
+    meta = parse_transaction_metadata(read_text_stream(spark, meta_dir))
+    unified = unify_event_streams(cdc, meta)
+    completed = assemble_transactions_stream(unified, ttl_minutes=ttl_minutes)
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            table.append(batch_df)
+
+    return (
+        completed.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cdc_to_scd2_batch(
+    spark: SparkSession, cdc_dir: str, meta_dir: str
+) -> DataFrame:
+    """Batch assembly of the same inputs (backfill / oracle path)."""
+    cdc = parse_data_change_events(read_text_batch(spark, cdc_dir))
+    meta = parse_transaction_metadata(read_text_batch(spark, meta_dir))
+    unified = unify_event_streams(cdc, meta)
+    return assemble_transactions_batch(unified)

@@ -1,0 +1,120 @@
+"""Golden tests for the CDC ingest pipeline (SURVEY §5 item 3; FIXTURES.md A3
+scenarios): file-source streams -> transaction assembly -> SCD2 deltalite.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_cdc_engine.streaming.pipeline import cdc_to_scd2_batch, cdc_to_scd2_stream
+from pyspark_cdc_engine.tables import DeltaliteTable
+from tests.cdc_fixtures import TxBuilder, insert_tx, write_fixture_files
+
+
+def _run_stream(spark, tmp, txs, metadata_for=None, prefix="batch0", subdir="run"):
+    base = tmp / subdir
+    write_fixture_files(base / "cdc", base / "meta", txs, metadata_for, file_prefix=prefix)
+    table = DeltaliteTable(spark, str(base / "order_stream"))
+    q = cdc_to_scd2_stream(
+        spark, str(base / "cdc"), str(base / "meta"), table, str(base / "ckpt")
+    )
+    q.awaitTermination(120)
+    return table, base
+
+
+def test_insert_only_transaction(spark, tmp_path):
+    """Scenario 1: 1 order + 1 detail + N items, metadata last -> one nested row."""
+    tx = insert_tx(7, xid="1.2.3.100", csn="5001")
+    table, _ = _run_stream(spark, tmp_path, [tx])
+    rows = table.read().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.orderId == 7.0 and r.xid == "1.2.3.100" and r.csn == "5001"
+    assert len(r.orders) == 1 and len(r.orderDetails) == 1 and len(r.lineItems) == 5
+    o = r.orders[0]
+    assert o.orderRef == "ORD-000007" and o.totalAmount == 107.5 and o.before is None
+    assert {li.productId for li in r.lineItems} == {f"PROD-{i:03d}" for i in range(1, 6)}
+    assert r.lineItems[0].itemQty is not None
+
+
+def test_update_with_before_images(spark, tmp_path):
+    """Scenario 4: U events carry before images into the nested structs."""
+    from tests.cdc_fixtures import _order_after
+
+    tx = TxBuilder("9.9.9.1", "6001")
+    tx.order(3, op="U", version=2, status="CONFIRMED", before=_order_after(3, 1, "PENDING"))
+    table, _ = _run_stream(spark, tmp_path, [tx])
+    rows = table.read().collect()
+    assert len(rows) == 1
+    o = rows[0].orders[0]
+    assert o.version == 2.0 and o.orderStatus == "CONFIRMED"
+    assert o.before is not None and o.before.version == 1.0 and o.before.orderStatus == "PENDING"
+
+
+def test_multi_order_transaction(spark, tmp_path):
+    """Scenario 6: one xid:csn touching 2 orders -> 2 OrderStream rows."""
+    tx = TxBuilder("7.7.7.7", "7001")
+    tx.order(1).item(1, 1).order(2).item(2, 1).item(2, 2)
+    table, _ = _run_stream(spark, tmp_path, [tx])
+    rows = {r.orderId: r for r in table.read().collect()}
+    assert set(rows) == {1.0, 2.0}
+    assert len(rows[1.0].lineItems) == 1 and len(rows[2.0].lineItems) == 2
+    assert rows[1.0].xid == "7.7.7.7" and rows[2.0].csn == "7001"
+
+
+def test_never_completing_transaction_emits_nothing(spark, tmp_path):
+    """Scenario 9: metadata missing -> state parks, nothing emitted."""
+    done = insert_tx(1, "1.1.1.1", "8001")
+    parked = insert_tx(2, "2.2.2.2", "8002")
+    table, _ = _run_stream(spark, tmp_path, [done, parked], metadata_for=[done])
+    rows = table.read().collect()
+    assert len(rows) == 1 and rows[0].orderId == 1.0
+
+
+def test_out_of_order_across_microbatches(spark, tmp_path):
+    """Scenarios 2+3: metadata arrives in batch 0, events in a later run —
+    state buffers across restarts via the checkpoint."""
+    tx = insert_tx(11, "3.3.3.3", "9001")
+    base = tmp_path / "ooo"
+    # Run 1: metadata only (metadata-first arrival).
+    write_fixture_files(base / "cdc", base / "meta", [], metadata_for=[tx], file_prefix="b0")
+    table = DeltaliteTable(spark, str(base / "order_stream"))
+    q = cdc_to_scd2_stream(spark, str(base / "cdc"), str(base / "meta"), table, str(base / "ckpt"))
+    q.awaitTermination(120)
+    assert not table.exists() or table.read().count() == 0
+    # Run 2: the CDC events land; transaction completes from restored state.
+    write_fixture_files(base / "cdc", base / "meta", [tx], metadata_for=[], file_prefix="b1")
+    q = cdc_to_scd2_stream(spark, str(base / "cdc"), str(base / "meta"), table, str(base / "ckpt"))
+    q.awaitTermination(120)
+    rows = table.read().collect()
+    assert len(rows) == 1 and rows[0].orderId == 11.0 and len(rows[0].lineItems) == 5
+
+
+def test_batch_assembly_matches_stream(spark, tmp_path):
+    """Batch path (assemble_transactions_batch) emits the same records."""
+    txs = [insert_tx(i, f"b.{i}", f"1{i:04d}") for i in range(1, 6)]
+    table, base = _run_stream(spark, tmp_path, txs, subdir="stream")
+    write_fixture_files(tmp_path / "b" / "cdc", tmp_path / "b" / "meta", txs)
+    batch = cdc_to_scd2_batch(spark, str(tmp_path / "b" / "cdc"), str(tmp_path / "b" / "meta"))
+
+    def key(rows):
+        return sorted(
+            (r.orderId, r.xid, r.csn, len(r.orders), len(r.orderDetails), len(r.lineItems),
+             tuple(sorted(li.productId for li in r.lineItems)))
+            for r in rows
+        )
+
+    assert key(table.read().collect()) == key(batch.collect())
+    assert batch.count() == 5
+
+
+def test_child_only_transaction(spark, tmp_path):
+    """Scenario 5: line-item-only tx -> record with empty orders/details arrays."""
+    tx = TxBuilder("c.c.c.c", "9501")
+    tx.item(42, 1, op="U", version=3, qty=9.0)
+    table, _ = _run_stream(spark, tmp_path, [tx])
+    rows = table.read().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.orderId == 42.0 and len(r.orders) == 0 and len(r.lineItems) == 1
+    assert r.lineItems[0].version == 3.0 and r.lineItems[0].itemQty == 9.0
