@@ -127,6 +127,14 @@ class DeltaliteTable:
             raise ValueError(f"empty table at version {v}")
         return self.spark.read.parquet(*dirs)
 
+    def read_stream(self) -> DataFrame:
+        """Streaming read of an append-only deltalite table (Delta streaming
+        source analog, S3): a file stream over the data dirs. Exact change feed
+        for append-only tables (each commit adds a new dir); tables mutated by
+        merge/compact would re-deliver rewritten files — don't stream those."""
+        schema = self.read().schema
+        return self.spark.readStream.schema(schema).parquet(str(self._root / "data" / "*"))
+
     def read_as_of_timestamp(self, ts: float) -> DataFrame:
         """TIMESTAMP AS OF analog: last version committed at or before ``ts``."""
         best = None
