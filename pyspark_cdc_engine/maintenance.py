@@ -1,0 +1,118 @@
+"""DDL/SQL-script execution + table maintenance (SURVEY §2.1 S8, §2.12).
+
+Reference parity: SeedJob.scala:38-59 (scan dir for SQL scripts, alphabetical
+order, split on ';', strip '--' comments, execute each statement) and the
+db/table_maintenance.sql surface (OPTIMIZE/VACUUM/ANALYZE/RESTORE/CLONE),
+mapped onto deltalite where Delta-specific.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from pyspark_cdc_engine.tables import DeltaliteTable
+
+
+def split_sql_statements(text: str) -> list[str]:
+    """Split a script on ';', dropping blank lines and '--' comment lines
+    (SeedJob.scala:49-54 semantics)."""
+    statements = []
+    for raw in text.split(";"):
+        lines = [
+            ln for ln in raw.splitlines() if ln.strip() and not ln.strip().startswith("--")
+        ]
+        stmt = "\n".join(lines).strip()
+        if stmt:
+            statements.append(stmt)
+    return statements
+
+
+def run_sql_scripts(
+    spark: SparkSession, script_dir: str | Path, suffix: str = ".sql"
+) -> list[str]:
+    """Execute every ``*{suffix}`` script in ``script_dir`` in name order;
+    returns the executed statements (SeedJob parity)."""
+    executed: list[str] = []
+    for script in sorted(Path(script_dir).glob(f"*{suffix}")):
+        for stmt in split_sql_statements(script.read_text()):
+            spark.sql(stmt)
+            executed.append(stmt)
+    return executed
+
+
+def register_cdc_views(
+    spark: SparkSession,
+    order_stream: DeltaliteTable | None = None,
+    orders_current: DeltaliteTable | None = None,
+) -> None:
+    """Expose the CDC tables + the reference's three consumer views
+    (db/create_table.deltalake.sql:93-129, db/create_scd1_table.deltalake.sql:94-108)
+    as temp views. try_element_at replaces the reference's orders[0] subscripts
+    (ANSI-safe, SURVEY §2.8 F3/F4)."""
+    if order_stream is not None:
+        order_stream.read().createOrReplaceTempView("order_stream")
+        spark.sql(
+            """
+            CREATE OR REPLACE TEMPORARY VIEW order_stream_current AS
+            SELECT orderId, xid, csn, dwhProcessedTs,
+                   try_element_at(orders, 1).orderRef AS orderRef,
+                   try_element_at(orders, 1).orderStatus AS orderStatus,
+                   try_element_at(orders, 1).totalAmount AS totalAmount,
+                   try_element_at(orders, 1).currency AS currency,
+                   try_element_at(orders, 1).orderDate AS orderDate,
+                   try_element_at(orders, 1).version AS orderVersion,
+                   size(orderDetails) AS detail_count,
+                   size(lineItems) AS line_item_count
+            FROM order_stream
+            """
+        )
+        spark.sql(
+            """
+            CREATE OR REPLACE TEMPORARY VIEW order_stream_changes AS
+            SELECT orderId, xid, csn, dwhProcessedTs,
+                   o.orderRef, o.orderStatus, o.totalAmount,
+                   o.version AS orderVersion,
+                   o.before.totalAmount AS previous_total_amount,
+                   o.before.orderStatus AS previous_status,
+                   o.before.version AS previous_version,
+                   CASE WHEN o.before IS NOT NULL THEN 'UPDATED'
+                        ELSE 'INSERTED' END AS change_type
+            FROM order_stream
+            LATERAL VIEW explode(orders) orders_table AS o
+            WHERE o.before IS NOT NULL
+            """
+        )
+    if orders_current is not None:
+        orders_current.read().createOrReplaceTempView("orders_current")
+        spark.sql(
+            """
+            CREATE OR REPLACE TEMPORARY VIEW orders_current_view AS
+            SELECT orderId, orderRef, orderStatus, totalAmount, currency,
+                   orderDate, version AS orderVersion, dwhProcessedTs,
+                   orderDetails.shippingMethod, orderDetails.carrier,
+                   orderDetails.deliveryStatus,
+                   size(lineItems) AS line_item_count
+            FROM orders_current
+            """
+        )
+
+
+def table_health(table: DeltaliteTable) -> dict:
+    """File-health probe (db/table_maintenance.sql:109-125 analog): live data
+    dirs, file count, bytes, avg file size vs the >=128MB heuristic."""
+    root = Path(table.path)
+    commit = table._read_commit(table.latest_version())
+    files = [
+        f for d in commit["live"] for f in (root / d).glob("*.parquet")
+    ]
+    total = sum(f.stat().st_size for f in files)
+    return {
+        "version": commit["version"],
+        "num_data_dirs": len(commit["live"]),
+        "num_files": len(files),
+        "size_bytes": total,
+        "avg_file_bytes": total // len(files) if files else 0,
+        "healthy_128mb": bool(files) and total / len(files) >= 128 * 1024 * 1024,
+    }

@@ -1,0 +1,112 @@
+"""Maintenance surface tests: SQL script runner (S8), CDC views, time travel /
+restore / vacuum / compact / zorder (§2.12), table health probe."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from pyspark_cdc_engine.maintenance import (
+    register_cdc_views,
+    run_sql_scripts,
+    split_sql_statements,
+    table_health,
+)
+from pyspark_cdc_engine.scd1 import merge_scd1
+from pyspark_cdc_engine.streaming.pipeline import cdc_to_scd2_batch
+from pyspark_cdc_engine.tables import DeltaliteTable
+from tests.cdc_fixtures import insert_tx, write_fixture_files
+
+REPO_SQL = str(Path(__file__).resolve().parents[1] / "sql")
+
+
+def test_split_sql_statements():
+    text = """
+    -- leading comment
+    SELECT 1;
+
+    -- another
+    SELECT 2
+    FROM t;
+    ;
+    """
+    stmts = split_sql_statements(text)
+    assert stmts == ["SELECT 1", "SELECT 2\n    FROM t"]
+
+
+@pytest.fixture()
+def populated_tables(spark, tmp_path):
+    base = tmp_path / "mx"
+    txs = [insert_tx(i, f"m.{i}", f"5{i:03d}") for i in range(1, 6)]
+    write_fixture_files(base / "cdc", base / "meta", txs)
+    batch = cdc_to_scd2_batch(spark, str(base / "cdc"), str(base / "meta"))
+    scd2 = DeltaliteTable(spark, str(base / "order_stream"))
+    scd2.overwrite(batch)
+    scd1 = DeltaliteTable(spark, str(base / "orders_current"))
+    merge_scd1(spark, scd2.read(), scd1)
+    return scd2, scd1
+
+
+def test_seed_runner_executes_corpus(spark, populated_tables):
+    """SeedJob parity: the repo's sql/ corpus runs end-to-end over the views."""
+    scd2, scd1 = populated_tables
+    register_cdc_views(spark, order_stream=scd2, orders_current=scd1)
+    executed = run_sql_scripts(spark, REPO_SQL)
+    assert len(executed) >= 10
+    # Views answer correctly after the run
+    assert spark.sql("SELECT COUNT(*) AS c FROM order_stream_current").collect()[0].c == 5
+    dup = spark.sql(
+        "SELECT orderId FROM orders_current GROUP BY orderId HAVING COUNT(*) > 1"
+    ).collect()
+    assert dup == []
+    changes = spark.sql("SELECT COUNT(*) AS c FROM order_stream_changes").collect()[0].c
+    assert changes == 0  # insert-only fixtures carry no before images
+
+
+def test_views_flatten_correctly(spark, populated_tables):
+    scd2, scd1 = populated_tables
+    register_cdc_views(spark, order_stream=scd2, orders_current=scd1)
+    row = spark.sql(
+        "SELECT orderRef, orderVersion, line_item_count FROM order_stream_current "
+        "WHERE orderId = 3.0"
+    ).collect()[0]
+    assert row.orderRef == "ORD-000003" and row.orderVersion == 1.0
+    assert row.line_item_count == 2 + 3 % 4
+    v = spark.sql(
+        "SELECT shippingMethod, line_item_count FROM orders_current_view WHERE orderId = 3.0"
+    ).collect()[0]
+    assert v.line_item_count == 2 + 3 % 4
+
+
+def test_time_travel_restore_vacuum_compact(spark, tmp_path):
+    t = DeltaliteTable(spark, str(tmp_path / "tt"))
+    df = spark.range(10).toDF("id")
+    t.overwrite(df)                       # v0
+    t.append(spark.range(10, 15).toDF("id"))   # v1
+    t.append(spark.range(15, 18).toDF("id"))   # v2
+    assert t.read().count() == 18
+    assert t.read(version=0).count() == 10
+    assert t.read(version=1).count() == 15
+    t.compact(target_partitions=1)        # v3
+    assert t.read().count() == 18
+    health = table_health(t)
+    assert health["num_data_dirs"] == 1 and health["num_files"] >= 1
+    t.restore(1)                          # v4 -> snapshot of v1
+    assert t.read().count() == 15
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["restore", "compact", "append", "append", "overwrite"]
+    # vacuum with zero retention keeps only dirs referenced by latest commit
+    dead = t.vacuum(retain_hours=0, dry_run=True)
+    assert len(dead) >= 1
+    t.vacuum(retain_hours=0)
+    assert t.read().count() == 15  # latest snapshot intact
+
+
+def test_zorder_clusters_files(spark, tmp_path):
+    t = DeltaliteTable(spark, str(tmp_path / "zo"))
+    t.overwrite(spark.range(1000).toDF("id").selectExpr("id", "id % 7 AS k"))
+    t.zorder_by("k", target_partitions=4)
+    assert t.read().count() == 1000
+    assert t.history()[0]["operation"] == "zorder"
+    assert t.history()[0]["zorder_cols"] == ["k"]
