@@ -1,0 +1,516 @@
+"""Scale-path near-duplicate detection + bucketed ANN (SURVEY §7 M5).
+
+These are the 100 TB variants of the exact algorithms in
+:mod:`pyspark_cdc_engine.operators.text` / ``.vectors``:
+
+- **MinHash + LSH**: shingle → K minhash signatures → band hashes → bucket
+  equi-join for candidates → exact-Jaccard verify on candidates only. The
+  candidate join shuffles (band_id, band_hash, doc_id) — constant bytes per
+  doc — instead of the full shingle set, which is what makes it viable when
+  ``jaccard_near_dup_pairs``'s shingle self-join would explode.
+- **SimHash**: 32-bit fingerprint from token-hash bit votes; near-dup via
+  half-fingerprint banding + Hamming-distance verify.
+- **Embedding cosine near-dup**: all-pairs above a similarity threshold.
+- **IVF-bucketed ANN**: assign vectors to nearest-of-C centroids, then search
+  only the query's bucket — the N/C scan that replaces brute force.
+
+Portability trick that makes every one of these DuckDB-oracle-able: all hash
+families are built from ``md5`` (identical hex output in both engines), minhash
+"permutations" are lexicographic MIN over seeded md5 strings, and all float
+accumulation is DECIMAL (order-independent), so Spark and DuckDB produce
+bit-identical rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_cdc_engine.operators.registry import load_table, register
+from pyspark_cdc_engine.operators.vectors import _DEC, _norm2_dec
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_SHINGLE_W = 8   # words per shingle (matches jaccard_near_dup_pairs)
+_MH_K = 16       # minhash signature length
+_LSH_R = 4       # rows per band
+_LSH_B = _MH_K // _LSH_R  # 4 bands; P(candidate) = 1-(1-J^4)^4 ≈ 1 at J≥0.9
+_MH_TAU = 0.8    # verified-Jaccard output threshold
+
+
+def _shingle_expr_spark(w: int) -> str:
+    return (
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {w} + 1, 0)),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {w})))"
+    )
+
+
+_SHINGLE_CTE_DUCK = f"""
+    shingled AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), UNNEST(range(1, len(w) - {_SHINGLE_W} + 2)) AS t(i),
+      LATERAL (SELECT array_to_string(list_slice(w, i, i + {_SHINGLE_W} - 1), ' ') AS sh)
+    ),
+    sets AS (SELECT DISTINCT doc_id, sh FROM shingled)
+"""
+
+_SIG_COLS = ", ".join(
+    f"MIN(md5('{k}|' || sh)) AS s{k}" for k in range(_MH_K)
+)
+_PIPE_JOIN = " || '|' || "
+_BAND_ROWS_DUCK = ", ".join(
+    "({b}, md5({cols}))".format(
+        b=b, cols=_PIPE_JOIN.join(f"s{b * _LSH_R + r}" for r in range(_LSH_R))
+    )
+    for b in range(_LSH_B)
+)
+
+
+@register(
+    "minhash_lsh_near_dup",
+    survey="M5-dedup,A2,J5",
+    oracle=f"""
+    WITH {_SHINGLE_CTE_DUCK},
+    sigs AS (SELECT doc_id, {_SIG_COLS} FROM sets GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, band_id, band_hash
+      FROM sigs, (VALUES {_BAND_ROWS_DUCK}) AS v(band_id, band_hash)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cands c
+      JOIN sets sa ON sa.doc_id = c.doc_a
+      JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (za.n + zb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= {_MH_TAU}
+    """,
+)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs. Plan: one shuffle to build the K-wide
+    signature (groupBy doc_id with K MIN aggs — map-side partial MINs make the
+    shuffle K strings/doc), band hashes exploded map-side, bucket equi-join for
+    candidates, exact Jaccard computed only for candidates. The minhash
+    "permutation" family is lexicographic MIN over ``md5(k|shingle)`` — a
+    legitimate random permutation per seed k, chosen because both engines hash
+    identically (oracle-exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = d.select(
+        "doc_id", F.explode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("sh")
+    ).distinct()
+
+    sigs = sets.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"md5(CAST(CONCAT('{k}|', sh) AS BINARY))")).alias(f"s{k}")
+            for k in range(_MH_K)
+        ]
+    )
+    band_structs = ", ".join(
+        f"named_struct('band_id', {b}, 'band_hash', "
+        f"md5(CAST(CONCAT_WS('|', {', '.join(f's{b * _LSH_R + r}' for r in range(_LSH_R))}) AS BINARY)))"
+        for b in range(_LSH_B)
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bd")
+    ).select("doc_id", "bd.band_id", "bd.band_hash")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = (
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sb.sh") == F.col("sa.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    return (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i").cast("double") / (F.col("za.n") + F.col("zb.n") - F.col("i"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= _MH_TAU)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_HEXD = "0123456789abcdef"
+_SH_BITS = 32     # 8 hex digits
+_SH_FEAT_W = 3    # simhash feature = 3-word shingle (unigrams collide on a
+                  # small shared vocabulary; shingles give a feature space of
+                  # |V|^3, the standard Charikar-style choice)
+
+
+def _simhash_fingerprint_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + 32-bit simhash fingerprint (8 lowercase hex chars).
+
+    Feature vote: for each distinct 3-word shingle, md5(shingle)[:8] supplies
+    8 hex digits = 32 bits; each bit votes +1/-1; fingerprint bit =
+    (vote sum > 0). All bit surgery is FLOOR-div/mod on the hex-digit value
+    (instr into '0123…f'), the only formulation that is expression-identical
+    across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.expr(_shingle_expr_spark(_SH_FEAT_W))).alias("w")
+    ).distinct().withColumn("h", F.expr("md5(CAST(w AS BINARY))"))
+    # digit value per hex position p: 0..15
+    for p in range(8):
+        words = words.withColumn(
+            f"v{p}", F.expr(f"instr('{_HEXD}', substring(h, {p + 1}, 1)) - 1")
+        )
+    # per-doc vote sums for all 32 bits
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"(FLOOR(v{p} / {1 << bit}) % 2) * 2 - 1")).alias(f"b{p}_{bit}")
+            for p in range(8)
+            for bit in range(4)
+        ]
+    )
+    digit_exprs = [
+        "CONCAT("
+        + ", ".join(
+            f"substring('{_HEXD}', CAST("
+            + " + ".join(
+                f"(CASE WHEN b{p}_{bit} > 0 THEN {1 << bit} ELSE 0 END)" for bit in range(4)
+            )
+            + f" AS INT) + 1, 1)"
+            for p in range(8)
+        )
+        + ")"
+    ]
+    return votes.select("doc_id", F.expr(digit_exprs[0]).alias("fingerprint"))
+
+
+_SIMHASH_CTE_DUCK = f"""
+    words AS (
+      SELECT DISTINCT doc_id, sh AS w FROM (
+        SELECT doc_id, sh FROM (
+          SELECT doc_id, string_split(text, ' ') AS wl FROM documents
+        ), UNNEST(range(1, len(wl) - {_SH_FEAT_W} + 2)) AS t(i),
+        LATERAL (SELECT array_to_string(list_slice(wl, i, i + {_SH_FEAT_W} - 1), ' ') AS sh)
+      )
+    ),
+    hx AS (SELECT doc_id, md5(w) AS h FROM words),
+    dv AS (
+      SELECT doc_id,
+             {', '.join(f"instr('{_HEXD}', substr(h, {p + 1}, 1)) - 1 AS v{p}" for p in range(8))}
+      FROM hx
+    ),
+    votes AS (
+      SELECT doc_id,
+             {', '.join(f"SUM((FLOOR(v{p} / {1 << bit}) % 2) * 2 - 1) AS b{p}_{bit}" for p in range(8) for bit in range(4))}
+      FROM dv GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id, CONCAT(
+        {', '.join("substr('" + _HEXD + "', CAST(" + ' + '.join(f"(CASE WHEN b{p}_{bit} > 0 THEN {1 << bit} ELSE 0 END)" for bit in range(4)) + " AS INT) + 1, 1)" for p in range(8))}
+      ) AS fingerprint FROM votes
+    )
+"""
+
+
+@register(
+    "simhash_fingerprint",
+    survey="M5-dedup,A2",
+    oracle=f"WITH {_SIMHASH_CTE_DUCK} SELECT doc_id, fingerprint FROM fp",
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (one shuffle: groupBy doc_id with 32
+    map-side-combinable SUM votes; the fingerprint itself is map-side string
+    surgery). At 100 TB the explode(words) never shuffles — only
+    (doc_id, 32 ints) does."""
+    return _simhash_fingerprint_df(spark, sf_dir)
+
+
+_POP4 = "(FLOOR({x} / 8) % 2 + FLOOR({x} / 4) % 2 + FLOOR({x} / 2) % 2 + {x} % 2)"
+_SH_HAM_MAX = 6  # near-dup iff Hamming distance <= 6 of 32 bits
+
+
+def _hamming_expr(engine: str) -> str:
+    """Sum over 8 hex-digit positions of popcount(xor(digit_a, digit_b))."""
+    xor = {"spark": "CAST(va{p} AS INT) ^ CAST(vb{p} AS INT)", "duck": "xor(CAST(va{p} AS BIGINT), CAST(vb{p} AS BIGINT))"}[engine]
+    terms = []
+    for p in range(8):
+        x = f"({xor.format(p=p)})"
+        terms.append(_POP4.format(x=x))
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_DIGVALS_A_DUCK = ", ".join(
+    f"instr('{_HEXD}', substr(a.fingerprint, {p + 1}, 1)) - 1 AS va{p}" for p in range(8)
+)
+_DIGVALS_B_DUCK = ", ".join(
+    f"instr('{_HEXD}', substr(b.fingerprint, {p + 1}, 1)) - 1 AS vb{p}" for p in range(8)
+)
+
+
+@register(
+    "simhash_near_dup",
+    survey="M5-dedup,J5",
+    oracle=f"""
+    WITH {_SIMHASH_CTE_DUCK},
+    halves AS (
+      SELECT doc_id, fingerprint, half_id,
+             CASE half_id WHEN 0 THEN substr(fingerprint, 1, 4)
+                          ELSE substr(fingerprint, 5, 4) END AS half
+      FROM fp, (VALUES (0), (1)) AS t(half_id)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.fingerprint AS fp_a, b.fingerprint AS fp_b
+      FROM halves a JOIN halves b
+        ON a.half_id = b.half_id AND a.half = b.half AND a.doc_id < b.doc_id
+    ),
+    dg AS (
+      SELECT doc_a, doc_b,
+             {', '.join(f"instr('{_HEXD}', substr(fp_a, {p + 1}, 1)) - 1 AS va{p}" for p in range(8))},
+             {', '.join(f"instr('{_HEXD}', substr(fp_b, {p + 1}, 1)) - 1 AS vb{p}" for p in range(8))}
+      FROM cands
+    )
+    SELECT doc_a, doc_b, {_hamming_expr('duck')} AS hamming
+    FROM dg WHERE {_hamming_expr('duck')} <= {_SH_HAM_MAX}
+    """,
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit fingerprint into two 16-bit
+    halves (guarantees recall for Hamming<=1-per-half splits, standard
+    Charikar banding), bucket-join on half equality, verify Hamming <= 6.
+    Shuffle payload per doc: 2×(half, fingerprint) — constant bytes."""
+    fp = _simhash_fingerprint_df(spark, sf_dir)
+    halves = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            F.expr(
+                "array(named_struct('half_id', 0, 'half', substring(fingerprint, 1, 4)),"
+                " named_struct('half_id', 1, 'half', substring(fingerprint, 5, 4)))"
+            )
+        ).alias("hv"),
+    ).select("doc_id", "fingerprint", "hv.half_id", "hv.half")
+    a, b = halves.alias("a"), halves.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.half_id") == F.col("b.half_id"))
+            & (F.col("a.half") == F.col("b.half"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fingerprint").alias("fp_a"),
+            F.col("b.fingerprint").alias("fp_b"),
+        )
+        .distinct()
+    )
+    for p in range(8):
+        cands = cands.withColumn(
+            f"va{p}", F.expr(f"instr('{_HEXD}', substring(fp_a, {p + 1}, 1)) - 1")
+        ).withColumn(
+            f"vb{p}", F.expr(f"instr('{_HEXD}', substring(fp_b, {p + 1}, 1)) - 1")
+        )
+    return (
+        cands.withColumn("hamming", F.expr(_hamming_expr("spark")))
+        .filter(F.col("hamming") <= _SH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space near-dup + IVF ANN
+# ---------------------------------------------------------------------------
+
+_COS_TAU = 0.35      # near-dup cosine threshold (corpus max ≈ 0.44)
+_IVF_C = 16          # centroid count (deterministic seed: first C vectors)
+_IVF_QUERIES = 8
+_IVF_K = 5
+
+_DOT_DEC_SPARK = (
+    f"CAST(aggregate(zip_with({{a}}, {{b}}, (x, y) -> "
+    f"CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {_DEC})), "
+    f"CAST(0 AS {_DEC}), (acc, p) -> CAST(acc + p AS {_DEC})) AS DOUBLE)"
+)
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"CAST((SELECT SUM(CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS {_DEC}))"
+        f" FROM UNNEST(range(1, len({a}) + 1)) AS t(i)) AS DOUBLE)"
+    )
+
+
+_NORMS_CTE_DUCK = f"""
+    norms AS (
+      SELECT vec_id, embedding,
+             CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {_DEC}))
+                   FROM UNNEST(embedding) AS t(x)) AS DOUBLE) AS norm2
+      FROM embeddings
+    )
+"""
+
+
+_ASSIGN_CTE_DUCK = f"""
+    cents AS (SELECT vec_id AS centroid_id, embedding AS cemb, norm2 AS cn2
+              FROM norms WHERE vec_id < {_IVF_C}),
+    assign_scored AS (
+      SELECT n.vec_id, n.embedding, n.norm2, c.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY {{dot}} / SQRT(n.norm2 * c.cn2) DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM norms n CROSS JOIN cents c
+    ),
+    assigned AS (SELECT vec_id, embedding, norm2, centroid_id
+                 FROM assign_scored WHERE rn = 1)
+"""
+
+
+def _ivf_assigned_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, norm2, centroid_id): every vector tagged with its
+    nearest-of-C centroid (centroids = first C vectors, broadcast)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
+    )
+    cents = emb.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cemb"),
+        F.col("norm2").alias("cn2"),
+    )
+    dot_nc = _DOT_DEC_SPARK.format(a="embedding", b="cemb")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.expr(dot_nc) / F.sqrt(F.col("norm2") * F.col("cn2")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "norm2", "centroid_id")
+    )
+
+
+@register(
+    "embedding_cosine_near_dup",
+    survey="M5-dedup,J5",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_dot_duck('n.embedding', 'c.cemb'))}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_dot_duck('a.embedding', 'b.embedding')} / SQRT(a.norm2 * b.norm2) AS cos_sim
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE {_dot_duck('a.embedding', 'b.embedding')} / SQRT(a.norm2 * b.norm2) >= {_COS_TAU}
+    """,
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above τ={_COS_TAU}, blocked by
+    IVF coarse quantization: vectors are bucketed to their nearest-of-C
+    centroid and only same-bucket pairs are compared — N²/C exact comparisons
+    instead of N² (the FAISS-style dedup recipe; at 100 TB the bucket is the
+    shuffle key, so each reducer does a small local all-pairs). Recall is
+    bounded by the blocking, as with any coarse-quantizer dedup."""
+    assigned = _ivf_assigned_df(spark, sf_dir)
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm2").alias("na"),
+        F.col("centroid_id").alias("ca"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm2").alias("nb"),
+        F.col("centroid_id").alias("cb"),
+    )
+    dot = _DOT_DEC_SPARK.format(a="ea", b="eb")
+    return (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos_sim", F.expr(dot) / F.sqrt(F.col("na") * F.col("nb")))
+        .filter(F.col("cos_sim") >= _COS_TAU)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+@register(
+    "ann_ivf_bucketed",
+    survey="M5-ann,W1,O1",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_dot_duck('n.embedding', 'c.cemb'))},
+    q AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+          FROM assigned WHERE vec_id < {_IVF_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_dot_duck('q.qemb', 'c.embedding')} / SQRT(q.qn2 * c.norm2) AS cos_sim
+      FROM q JOIN assigned c
+        ON c.centroid_id = q.centroid_id AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_IVF_K}
+    """,
+)
+def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: C={_IVF_C} centroids (deterministic seed = first C
+    vectors — training-free, same idea as kmeans|| init's sample step), each
+    vector assigned to its nearest centroid (broadcast join: corpus × C stays
+    map-side), queries search only their own bucket. Scan cost per query drops
+    from N to ~N/C; recall is whatever the bucketing earns (reported here as
+    the deterministic contract so the oracle can verify the exact plan)."""
+    assigned = _ivf_assigned_df(spark, sf_dir)
+    q = assigned.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("norm2").alias("qn2"),
+        F.col("centroid_id").alias("qcent"),
+    )
+    dot_qc = _DOT_DEC_SPARK.format(a="qemb", b="embedding")
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("centroid_id") == F.col("qcent")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cos_sim", F.expr(dot_qc) / F.sqrt(F.col("qn2") * F.col("norm2")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
