@@ -1,0 +1,73 @@
+"""Multimodal plumbing: binary payload columns, typed metadata, and the
+mapInPandas fake-decode kernel match a pure-Python reference exactly."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark_cdc_engine.operators.multimodal import (
+    _HIST_BINS,
+    _HIST_BYTES,
+    decode_media,
+    media_features,
+    multimodal_meta,
+    with_media_columns,
+)
+from tests.conftest import SF_DIR
+
+
+def _py_reference(text: str) -> dict:
+    payload = text.encode("utf-8")
+    head = payload[:_HIST_BYTES]
+    counts = [0] * _HIST_BINS
+    for b in head:
+        counts[b * _HIST_BINS // 256] += 1
+    return {
+        "n_frames": max(1, len(payload) // 32),
+        "byte_hist": [c / (len(head) or 1) for c in counts],
+        "byte_len": len(payload),
+        "modality": ("image", "audio", "video")[0],
+    }
+
+
+def test_decode_media_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image", fake=False)
+
+
+def test_decode_media_deterministic():
+    a = decode_media(b"hello world " * 20, "audio")
+    b = decode_media(b"hello world " * 20, "audio")
+    assert a == b
+    assert len(a["byte_hist"]) == _HIST_BINS
+    assert sum(a["byte_hist"]) == pytest.approx(1.0)
+
+
+def test_media_columns_schema(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    m = with_media_columns(docs)
+    assert dict(m.dtypes)["payload"] == "binary"
+    row = m.filter("doc_id = 1").first()
+    assert row.modality == "audio"  # doc_id % 3 == 1
+    assert row.media_meta.byte_len == len(row.payload)
+
+
+def test_media_features_match_python_reference(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").limit(50).collect()}
+    feats = (
+        media_features(spark, SF_DIR)
+        .filter(f"doc_id IN ({','.join(str(i) for i in texts)})")
+        .collect()
+    )
+    assert len(feats) == len(texts)
+    for r in feats:
+        ref = _py_reference(texts[r.doc_id])
+        assert r.n_frames == ref["n_frames"], r.doc_id
+        assert r.byte_hist == pytest.approx(ref["byte_hist"]), r.doc_id
+
+
+def test_multimodal_meta_no_python_in_plan(spark):
+    plan = multimodal_meta(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # metadata path must stay JVM-side
