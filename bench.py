@@ -22,6 +22,53 @@ from pyspark_cdc_engine.operators import REGISTRY  # noqa: E402
 from pyspark_cdc_engine.session import get_spark  # noqa: E402
 
 
+def bench_cdc_pipeline(spark, n_tx: int) -> dict:
+    """End-to-end CDC throughput (BASELINE.md M6 protocol): file-source GG
+    events -> stateful assembly -> SCD2 deltalite, then the SCD1 merge; events/s
+    and tx/s for stage 1, wall sec for the stage-2 MERGE."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+    from cdc_fixtures import insert_tx, write_fixture_files  # noqa: E402
+
+    from pyspark_cdc_engine.scd1 import merge_scd1, transform_source_batch  # noqa: E402
+    from pyspark_cdc_engine.streaming.pipeline import cdc_to_scd2_stream  # noqa: E402
+    from pyspark_cdc_engine.tables import DeltaliteTable  # noqa: E402
+
+    base = Path(tempfile.mkdtemp(prefix="cdc_bench_"))
+    try:
+        txs = [insert_tx(i, xid=f"b.{i}", csn=f"{10000 + i}") for i in range(n_tx)]
+        n_events = sum(len(t.events) for t in txs) + n_tx  # CDC + metadata docs
+        write_fixture_files(base / "cdc", base / "meta", txs)
+
+        scd2 = DeltaliteTable(spark, str(base / "order_stream"))
+        t0 = time.perf_counter()
+        q = cdc_to_scd2_stream(
+            spark, str(base / "cdc"), str(base / "meta"), scd2, str(base / "ckpt")
+        )
+        q.awaitTermination(600)
+        scd2_sec = time.perf_counter() - t0
+
+        scd1 = DeltaliteTable(spark, str(base / "orders_current"))
+        batch = scd2.read()
+        t0 = time.perf_counter()
+        merge_scd1(spark, batch, scd1)
+        scd1_sec = time.perf_counter() - t0
+        assert scd1.read().count() == n_tx
+
+        return {
+            "n_tx": n_tx,
+            "n_events": n_events,
+            "scd2_ingest_sec": round(scd2_sec, 3),
+            "scd2_events_per_sec": round(n_events / scd2_sec, 1),
+            "scd2_tx_per_sec": round(n_tx / scd2_sec, 1),
+            "scd1_merge_sec": round(scd1_sec, 3),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "1"))
@@ -42,18 +89,21 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
 
+    cdc = None
+    if os.environ.get("BENCH_CDC", "1") != "0" and not only:
+        cdc = bench_cdc_pipeline(spark, n_tx=int(os.environ.get("BENCH_CDC_TX", "2000")))
+
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if cdc is not None:
+        out["cdc_pipeline"] = cdc
+    print(json.dumps(out))
     spark.stop()
 
 

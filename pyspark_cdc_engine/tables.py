@@ -108,7 +108,7 @@ class DeltaliteTable:
             **(extra or {}),
         }
         tmp = _commit_path(self._log_dir, version).with_suffix(".tmp")
-        tmp.write_text(json.dumps(doc))
+        tmp.write_text(json.dumps(doc, default=str))
         tmp.rename(_commit_path(self._log_dir, version))  # atomic on POSIX
         return version
 
@@ -148,6 +148,82 @@ class DeltaliteTable:
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY analog (newest first)."""
         return [self._read_commit(v) for v in reversed(self._versions())]
+
+    def read_changes(
+        self, starting_version: int, ending_version: int | None = None
+    ) -> DataFrame:
+        """Change Data Feed analog (``table_changes(t, from, to)`` —
+        db/query_scd1_table.sql:157-158): rows added by each commit in
+        ``(starting_version, ending_version]``, tagged with ``_change_type``
+        ('insert' — append-only CDF) and ``_commit_version``. Commits that only
+        rewrite data (compact/zorder/restore/merge) contribute nothing: their
+        dirs are physical reorganizations, not logical changes."""
+        end = self.latest_version() if ending_version is None else ending_version
+        frames = []
+        prev_live: set[str] = set(
+            self._read_commit(starting_version)["live"]
+        ) if starting_version in self._versions() else set()
+        for v in self._versions():
+            if v <= starting_version or v > end:
+                continue
+            commit = self._read_commit(v)
+            added = [d for d in commit["live"] if d not in prev_live]
+            if commit["operation"] in ("append", "overwrite") and added:
+                df = self.spark.read.parquet(*[str(self._root / d) for d in added])
+                frames.append(
+                    df.withColumn("_change_type", F.lit("insert")).withColumn(
+                        "_commit_version", F.lit(v)
+                    )
+                )
+            prev_live = set(commit["live"])
+        if not frames:
+            raise ValueError(
+                f"no logical changes in ({starting_version}, {end}]"
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def clone_to(self, dest_path: str) -> "DeltaliteTable":
+        """SHALLOW CLONE analog (db/table_maintenance.sql:85-92): the clone's
+        first commit references the source's live data dirs by absolute path —
+        zero data copied. Same caveat as Delta: VACUUM on the source can
+        invalidate the clone."""
+        dest = DeltaliteTable(self.spark, dest_path)
+        if dest.exists():
+            raise ValueError(f"clone destination already exists: {dest_path}")
+        live_abs = [str(self._root / d) for d in self._read_commit(self.latest_version())["live"]]
+        dest._write_commit("shallow_clone", live_abs, {"cloned_from": self.path})
+        return dest
+
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS] analog
+        (db/table_maintenance.sql:38-41): row count + per-column min/max/ndv,
+        recorded in the log (operation='analyze', live set unchanged) so later
+        readers — and table_health tooling — can consult them."""
+        df = self.read()
+        stats: dict = {"num_rows": df.count()}
+        if columns:
+            aggs = []
+            for c in columns:
+                aggs += [
+                    F.min(c).alias(f"{c}__min"),
+                    F.max(c).alias(f"{c}__max"),
+                    F.approx_count_distinct(c).alias(f"{c}__ndv"),
+                ]
+            row = df.agg(*aggs).first().asDict()
+            stats["columns"] = {
+                c: {
+                    "min": row[f"{c}__min"],
+                    "max": row[f"{c}__max"],
+                    "ndv": row[f"{c}__ndv"],
+                }
+                for c in columns
+            }
+        live = self._read_commit(self.latest_version())["live"]
+        self._write_commit("analyze", live, {"stats": stats})
+        return stats
 
     # ---------------------------------------------------------------- writes
     def append(self, df: DataFrame) -> int:

@@ -110,3 +110,50 @@ def test_zorder_clusters_files(spark, tmp_path):
     assert t.read().count() == 1000
     assert t.history()[0]["operation"] == "zorder"
     assert t.history()[0]["zorder_cols"] == ["k"]
+
+def test_change_data_feed(spark, tmp_path):
+    t = DeltaliteTable(spark, str(tmp_path / "cdf"))
+    t.overwrite(spark.range(5).toDF("id"))            # v0
+    t.append(spark.range(5, 8).toDF("id"))            # v1
+    t.compact(target_partitions=1)                    # v2 (no logical change)
+    t.append(spark.range(8, 10).toDF("id"))           # v3
+    ch = t.read_changes(0)                            # changes after v0
+    assert ch.filter("_change_type = 'insert'").count() == 5
+    assert sorted(r.id for r in ch.collect()) == [5, 6, 7, 8, 9]
+    versions = {r._commit_version for r in ch.collect()}
+    assert versions == {1, 3}                         # compact contributed nothing
+    ch13 = t.read_changes(1, 3)
+    assert sorted(r.id for r in ch13.collect()) == [8, 9]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.read_changes(3)                             # empty range
+
+
+def test_shallow_clone(spark, tmp_path):
+    src = DeltaliteTable(spark, str(tmp_path / "src"))
+    src.overwrite(spark.range(20).toDF("id"))
+    src.append(spark.range(20, 25).toDF("id"))
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert clone.read().count() == 25
+    assert clone.history()[0]["operation"] == "shallow_clone"
+    # clone evolves independently of the source
+    clone.append(spark.range(25, 30).toDF("id"))
+    assert clone.read().count() == 30
+    assert src.read().count() == 25
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        src.clone_to(str(tmp_path / "clone"))
+
+
+def test_analyze_statistics(spark, tmp_path):
+    t = DeltaliteTable(spark, str(tmp_path / "an"))
+    t.overwrite(spark.range(100).toDF("id").selectExpr("id", "id % 10 AS k"))
+    stats = t.analyze(columns=["id", "k"])
+    assert stats["num_rows"] == 100
+    assert stats["columns"]["id"]["min"] == 0
+    assert stats["columns"]["id"]["max"] == 99
+    assert abs(stats["columns"]["k"]["ndv"] - 10) <= 1
+    # stats persisted in the log; table contents unchanged
+    assert t.history()[0]["operation"] == "analyze"
+    assert t.history()[0]["stats"]["num_rows"] == 100
+    assert t.read().count() == 100
