@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_cdc_engine.functions.arrays import merge_array_expr
 from pyspark_cdc_engine.operators.registry import dsum_sql, load_table, register
 from pyspark_cdc_engine.tables import MergeClause, merge_dataframes
 
@@ -153,4 +154,102 @@ def tx_assembly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(aggregate(items, CAST(0 AS DECIMAL(28,6)),"
             " (acc, it) -> CAST(acc + it.amount AS DECIMAL(28,6))) AS DOUBLE)"
         ).alias("items_total"),
+    )
+
+
+def _item_array_sql(status: str) -> str:
+    """DuckDB: per okey, the deduped (item_id -> version, qty) set for one
+    linestatus; item_id := l_linenumber, version := l_suppkey."""
+    return f"""
+      SELECT l_orderkey AS okey, l_linenumber AS item_id,
+             CAST(l_suppkey AS DOUBLE) AS version, l_quantity AS qty
+      FROM (
+        SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+               ROW_NUMBER() OVER (
+                 PARTITION BY l_orderkey, l_linenumber
+                 ORDER BY l_suppkey DESC, l_partkey
+               ) AS _rn
+        FROM lineitem WHERE l_linestatus = '{status}'
+      ) WHERE _rn = 1
+    """
+
+
+@register(
+    "array_merge_versions",
+    survey="F2,F5,F8,F13,§2.9",
+    oracle=f"""
+    WITH tgt AS ({_item_array_sql('F')}),
+         src AS ({_item_array_sql('O')}),
+    merged AS (
+      -- relational statement of mergeArrayExpr: per (okey, item_id), source
+      -- replaces target only when strictly newer; unmatched from both kept
+      SELECT COALESCE(t.okey, s.okey) AS okey,
+             CASE WHEN s.item_id IS NOT NULL
+                       AND (t.item_id IS NULL OR s.version > t.version)
+                  THEN s.version ELSE t.version END AS version,
+             CASE WHEN s.item_id IS NOT NULL
+                       AND (t.item_id IS NULL OR s.version > t.version)
+                  THEN s.qty ELSE t.qty END AS qty
+      FROM tgt t FULL OUTER JOIN src s
+        ON t.okey = s.okey AND t.item_id = s.item_id
+    )
+    SELECT okey,
+           CAST(COUNT(*) AS INT) AS merged_size,
+           MAX(version) AS max_version,
+           {dsum_sql('qty', 6)} AS qty_total
+    FROM merged GROUP BY okey
+    """,
+)
+def array_merge_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production mergeArrayExpr (functions/arrays.py — F2, the concat +
+    dual filter/exists version-aware 1:N merge of ScdType1MergeApp.scala:236-244)
+    applied to real arrays built from testdata, then folded back to scalars
+    (size / GREATEST fold / decimal qty fold) so DuckDB can verify it via the
+    equivalent relational FULL OUTER JOIN formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def item_arrays(status: str, out: str) -> DataFrame:
+        w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            F.col("l_suppkey").desc(), F.col("l_partkey")
+        )
+        return (
+            li.filter(F.col("l_linestatus") == status)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .groupBy(F.col("l_orderkey").alias("okey"))
+            .agg(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("item_id"),
+                        F.col("l_suppkey").cast("double").alias("version"),
+                        F.col("l_quantity").alias("qty"),
+                    )
+                ).alias(out)
+            )
+        )
+
+    t = item_arrays("F", "items")
+    s = item_arrays("O", "items")
+    both = (
+        t.select(F.struct("okey", "items").alias("target"))
+        .join(
+            s.select(F.struct("okey", "items").alias("source")),
+            F.expr("target.okey = source.okey"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("target.okey"), F.col("source.okey")).alias("okey"),
+            F.expr(merge_array_expr("items", "item_id")).alias("merged"),
+        )
+    )
+    return both.select(
+        "okey",
+        F.size("merged").alias("merged_size"),
+        F.expr(
+            "aggregate(merged, CAST(-1 AS DOUBLE), (acc, e) -> GREATEST(acc, e.version))"
+        ).alias("max_version"),
+        F.expr(
+            "CAST(aggregate(merged, CAST(0 AS DECIMAL(28,6)),"
+            " (acc, e) -> CAST(acc + CAST(e.qty AS DECIMAL(28,6)) AS DECIMAL(28,6))) AS DOUBLE)"
+        ).alias("qty_total"),
     )

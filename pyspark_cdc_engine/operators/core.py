@@ -109,7 +109,7 @@ def having_multi_item_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------- W1/W2
 @register(
     "top1_order_per_customer",
-    survey="W1,P6",
+    survey="W1,P6,O3,P7",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
@@ -139,7 +139,7 @@ def top1_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "best_line_per_order",
-    survey="W2,P5",
+    survey="W2,P5,O3",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity FROM (
       SELECT l_orderkey, l_linenumber, l_quantity,
