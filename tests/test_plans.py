@@ -1,0 +1,114 @@
+"""Physical-plan quality gates (SURVEY §4): the properties that make these
+operators survive a 100× scale-up are asserted on the executed plan, so a
+regression that un-broadcasts a dim join, loses map-side partial aggregation,
+or turns top-k into a global sort fails CI — not a production cluster.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from pyspark_cdc_engine.operators import REGISTRY
+from tests.conftest import SF_DIR
+
+_NODES = re.compile(
+    r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct|"
+    r"BroadcastNestedLoopJoin|TakeOrderedAndProject|Exchange|HashAggregate|"
+    r"Sort\b|BatchEvalPython|ArrowEvalPython)"
+)
+
+
+def plan_of(spark, name: str) -> str:
+    return (
+        REGISTRY[name]
+        .spark(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def node_counts(plan: str) -> Counter:
+    return Counter(_NODES.findall(plan))
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """region_revenue: lineitem is the fact side; orders/customer/nation/region
+    must all broadcast — a sort-merge join on any of them would shuffle the
+    fact table once per dim at scale."""
+    c = node_counts(plan_of(spark, "region_revenue"))
+    assert c["BroadcastHashJoin"] == 4
+    assert c["SortMergeJoin"] == 0 and c["ShuffledHashJoin"] == 0
+    # partial + final aggregation, nothing more: ≤2 exchanges (agg + AQE reads)
+    assert c["Exchange"] <= 2
+
+
+def test_topk_plans_take_ordered_not_global_sort(spark):
+    """ORDER BY ... LIMIT n must plan TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full Sort + Limit."""
+    plan = plan_of(spark, "topk_orders")
+    c = node_counts(plan)
+    assert c["TakeOrderedAndProject"] == 1
+    assert c["Sort"] == 0
+
+
+def test_exact_dedup_partial_aggregates(spark):
+    """Hash dedup must partial-aggregate map-side: 2 HashAggregates around
+    exactly 1 exchange, so only (hash, partial counts) shuffle — never text."""
+    c = node_counts(plan_of(spark, "exact_dedup"))
+    assert c["HashAggregate"] == 2
+    assert c["Exchange"] == 1
+
+
+def test_filters_push_to_parquet_scans(spark):
+    """Join-key null filters must reach the parquet scan (PushedFilters), not
+    sit above it as a post-scan Filter."""
+    plan = plan_of(spark, "region_revenue")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    nonempty = [p for p in pushed if p.strip()]
+    assert len(nonempty) >= 4  # every joined table scan carries pushed filters
+
+
+def test_scan_prunes_columns(spark):
+    """text_stats projects 2 of documents' 5 columns; ReadSchema must show only
+    those — reading all columns for a 2-column projection is wrong."""
+    plan = plan_of(spark, "text_stats")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_jvm_only_hot_paths_have_no_python(spark):
+    """Everything except the mapInPandas media kernel must stay JVM-side —
+    a Python eval node in a hot path is a 10-100× slowdown."""
+    for name in (
+        "region_revenue",
+        "pricing_summary",
+        "exact_dedup",
+        "minhash_lsh_near_dup",
+        "simhash_fingerprint",
+        "cosine_topk_bruteforce",
+        "multimodal_meta",
+    ):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, name
+
+
+def test_broadcast_query_set_in_ann(spark):
+    """cosine_topk: the small query set must broadcast against the corpus —
+    the corpus is never shuffled for the crossJoin."""
+    c = node_counts(plan_of(spark, "cosine_topk_bruteforce"))
+    assert c["BroadcastNestedLoopJoin"] >= 1 or c["BroadcastHashJoin"] >= 1
+    assert c["SortMergeJoin"] == 0
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    """ann_ivf_bucketed: centroids broadcast; the only exchanges are the
+    per-vector window (assignment) and per-query ranking."""
+    plan = plan_of(spark, "ann_ivf_bucketed")
+    assert "Broadcast" in plan
+    assert node_counts(plan)["CartesianProduct"] == 0
