@@ -401,23 +401,49 @@ _ASSIGN_CTE_DUCK = f"""
 
 def _ivf_assigned_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding, norm2, centroid_id): every vector tagged with its
-    nearest-of-C centroid (centroids = first C vectors, broadcast)."""
+    nearest-of-C centroid (centroids = first C vectors).
+
+    Fully relational formulation — posexplode components, broadcast-join the
+    exploded centroids on position, hash-aggregate the decimal term products,
+    argmax via max_by — so the whole assignment stays in whole-stage codegen
+    (Catalyst HOF lambdas are interpreted and several times slower here).
+    Decimal SUM is exact and order-independent, so the result is bit-identical
+    to the oracle's window-over-cross-join formulation."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
     )
-    cents = emb.filter(F.col("vec_id") < _IVF_C).select(
+    # norm2 rides with the exploded components (map-side constant per vector),
+    # so the only broadcast is the C centroids and the only shuffles are the
+    # two aggregations — nothing here requires an N-row broadcast at 100 TB.
+    ex = emb.select("vec_id", "norm2", F.posexplode("embedding").alias("pos", "val"))
+    cex = ex.filter(F.col("vec_id") < _IVF_C).select(
         F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("cemb"),
         F.col("norm2").alias("cn2"),
+        "pos",
+        F.col("val").alias("cval"),
     )
-    dot_nc = _DOT_DEC_SPARK.format(a="embedding", b="cemb")
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
-    return (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.expr(dot_nc) / F.sqrt(F.col("norm2") * F.col("cn2")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "norm2", "centroid_id")
+    term = (F.col("val").cast("double") * F.col("cval").cast("double")).cast(_DEC)
+    dots = (
+        ex.join(F.broadcast(cex), "pos")
+        .groupBy("vec_id", "centroid_id")
+        .agg(
+            F.sum(term).cast("double").alias("dot"),
+            F.first("norm2").alias("norm2"),
+            F.first("cn2").alias("cn2"),
+        )
+    )
+    best = (
+        dots.withColumn("csim", F.col("dot") / F.sqrt(F.col("norm2") * F.col("cn2")))
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(centroid_id, named_struct('s', csim, 'c', -centroid_id))"
+            ).alias("centroid_id"),
+            F.first("norm2").alias("norm2"),
+        )
+    )
+    return emb.select("vec_id", "embedding").join(best, "vec_id").select(
+        "vec_id", "embedding", "norm2", "centroid_id"
     )
 
 
@@ -441,22 +467,48 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of N² (the FAISS-style dedup recipe; at 100 TB the bucket is the
     shuffle key, so each reducer does a small local all-pairs). Recall is
     bounded by the blocking, as with any coarse-quantizer dedup."""
+    # Stage 1 — candidate generation, vectorized: per bucket, one numpy gram
+    # matrix inside applyInPandas (Arrow batch in, tiny pair list out). Float64
+    # scoring with a 1e-6 safety margin can only OVER-generate relative to the
+    # exact decimal semantics (|float64 - exact| << 1e-9 for 64-dim dots of
+    # |x| < 0.58), never drop a true pair.
+    import numpy as np
+    import pandas as pd
+
     assigned = _ivf_assigned_df(spark, sf_dir)
-    a = assigned.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("norm2").alias("na"),
-        F.col("centroid_id").alias("ca"),
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        ids = pdf["vec_id"].to_numpy()
+        n2 = pdf["norm2"].to_numpy()
+        cs = (m @ m.T) / np.sqrt(np.outer(n2, n2))
+        ia, ib = np.nonzero(np.triu(cs >= _COS_TAU - 1e-6, k=1))
+        va, vb = ids[ia], ids[ib]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(va, vb), "vec_b": np.maximum(va, vb)}
+        )
+
+    cands = assigned.groupBy("centroid_id").applyInPandas(
+        bucket_pairs, schema="vec_a long, vec_b long"
     )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("norm2").alias("nb"),
-        F.col("centroid_id").alias("cb"),
+
+    # Stage 2 — exact-decimal verification of the handful of candidates
+    # (broadcast the pair list, stream the corpus past it twice, HOF fold on
+    # ~hundreds of rows). The emitted cos_sim is the same exact arithmetic the
+    # oracle computes, so borderline pairs agree bit-for-bit.
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm2").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("norm2").alias("nb")
     )
     dot = _DOT_DEC_SPARK.format(a="ea", b="eb")
     return (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(F.broadcast(cands), "vec_a")
+        .join(b, "vec_b")
         .withColumn("cos_sim", F.expr(dot) / F.sqrt(F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= _COS_TAU)
         .select("vec_a", "vec_b", "cos_sim")

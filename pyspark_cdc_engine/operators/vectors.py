@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 from pyspark_cdc_engine.operators.registry import load_table, register
 
-_DEC = "DECIMAL(26,12)"
+# Precision 18 keeps Spark's decimal in its compact unscaled-long encoding
+# (no BigDecimal allocation per fold step) — measurably faster for the
+# per-pair dot-product folds. Values here are bounded: |x| < 0.58 per
+# component, so dots/norms stay < 22 against a 6-integer-digit ceiling.
+_DEC = "DECIMAL(18,12)"
 _N_QUERIES = 8
 _TOP_K = 5
 
