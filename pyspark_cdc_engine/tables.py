@@ -119,13 +119,24 @@ class DeltaliteTable:
 
     # ----------------------------------------------------------------- reads
     def read(self, version: int | None = None) -> DataFrame:
-        """Batch read; ``version`` = time travel (VERSION AS OF analog)."""
+        """Batch read; ``version`` = time travel (VERSION AS OF analog).
+
+        If the commit carries a schema (written by every append/overwrite since
+        schema-evolution support), the reader is driven by the LOG schema —
+        files predating an added column surface it as nulls, and no footer
+        merging ever happens (same design as Delta: metadata in the log, not
+        in 100k parquet footers)."""
         v = self.latest_version() if version is None else version
         commit = self._read_commit(v)
         dirs = [str(self._root / d) for d in commit["live"]]
         if not dirs:
             raise ValueError(f"empty table at version {v}")
-        return self.spark.read.parquet(*dirs)
+        reader = self.spark.read
+        if commit.get("schema"):
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(commit["schema"])))
+        return reader.parquet(*dirs)
 
     def read_stream(self) -> DataFrame:
         """Streaming read of an append-only deltalite table (Delta streaming
@@ -221,26 +232,122 @@ class DeltaliteTable:
                 }
                 for c in columns
             }
-        live = self._read_commit(self.latest_version())["live"]
-        self._write_commit("analyze", live, {"stats": stats})
+        commit = self._read_commit(self.latest_version())
+        extra: dict = {"stats": stats}
+        if commit.get("schema"):
+            extra["schema"] = commit["schema"]
+        self._write_commit("analyze", commit["live"], extra)
         return stats
 
+    # ------------------------------------------------------------- schema log
+    def schema(self):
+        """The log schema at the latest version, or None for pre-evolution
+        tables (those read with file-footer schemas)."""
+        from pyspark.sql.types import StructType
+
+        commit = self._read_commit(self.latest_version())
+        return (
+            StructType.fromJson(json.loads(commit["schema"]))
+            if commit.get("schema")
+            else None
+        )
+
+    _WIDENING_RANK = {  # safe implicit write casts (Delta-style)
+        "tinyint": 0, "smallint": 1, "int": 2, "bigint": 3,
+        "float": 10, "double": 11,
+    }
+
+    def _evolved_schema(self, df: DataFrame, merge_schema: bool):
+        """Schema enforcement + evolution (Delta mergeSchema/autoMerge analog,
+        db/schema_evolution.sql:115-127): same-name fields must keep their type
+        (narrower numerics are safely widened on write); new columns require
+        ``merge_schema=True`` and are appended. Returns (log schema, df cast to
+        it) — files on disk always match the log schema exactly."""
+        current = self.schema() or self.read().schema
+        cur_fields = {f.name: f for f in current.fields}
+        rank = self._WIDENING_RANK
+        new_fields, casts = [], {}
+        for f in df.schema.fields:
+            if f.name in cur_fields:
+                cur_t = cur_fields[f.name].dataType
+                if f.dataType != cur_t:
+                    a, b = f.dataType.simpleString(), cur_t.simpleString()
+                    # same-family widening only (int→bigint, float→double);
+                    # cross-family (bigint→double) is lossy and rejected
+                    widenable = (
+                        a in rank and b in rank
+                        and rank[a] < rank[b]
+                        and (rank[a] < 10) == (rank[b] < 10)
+                    )
+                    if not widenable:
+                        raise ValueError(
+                            f"schema enforcement: column {f.name} is {b}, got {a}"
+                        )
+                    casts[f.name] = b
+            else:
+                new_fields.append(f)
+        if new_fields and not merge_schema:
+            raise ValueError(
+                "schema enforcement: new columns "
+                f"{[f.name for f in new_fields]} require merge_schema=True"
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            list(current.fields)
+            + [StructField(f.name, f.dataType, True) for f in new_fields]
+        )
+        if casts:
+            df = df.select(
+                *[
+                    F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        return schema, df
+
     # ---------------------------------------------------------------- writes
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        if self.exists():
+            schema, df = self._evolved_schema(df, merge_schema)
+        else:
+            schema = df.schema
         prev = self._read_commit(self.latest_version())["live"] if self.exists() else []
         v = (self._versions() or [-1])[-1] + 1
         rel = self._write_data_dir(df, v)
-        return self._write_commit("append", [*prev, rel])
+        return self._write_commit(
+            "append", [*prev, rel], {"schema": schema.json()}
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         v = (self._versions() or [-1])[-1] + 1
         rel = self._write_data_dir(df, v)
-        return self._write_commit("overwrite", [rel])
+        return self._write_commit("overwrite", [rel], {"schema": df.schema.json()})
+
+    def add_column(self, name: str, data_type: str) -> int:
+        """ALTER TABLE ADD COLUMN analog (db/schema_evolution.sql:9-12): a
+        log-only commit — existing files surface the new column as nulls."""
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        current = self.schema() or self.read().schema
+        if name in {f.name for f in current.fields}:
+            raise ValueError(f"column exists: {name}")
+        evolved = StructType(
+            list(current.fields)
+            + [StructField(name, _parse_datatype_string(data_type), True)]
+        )
+        live = self._read_commit(self.latest_version())["live"]
+        return self._write_commit(
+            "add_column", live, {"schema": evolved.json(), "added_column": name}
+        )
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF analog: re-commit an old snapshot."""
         commit = self._read_commit(version)
-        return self._write_commit("restore", commit["live"], {"restored_from": version})
+        extra = {"restored_from": version}
+        if commit.get("schema"):
+            extra["schema"] = commit["schema"]
+        return self._write_commit("restore", commit["live"], extra)
 
     def compact(self, target_partitions: int | None = None) -> int:
         """OPTIMIZE analog: rewrite the live set as one right-sized dir."""
@@ -249,7 +356,7 @@ class DeltaliteTable:
             df = df.coalesce(target_partitions)
         v = (self._versions() or [-1])[-1] + 1
         rel = self._write_data_dir(df, v)
-        return self._write_commit("compact", [rel])
+        return self._write_commit("compact", [rel], {"schema": df.schema.json()})
 
     def zorder_by(self, *cols: str, target_partitions: int | None = None) -> int:
         """OPTIMIZE ... ZORDER BY analog: range-cluster the live set on ``cols`` so
@@ -257,7 +364,9 @@ class DeltaliteTable:
         df = self.read().repartitionByRange(target_partitions or 8, *cols)
         v = (self._versions() or [-1])[-1] + 1
         rel = self._write_data_dir(df, v)
-        return self._write_commit("zorder", [rel], {"zorder_cols": list(cols)})
+        return self._write_commit(
+            "zorder", [rel], {"zorder_cols": list(cols), "schema": df.schema.json()}
+        )
 
     def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False) -> list[str]:
         """Delete data dirs not referenced by any commit within the retention window
@@ -301,7 +410,9 @@ class DeltaliteTable:
                                   broadcast_source=broadcast_source)
         v = (self._versions() or [-1])[-1] + 1
         rel = self._write_data_dir(merged, v)
-        return self._write_commit("merge", [rel], {"condition": condition})
+        return self._write_commit(
+            "merge", [rel], {"condition": condition, "schema": merged.schema.json()}
+        )
 
 
 def merge_dataframes(

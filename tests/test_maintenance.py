@@ -157,3 +157,41 @@ def test_analyze_statistics(spark, tmp_path):
     assert t.history()[0]["operation"] == "analyze"
     assert t.history()[0]["stats"]["num_rows"] == 100
     assert t.read().count() == 100
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    t = DeltaliteTable(spark, str(tmp_path / "ev"))
+    t.overwrite(spark.range(3).toDF("id"))
+    # enforcement: new column rejected without merge_schema
+    evolved = spark.range(3, 6).toDF("id").selectExpr("id", "id * 10 AS score")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="merge_schema"):
+        t.append(evolved)
+    # evolution: accepted with merge_schema; old rows read as null
+    t.append(evolved, merge_schema=True)
+    rows = {r.id: r.score for r in t.read().collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40, 5: 50}
+    assert [f.name for f in t.schema().fields] == ["id", "score"]
+    # type change rejected
+    with _pytest.raises(ValueError, match="enforcement"):
+        t.append(spark.sql("SELECT CAST(9 AS STRING) AS id"), merge_schema=True)
+    # schema survives compact
+    t.compact(target_partitions=1)
+    assert {r.id: r.score for r in t.read().collect()} == rows
+
+
+def test_add_column_is_log_only(spark, tmp_path):
+    t = DeltaliteTable(spark, str(tmp_path / "ac"))
+    t.overwrite(spark.range(4).toDF("id"))
+    v_before = t.latest_version()
+    t.add_column("note", "string")
+    assert t.latest_version() == v_before + 1
+    df = t.read()
+    assert df.columns == ["id", "note"]
+    assert df.filter("note IS NULL").count() == 4
+    # appends may now fill it
+    t.append(spark.sql("SELECT 99 AS id, 'x' AS note"))
+    assert t.read().filter("note = 'x'").count() == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exists"):
+        t.add_column("note", "string")
