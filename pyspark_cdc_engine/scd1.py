@@ -141,6 +141,7 @@ def merge_scd1(spark: SparkSession, batch_df: DataFrame, table: DeltaliteTable) 
         "target.orderId = source.orderId",
         scd1_merge_clauses(),
         broadcast_source=True,
+        prune_on="orderId",  # file-skipping: untouched key ranges keep their files
     )
 
 

@@ -389,12 +389,36 @@ class DeltaliteTable:
         return dead
 
     # ----------------------------------------------------------------- merge
+    def _dir_key_bounds(self, rel: str, key: str):
+        """(min, max) of ``key`` across a data dir, from parquet FOOTER stats
+        only (no data read — the same metadata Delta keeps in its log)."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return None
+        lo = hi = None
+        for f in sorted((self._root / rel).glob("*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            schema_names = {md.row_group(0).column(i).path_in_schema: i
+                            for i in range(md.num_columns)} if md.num_row_groups else {}
+            if key not in schema_names:
+                return None
+            ci = schema_names[key]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        return None if lo is None else (lo, hi)
+
     def merge(
         self,
         source: DataFrame,
         condition: str,
         clauses: list[MergeClause],
         broadcast_source: bool = False,
+        prune_on: str | None = None,
     ) -> int:
         """MERGE INTO with Delta semantics for the subset the reference uses
         (ScdType1MergeApp.scala:95-132): clauses evaluated in declaration order,
@@ -403,16 +427,48 @@ class DeltaliteTable:
 
         Expressions in ``condition`` / clause conditions / assignments reference
         ``target.<col>`` and ``source.<col>`` exactly like Delta's string-expr API.
-        """
-        target_df = self.read()
+
+        ``prune_on`` names the equi-join key: data dirs whose footer min/max for
+        that key cannot overlap the source batch's key range are kept as-is
+        instead of rewritten (Delta's file-skipping merge). Exact because
+        unmatched-target rows pass through a merge unchanged, and no row in a
+        pruned dir — including null-keyed rows, which never equi-match — can
+        match the source. A current-state table updated by small CDC batches
+        rewrites only the touched fraction of its files."""
+        commit = self._read_commit(self.latest_version())
+        live = list(commit["live"])
+        kept: list[str] = []
+        if prune_on is not None and len(live) > 1:
+            b = source.agg(
+                F.min(prune_on).alias("lo"), F.max(prune_on).alias("hi")
+            ).first()
+            if b.lo is not None:
+                rewrite = []
+                for d in live:
+                    bounds = self._dir_key_bounds(d, prune_on)
+                    if bounds is None or not (bounds[1] < b.lo or bounds[0] > b.hi):
+                        rewrite.append(d)
+                    else:
+                        kept.append(d)
+                live = rewrite
+        if live:
+            reader = self.spark.read
+            if commit.get("schema"):
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType.fromJson(json.loads(commit["schema"])))
+            target_df = reader.parquet(*[str(self._root / d) for d in live])
+        else:  # every dir pruned — merge against an empty target
+            target_df = self.read().limit(0)
         out_cols = target_df.columns
         merged = merge_dataframes(target_df, source, condition, clauses, out_cols,
                                   broadcast_source=broadcast_source)
         v = (self._versions() or [-1])[-1] + 1
         rel = self._write_data_dir(merged, v)
-        return self._write_commit(
-            "merge", [rel], {"condition": condition, "schema": merged.schema.json()}
-        )
+        extra = {"condition": condition, "schema": merged.schema.json()}
+        if kept:
+            extra["pruned_dirs_kept"] = len(kept)
+        return self._write_commit("merge", [*kept, rel], extra)
 
 
 def merge_dataframes(

@@ -195,3 +195,35 @@ def test_add_column_is_log_only(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="exists"):
         t.add_column("note", "string")
+
+
+def test_merge_file_pruning(spark, tmp_path):
+    """Dirs whose key range can't overlap the source survive a merge
+    unrewritten, and the pruned merge result equals the unpruned one."""
+    from pyspark_cdc_engine.tables import MergeClause
+
+    def mk(path):
+        t = DeltaliteTable(spark, str(tmp_path / path))
+        t.overwrite(spark.range(0, 100).selectExpr("id AS k", "id * 1.0 AS v"))
+        t.append(spark.range(1000, 1100).selectExpr("id AS k", "id * 1.0 AS v"))
+        return t
+
+    src = spark.range(1000, 1010).selectExpr("id AS k", "id * 2.0 AS v")
+    clauses = [
+        MergeClause("update", None, {"v": "source.v"}),
+        MergeClause("insert", None),
+    ]
+    pruned, plain = mk("pruned"), mk("plain")
+    pruned.merge(src, "target.k = source.k", clauses, prune_on="k")
+    plain.merge(src, "target.k = source.k", clauses)
+    assert pruned.history()[0].get("pruned_dirs_kept") == 1
+    a = sorted((r.k, r.v) for r in pruned.read().collect())
+    b = sorted((r.k, r.v) for r in plain.read().collect())
+    assert a == b and len(a) == 200
+    assert {r.v for r in pruned.read().filter("k >= 1000 AND k < 1010").collect()} \
+        == {float(k * 2) for k in range(1000, 1010)}
+    # source outside every dir range: all dirs kept, only inserts written
+    ins = spark.range(5000, 5003).selectExpr("id AS k", "id * 1.0 AS v")
+    pruned.merge(ins, "target.k = source.k", clauses, prune_on="k")
+    assert pruned.history()[0].get("pruned_dirs_kept") == 2
+    assert pruned.read().count() == 203
