@@ -503,3 +503,48 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", 6).alias("sum_value"))
     )
+
+
+@register(
+    "session_window_events",
+    survey="T-batch,W1,A2",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 4 HOUR
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk,
+             event_id
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 6)} AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation per user (4h inactivity gap) — the
+    streaming sessionization shape (F.session_window works identically under
+    readStream + watermark). The DuckDB oracle is the classic gaps-and-islands
+    reformulation: LAG-threshold breaks + running-sum session ids; session
+    starts cross the engines as exact epoch microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "4 hours"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -53,9 +53,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # does natively, so oracle comparisons line up.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer division: double division loses sub-microsecond exactness for
+        # nanosecond epochs beyond 2^53 and lands 1us off DuckDB's truncation
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
