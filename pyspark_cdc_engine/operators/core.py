@@ -548,3 +548,31 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "sliding_window_events",
+    survey="T-batch,A2,F10",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) - h * INTERVAL 1 HOUR AS VARCHAR) AS window_start,
+           COUNT(*) AS cnt,
+           {dsum_sql('value', 6)} AS sum_value
+    FROM events, (VALUES (0), (1)) AS t(h)
+    GROUP BY 1
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2h window, 1h slide): each event contributes
+    to two overlapping windows. Spark plans this as a Generate(window list) +
+    single hash aggregate — the same shape the streaming engine runs; the
+    oracle expands the two window offsets explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", 6).alias("sum_value"))
+        .select(
+            F.col("window.start").cast("string").alias("window_start"),
+            "cnt",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,61 @@
+"""Streaming windowed aggregation with watermark (beyond-reference streaming:
+the reference has no watermarks at all — SURVEY §2.10 T6). Asserts the same
+groupBy(window(ts)) plan runs under readStream + withWatermark, and that every
+window the watermark closed matches the batch computation exactly."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+
+def test_streaming_tumbling_window_matches_batch(spark, tmp_path):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .filter("user_id < 10")
+        .select("ts", "value")
+    )
+    data_dir = tmp_path / "stream_in"
+    src.write.mode("overwrite").parquet(str(data_dir))
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .parquet(str(data_dir))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+    )
+
+    out: list[pd.DataFrame] = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _id: out.append(df.toPandas()) if not df.isEmpty() else None
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = pd.concat(out) if out else pd.DataFrame(columns=["window", "cnt", "sum_value"])
+    got = {
+        (r.window["start"], r.cnt, round(r.sum_value, 6))
+        for r in streamed.itertuples(index=False)
+    }
+
+    # Append mode emits exactly the windows the final watermark closed:
+    # window.end <= max(ts) - delay.
+    max_ts = src.agg(F.max("ts")).first()[0]
+    batch = (
+        src.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .filter(F.col("window.end") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
+        .collect()
+    )
+    expected = {(r.window.start, r.cnt, round(r.sum_value, 6)) for r in batch}
+    assert expected  # scenario must actually close windows
+    assert got == expected
