@@ -244,3 +244,42 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.filter(F.col("jaccard") >= 0.2)
+
+
+_HEXD = "0123456789abcdef"
+# bucket = first two md5 hex digits of the doc id (0..255) % 100 — stable under
+# any repartition/reorder, reproducible across engines and runs
+_BUCKET_SPARK = (
+    f"MOD((instr('{_HEXD}', substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 1)) - 1) * 16"
+    f" + instr('{_HEXD}', substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 2, 1)) - 1, 100)"
+)
+_BUCKET_DUCK = (
+    f"((instr('{_HEXD}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    f" + instr('{_HEXD}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100"
+)
+
+
+@register(
+    "train_val_test_split",
+    survey="M5-text,F10,F11",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_BUCKET_DUCK} < 80 THEN 'train'
+                WHEN {_BUCKET_DUCK} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-id hash —
+    the split is a pure function of doc_id (stable across runs, partitionings
+    and engines), the property a training pipeline needs so no document ever
+    migrates between splits as the corpus grows. Map-side only: no shuffle,
+    no sampling state."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET_SPARK)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
