@@ -36,6 +36,7 @@ Scale notes (100 TB design point):
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import time
 import uuid
@@ -44,6 +45,10 @@ from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the same version first (optimistic concurrency)."""
 
 
 def _commit_path(log_dir: Path, version: int) -> Path:
@@ -107,9 +112,20 @@ class DeltaliteTable:
             "live": sorted(live_dirs),
             **(extra or {}),
         }
-        tmp = _commit_path(self._log_dir, version).with_suffix(".tmp")
+        tmp = self._log_dir / f"{uuid.uuid4().hex}.tmp"
         tmp.write_text(json.dumps(doc, default=str))
-        tmp.rename(_commit_path(self._log_dir, version))  # atomic on POSIX
+        target = _commit_path(self._log_dir, version)
+        try:
+            # link(2) fails with EEXIST if the version was committed concurrently
+            # — atomic optimistic concurrency, the same protocol Delta uses via
+            # exclusive log-file creation (rename() would silently overwrite).
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {version} was committed by another writer: {target}"
+            ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
         return version
 
     def _write_data_dir(self, df: DataFrame, version_hint: int) -> str:

@@ -227,3 +227,35 @@ def test_merge_file_pruning(spark, tmp_path):
     pruned.merge(ins, "target.k = source.k", clauses, prune_on="k")
     assert pruned.history()[0].get("pruned_dirs_kept") == 2
     assert pruned.read().count() == 203
+
+
+def test_concurrent_commit_detection(spark, tmp_path):
+    """Two handles racing to the same version: the second writer gets
+    ConcurrentWriteError and no commit is lost or overwritten."""
+    from pyspark_cdc_engine.tables import ConcurrentWriteError
+
+    import threading
+
+    t = DeltaliteTable(spark, str(tmp_path / "cc"))
+    t.overwrite(spark.range(5).toDF("id"))
+
+    # freeze the version listing both writers see, then race the commits
+    orig_versions = DeltaliteTable._versions
+    seen = orig_versions(t)
+    errors, wins = [], []
+
+    def race(tag):
+        frozen = DeltaliteTable(t.spark, t.path)
+        frozen._versions = lambda: list(seen)  # both believe next version is 1
+        try:
+            frozen._write_commit("append", [f"data/{tag}"])
+            wins.append(tag)
+        except ConcurrentWriteError:
+            errors.append(tag)
+
+    th = [threading.Thread(target=race, args=(x,)) for x in ("w1", "w2")]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert len(wins) == 1 and len(errors) == 1  # exactly one writer won
+    committed = t._read_commit(t.latest_version())
+    assert committed["live"] == [f"data/{wins[0]}"]  # winner's commit intact
