@@ -576,3 +576,124 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "rollup_revenue",
+    survey="A2,F11",
+    oracle=f"""
+    SELECT COALESCE(r_name, '<all>') AS region,
+           COALESCE(o_orderstatus, '<all>') AS status,
+           GROUPING(r_name) + GROUPING(o_orderstatus) AS lvl,
+           COUNT(*) AS cnt,
+           {dsum_sql('o_totalprice', 6)} AS revenue
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP (r_name, o_orderstatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (region, status) -> region -> grand total. Catalyst
+    plans one Expand + single hash aggregate; GROUPING() disambiguates rollup
+    nulls from data nulls on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "o_orderstatus")
+        .agg(
+            (F.grouping("r_name") + F.grouping("o_orderstatus")).alias("lvl"),
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", 6).alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "lvl",
+            "cnt",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "distinct_agg_customers",
+    survey="A2",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def distinct_agg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — Catalyst plans the two-phase distinct-agg
+    expansion (partial distinct by (group, key), then final count) without any
+    manual staging."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "anti_join_idle_customers",
+    survey="J3,A3",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS idle_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (customers with no orders) — the NOT EXISTS shape the
+    reference never uses; plans as a broadcast/shuffled anti join, never a
+    filtered outer join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    idle = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("idle_customers")
+    )
+
+
+_SALT_N = 8
+
+
+@register(
+    "salted_status_revenue",
+    survey="A2,F14",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS cnt,
+           {dsum_sql('o_totalprice', 6)} AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def salted_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern, demonstrated end-to-end: o_orderstatus has ~3
+    heavily skewed values, so the aggregation is salted into {_SALT_N}
+    sub-keys (stage 1: groupBy(status, salt) — spreads each hot key over
+    {_SALT_N} reducers) and then re-aggregated (stage 2: groupBy(status) over
+    {_SALT_N} rows/key). Decimal partials re-sum exactly, so the result is
+    identical to the direct aggregation the oracle runs."""
+    o = load_table(spark, sf_dir, "orders")
+    salted = o.withColumn("_salt", (F.col("o_orderkey") % _SALT_N).cast("int"))
+    partial = salted.groupBy("o_orderstatus", "_salt").agg(
+        F.count(F.lit(1)).alias("pc"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("ps"),
+    )
+    return partial.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.sum("pc").alias("cnt"),
+        F.sum("ps").cast("double").alias("revenue"),
+    )
