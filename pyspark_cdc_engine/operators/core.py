@@ -697,3 +697,27 @@ def salted_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pc").alias("cnt"),
         F.sum("ps").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "percentile_order_value",
+    survey="A2",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           quantile_cont(o_totalprice, 0.5) AS median_value,
+           quantile_cont(o_totalprice, 0.9) AS p90_value,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group — Spark's `percentile` and DuckDB's
+    `quantile_cont` share linear-interpolation semantics, so values match
+    bit-for-bit. (At 100 TB swap to approx_percentile and drop the oracle —
+    the exact sort-based form is the correctness anchor.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_value"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_value"),
+        F.count(F.lit(1)).alias("cnt"),
+    )

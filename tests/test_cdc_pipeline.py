@@ -118,3 +118,32 @@ def test_child_only_transaction(spark, tmp_path):
     r = rows[0]
     assert r.orderId == 42.0 and len(r.orders) == 0 and len(r.lineItems) == 1
     assert r.lineItems[0].version == 3.0 and r.lineItems[0].itemQty == 9.0
+
+
+def test_duplicate_replay_semantics(spark, tmp_path):
+    """Replay of an already-completed transaction (reference semantics:
+    state.remove() after emit, so a full replay re-buffers, re-completes and
+    re-emits): SCD2 receives a second append-only row; the SCD1 merge stays
+    idempotent — one row per order, version unchanged."""
+    from pyspark_cdc_engine.scd1 import merge_scd1
+
+    tx = insert_tx(5, xid="r.r.r.r", csn="7777")
+    base = tmp_path / "replay"
+    write_fixture_files(base / "cdc", base / "meta", [tx], file_prefix="b0")
+    table = DeltaliteTable(spark, str(base / "order_stream"))
+    q = cdc_to_scd2_stream(spark, str(base / "cdc"), str(base / "meta"), table, str(base / "ckpt"))
+    q.awaitTermination(120)
+    assert table.read().count() == 1
+    # replay the identical events + metadata in a later file
+    write_fixture_files(base / "cdc", base / "meta", [tx], file_prefix="b1")
+    q = cdc_to_scd2_stream(spark, str(base / "cdc"), str(base / "meta"), table, str(base / "ckpt"))
+    q.awaitTermination(120)
+    rows = table.read().collect()
+    assert len(rows) == 2  # SCD2 is append-only history: replay re-emits
+    assert {r.orderId for r in rows} == {5.0}
+
+    scd1 = DeltaliteTable(spark, str(base / "orders_current"))
+    merge_scd1(spark, table.read(), scd1)
+    current = scd1.read().collect()
+    assert len(current) == 1  # SCD1 dedupes: one row per order
+    assert current[0].orderId == 5.0 and current[0].version == 1.0
