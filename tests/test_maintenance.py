@@ -259,3 +259,41 @@ def test_concurrent_commit_detection(spark, tmp_path):
     assert len(wins) == 1 and len(errors) == 1  # exactly one writer won
     committed = t._read_commit(t.latest_version())
     assert committed["live"] == [f"data/{wins[0]}"]  # winner's commit intact
+
+
+def test_changes_view_surfaces_before_images(spark, tmp_path):
+    """order_stream_changes (db/create_table.deltalake.sql:119-129 parity):
+    UPDATE events surface change_type='UPDATED' with previous values."""
+    from tests.cdc_fixtures import TxBuilder, _order_after
+
+    base = tmp_path / "chv"
+    tx = TxBuilder("u.u.u.u", "8801")
+    tx.order(9, op="U", version=3, status="SHIPPED",
+             before=_order_after(9, 2, "CONFIRMED"))
+    write_fixture_files(base / "cdc", base / "meta", [tx])
+    batch = cdc_to_scd2_batch(spark, str(base / "cdc"), str(base / "meta"))
+    scd2 = DeltaliteTable(spark, str(base / "order_stream"))
+    scd2.overwrite(batch)
+    register_cdc_views(spark, order_stream=scd2)
+    row = spark.sql(
+        "SELECT change_type, orderVersion, previous_version, previous_status "
+        "FROM order_stream_changes WHERE orderId = 9.0"
+    ).collect()[0]
+    assert row.change_type == "UPDATED"
+    assert row.orderVersion == 3.0 and row.previous_version == 2.0
+    assert row.previous_status == "CONFIRMED"
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    import time as _time
+
+    t = DeltaliteTable(spark, str(tmp_path / "tsaof"))
+    t.overwrite(spark.range(3).toDF("id"))
+    mid = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.range(3, 6).toDF("id"))
+    assert t.read_as_of_timestamp(mid).count() == 3
+    assert t.read_as_of_timestamp(_time.time()).count() == 6
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.read_as_of_timestamp(mid - 1e6)
