@@ -721,3 +721,33 @@ def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.9)").alias("p90_value"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@register(
+    "map_props_events",
+    survey="F9,F10,A2",
+    oracle=f"""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS cnt,
+           {dsum_sql('value', 6)} AS sum_value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def map_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the props JSON column parsed as MAP<STRING,BIGINT> —
+    the same dynamic-payload pattern as the CDC before/after images (SURVEY
+    §1.2): parse map-typed, extract by key, cast, aggregate. Parse + extraction
+    are map-side; only the small (type, bucket) aggregate shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.withColumn("props_map", F.from_json("props", "map<string,bigint>"))
+    return (
+        m.filter(F.col("props_map")["k"].isNotNull())
+        .groupBy(
+            "event_type",
+            (F.col("props_map")["k"] % 10).alias("k_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", 6).alias("sum_value"))
+    )

@@ -59,3 +59,42 @@ def test_streaming_tumbling_window_matches_batch(spark, tmp_path):
     expected = {(r.window.start, r.cnt, round(r.sum_value, 6)) for r in batch}
     assert expected  # scenario must actually close windows
     assert got == expected
+
+
+def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicate event_ids across micro-batch files are
+    emitted once (dropDuplicatesWithinWatermark keyed on event_id, RocksDB
+    state) — the streaming face of the exact_dedup batch operator."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .filter("event_id < 200")
+        .select("event_id", "ts", "value")
+    )
+    d = tmp_path / "in"
+    src.write.mode("overwrite").parquet(str(d / "b0"))
+    src.limit(50).write.mode("overwrite").parquet(str(d / "b1"))  # replay subset
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .parquet(str(d / "*"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _id: out.append(df.toPandas()) if not df.isEmpty() else None
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import pandas as pd
+
+    got = pd.concat(out)
+    assert len(got) == 200                      # every id exactly once
+    assert got["event_id"].is_unique
