@@ -566,3 +566,124 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _IVF_K)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (sign) LSH ANN — the LSH-bucketed scale path
+# ---------------------------------------------------------------------------
+
+_LSH_H = 8          # hyperplanes -> 2^8 = 256 buckets
+_LSH_Q = 8          # query vectors (vec_id < _LSH_Q)
+_LSH_TOPK = 5
+
+# Deterministic pseudo-random hyperplane weight for (plane h, dim i): the first
+# md5 hex digit of "h|i" mapped to {-7.5 ... +7.5} — exactly representable, so
+# decimal dot products are bit-identical across engines.
+_HP_W_SPARK = (
+    f"CAST(instr('{_HEXD}', substring(md5(CAST(CONCAT(CAST(h AS STRING), '|',"
+    f" CAST(i AS STRING)) AS BINARY)), 1, 1)) - 8.5 AS DECIMAL(3,1))"
+)
+_HP_W_DUCK = (
+    f"CAST(instr('{_HEXD}', substr(md5(CAST(h AS VARCHAR) || '|' ||"
+    f" CAST(i AS VARCHAR)), 1, 1)) - 8.5 AS DECIMAL(3,1))"
+)
+
+
+@register(
+    "ann_lsh_hyperplane",
+    survey="M5-ann,M5-dedup,W1,O1",
+    oracle=f"""
+    WITH hp AS (
+      SELECT h, i, {_HP_W_DUCK} AS w
+      FROM range({_LSH_H}) t(h), range(64) u(i)
+    ),
+    comp AS (
+      SELECT vec_id, i - 1 AS i, embedding[i] AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    sig AS (
+      SELECT c.vec_id, hp.h,
+             SUM(CAST(CAST(c.val AS DOUBLE) * CAST(hp.w AS DOUBLE) AS {_DEC})) AS d
+      FROM comp c JOIN hp ON hp.i = c.i
+      GROUP BY c.vec_id, hp.h
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN d > 0 THEN CAST(POWER(2, h) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM sig GROUP BY vec_id
+    ),
+    norms AS (
+      SELECT vec_id, embedding,
+             CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {_DEC}))
+                   FROM UNNEST(embedding) AS t(x)) AS DOUBLE) AS norm2
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot_duck('qn.embedding', 'cn.embedding')}
+               / SQRT(qn.norm2 * cn.norm2) AS cos_sim
+      FROM buckets q
+      JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      JOIN norms qn ON qn.vec_id = q.vec_id
+      JOIN norms cn ON cn.vec_id = c.vec_id
+      WHERE q.vec_id < {_LSH_Q}
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_LSH_TOPK}
+    """,
+)
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN: H={_LSH_H} md5-derived hyperplanes give every vector a
+    2^H-bucket signature computed relationally (explode -> broadcast hyperplane
+    join -> decimal sign sums — all codegen); queries probe only their own
+    bucket and rank candidates by exact cosine. Complements ann_ivf_bucketed:
+    LSH needs no centroid seed and its buckets are data-independent, the
+    trade-off being recall on low-similarity corpora. Per-item shuffle payload
+    is (vec_id, bucket) — constant bytes, the property that matters at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
+    )
+    hp = (
+        spark.range(_LSH_H).toDF("h")
+        .crossJoin(spark.range(64).toDF("i"))
+        .withColumn("w", F.expr(_HP_W_SPARK))
+    )
+    comp = emb.select("vec_id", F.posexplode("embedding").alias("i", "val"))
+    term = (F.col("val").cast("double") * F.col("w").cast("double")).cast(_DEC)
+    sig = (
+        comp.join(F.broadcast(hp), "i")
+        .groupBy("vec_id", "h")
+        .agg(F.sum(term).alias("d"))
+    )
+    buckets = sig.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("d") > 0, F.expr("CAST(POWER(2, h) AS BIGINT)")).otherwise(0)
+        ).cast("bigint").alias("bucket")
+    )
+    tagged = emb.join(buckets, "vec_id")
+    q = tagged.filter(F.col("vec_id") < _LSH_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("norm2").alias("qn2"),
+        F.col("bucket").alias("qbucket"),
+    )
+    dot = _DOT_DEC_SPARK.format(a="qemb", b="embedding")
+    scored = (
+        tagged.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cos_sim", F.expr(dot) / F.sqrt(F.col("qn2") * F.col("norm2")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _LSH_TOPK)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
