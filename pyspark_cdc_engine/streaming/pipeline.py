@@ -27,15 +27,27 @@ def cdc_to_scd2_stream(
     table: DeltaliteTable,
     checkpoint_dir: str,
     ttl_minutes: int | None = None,
+    impl: str = "v1",
 ):
     """File-source variant of the ingest pipeline (Kafka swaps in via
     sources.read_kafka_stream with no other changes). Returns the started
     StreamingQuery; caller awaits/stops. availableNow drains everything
-    currently in the dirs then stops — the test/backfill trigger."""
+    currently in the dirs then stops — the test/backfill trigger.
+
+    ``impl``: "v1" = applyInPandasWithState (stable), "v2" =
+    transformWithStateInPandas (Spark 4 arbitrary-state v2: O(1) ListState
+    buffer appends, native state TTL — see streaming/tx_state_v2.py)."""
     cdc = parse_data_change_events(read_text_stream(spark, cdc_dir))
     meta = parse_transaction_metadata(read_text_stream(spark, meta_dir))
     unified = unify_event_streams(cdc, meta)
-    completed = assemble_transactions_stream(unified, ttl_minutes=ttl_minutes)
+    if impl == "v2":
+        from pyspark_cdc_engine.streaming.tx_state_v2 import (
+            assemble_transactions_stream_v2,
+        )
+
+        completed = assemble_transactions_stream_v2(unified, ttl_minutes=ttl_minutes)
+    else:
+        completed = assemble_transactions_stream(unified, ttl_minutes=ttl_minutes)
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         if not batch_df.isEmpty():
