@@ -751,3 +751,42 @@ def map_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", 6).alias("sum_value"))
     )
+
+
+@register(
+    "brand_supplier_revenue",
+    survey="J3,A2,O1",
+    oracle=f"""
+    SELECT p.p_brand AS brand, n.n_name AS supplier_nation,
+           COUNT(*) AS line_cnt,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY p.p_brand, n.n_name
+    ORDER BY revenue DESC, brand, supplier_nation
+    LIMIT 25
+    """,
+)
+def brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dims star join over the remaining dimension tables (part,
+    supplier, nation): lineitem is the only large side, every dim broadcasts,
+    revenue accumulates as exact decimal, global top-25 plans
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        j.groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("supplier_nation"))
+        .agg(F.count(F.lit(1)).alias("line_cnt"), dsum(rev, 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "brand", "supplier_nation")
+        .limit(25)
+    )
