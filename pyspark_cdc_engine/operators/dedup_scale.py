@@ -113,11 +113,14 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("sh")
     ).distinct()
 
+    # one aggregation pass yields all K signature mins AND the set size —
+    # folding `sizes` in here saves a full explode+distinct+shuffle re-pass
     sigs = sets.groupBy("doc_id").agg(
         *[
             F.min(F.expr(f"md5(CAST(CONCAT('{k}|', sh) AS BINARY))")).alias(f"s{k}")
             for k in range(_MH_K)
-        ]
+        ],
+        F.count(F.lit(1)).alias("n"),
     )
     band_structs = ", ".join(
         f"named_struct('band_id', {b}, 'band_hash', "
@@ -140,7 +143,7 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sigs.select("doc_id", "n")
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = (
         cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
