@@ -283,3 +283,70 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+_CHUNK = 200   # chars per chunk
+_STRIDE = 150  # 50-char overlap — the sliding context-window prep for training
+
+
+@register(
+    "document_chunking",
+    survey="M5-text,J5,F10",
+    oracle=f"""
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           LENGTH(substr(text, 1 + i * {_STRIDE}, {_CHUNK})) AS chunk_len,
+           md5(substr(text, 1 + i * {_STRIDE}, {_CHUNK})) AS chunk_md5
+    FROM documents,
+         UNNEST(range(0, CAST(CEIL(GREATEST(LENGTH(text) - {_CHUNK}, 0) / {_STRIDE}.0) AS BIGINT) + 1)) AS t(i)
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking ({_CHUNK}-char windows, {_STRIDE}-char
+    stride) — the context-window preparation step of a training pipeline, as a
+    pure Generate + column expressions (no UDF): chunk count per doc is
+    computed map-side, chunks never shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(CEIL(GREATEST(LENGTH(text) - {_CHUNK}, 0) / {_STRIDE}.0) AS INT)),"
+                f" i -> substring(text, 1 + i * {_STRIDE}, {_CHUNK}))"
+            )
+        ).alias("chunk_id", "chunk"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.length("chunk").alias("chunk_len"),
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "vocab_top_terms",
+    survey="M5-text,A2,O1",
+    oracle="""
+    SELECT w AS term, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    )
+    WHERE w <> ''
+    GROUP BY w
+    ORDER BY freq DESC, term
+    LIMIT 50
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: global term + document frequencies, top-50. The
+    token explode stays map-side; only (term, partial counts) shuffle (partial
+    aggregation), and the top-50 plans TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    return (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(50)
+    )
