@@ -9,7 +9,7 @@ in :mod:`pyspark_cdc_engine.operators.dedup_scale` with rows-only checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_cdc_engine.operators.registry import load_table, register
@@ -349,4 +349,76 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
         .orderBy(F.desc("freq"), "term")
         .limit(50)
+    )
+
+
+@register(
+    "tfidf_top_terms_per_doc",
+    survey="M5-text,W1,A2",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w)
+    SELECT doc_id, term, tf, df, rnk FROM (
+      SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.w
+             ) AS rnk
+      FROM tf JOIN df ON df.w = tf.w
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per document, ranked by tf/df — the
+    monotone-equivalent of tf-idf for a fixed corpus, chosen over tf*ln(N/df)
+    because division is exact cross-engine while libm ln() may differ by an
+    ulp. df joins broadcast (vocabulary is small relative to the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("w")
+    )
+    return (
+        tf.join(F.broadcast(df), "w")
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "tf", "df", "rnk")
+    )
+
+
+@register(
+    "stratified_sample_per_lang",
+    survey="M5-text,W1,O3",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 5 documents per language, selected by
+    content-id hash order — reservoir-sampling semantics (uniform over the
+    stratum) but reproducible across runs, partitionings and engines; the
+    eval-set carving step of a training pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.expr("md5(CAST(CAST(doc_id AS STRING) AS BINARY))"), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang")
     )
