@@ -383,7 +383,9 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w") != ""
     )
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    df = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf (one row per (doc, term) already) — saves re-exploding
+    # the corpus for a COUNT(DISTINCT)
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy(
         (F.col("tf").cast("double") / F.col("df")).desc(), F.col("w")
     )
@@ -421,4 +423,82 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("doc_id", "lang")
+    )
+
+
+@register(
+    "training_pipeline_e2e",
+    survey="M5-text,M5-dedup,A2,F11",
+    oracle=f"""
+    WITH kept AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE LENGTH(text) >= 200
+        AND {_occurrences_sql('text', ' ')} + 1 >= 40
+        AND {_occurrences_sql('text', 'the ')} >= 1
+    ),
+    deduped AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS copy_rank
+        FROM kept
+      ) WHERE copy_rank = 1
+    ),
+    chunked AS (
+      SELECT doc_id, lang,
+             CAST(i AS INT) AS chunk_id,
+             substr(text, 1 + i * {_STRIDE}, {_CHUNK}) AS chunk
+      FROM deduped,
+           UNNEST(range(0, CAST(CEIL(GREATEST(LENGTH(text) - {_CHUNK}, 0) / {_STRIDE}.0) AS BIGINT) + 1)) AS t(i)
+    )
+    SELECT lang,
+           CASE WHEN {_BUCKET_DUCK} < 80 THEN 'train'
+                WHEN {_BUCKET_DUCK} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(LENGTH(chunk)) AS BIGINT) AS total_chars
+    FROM chunked
+    GROUP BY 1, 2
+    """,
+)
+def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in one plan: quality gate ->
+    exact dedup (keep lowest doc_id per content hash) -> overlapping chunking
+    -> deterministic split assignment -> per-(lang, split) corpus stats.
+    Demonstrates that the individual operators compose into a single Catalyst
+    plan: the gate's filter pushes to the scan, dedup is the only wide shuffle
+    of full text, chunking is a Generate, split/statistics aggregate map-side
+    partials."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _occurrences("text", " ") + 1
+    stop = _occurrences("text", "the ")
+    kept = d.filter((F.length("text") >= 200) & (words >= 40) & (stop >= 1))
+    w_dedup = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("copy_rank", F.row_number().over(w_dedup))
+        .filter("copy_rank = 1")
+        .select("doc_id", "lang", "text")
+    )
+    chunked = deduped.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(CEIL(GREATEST(LENGTH(text) - {_CHUNK}, 0) / {_STRIDE}.0) AS INT)),"
+                f" i -> substring(text, 1 + i * {_STRIDE}, {_CHUNK}))"
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    bucket = F.expr(_BUCKET_SPARK)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        chunked.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.length("chunk")).alias("total_chars"),
+        )
     )
