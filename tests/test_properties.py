@@ -188,3 +188,85 @@ def test_scd1_uniqueness_and_no_version_regression(spark, batches):
     assert sorted((r.orderId, r.version, r.payload) for r in alt) == sorted(
         (r.orderId, r.version, r.payload) for r in rows
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end model-based check: random tx sequences -> assembly -> SCD1 merge
+# must equal a pure-Python model of §2.9 (independent parent/child versioning)
+# ---------------------------------------------------------------------------
+
+op_strategy = st.sampled_from(["create", "update_order", "update_item"])
+
+
+@given(
+    ops=st.lists(op_strategy, min_size=2, max_size=8),
+    batch_splits=st.integers(1, 3),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_e2e_scd1_matches_python_model(spark, tmp_path_factory, ops, batch_splits):
+    from pyspark_cdc_engine.scd1 import merge_scd1
+    from pyspark_cdc_engine.streaming.pipeline import assemble_transactions_batch
+    from pyspark_cdc_engine.tables import DeltaliteTable
+    from tests.cdc_fixtures import _item_after, _order_after
+
+    # --- generate a deterministic transaction sequence + python model
+    model: dict[int, dict] = {}
+    txs = []
+    next_order = 1
+    for i, op in enumerate(ops):
+        b = TxBuilder(f"e.{i}", f"{7000 + i}")
+        if op == "create" or not model:
+            oid = next_order
+            next_order += 1
+            b.order(oid, version=1)
+            b.detail(oid, version=1)
+            b.item(oid, 1, version=1, qty=1.0)
+            model[oid] = {"version": 1.0, "status": "PENDING",
+                          "items": {oid * 100 + 1: 1.0}}
+        elif op == "update_order":
+            oid = sorted(model)[i % len(model)]
+            v = model[oid]["version"] + 1
+            b.order(oid, op="U", version=int(v), status="CONFIRMED",
+                    before=_order_after(oid, int(v - 1)))
+            model[oid]["version"] = v
+            model[oid]["status"] = "CONFIRMED"
+        else:  # child-only line-item update
+            oid = sorted(model)[i % len(model)]
+            item_no = 1
+            li_id = oid * 100 + item_no
+            v = model[oid]["items"].get(li_id, 0.0) + 1
+            b.item(oid, item_no, op="U", version=int(v), qty=float(v))
+            model[oid]["items"][li_id] = v
+        txs.append(b)
+
+    # --- run through assembly + merge in `batch_splits` micro-batches
+    import json as _json
+
+    tmp = tmp_path_factory.mktemp("e2e")
+    scd1 = DeltaliteTable(spark, str(tmp / "orders_current"))
+    # contiguous batches preserve the version sequence across micro-batches
+    size = (len(txs) + batch_splits - 1) // batch_splits
+    chunks = [txs[i: i + size] for i in range(0, len(txs), size)]
+    for chunk in chunks:
+        cdc_lines = [_json.dumps(e) for b in chunk for e in b.events]
+        meta_lines = [_json.dumps(b.metadata()) for b in chunk]
+        cdc = parse_data_change_events(
+            spark.createDataFrame([(x,) for x in cdc_lines] or [(None,)], "value string")
+        )
+        meta = parse_transaction_metadata(
+            spark.createDataFrame([(x,) for x in meta_lines] or [(None,)], "value string")
+        )
+        batch = assemble_transactions_batch(unify_event_streams(cdc, meta))
+        merge_scd1(spark, batch, scd1)
+
+    # --- compare with the model
+    rows = {r.orderId: r for r in scd1.read().collect()}
+    assert set(rows) == {float(k) for k in model}
+    for oid, m in model.items():
+        r = rows[float(oid)]
+        assert r.version == m["version"], (oid, "order version")
+        assert r.orderStatus == m["status"], (oid, "status")
+        got_items = {li.lineItemId: li.version for li in (r.lineItems or [])}
+        assert got_items == {float(k): v for k, v in m["items"].items()}, (oid, "items")
