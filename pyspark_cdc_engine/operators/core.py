@@ -884,3 +884,71 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("bigint").alias("purchased_in_order"),
     )
+
+
+@register(
+    "set_ops_probe",
+    survey="U1,U2,A3",
+    oracle="""
+    SELECT 'both_f_and_o' AS relation, COUNT(*) AS cnt FROM (
+      SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+      INTERSECT
+      SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O'
+    )
+    UNION ALL
+    SELECT 'f_only', COUNT(*) FROM (
+      SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+      EXCEPT
+      SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O'
+    )
+    """,
+)
+def set_ops_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (set ops the reference lacks, SURVEY §2.7): orders
+    with both open and finished lines vs finished-only. Catalyst plans both as
+    aggregated semi/anti joins — no distinct-then-join staging needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter("l_linestatus = 'F'").select("l_orderkey")
+    o = li.filter("l_linestatus = 'O'").select("l_orderkey")
+    both = f.intersect(o).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("both_f_and_o").alias("relation"), "cnt"
+    )
+    f_only = f.subtract(o).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("f_only").alias("relation"), "cnt"
+    )
+    return both.unionByName(f_only)
+
+
+@register(
+    "null_safe_join_probe",
+    survey="P4,F12,J3",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 5 END AS k
+      FROM orders
+    ),
+    b AS (SELECT DISTINCT k FROM a)
+    SELECT COALESCE(CAST(a.k AS VARCHAR), '<null>') AS key_group,
+           COUNT(*) AS cnt
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1
+    """,
+)
+def null_safe_join_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys match
+    each other instead of dropping out — the semantics regular equi-joins
+    silently lose. Also exercises COALESCE display of the null group."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderkey") % 5)
+        .alias("k"),
+    )
+    b = a.select(F.col("k").alias("bk")).distinct()
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("bk")))
+        .groupBy(F.coalesce(F.col("k").cast("string"), F.lit("<null>")).alias("key_group"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
