@@ -952,3 +952,65 @@ def null_safe_join_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("k").cast("string"), F.lit("<null>")).alias("key_group"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "asof_view_before_purchase",
+    survey="W1,F11,F18",
+    oracle="""
+    SELECT p.event_id AS purchase_event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           CAST(epoch_us((
+             SELECT MAX(v.ts) FROM events v
+             WHERE v.user_id = p.user_id AND v.event_type = 'view'
+               AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id))
+           )) AS BIGINT) AS asof_view_ts_us
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (each purchase paired with the same user's most recent prior
+    view), implemented the scalable way: ONE shuffle on user_id and a
+    last(ignorenulls) window over time order — never the naive inequality
+    join whose intermediate is |purchases| x |views| per user. This is the
+    union+window as-of idiom that holds at 100 TB; the oracle states the same
+    semantics as a correlated subquery."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.when(F.col("event_type") == "view", F.unix_micros("ts")).alias("view_ts_us"),
+    )
+    return (
+        tagged.withColumn("asof_view_ts_us", F.last("view_ts_us", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.unix_micros("ts").alias("purchase_ts_us"),
+            F.col("asof_view_ts_us").cast("bigint").alias("asof_view_ts_us"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_sketch",
+    survey="A2,M5-text",
+    oracle=None,  # HyperLogLog++ sketches have no DuckDB-identical twin —
+    # rows-only driver check; the relative-error bound vs the exact count is
+    # asserted in tests/test_plans.py::test_approx_distinct_error_bound
+)
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counting (rsd 2%) — the sketch that
+    replaces exact COUNT(DISTINCT) at 100 TB: constant-size state per group,
+    map-side mergeable, one narrow shuffle of sketches instead of a wide
+    distinct expansion."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -112,3 +112,30 @@ def test_ivf_assignment_broadcasts_centroids(spark):
     plan = plan_of(spark, "ann_ivf_bucketed")
     assert "Broadcast" in plan
     assert node_counts(plan)["CartesianProduct"] == 0
+
+
+def test_approx_distinct_error_bound(spark):
+    """The HLL sketch must land within 3x its configured rsd (2%) of the exact
+    count on every group — the correctness contract for a rows-only query."""
+    approx = {
+        r.priority: r.approx_customers
+        for r in REGISTRY["approx_distinct_sketch"].spark(spark, SF_DIR).collect()
+    }
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.priority: r.exact
+        for r in (
+            REGISTRY["approx_distinct_sketch"]
+            .spark(spark, SF_DIR)  # same source table, exact aggregation
+            .sparkSession.read.parquet(f"{SF_DIR}/orders.parquet")
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.countDistinct("o_custkey").alias("exact"))
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(3, 0.06 * exact[k]), (
+            k, approx[k], exact[k]
+        )
