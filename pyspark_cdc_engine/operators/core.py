@@ -1014,3 +1014,41 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+_VALUE_BANDS = [(0.0, 2.0), (2.0, 5.0), (5.0, 10.0), (10.0, 15.0), (15.0, 1e9)]
+
+
+@register(
+    "value_band_range_join",
+    survey="J3,A2,F18",
+    oracle=f"""
+    SELECT b.band_id, b.lo,
+           COUNT(*) AS cnt,
+           {dsum_sql('e.value', 6)} AS sum_value
+    FROM events e
+    JOIN (VALUES {', '.join(f'({i}, {lo}, {hi})' for i, (lo, hi) in enumerate(_VALUE_BANDS))})
+         AS b(band_id, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_id, b.lo
+    """,
+)
+def value_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join — the join family the reference lacks
+    (SURVEY §2.3 note): events against half-open value bands. The band table is
+    tiny and broadcast, so the theta-join is a broadcast nested-loop over a
+    handful of intervals per row — the plan shape that stays linear at 100 TB
+    (never a cartesian against a large build side)."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(_VALUE_BANDS)],
+        "band_id int, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band_id", "lo")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", 6).alias("sum_value"))
+    )
