@@ -1052,3 +1052,37 @@ def value_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id", "lo")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", 6).alias("sum_value"))
     )
+
+
+@register(
+    "pivot_status_by_priority",
+    survey="A2,F11",
+    oracle=f"""
+    SELECT o_orderpriority AS priority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", 2)} AS f_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on order status with an explicit value list — with values named
+    up front Catalyst plans a single pass of conditional aggregates (exactly
+    the oracle's CASE formulation): no second scan, no distinct-values job."""
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", 2).alias("total"),
+        )
+    )
+    return pivoted.select(
+        "priority",
+        F.col("F_cnt").cast("bigint").alias("f_cnt"),
+        F.col("O_cnt").cast("bigint").alias("o_cnt"),
+        F.col("P_cnt").cast("bigint").alias("p_cnt"),
+        F.coalesce("F_total", F.lit(0.0)).alias("f_total"),
+    )
