@@ -49,9 +49,13 @@ def cdc_to_scd2_stream(
     else:
         completed = assemble_transactions_stream(unified, ttl_minutes=ttl_minutes)
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+    txn_app = f"cdc_scd2:{checkpoint_dir}"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # txn-tagged append: a micro-batch replayed after failure (same
+        # batch_id) is a no-op — exactly-once end to end (S9).
         if not batch_df.isEmpty():
-            table.append(batch_df)
+            table.append(batch_df, txn_app=txn_app, txn_version=batch_id)
 
     return (
         completed.writeStream.foreachBatch(sink)

@@ -323,7 +323,30 @@ class DeltaliteTable:
         return schema, df
 
     # ---------------------------------------------------------------- writes
-    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+    def last_txn_version(self, txn_app: str) -> int | None:
+        """Highest txn version committed under ``txn_app``, or None."""
+        best = None
+        for v in self._versions():
+            txn = self._read_commit(v).get("txn")
+            if txn and txn.get("app") == txn_app:
+                best = txn["version"] if best is None else max(best, txn["version"])
+        return best
+
+    def append(
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
+        """Append; with (txn_app, txn_version) the write is IDEMPOTENT — the
+        Delta txnAppId/txnVersion pattern that makes foreachBatch exactly-once:
+        a retried micro-batch (same version) is skipped instead of
+        double-appended. Returns the committed (or already-current) version."""
+        if txn_app is not None and txn_version is not None and self.exists():
+            last = self.last_txn_version(txn_app)
+            if last is not None and txn_version <= last:
+                return self.latest_version()  # replayed batch: no-op
         if self.exists():
             schema, df = self._evolved_schema(df, merge_schema)
         else:
@@ -331,9 +354,10 @@ class DeltaliteTable:
         prev = self._read_commit(self.latest_version())["live"] if self.exists() else []
         v = (self._versions() or [-1])[-1] + 1
         rel = self._write_data_dir(df, v)
-        return self._write_commit(
-            "append", [*prev, rel], {"schema": schema.json()}
-        )
+        extra: dict = {"schema": schema.json()}
+        if txn_app is not None and txn_version is not None:
+            extra["txn"] = {"app": txn_app, "version": txn_version}
+        return self._write_commit("append", [*prev, rel], extra)
 
     def overwrite(self, df: DataFrame) -> int:
         v = (self._versions() or [-1])[-1] + 1

@@ -297,3 +297,26 @@ def test_timestamp_as_of(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         t.read_as_of_timestamp(mid - 1e6)
+
+
+def test_idempotent_txn_append(spark, tmp_path):
+    """The Delta txnAppId/txnVersion pattern: replaying a micro-batch (same
+    app + version) is a no-op; new versions append normally."""
+    t = DeltaliteTable(spark, str(tmp_path / "txn"))
+    df0 = spark.range(5).toDF("id")
+    t.overwrite(df0)
+    t.append(spark.range(5, 8).toDF("id"), txn_app="job1", txn_version=0)
+    assert t.read().count() == 8
+    # replay of batch 0 -> skipped
+    t.append(spark.range(5, 8).toDF("id"), txn_app="job1", txn_version=0)
+    assert t.read().count() == 8
+    assert t.last_txn_version("job1") == 0
+    # next batch appends; a different app is independent
+    t.append(spark.range(8, 9).toDF("id"), txn_app="job1", txn_version=1)
+    t.append(spark.range(9, 10).toDF("id"), txn_app="job2", txn_version=0)
+    assert t.read().count() == 10
+    assert t.last_txn_version("job1") == 1 and t.last_txn_version("job2") == 0
+    # untagged appends never dedupe
+    t.append(spark.range(10, 11).toDF("id"))
+    t.append(spark.range(10, 11).toDF("id"))
+    assert t.read().count() == 12
