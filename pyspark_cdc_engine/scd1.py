@@ -127,9 +127,16 @@ def scd1_merge_clauses() -> list[MergeClause]:
     ]
 
 
-def merge_scd1(spark: SparkSession, batch_df: DataFrame, table: DeltaliteTable) -> None:
+def merge_scd1(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    table: DeltaliteTable,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> None:
     """One micro-batch of order_stream -> merge into orders_current
-    (mergeScdType1 parity, ScdType1MergeApp.scala:69-135)."""
+    (mergeScdType1 parity, ScdType1MergeApp.scala:69-135). txn tags make the
+    merge replay-safe inside foreachBatch (S9)."""
     if batch_df.isEmpty():
         return
     transformed = transform_source_batch(batch_df)
@@ -142,6 +149,8 @@ def merge_scd1(spark: SparkSession, batch_df: DataFrame, table: DeltaliteTable) 
         scd1_merge_clauses(),
         broadcast_source=True,
         prune_on="orderId",  # file-skipping: untouched key ranges keep their files
+        txn_app=txn_app,
+        txn_version=txn_version,
     )
 
 
@@ -155,9 +164,11 @@ def scd2_to_scd1_stream(
     (ScdType1MergeApp.scala:48-60). The deltalite SCD2 table is append-only, so
     a file stream over its data dirs is an exact change feed."""
     source = scd2_table.read_stream()
+    txn_app = f"scd1_merge:{checkpoint_dir}"
     return (
         source.writeStream.foreachBatch(
-            lambda df, _eid: merge_scd1(spark, df, scd1_table)
+            lambda df, bid: merge_scd1(spark, df, scd1_table,
+                                       txn_app=txn_app, txn_version=bid)
         )
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)

@@ -459,6 +459,8 @@ class DeltaliteTable:
         clauses: list[MergeClause],
         broadcast_source: bool = False,
         prune_on: str | None = None,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """MERGE INTO with Delta semantics for the subset the reference uses
         (ScdType1MergeApp.scala:95-132): clauses evaluated in declaration order,
@@ -474,7 +476,14 @@ class DeltaliteTable:
         unmatched-target rows pass through a merge unchanged, and no row in a
         pruned dir — including null-keyed rows, which never equi-match — can
         match the source. A current-state table updated by small CDC batches
-        rewrites only the touched fraction of its files."""
+        rewrites only the touched fraction of its files.
+
+        ``txn_app``/``txn_version`` make the merge idempotent under micro-batch
+        replay (same pattern as :meth:`append`)."""
+        if txn_app is not None and txn_version is not None:
+            last = self.last_txn_version(txn_app)
+            if last is not None and txn_version <= last:
+                return self.latest_version()  # replayed batch: no-op
         commit = self._read_commit(self.latest_version())
         live = list(commit["live"])
         kept: list[str] = []
@@ -508,6 +517,8 @@ class DeltaliteTable:
         extra = {"condition": condition, "schema": merged.schema.json()}
         if kept:
             extra["pruned_dirs_kept"] = len(kept)
+        if txn_app is not None and txn_version is not None:
+            extra["txn"] = {"app": txn_app, "version": txn_version}
         return self._write_commit("merge", [*kept, rel], extra)
 
 

@@ -320,3 +320,18 @@ def test_idempotent_txn_append(spark, tmp_path):
     t.append(spark.range(10, 11).toDF("id"))
     t.append(spark.range(10, 11).toDF("id"))
     assert t.read().count() == 12
+
+
+def test_idempotent_txn_merge(spark, tmp_path):
+    """Replayed merge batch (same txn app+version) is a no-op commit-wise."""
+    from pyspark_cdc_engine.tables import MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "txm"))
+    t.overwrite(spark.range(3).selectExpr("id AS k", "id * 1.0 AS v"))
+    src = spark.range(1, 2).selectExpr("id AS k", "99.0 AS v")
+    clauses = [MergeClause("update", None, {"v": "source.v"}), MergeClause("insert", None)]
+    t.merge(src, "target.k = source.k", clauses, txn_app="m", txn_version=0)
+    v_after = t.latest_version()
+    t.merge(src, "target.k = source.k", clauses, txn_app="m", txn_version=0)
+    assert t.latest_version() == v_after  # replay: no new commit
+    assert t.read().filter("k = 1").first().v == 99.0
