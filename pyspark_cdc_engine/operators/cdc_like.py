@@ -18,8 +18,12 @@ from pyspark_cdc_engine.tables import MergeClause, merge_dataframes
 
 def _best_per_key(df: DataFrame, status: str) -> DataFrame:
     """Top-1 lineitem per orderkey for one linestatus: version := l_linenumber."""
+    # full tiebreak chain: sf0.1 contains duplicate (orderkey, linenumber,
+    # partkey) rows with different quantities — the ordering must be total or
+    # Spark and DuckDB legally pick different rows
     w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_linenumber").desc(), F.col("l_partkey")
+        F.col("l_linenumber").desc(), F.col("l_partkey"),
+        F.col("l_quantity"), F.col("l_suppkey"), F.col("l_extendedprice"),
     )
     return (
         df.filter(F.col("l_linestatus") == status)
@@ -40,7 +44,8 @@ _BEST_SQL = """
   FROM (
     SELECT l_orderkey, l_linenumber, l_quantity,
            ROW_NUMBER() OVER (
-             PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_partkey
+             PARTITION BY l_orderkey
+             ORDER BY l_linenumber DESC, l_partkey, l_quantity, l_suppkey, l_extendedprice
            ) AS _rn
     FROM lineitem WHERE l_linestatus = '{status}'
   ) WHERE _rn = 1
@@ -167,7 +172,7 @@ def _item_array_sql(status: str) -> str:
         SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
                ROW_NUMBER() OVER (
                  PARTITION BY l_orderkey, l_linenumber
-                 ORDER BY l_suppkey DESC, l_partkey
+                 ORDER BY l_suppkey DESC, l_partkey, l_quantity, l_extendedprice
                ) AS _rn
         FROM lineitem WHERE l_linestatus = '{status}'
       ) WHERE _rn = 1
@@ -210,7 +215,8 @@ def array_merge_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def item_arrays(status: str, out: str) -> DataFrame:
         w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
-            F.col("l_suppkey").desc(), F.col("l_partkey")
+            F.col("l_suppkey").desc(), F.col("l_partkey"),
+            F.col("l_quantity"), F.col("l_extendedprice"),
         )
         return (
             li.filter(F.col("l_linestatus") == status)

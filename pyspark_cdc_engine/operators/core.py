@@ -145,7 +145,7 @@ def top1_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_orderkey, l_linenumber, l_quantity,
              ROW_NUMBER() OVER (
                PARTITION BY l_orderkey
-               ORDER BY l_quantity DESC NULLS LAST, l_linenumber
+               ORDER BY l_quantity DESC NULLS LAST, l_linenumber, l_partkey, l_suppkey
              ) AS _rn
       FROM lineitem
     ) WHERE _rn = 1
@@ -159,7 +159,8 @@ def best_line_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "line", F.struct("l_linenumber", "l_quantity")
     )
     w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("line.l_quantity").desc_nulls_last(), F.col("line.l_linenumber")
+        F.col("line.l_quantity").desc_nulls_last(), F.col("line.l_linenumber"),
+        F.col("l_partkey"), F.col("l_suppkey"),
     )
     return (
         li.withColumn("_rn", F.row_number().over(w))
