@@ -139,3 +139,42 @@ def test_approx_distinct_error_bound(spark):
         assert abs(approx[k] - exact[k]) <= max(3, 0.06 * exact[k]), (
             k, approx[k], exact[k]
         )
+
+
+def test_range_join_broadcasts_band_table(spark):
+    """value_band_range_join: the interval table must broadcast (BNLJ against
+    a 5-row build side), never a cartesian or a shuffled theta join."""
+    c = node_counts(plan_of(spark, "value_band_range_join"))
+    assert c["BroadcastNestedLoopJoin"] == 1
+    assert c["CartesianProduct"] == 0 and c["SortMergeJoin"] == 0
+
+
+def test_asof_join_is_single_window_pass(spark):
+    """asof_view_before_purchase: the union+window idiom — no join at all in
+    the plan (the naive formulation would be an inequality join)."""
+    plan = plan_of(spark, "asof_view_before_purchase")
+    c = node_counts(plan)
+    assert "Join" not in plan or (
+        c["SortMergeJoin"] + c["BroadcastHashJoin"]
+        + c["ShuffledHashJoin"] + c["BroadcastNestedLoopJoin"] == 0
+    )
+    assert "Window" in plan
+
+
+def test_star_join_part_supplier_broadcasts(spark):
+    """brand_supplier_revenue: all three dims broadcast; top-25 is
+    TakeOrderedAndProject."""
+    c = node_counts(plan_of(spark, "brand_supplier_revenue"))
+    assert c["BroadcastHashJoin"] == 3 and c["SortMergeJoin"] == 0
+    assert c["TakeOrderedAndProject"] == 1
+
+
+def test_pivot_is_single_scan(spark):
+    """pivot with explicit values: Spark plans two aggregate levels
+    (group-by + pivot_first) over ONE scan — the explicit value list avoids
+    the extra distinct-values job a valueless pivot() runs eagerly."""
+    plan = plan_of(spark, "pivot_status_by_priority")
+    c = node_counts(plan)
+    assert plan.count("Scan parquet") == 1
+    assert c["Exchange"] <= 2
+    assert c["HashAggregate"] == 4  # partial+final x two levels
