@@ -104,6 +104,11 @@ class DeltaliteTable:
 
     def _write_commit(self, operation: str, live_dirs: list[str], extra: dict | None = None) -> int:
         self._log_dir.mkdir(parents=True, exist_ok=True)
+        extra = dict(extra or {})
+        if "constraints" not in extra and self.exists():
+            prev = self._read_commit(self.latest_version()).get("constraints")
+            if prev:
+                extra["constraints"] = prev
         version = (self._versions() or [-1])[-1] + 1
         doc = {
             "version": version,
@@ -322,6 +327,50 @@ class DeltaliteTable:
             )
         return schema, df
 
+    # ----------------------------------------------------------- constraints
+    def constraints(self) -> dict[str, str]:
+        """Declared CHECK constraints (name -> SQL predicate) at latest version."""
+        if not self.exists():
+            return {}
+        return self._read_commit(self.latest_version()).get("constraints", {})
+
+    def add_constraint(self, name: str, predicate: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK analog (Delta table
+        constraints; mirrors the reference's Oracle CHECK domains,
+        db/oracle-ddl.sql:14-16). Validates existing data, then records the
+        predicate in the log — every later append/merge re-validates."""
+        existing = self.constraints()
+        if name in existing:
+            raise ValueError(f"constraint exists: {name}")
+        self._validate({name: predicate}, self.read())
+        commit = self._read_commit(self.latest_version())
+        extra = {"constraints": {**existing, name: predicate}}
+        if commit.get("schema"):
+            extra["schema"] = commit["schema"]
+        return self._write_commit("add_constraint", commit["live"], extra)
+
+    def drop_constraint(self, name: str) -> int:
+        constraints = dict(self.constraints())
+        constraints.pop(name, None)
+        commit = self._read_commit(self.latest_version())
+        extra = {"constraints": constraints}
+        if commit.get("schema"):
+            extra["schema"] = commit["schema"]
+        return self._write_commit("drop_constraint", commit["live"], extra)
+
+    def _validate(self, constraints: dict[str, str], df: DataFrame) -> None:
+        """One scan validates all predicates (aggregated violation counts)."""
+        if not constraints:
+            return
+        aggs = [
+            F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(n)
+            for n, pred in constraints.items()
+        ]
+        row = df.agg(*aggs).first()
+        bad = {n: row[n] for n in constraints if row[n]}
+        if bad:
+            raise ValueError(f"CHECK constraint violation(s): {bad}")
+
     # ---------------------------------------------------------------- writes
     def last_txn_version(self, txn_app: str) -> int | None:
         """Highest txn version committed under ``txn_app``, or None."""
@@ -349,6 +398,7 @@ class DeltaliteTable:
                 return self.latest_version()  # replayed batch: no-op
         if self.exists():
             schema, df = self._evolved_schema(df, merge_schema)
+            self._validate(self.constraints(), df)
         else:
             schema = df.schema
         prev = self._read_commit(self.latest_version())["live"] if self.exists() else []
@@ -512,6 +562,7 @@ class DeltaliteTable:
         out_cols = target_df.columns
         merged = merge_dataframes(target_df, source, condition, clauses, out_cols,
                                   broadcast_source=broadcast_source)
+        self._validate(self.constraints(), merged)
         v = (self._versions() or [-1])[-1] + 1
         rel = self._write_data_dir(merged, v)
         extra = {"condition": condition, "schema": merged.schema.json()}

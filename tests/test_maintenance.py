@@ -335,3 +335,41 @@ def test_idempotent_txn_merge(spark, tmp_path):
     t.merge(src, "target.k = source.k", clauses, txn_app="m", txn_version=0)
     assert t.latest_version() == v_after  # replay: no new commit
     assert t.read().filter("k = 1").first().v == 99.0
+
+
+def test_check_constraints(spark, tmp_path):
+    """CHECK constraints (Oracle status-domain parity, db/oracle-ddl.sql:14-16):
+    enforced on append and merge, survive unrelated commits, droppable."""
+    from pyspark_cdc_engine.tables import MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "ck"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "PENDING"), (2, "SHIPPED")], "id long, status string"))
+    t.add_constraint(
+        "status_domain",
+        "status IN ('PENDING','CONFIRMED','SHIPPED','DELIVERED','CANCELLED')",
+    )
+    import pytest as _pytest
+    # existing-data validation on declaration
+    with _pytest.raises(ValueError, match="violation"):
+        t.add_constraint("id_positive_strict", "id > 1")
+    # append enforcement
+    with _pytest.raises(ValueError, match="violation"):
+        t.append(spark.createDataFrame([(3, "BOGUS")], "id long, status string"))
+    t.append(spark.createDataFrame([(3, "DELIVERED")], "id long, status string"))
+    assert t.read().count() == 3
+    # survives compact, enforced through merge
+    t.compact(target_partitions=1)
+    assert t.constraints() == {
+        "status_domain":
+        "status IN ('PENDING','CONFIRMED','SHIPPED','DELIVERED','CANCELLED')"
+    }
+    clauses = [MergeClause("update", None, {"status": "source.status"}),
+               MergeClause("insert", None)]
+    bad = spark.createDataFrame([(1, "NOPE")], "id long, status string")
+    with _pytest.raises(ValueError, match="violation"):
+        t.merge(bad, "target.id = source.id", clauses)
+    # drop, then the formerly-invalid append succeeds
+    t.drop_constraint("status_domain")
+    t.append(spark.createDataFrame([(4, "BOGUS")], "id long, status string"))
+    assert t.read().count() == 4
