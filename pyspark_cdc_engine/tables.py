@@ -410,6 +410,8 @@ class DeltaliteTable:
         return self._write_commit("append", [*prev, rel], extra)
 
     def overwrite(self, df: DataFrame) -> int:
+        if self.exists():
+            self._validate(self.constraints(), df)
         v = (self._versions() or [-1])[-1] + 1
         rel = self._write_data_dir(df, v)
         return self._write_commit("overwrite", [rel], {"schema": df.schema.json()})

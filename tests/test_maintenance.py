@@ -369,6 +369,9 @@ def test_check_constraints(spark, tmp_path):
     bad = spark.createDataFrame([(1, "NOPE")], "id long, status string")
     with _pytest.raises(ValueError, match="violation"):
         t.merge(bad, "target.id = source.id", clauses)
+    # overwrite is validated too
+    with _pytest.raises(ValueError, match="violation"):
+        t.overwrite(spark.createDataFrame([(9, "NOPE")], "id long, status string"))
     # drop, then the formerly-invalid append succeeds
     t.drop_constraint("status_domain")
     t.append(spark.createDataFrame([(4, "BOGUS")], "id long, status string"))
