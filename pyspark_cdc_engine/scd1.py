@@ -141,7 +141,10 @@ def merge_scd1(
         return
     transformed = transform_source_batch(batch_df)
     if not table.exists():
-        table.overwrite(transformed)  # bootstrap (ScdType1MergeApp.scala:74-80)
+        # bootstrap (ScdType1MergeApp.scala:74-80); txn-tagged so a replayed
+        # batch 0 (crash after commit, before checkpoint) is skipped by the
+        # merge path's replay check instead of re-merged
+        table.overwrite(transformed, txn_app=txn_app, txn_version=txn_version)
         return
     table.merge(
         transformed,

@@ -102,14 +102,45 @@ class DeltaliteTable:
     def _read_commit(self, version: int) -> dict:
         return json.loads(_commit_path(self._log_dir, version).read_text())
 
-    def _write_commit(self, operation: str, live_dirs: list[str], extra: dict | None = None) -> int:
+    def _snapshot(self) -> tuple[int, dict]:
+        """(version, commit doc) of the latest commit, read ONCE.
+
+        Every mutator reads its table state through one snapshot and passes the
+        snapshot version to :meth:`_write_commit`, so the commit it links is
+        exactly ``snapshot + 1`` — a writer that raced past us makes our link(2)
+        fail with ConcurrentWriteError instead of silently dropping their data
+        (the lost-update/TOCTOU hole a late re-listing of versions would open).
+        Returns ``(-1, {})`` for a not-yet-created table."""
+        vs = self._versions()
+        if not vs:
+            return -1, {}
+        return vs[-1], self._read_commit(vs[-1])
+
+    def _write_commit(
+        self,
+        operation: str,
+        live_dirs: list[str],
+        extra: dict | None = None,
+        base_version: int | None = None,
+        base_commit: dict | None = None,
+    ) -> int:
+        """Link commit ``base_version + 1``; raise ConcurrentWriteError if taken.
+
+        ``base_version`` is the snapshot the caller's reads were based on
+        (``-1`` for a fresh table). ``None`` re-lists the log at link time —
+        legacy behavior kept only for direct protocol tests; real mutators all
+        pin their snapshot."""
         self._log_dir.mkdir(parents=True, exist_ok=True)
+        if base_version is None:
+            base_version = (self._versions() or [-1])[-1]
         extra = dict(extra or {})
-        if "constraints" not in extra and self.exists():
-            prev = self._read_commit(self.latest_version()).get("constraints")
+        if "constraints" not in extra and base_version >= 0:
+            if base_commit is None:
+                base_commit = self._read_commit(base_version)
+            prev = base_commit.get("constraints")
             if prev:
                 extra["constraints"] = prev
-        version = (self._versions() or [-1])[-1] + 1
+        version = base_version + 1
         doc = {
             "version": version,
             "timestamp": time.time(),
@@ -134,9 +165,55 @@ class DeltaliteTable:
         return version
 
     def _write_data_dir(self, df: DataFrame, version_hint: int) -> str:
+        """Write ``df`` to a STAGED dir under ``_staging/`` and return the
+        ``data/...`` path the commit will reference. The dir is renamed into
+        ``data/`` only after the commit file links (:meth:`_publish`), so
+        ``data/`` never holds uncommitted rows — a crashed writer or an
+        OCC-losing writer cannot leak duplicate/uncommitted files into
+        :meth:`read_stream`'s ``data/*`` glob."""
         rel = f"data/{version_hint:010d}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(str(self._root / rel))
+        staged = self._root / "_staging" / Path(rel).name
+        df.write.mode("overwrite").parquet(str(staged))
         return rel
+
+    def _publish(self, rel: str) -> None:
+        """Atomically move a staged data dir into ``data/`` (post-commit)."""
+        staged = self._root / "_staging" / Path(rel).name
+        dest = self._root / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        os.replace(staged, dest)
+
+    def _discard_staged(self, rel: str) -> None:
+        """Drop a staged dir after a failed/lost commit (nothing published)."""
+        shutil.rmtree(self._root / "_staging" / Path(rel).name, ignore_errors=True)
+
+    def _ensure_published(self, live: list[str]) -> None:
+        """Crash recovery: a writer that died between link(2) and publish left a
+        committed version whose dir still sits in ``_staging/`` — finish the
+        move. Best-effort, idempotent, only touches table-relative data dirs."""
+        for rel in live:
+            if rel.startswith("data/") and not (self._root / rel).exists():
+                if (self._root / "_staging" / Path(rel).name).exists():
+                    self._publish(rel)
+
+    def _commit_staged(
+        self,
+        operation: str,
+        live_dirs: list[str],
+        staged_rel: str,
+        extra: dict | None,
+        base_version: int,
+        base_commit: dict | None = None,
+    ) -> int:
+        """Commit-then-publish for writes carrying one new data dir; the staged
+        dir is discarded (never published) if another writer won the version."""
+        try:
+            v = self._write_commit(operation, live_dirs, extra, base_version, base_commit)
+        except ConcurrentWriteError:
+            self._discard_staged(staged_rel)
+            raise
+        self._publish(staged_rel)
+        return v
 
     # ----------------------------------------------------------------- reads
     def read(self, version: int | None = None) -> DataFrame:
@@ -149,6 +226,7 @@ class DeltaliteTable:
         in 100k parquet footers)."""
         v = self.latest_version() if version is None else version
         commit = self._read_commit(v)
+        self._ensure_published(commit["live"])
         dirs = [str(self._root / d) for d in commit["live"]]
         if not dirs:
             raise ValueError(f"empty table at version {v}")
@@ -163,7 +241,10 @@ class DeltaliteTable:
         """Streaming read of an append-only deltalite table (Delta streaming
         source analog, S3): a file stream over the data dirs. Exact change feed
         for append-only tables (each commit adds a new dir); tables mutated by
-        merge/compact would re-deliver rewritten files — don't stream those."""
+        merge/compact would re-deliver rewritten files — don't stream those.
+        The ``data/*`` glob sees COMMITTED dirs only: writers stage under
+        ``_staging/`` and publish after the commit links, so crashed or
+        OCC-losing writers can't feed uncommitted rows into the stream."""
         schema = self.read().schema
         return self.spark.readStream.schema(schema).parquet(str(self._root / "data" / "*"))
 
@@ -226,7 +307,7 @@ class DeltaliteTable:
         if dest.exists():
             raise ValueError(f"clone destination already exists: {dest_path}")
         live_abs = [str(self._root / d) for d in self._read_commit(self.latest_version())["live"]]
-        dest._write_commit("shallow_clone", live_abs, {"cloned_from": self.path})
+        dest._write_commit("shallow_clone", live_abs, {"cloned_from": self.path}, base_version=-1)
         return dest
 
     def analyze(self, columns: list[str] | None = None) -> dict:
@@ -253,11 +334,11 @@ class DeltaliteTable:
                 }
                 for c in columns
             }
-        commit = self._read_commit(self.latest_version())
+        base, commit = self._snapshot()
         extra: dict = {"stats": stats}
         if commit.get("schema"):
             extra["schema"] = commit["schema"]
-        self._write_commit("analyze", commit["live"], extra)
+        self._write_commit("analyze", commit["live"], extra, base, commit)
         return stats
 
     # ------------------------------------------------------------- schema log
@@ -339,24 +420,24 @@ class DeltaliteTable:
         constraints; mirrors the reference's Oracle CHECK domains,
         db/oracle-ddl.sql:14-16). Validates existing data, then records the
         predicate in the log — every later append/merge re-validates."""
-        existing = self.constraints()
+        base, commit = self._snapshot()
+        existing = commit.get("constraints", {})
         if name in existing:
             raise ValueError(f"constraint exists: {name}")
-        self._validate({name: predicate}, self.read())
-        commit = self._read_commit(self.latest_version())
+        self._validate({name: predicate}, self.read(version=base))
         extra = {"constraints": {**existing, name: predicate}}
         if commit.get("schema"):
             extra["schema"] = commit["schema"]
-        return self._write_commit("add_constraint", commit["live"], extra)
+        return self._write_commit("add_constraint", commit["live"], extra, base, commit)
 
     def drop_constraint(self, name: str) -> int:
-        constraints = dict(self.constraints())
+        base, commit = self._snapshot()
+        constraints = dict(commit.get("constraints", {}))
         constraints.pop(name, None)
-        commit = self._read_commit(self.latest_version())
         extra = {"constraints": constraints}
         if commit.get("schema"):
             extra["schema"] = commit["schema"]
-        return self._write_commit("drop_constraint", commit["live"], extra)
+        return self._write_commit("drop_constraint", commit["live"], extra, base, commit)
 
     def _validate(self, constraints: dict[str, str], df: DataFrame) -> None:
         """One scan validates all predicates (aggregated violation counts)."""
@@ -392,29 +473,46 @@ class DeltaliteTable:
         Delta txnAppId/txnVersion pattern that makes foreachBatch exactly-once:
         a retried micro-batch (same version) is skipped instead of
         double-appended. Returns the committed (or already-current) version."""
-        if txn_app is not None and txn_version is not None and self.exists():
+        base, commit = self._snapshot()
+        if txn_app is not None and txn_version is not None and base >= 0:
             last = self.last_txn_version(txn_app)
             if last is not None and txn_version <= last:
-                return self.latest_version()  # replayed batch: no-op
-        if self.exists():
+                return base  # replayed batch: no-op
+        if base >= 0:
             schema, df = self._evolved_schema(df, merge_schema)
-            self._validate(self.constraints(), df)
+            self._validate(commit.get("constraints", {}), df)
         else:
             schema = df.schema
-        prev = self._read_commit(self.latest_version())["live"] if self.exists() else []
-        v = (self._versions() or [-1])[-1] + 1
-        rel = self._write_data_dir(df, v)
+        prev = commit.get("live", [])
+        rel = self._write_data_dir(df, base + 1)
         extra: dict = {"schema": schema.json()}
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
-        return self._write_commit("append", [*prev, rel], extra)
+        return self._commit_staged("append", [*prev, rel], rel, extra, base, commit)
 
-    def overwrite(self, df: DataFrame) -> int:
-        if self.exists():
-            self._validate(self.constraints(), df)
-        v = (self._versions() or [-1])[-1] + 1
-        rel = self._write_data_dir(df, v)
-        return self._write_commit("overwrite", [rel], {"schema": df.schema.json()})
+    def overwrite(
+        self,
+        df: DataFrame,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
+        """Replace the table contents. ``(txn_app, txn_version)`` makes the
+        overwrite idempotent exactly like :meth:`append` — a replayed bootstrap
+        batch (crash after commit, before checkpoint) is detected and skipped
+        instead of relying on downstream merge clauses being coincidentally
+        idempotent."""
+        base, commit = self._snapshot()
+        if txn_app is not None and txn_version is not None and base >= 0:
+            last = self.last_txn_version(txn_app)
+            if last is not None and txn_version <= last:
+                return base  # replayed batch: no-op
+        if base >= 0:
+            self._validate(commit.get("constraints", {}), df)
+        rel = self._write_data_dir(df, base + 1)
+        extra: dict = {"schema": df.schema.json()}
+        if txn_app is not None and txn_version is not None:
+            extra["txn"] = {"app": txn_app, "version": txn_version}
+        return self._commit_staged("overwrite", [rel], rel, extra, base, commit)
 
     def add_column(self, name: str, data_type: str) -> int:
         """ALTER TABLE ADD COLUMN analog (db/schema_evolution.sql:9-12): a
@@ -428,36 +526,48 @@ class DeltaliteTable:
             list(current.fields)
             + [StructField(name, _parse_datatype_string(data_type), True)]
         )
-        live = self._read_commit(self.latest_version())["live"]
+        base, commit = self._snapshot()
         return self._write_commit(
-            "add_column", live, {"schema": evolved.json(), "added_column": name}
+            "add_column",
+            commit["live"],
+            {"schema": evolved.json(), "added_column": name},
+            base,
+            commit,
         )
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF analog: re-commit an old snapshot."""
+        base = self.latest_version()
         commit = self._read_commit(version)
         extra = {"restored_from": version}
         if commit.get("schema"):
             extra["schema"] = commit["schema"]
-        return self._write_commit("restore", commit["live"], extra)
+        return self._write_commit("restore", commit["live"], extra, base)
 
     def compact(self, target_partitions: int | None = None) -> int:
         """OPTIMIZE analog: rewrite the live set as one right-sized dir."""
-        df = self.read()
+        base, commit = self._snapshot()
+        df = self.read(version=base)
         if target_partitions:
             df = df.coalesce(target_partitions)
-        v = (self._versions() or [-1])[-1] + 1
-        rel = self._write_data_dir(df, v)
-        return self._write_commit("compact", [rel], {"schema": df.schema.json()})
+        rel = self._write_data_dir(df, base + 1)
+        return self._commit_staged(
+            "compact", [rel], rel, {"schema": df.schema.json()}, base, commit
+        )
 
     def zorder_by(self, *cols: str, target_partitions: int | None = None) -> int:
         """OPTIMIZE ... ZORDER BY analog: range-cluster the live set on ``cols`` so
         per-file min/max stats become selective for those keys (data skipping)."""
-        df = self.read().repartitionByRange(target_partitions or 8, *cols)
-        v = (self._versions() or [-1])[-1] + 1
-        rel = self._write_data_dir(df, v)
-        return self._write_commit(
-            "zorder", [rel], {"zorder_cols": list(cols), "schema": df.schema.json()}
+        base, commit = self._snapshot()
+        df = self.read(version=base).repartitionByRange(target_partitions or 8, *cols)
+        rel = self._write_data_dir(df, base + 1)
+        return self._commit_staged(
+            "zorder",
+            [rel],
+            rel,
+            {"zorder_cols": list(cols), "schema": df.schema.json()},
+            base,
+            commit,
         )
 
     def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False) -> list[str]:
@@ -475,6 +585,19 @@ class DeltaliteTable:
             for p in sorted(data_root.iterdir())
             if p.is_dir() and f"data/{p.name}" not in referenced
         ] if data_root.exists() else []
+        # abandoned staging dirs (writer crashed pre-commit / lost OCC without
+        # cleanup) age out with the same retention window, keyed on mtime —
+        # but never one backing a committed-yet-unpublished version
+        staging_root = self._root / "_staging"
+        if staging_root.exists():
+            referenced_names = {Path(r).name for r in referenced}
+            dead += [
+                f"_staging/{p.name}"
+                for p in sorted(staging_root.iterdir())
+                if p.is_dir()
+                and p.stat().st_mtime < cutoff
+                and p.name not in referenced_names
+            ]
         if not dry_run:
             for rel in dead:
                 shutil.rmtree(self._root / rel, ignore_errors=True)
@@ -536,7 +659,8 @@ class DeltaliteTable:
             last = self.last_txn_version(txn_app)
             if last is not None and txn_version <= last:
                 return self.latest_version()  # replayed batch: no-op
-        commit = self._read_commit(self.latest_version())
+        base, commit = self._snapshot()
+        self._ensure_published(commit["live"])
         live = list(commit["live"])
         kept: list[str] = []
         if prune_on is not None and len(live) > 1:
@@ -560,19 +684,18 @@ class DeltaliteTable:
                 reader = reader.schema(StructType.fromJson(json.loads(commit["schema"])))
             target_df = reader.parquet(*[str(self._root / d) for d in live])
         else:  # every dir pruned — merge against an empty target
-            target_df = self.read().limit(0)
+            target_df = self.read(version=base).limit(0)
         out_cols = target_df.columns
         merged = merge_dataframes(target_df, source, condition, clauses, out_cols,
                                   broadcast_source=broadcast_source)
-        self._validate(self.constraints(), merged)
-        v = (self._versions() or [-1])[-1] + 1
-        rel = self._write_data_dir(merged, v)
+        self._validate(commit.get("constraints", {}), merged)
+        rel = self._write_data_dir(merged, base + 1)
         extra = {"condition": condition, "schema": merged.schema.json()}
         if kept:
             extra["pruned_dirs_kept"] = len(kept)
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
-        return self._write_commit("merge", [*kept, rel], extra)
+        return self._commit_staged("merge", [*kept, rel], rel, extra, base, commit)
 
 
 def merge_dataframes(

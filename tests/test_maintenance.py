@@ -261,6 +261,69 @@ def test_concurrent_commit_detection(spark, tmp_path):
     assert committed["live"] == [f"data/{wins[0]}"]  # winner's commit intact
 
 
+def test_interleaved_writer_raises_not_lost_update(spark, tmp_path):
+    """TOCTOU regression: writer A snapshots the table, writer B commits while
+    A is still writing its data files; A's commit must raise
+    ConcurrentWriteError (link targets snapshot+1, now taken) instead of
+    silently winning with a stale live list that drops B's rows."""
+    from pyspark_cdc_engine.tables import ConcurrentWriteError
+
+    t = DeltaliteTable(spark, str(tmp_path / "ti"))
+    t.overwrite(spark.range(5).toDF("id"))
+    a = DeltaliteTable(spark, t.path)
+    b = DeltaliteTable(spark, t.path)
+
+    orig = DeltaliteTable._write_data_dir
+
+    def interleave(df, hint):  # B commits inside A's write window
+        rel = orig(a, df, hint)
+        b.append(spark.range(100, 103).toDF("id"))
+        return rel
+
+    a._write_data_dir = interleave
+    with pytest.raises(ConcurrentWriteError):
+        a.append(spark.range(10, 13).toDF("id"))
+    # B's commit survived intact; A's rows are nowhere in the table
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4, 100, 101, 102]
+    # and A's staged dir was discarded — nothing leaked into data/
+    live = set(t._read_commit(t.latest_version())["live"])
+    on_disk = {f"data/{p.name}" for p in (t._root / "data").iterdir() if p.is_dir()}
+    assert on_disk == live
+    assert not any((t._root / "_staging").glob("*")) if (t._root / "_staging").exists() else True
+
+
+def test_uncommitted_data_never_visible_to_stream_glob(spark, tmp_path):
+    """A writer that dies after writing data but before committing leaves its
+    files in _staging/, not data/ — so read_stream's data/* glob (and any
+    batch read) never sees uncommitted rows."""
+    t = DeltaliteTable(spark, str(tmp_path / "tg"))
+    t.append(spark.range(3).toDF("id"))
+    # simulated crash: data written, commit never linked
+    t._write_data_dir(spark.range(900, 950).toDF("id"), 99)
+    on_disk = {f"data/{p.name}" for p in (t._root / "data").iterdir() if p.is_dir()}
+    assert on_disk == set(t._read_commit(t.latest_version())["live"])
+    assert t.read().count() == 3
+    # vacuum with zero retention sweeps the abandoned staging dir
+    dead = t.vacuum(retain_hours=0.0, dry_run=True)
+    assert any(d.startswith("_staging/") for d in dead)
+    t.vacuum(retain_hours=0.0)
+    assert not any(p.is_dir() for p in (t._root / "_staging").iterdir())
+
+
+def test_crash_between_link_and_publish_repaired_on_read(spark, tmp_path):
+    """Crash window: commit linked but staged dir not yet published. The next
+    read() repairs by finishing the publish, so the committed version is
+    never unreadable."""
+    t = DeltaliteTable(spark, str(tmp_path / "tr"))
+    t.append(spark.range(4).toDF("id"))
+    orig_publish = DeltaliteTable._publish
+    t._publish = lambda rel: None  # crash before publish
+    t.append(spark.range(10, 12).toDF("id"))
+    t._publish = orig_publish.__get__(t)
+    fresh = DeltaliteTable(spark, t.path)
+    assert sorted(r.id for r in fresh.read().collect()) == [0, 1, 2, 3, 10, 11]
+
+
 def test_changes_view_surfaces_before_images(spark, tmp_path):
     """order_stream_changes (db/create_table.deltalake.sql:119-129 parity):
     UPDATE events surface change_type='UPDATED' with previous values."""

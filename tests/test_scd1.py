@@ -125,6 +125,24 @@ def test_duplicate_replay_is_noop(spark, scd1_table):
     assert scd1_table.read().count() == 1
 
 
+def test_bootstrap_replay_detected_by_txn_tag(spark, scd1_table):
+    """Batch-0 replay (crash after bootstrap overwrite commit, before
+    checkpoint write): the overwrite records the txn tag, so the replayed
+    batch is SKIPPED by the merge path's replay check — no second commit,
+    not merely coincidentally-idempotent clauses."""
+    batch = _stream_rows(spark, [{
+        "xid": "x0", "csn": "c0", "dwhProcessedTs": "t0", "orderId": 1.0,
+        "orders": [_order(1.0, 1.0, amount=10.0)],
+        "orderDetails": None, "lineItems": None,
+    }])
+    merge_scd1(spark, batch, scd1_table, txn_app="boot", txn_version=0)
+    v_after_boot = scd1_table.latest_version()
+    assert scd1_table.history()[0]["txn"] == {"app": "boot", "version": 0}
+    merge_scd1(spark, batch, scd1_table, txn_app="boot", txn_version=0)  # replay
+    assert scd1_table.latest_version() == v_after_boot  # no new commit at all
+    assert scd1_table.read().count() == 1
+
+
 def test_child_only_unknown_order_not_inserted(spark, scd1_table):
     """Insert guard: child-only tx for an order the target doesn't know stays
     out (whenNotMatched condition, ScdType1MergeApp.scala:130-131)."""
