@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     MapType,
@@ -160,15 +161,31 @@ ORDERS_CURRENT_SCHEMA = StructType(
 )
 
 # Keyed-state encoding for the transaction buffer (replaces
-# Encoders.bean(classOf[TransactionState])): event buffers as JSON strings —
-# schema-stable, cheap to Arrow-encode, and the joiner consumes dicts anyway.
+# Encoders.bean(classOf[TransactionState]), TransactionState.scala:20-68):
+# NATIVE typed buffers — ARRAY<STRUCT> of raw CDC events plus flattened
+# expected counts. No serialization layer of our own: every field type here is
+# conversion-free, so the buffered dicts ride the state transport as-is
+# (no per-event JSON encode/decode per micro-batch, which the round-1 JSON
+# string encoding paid in the engine's only Python hot path).
+TX_EVENT_STRUCT = StructType(
+    [
+        StructField("op_type", StringType()),
+        StructField("pos", StringType()),
+        StructField("before", MapType(StringType(), StringType())),
+        StructField("after", MapType(StringType(), StringType())),
+    ]
+)
+
 TX_STATE_SCHEMA = StructType(
     [
         StructField("xid", StringType()),
         StructField("csn", StringType()),
-        StructField("order_events", ArrayType(StringType())),
-        StructField("detail_events", ArrayType(StringType())),
-        StructField("item_events", ArrayType(StringType())),
-        StructField("meta_json", StringType()),
+        StructField("order_events", ArrayType(TX_EVENT_STRUCT)),
+        StructField("detail_events", ArrayType(TX_EVENT_STRUCT)),
+        StructField("item_events", ArrayType(TX_EVENT_STRUCT)),
+        StructField("expected_orders", IntegerType()),
+        StructField("expected_details", IntegerType()),
+        StructField("expected_items", IntegerType()),
+        StructField("has_meta", BooleanType()),
     ]
 )

@@ -26,7 +26,7 @@ def cdc_to_scd2_stream(
     meta_dir: str,
     table: DeltaliteTable,
     checkpoint_dir: str,
-    ttl_minutes: int | None = None,
+    ttl_minutes: float | None = None,
     impl: str = "v1",
 ):
     """File-source variant of the ingest pipeline (Kafka swaps in via

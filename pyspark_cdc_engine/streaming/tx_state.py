@@ -4,9 +4,10 @@ genuinely custom operator in the engine.
 Reference parity: groupByKey(xid:csn).flatMapGroupsWithState(Append, NoTimeout)
 (TransactionalCdcProcessingApp.scala:70-72,138-223) + TransactionState
 completion protocol (TransactionState.scala:20-68). PySpark-idiomatic
-realization: ``groupBy("tx_key").applyInPandasWithState`` with Arrow-encoded
-state (event buffers as JSON strings — see schemas.TX_STATE_SCHEMA), RocksDB
-state store provider.
+realization: ``groupBy("tx_key").applyInPandasWithState`` with native typed
+state buffers (ARRAY<STRUCT> event lists — see schemas.TX_STATE_SCHEMA, the
+analog of the reference's typed TransactionState bean), RocksDB state store
+provider.
 
 Semantics preserved exactly:
 - buffers accumulate across micro-batches; metadata may arrive before, between
@@ -27,7 +28,6 @@ RocksDB — no skew risk beyond pathological single-transaction floods.
 
 from __future__ import annotations
 
-import json
 import sys
 from collections.abc import Iterator
 from datetime import datetime, timezone
@@ -135,56 +135,97 @@ def _emit(xid: str, csn: str, buffers: dict[str, list]) -> pd.DataFrame:
     return pd.DataFrame(records, columns=_OUT_COLS)
 
 
-def process_transaction(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """The state function (processTransaction parity,
-    TransactionalCdcProcessingApp.scala:138-223)."""
-    tx_key = key[0]
-    parts = tx_key.split(":")
-    xid, csn = (parts[0], parts[1]) if len(parts) == 2 else (tx_key, "")
+def make_process_transaction(ttl_minutes: float | None = None):
+    """Build the state function (processTransaction parity,
+    TransactionalCdcProcessingApp.scala:138-223).
 
-    if state.hasTimedOut:
-        # TTL mode only: discard the parked transaction.
-        state.remove()
-        yield pd.DataFrame(columns=_OUT_COLS)
-        return
+    State rides the transport as NATIVE typed buffers (lists of event dicts
+    matching schemas.TX_EVENT_STRUCT) — every field type in TX_STATE_SCHEMA is
+    conversion-free, so there is no per-event encode/decode in the hot path
+    (the reference's typed TransactionState.scala:20-68 has the same shape).
 
-    if state.exists:
-        (_, _, orders_j, details_j, items_j, meta_j) = state.get
-        buffers = {
-            "ORDERS": [json.loads(s) for s in (orders_j or [])],
-            "ORDER_DETAILS": [json.loads(s) for s in (details_j or [])],
-            "ORDER_LINE_ITEMS": [json.loads(s) for s in (items_j or [])],
-        }
-        meta = json.loads(meta_j) if meta_j else None
-    else:
-        buffers = {"ORDERS": [], "ORDER_DETAILS": [], "ORDER_LINE_ITEMS": []}
-        meta = None
+    ``ttl_minutes`` opts into ProcessingTimeTimeout expiry of parked
+    transactions: the timer is re-armed after every state.update, so a
+    transaction that stays incomplete for the full TTL is invoked with
+    ``hasTimedOut`` and dropped. Default (None) = NoTimeout parity (T6)."""
 
-    for pdf in pdfs:
-        meta = _ingest_rows(pdf, buffers, meta)
+    def process_transaction(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        tx_key = key[0]
+        parts = tx_key.split(":")
+        xid, csn = (parts[0], parts[1]) if len(parts) == 2 else (tx_key, "")
 
-    if _is_complete(buffers, meta):
-        out = _emit(xid, csn, buffers)
-        state.remove()  # idempotency: emitted exactly once (IMPLEMENTATION.md:173)
-        yield out
-    else:
-        state.update(
-            (
-                xid,
-                csn,
-                [json.dumps(e) for e in buffers["ORDERS"]],
-                [json.dumps(e) for e in buffers["ORDER_DETAILS"]],
-                [json.dumps(e) for e in buffers["ORDER_LINE_ITEMS"]],
-                json.dumps(meta) if meta else None,
+        if state.hasTimedOut:
+            # TTL mode only: discard the parked transaction.
+            state.remove()
+            yield pd.DataFrame(columns=_OUT_COLS)
+            return
+
+        if state.exists:
+            (_, _, orders_b, details_b, items_b, exp_o, exp_d, exp_i, has_meta) = state.get
+            buffers = {
+                "ORDERS": [_as_event(e) for e in (orders_b or [])],
+                "ORDER_DETAILS": [_as_event(e) for e in (details_b or [])],
+                "ORDER_LINE_ITEMS": [_as_event(e) for e in (items_b or [])],
+            }
+            meta = (
+                {"expected": {"ORDERS": exp_o, "ORDER_DETAILS": exp_d,
+                              "ORDER_LINE_ITEMS": exp_i}}
+                if has_meta
+                else None
             )
-        )
-        yield pd.DataFrame(columns=_OUT_COLS)
+        else:
+            buffers = {"ORDERS": [], "ORDER_DETAILS": [], "ORDER_LINE_ITEMS": []}
+            meta = None
+
+        for pdf in pdfs:
+            meta = _ingest_rows(pdf, buffers, meta)
+
+        if _is_complete(buffers, meta):
+            out = _emit(xid, csn, buffers)
+            state.remove()  # idempotency: emitted exactly once (IMPLEMENTATION.md:173)
+            yield out
+        else:
+            exp = (meta or {}).get("expected", {})
+            state.update(
+                (
+                    xid,
+                    csn,
+                    buffers["ORDERS"],
+                    buffers["ORDER_DETAILS"],
+                    buffers["ORDER_LINE_ITEMS"],
+                    exp.get("ORDERS", 0),
+                    exp.get("ORDER_DETAILS", 0),
+                    exp.get("ORDER_LINE_ITEMS", 0),
+                    meta is not None,
+                )
+            )
+            if ttl_minutes:
+                state.setTimeoutDuration(int(ttl_minutes * 60 * 1000))
+            yield pd.DataFrame(columns=_OUT_COLS)
+
+    return process_transaction
+
+
+def _as_event(e: Any) -> dict:
+    """Buffered state events come back exactly as stored (dicts); tolerate
+    Row/tuple renderings from other transports."""
+    if isinstance(e, dict):
+        return e
+    if hasattr(e, "asDict"):
+        return e.asDict(recursive=True)
+    op_type, pos, before, after = e
+    return {"op_type": op_type, "pos": pos,
+            "before": _as_dict(before), "after": _as_dict(after)}
+
+
+# Default (NoTimeout-parity) state function, kept importable for tests.
+process_transaction = make_process_transaction()
 
 
 def assemble_transactions_stream(
-    unified: DataFrame, ttl_minutes: int | None = None
+    unified: DataFrame, ttl_minutes: float | None = None
 ) -> DataFrame:
     """unified tagged event stream (see parse.unify_event_streams) ->
     append-mode stream of completed OrderStream records."""
@@ -194,7 +235,7 @@ def assemble_transactions_stream(
         else GroupStateTimeout.NoTimeout
     )
     return unified.groupBy("tx_key").applyInPandasWithState(
-        process_transaction,
+        make_process_transaction(ttl_minutes),
         outputStructType=ORDER_STREAM_SCHEMA,
         stateStructType=TX_STATE_SCHEMA,
         outputMode="append",

@@ -115,6 +115,44 @@ def test_out_of_order_across_microbatches(spark, tmp_path):
     assert len(rows) == 1 and rows[0].orderId == 11.0 and len(rows[0].lineItems) == 5
 
 
+def test_ttl_expires_parked_transaction(spark, tmp_path):
+    """Opt-in TTL (T6 extension): a transaction parked longer than the TTL is
+    dropped — its events arriving after expiry start a fresh metadata-less
+    buffer that never completes. Contrast: test_out_of_order_across_microbatches
+    proves the same sequence DOES emit under NoTimeout parity."""
+    import time as _time
+
+    tx = insert_tx(21, "t.t.l.1", "9101")
+    filler = insert_tx(22, "f.f.f.2", "9102")
+    base = tmp_path / "ttl"
+    ttl_min = 1.5 / 60  # 1.5 s
+
+    def run(prefix, txs, metadata_for):
+        write_fixture_files(base / "cdc", base / "meta", txs,
+                            metadata_for=metadata_for, file_prefix=prefix)
+        table = DeltaliteTable(spark, str(base / "order_stream"))
+        q = cdc_to_scd2_stream(spark, str(base / "cdc"), str(base / "meta"),
+                               table, str(base / "ckpt"), ttl_minutes=ttl_min)
+        # an availableNow query with pending processing-time timers stays
+        # alive waiting on them; give it long enough to drain data + fire any
+        # expired timer (> ttl), then stop explicitly
+        if not q.awaitTermination(8):
+            q.stop()
+            q.awaitTermination(30)
+        return table
+
+    # Batch 0: metadata only -> tx 21 parks with a 1.5 s timer.
+    run("b0", [], [tx])
+    _time.sleep(3)
+    # Batch 1 (after expiry): unrelated complete tx; the parked key fires
+    # hasTimedOut during this batch and is removed.
+    table = run("b1", [filler], [filler])
+    # Batch 2: tx 21's events finally arrive — but its metadata is gone.
+    table = run("b2", [tx], [])
+    rows = table.read().collect()
+    assert [r.orderId for r in rows] == [22.0]  # expired tx never emits
+
+
 def test_batch_assembly_matches_stream(spark, tmp_path):
     """Batch path (assemble_transactions_batch) emits the same records."""
     txs = [insert_tx(i, f"b.{i}", f"1{i:04d}") for i in range(1, 6)]
