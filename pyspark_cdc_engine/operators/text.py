@@ -9,6 +9,8 @@ in :mod:`pyspark_cdc_engine.operators.dedup_scale` with rows-only checks.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -176,6 +178,10 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLE_W = 8  # words per shingle; distinctive enough that shared shingles ≈ near-dup
 
+# Guard for the exact all-pairs baseline below: above this corpus size the
+# registry refuses the raw-shingle self-join and points at minhash_lsh_near_dup.
+JACCARD_EXACT_MAX_DOCS = 20_000
+
 
 @register(
     "jaccard_near_dup_pairs",
@@ -207,8 +213,23 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → distinct (doc, shingle) → self-join on shingle → |∩|/|∪| ≥ τ.
     The shingle equi-join IS the candidate generation step MinHash-LSH
     approximates; at 100 TB you swap the join key from raw shingle to LSH band
-    hash (see minhash_lsh_bands) and this plan is otherwise unchanged."""
+    hash (see minhash_lsh_bands) and this plan is otherwise unchanged.
+
+    SIZE-GUARDED: the raw-shingle self-join is the exact small-N baseline and
+    is quadratic in the worst case (every hot shingle fans out all-pairs), so
+    the registry entry refuses corpora above ``JACCARD_EXACT_MAX_DOCS``
+    (default 20k docs; env-overridable) and points at the LSH sibling instead
+    of silently launching an all-pairs explosion on a cluster."""
     d = load_table(spark, sf_dir, "documents")
+    limit = int(os.environ.get("JACCARD_EXACT_MAX_DOCS", str(JACCARD_EXACT_MAX_DOCS)))
+    n_docs = d.count()
+    if n_docs > limit:
+        raise ValueError(
+            f"jaccard_near_dup_pairs is the exact small-N baseline: corpus has "
+            f"{n_docs} docs > guard {limit}. Use minhash_lsh_near_dup (bucketed "
+            f"LSH, constant shuffle bytes/doc) at this scale, or raise "
+            f"JACCARD_EXACT_MAX_DOCS explicitly."
+        )
     w = _SHINGLE_W
     sets = (
         d.select(

@@ -13,6 +13,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def kafka_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The exact option set the reference passes to its Kafka reader
+    (TransactionalCdcProcessingApp.scala:85-92; reference.conf:33-36), as a pure
+    dict so the surface is unit-testable without the Kafka jar on the
+    classpath (tests/test_sources.py)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -22,12 +40,10 @@ def read_kafka_stream(
 ) -> DataFrame:
     """Kafka streaming source, decoded to a ``value`` string column
     (S1+S2; options per reference.conf:33-36)."""
+    opts = kafka_options(bootstrap_servers, topic, starting_offsets, fail_on_data_loss)
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .options(**opts)
         .load()
         .select(F.col("value").cast("string").alias("value"))
     )
