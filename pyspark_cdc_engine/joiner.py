@@ -4,8 +4,9 @@ Reference parity: OrderJoiner.joinTransaction (OrderJoiner.scala:29-88) —
 group the transaction's order/detail/lineItem events by ORDER_ID into one
 nested record per order, attaching before images; and the Jackson
 string-coercion layer (OrderJoiner.scala:92-98) reproduced as explicit
-float coercion. Events with null ``after`` (deletes) are skipped, matching
-the reference's IGNOREDELETES posture (SURVEY §2.8 note).
+float coercion. Events with null ``after`` (deletes) are skipped by default,
+matching the reference's IGNOREDELETES posture (SURVEY §2.8 note);
+``handle_deletes=True`` opts into order-level tombstones instead.
 
 Runs inside the keyed state function on executors — plain dict work on a
 handful of events per transaction, never driver-side.
@@ -58,11 +59,19 @@ def join_transaction(
     detail_events: list[dict[str, Any]],
     item_events: list[dict[str, Any]],
     processing_ts: str,
+    handle_deletes: bool = False,
 ) -> list[dict[str, Any]]:
     """Assemble one OrderStream record per distinct orderId touched by the
     transaction (hash-join with build side = orders, OrderJoiner.scala:29-88).
     A transaction touching N orders emits N records; child-only transactions
-    emit records with empty ``orders`` arrays."""
+    emit records with empty ``orders`` arrays.
+
+    ``handle_deletes`` (opt-in, SURVEY §2.8 — default off for parity with
+    gg-configs/replicat/rep3.prm:6 IGNOREDELETES): an ORDERS op_type='D'
+    event tombstones the order — the record carries the delete's before image
+    as the last-known state and ``deleted=True``, which the SCD1 merge's
+    whenMatchedDelete clause turns into a row removal. Child-table deletes
+    remain ignored in both modes (order-granularity tombstones only)."""
     per_order: dict[float | None, dict[str, Any]] = {}
 
     def stream_for(order_id: float | None) -> dict[str, Any]:
@@ -75,10 +84,20 @@ def join_transaction(
                 "orders": [],
                 "orderDetails": [],
                 "lineItems": [],
+                "deleted": False,
             }
         return per_order[order_id]
 
     for ev in order_events:
+        if handle_deletes and ev.get("op_type") == "D":
+            # GG delete events carry the row in `before` (after is null)
+            last_known = _coerce(ev.get("before"), ORDER_FIELDS)
+            if last_known is not None:
+                last_known["before"] = None
+                rec = stream_for(last_known["orderId"])
+                rec["orders"].append(last_known)
+                rec["deleted"] = True
+            continue
         ent = _entity(ev, ORDER_FIELDS)
         if ent is not None:
             stream_for(ent["orderId"])["orders"].append(ent)

@@ -34,7 +34,7 @@ _ORDER_FLAT_FIELDS = [
 ]
 
 
-def transform_source_batch(batch_df: DataFrame) -> DataFrame:
+def transform_source_batch(batch_df: DataFrame, handle_deletes: bool = False) -> DataFrame:
     """Nested order_stream rows -> one flat orders_current candidate per orderId.
 
     Multiple rows per orderId in one batch (creation + child-only update) are
@@ -43,18 +43,28 @@ def transform_source_batch(batch_df: DataFrame) -> DataFrame:
     and deduped by lineItemId (transformSourceBatch parity,
     ScdType1MergeApp.scala:146-206). desc_nulls_last is load-bearing: child-only
     rows have null order version and must lose the order-field race.
+
+    ``handle_deletes``: carry the order-level ``deleted`` tombstone flag on the
+    winning row (merge_scd1 turns it into a whenMatchedDelete); parity mode
+    drops the column so orders_current keeps the reference schema.
     """
     latest_order = dedup_array_expr("orders", "orderId")
     latest_detail = dedup_array_expr("orderDetails", "orderId")
     safe_order = f"try_element_at({latest_order}, 1)"
     safe_detail = f"try_element_at({latest_detail}, 1)"
 
+    deleted_expr = (
+        ["COALESCE(deleted, false) AS deleted"]
+        if handle_deletes and "deleted" in batch_df.columns
+        else (["false AS deleted"] if handle_deletes else [])
+    )
     flattened = batch_df.selectExpr(
         "xid", "csn", "dwhProcessedTs", "orderId",
         *[f"{safe_order}.{f} AS {f}" for f in _ORDER_FLAT_FIELDS],
         f"{safe_order}.before AS orderBefore",
         f"{safe_detail} AS orderDetails",
         f"{dedup_array_expr('lineItems', 'lineItemId')} AS lineItems",
+        *deleted_expr,
     )
 
     w_order = Window.partitionBy("orderId").orderBy(
@@ -88,7 +98,7 @@ def transform_source_batch(batch_df: DataFrame) -> DataFrame:
     )
 
 
-def scd1_merge_clauses() -> list[MergeClause]:
+def scd1_merge_clauses(handle_deletes: bool = False) -> list[MergeClause]:
     """The ordered clause set (ScdType1MergeApp.scala:95-132):
 
     1. source order strictly newer -> all order fields + tx context from source,
@@ -97,7 +107,10 @@ def scd1_merge_clauses() -> list[MergeClause]:
        still merge children (child-only transactions land here);
     3. insert guarded on source.version IS NOT NULL so child-only transactions
        for unknown orders don't create half-empty rows.
-    """
+
+    ``handle_deletes`` prepends a whenMatchedDelete on the tombstone flag
+    (delete wins the clause cascade) and blocks tombstones from inserting —
+    opt-in beyond the reference's IGNOREDELETES posture (SURVEY §2.8)."""
     merged_detail = merge_struct_expr("orderDetails")
     merged_items = merge_array_expr("lineItems", "lineItemId")
     tx_context = {
@@ -106,7 +119,12 @@ def scd1_merge_clauses() -> list[MergeClause]:
         "dwhProcessedTs": "source.dwhProcessedTs",
     }
     order_fields = {f: f"source.{f}" for f in _ORDER_FLAT_FIELDS}
-    return [
+    insert_guard = "source.version IS NOT NULL"
+    clauses = []
+    if handle_deletes:
+        clauses.append(MergeClause("delete", "COALESCE(source.deleted, false)"))
+        insert_guard += " AND NOT COALESCE(source.deleted, false)"
+    clauses += [
         MergeClause(
             "update",
             "source.version IS NOT NULL AND source.version > COALESCE(target.version, 0)",
@@ -123,8 +141,9 @@ def scd1_merge_clauses() -> list[MergeClause]:
             None,
             {**tx_context, "orderDetails": merged_detail, "lineItems": merged_items},
         ),
-        MergeClause("insert", "source.version IS NOT NULL", None),
+        MergeClause("insert", insert_guard, None),
     ]
+    return clauses
 
 
 def merge_scd1(
@@ -133,23 +152,29 @@ def merge_scd1(
     table: DeltaliteTable,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    handle_deletes: bool = False,
 ) -> None:
     """One micro-batch of order_stream -> merge into orders_current
     (mergeScdType1 parity, ScdType1MergeApp.scala:69-135). txn tags make the
-    merge replay-safe inside foreachBatch (S9)."""
+    merge replay-safe inside foreachBatch (S9). ``handle_deletes`` enables the
+    opt-in tombstone path (delete-mode joiner rows remove their target row)."""
     if batch_df.isEmpty():
         return
-    transformed = transform_source_batch(batch_df)
+    transformed = transform_source_batch(batch_df, handle_deletes=handle_deletes)
     if not table.exists():
         # bootstrap (ScdType1MergeApp.scala:74-80); txn-tagged so a replayed
         # batch 0 (crash after commit, before checkpoint) is skipped by the
         # merge path's replay check instead of re-merged
+        if handle_deletes:
+            # tombstones for never-seen orders have nothing to delete; the
+            # flag column itself never lands in orders_current
+            transformed = transformed.filter("NOT deleted").drop("deleted")
         table.overwrite(transformed, txn_app=txn_app, txn_version=txn_version)
         return
     table.merge(
         transformed,
         "target.orderId = source.orderId",
-        scd1_merge_clauses(),
+        scd1_merge_clauses(handle_deletes=handle_deletes),
         broadcast_source=True,
         prune_on="orderId",  # file-skipping: untouched key ranges keep their files
         txn_app=txn_app,
@@ -162,6 +187,7 @@ def scd2_to_scd1_stream(
     scd2_table: DeltaliteTable,
     scd1_table: DeltaliteTable,
     checkpoint_dir: str,
+    handle_deletes: bool = False,
 ):
     """Chained stream (T7): order_stream appends -> foreachBatch merge
     (ScdType1MergeApp.scala:48-60). The deltalite SCD2 table is append-only, so
@@ -171,7 +197,8 @@ def scd2_to_scd1_stream(
     return (
         source.writeStream.foreachBatch(
             lambda df, bid: merge_scd1(spark, df, scd1_table,
-                                       txn_app=txn_app, txn_version=bid)
+                                       txn_app=txn_app, txn_version=bid,
+                                       handle_deletes=handle_deletes)
         )
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)

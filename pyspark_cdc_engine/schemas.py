@@ -143,6 +143,10 @@ ORDER_STREAM_SCHEMA = StructType(
         StructField("orders", ArrayType(ORDER_STRUCT)),
         StructField("orderDetails", ArrayType(DETAIL_STRUCT)),
         StructField("lineItems", ArrayType(LINE_ITEM_STRUCT)),
+        # Opt-in delete mode only (SURVEY §2.8 note): true when the
+        # transaction's ORDERS event was an op_type='D' tombstone. Always
+        # false under reference parity (IGNOREDELETES).
+        StructField("deleted", BooleanType()),
     ]
 )
 

@@ -28,6 +28,7 @@ def cdc_to_scd2_stream(
     checkpoint_dir: str,
     ttl_minutes: float | None = None,
     impl: str = "v1",
+    handle_deletes: bool = False,
 ):
     """File-source variant of the ingest pipeline (Kafka swaps in via
     sources.read_kafka_stream with no other changes). Returns the started
@@ -36,7 +37,10 @@ def cdc_to_scd2_stream(
 
     ``impl``: "v1" = applyInPandasWithState (stable), "v2" =
     transformWithStateInPandas (Spark 4 arbitrary-state v2: O(1) ListState
-    buffer appends, native state TTL — see streaming/tx_state_v2.py)."""
+    buffer appends, native state TTL — see streaming/tx_state_v2.py).
+
+    ``handle_deletes``: opt-in order-level delete tombstones (SURVEY §2.8);
+    default off = reference IGNOREDELETES parity."""
     cdc = parse_data_change_events(read_text_stream(spark, cdc_dir))
     meta = parse_transaction_metadata(read_text_stream(spark, meta_dir))
     unified = unify_event_streams(cdc, meta)
@@ -47,7 +51,9 @@ def cdc_to_scd2_stream(
 
         completed = assemble_transactions_stream_v2(unified, ttl_minutes=ttl_minutes)
     else:
-        completed = assemble_transactions_stream(unified, ttl_minutes=ttl_minutes)
+        completed = assemble_transactions_stream(
+            unified, ttl_minutes=ttl_minutes, handle_deletes=handle_deletes
+        )
 
     txn_app = f"cdc_scd2:{checkpoint_dir}"
 
@@ -67,10 +73,10 @@ def cdc_to_scd2_stream(
 
 
 def cdc_to_scd2_batch(
-    spark: SparkSession, cdc_dir: str, meta_dir: str
+    spark: SparkSession, cdc_dir: str, meta_dir: str, handle_deletes: bool = False
 ) -> DataFrame:
     """Batch assembly of the same inputs (backfill / oracle path)."""
     cdc = parse_data_change_events(read_text_batch(spark, cdc_dir))
     meta = parse_transaction_metadata(read_text_batch(spark, meta_dir))
     unified = unify_event_streams(cdc, meta)
-    return assemble_transactions_batch(unified)
+    return assemble_transactions_batch(unified, handle_deletes=handle_deletes)

@@ -126,16 +126,20 @@ def _ingest_rows(pdf: pd.DataFrame, buffers: dict[str, list], meta: dict | None)
     return meta
 
 
-def _emit(xid: str, csn: str, buffers: dict[str, list]) -> pd.DataFrame:
+def _emit(
+    xid: str, csn: str, buffers: dict[str, list], handle_deletes: bool = False
+) -> pd.DataFrame:
     ts = datetime.now(timezone.utc).isoformat()
     records = join_transaction(
         xid, csn, buffers["ORDERS"], buffers["ORDER_DETAILS"],
-        buffers["ORDER_LINE_ITEMS"], ts,
+        buffers["ORDER_LINE_ITEMS"], ts, handle_deletes=handle_deletes,
     )
     return pd.DataFrame(records, columns=_OUT_COLS)
 
 
-def make_process_transaction(ttl_minutes: float | None = None):
+def make_process_transaction(
+    ttl_minutes: float | None = None, handle_deletes: bool = False
+):
     """Build the state function (processTransaction parity,
     TransactionalCdcProcessingApp.scala:138-223).
 
@@ -147,7 +151,10 @@ def make_process_transaction(ttl_minutes: float | None = None):
     ``ttl_minutes`` opts into ProcessingTimeTimeout expiry of parked
     transactions: the timer is re-armed after every state.update, so a
     transaction that stays incomplete for the full TTL is invoked with
-    ``hasTimedOut`` and dropped. Default (None) = NoTimeout parity (T6)."""
+    ``hasTimedOut`` and dropped. Default (None) = NoTimeout parity (T6).
+
+    ``handle_deletes`` opts into order-level delete tombstones at emit time
+    (see joiner.join_transaction); default off = IGNOREDELETES parity."""
 
     def process_transaction(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -183,7 +190,7 @@ def make_process_transaction(ttl_minutes: float | None = None):
             meta = _ingest_rows(pdf, buffers, meta)
 
         if _is_complete(buffers, meta):
-            out = _emit(xid, csn, buffers)
+            out = _emit(xid, csn, buffers, handle_deletes)
             state.remove()  # idempotency: emitted exactly once (IMPLEMENTATION.md:173)
             yield out
         else:
@@ -225,7 +232,9 @@ process_transaction = make_process_transaction()
 
 
 def assemble_transactions_stream(
-    unified: DataFrame, ttl_minutes: float | None = None
+    unified: DataFrame,
+    ttl_minutes: float | None = None,
+    handle_deletes: bool = False,
 ) -> DataFrame:
     """unified tagged event stream (see parse.unify_event_streams) ->
     append-mode stream of completed OrderStream records."""
@@ -235,7 +244,7 @@ def assemble_transactions_stream(
         else GroupStateTimeout.NoTimeout
     )
     return unified.groupBy("tx_key").applyInPandasWithState(
-        make_process_transaction(ttl_minutes),
+        make_process_transaction(ttl_minutes, handle_deletes),
         outputStructType=ORDER_STREAM_SCHEMA,
         stateStructType=TX_STATE_SCHEMA,
         outputMode="append",
@@ -243,7 +252,9 @@ def assemble_transactions_stream(
     )
 
 
-def assemble_transactions_batch(unified: DataFrame) -> DataFrame:
+def assemble_transactions_batch(
+    unified: DataFrame, handle_deletes: bool = False
+) -> DataFrame:
     """Batch-mode assembly with identical semantics (for backfills, tests and
     oracle checks): one applyInPandas pass — transactions whose metadata and
     events all sit in the frame emit; incomplete ones emit nothing."""
@@ -255,7 +266,7 @@ def assemble_transactions_batch(unified: DataFrame) -> DataFrame:
         buffers = {"ORDERS": [], "ORDER_DETAILS": [], "ORDER_LINE_ITEMS": []}
         meta = _ingest_rows(pdf, buffers, None)
         if _is_complete(buffers, meta):
-            return _emit(xid, csn, buffers)
+            return _emit(xid, csn, buffers, handle_deletes)
         return pd.DataFrame(columns=_OUT_COLS)
 
     return unified.groupBy("tx_key").applyInPandas(

@@ -61,10 +61,12 @@ class MergeClause:
 
     ``assignments`` maps output column -> SQL expression over ``target.*`` /
     ``source.*`` (string exprs, same contract as Delta's updateExpr/insertExpr —
-    ScdType1MergeApp.scala:101-131).
-    """
+    ScdType1MergeApp.scala:101-131). ``kind="delete"`` is the
+    whenMatchedDelete analog: a matched row whose first-satisfied clause (in
+    declaration order, shared with updates) is a delete is dropped from the
+    output."""
 
-    kind: str  # "update" | "insert"
+    kind: str  # "update" | "insert" | "delete"
     condition: str | None = None  # SQL over target./source.; None = always
     assignments: dict[str, str] | None = None  # None for insert => insertAll
 
@@ -728,15 +730,28 @@ def merge_dataframes(
     unmatched_source = F.col("__t").isNull() & F.col("__s").isNotNull()
     unmatched_target = F.col("__t").isNotNull() & F.col("__s").isNull()
 
-    update_clauses = [c for c in clauses if c.kind == "update"]
+    # matched-side clauses (update + delete) share ONE declaration-order
+    # cascade — the first clause whose condition holds wins, exactly Delta's
+    # whenMatchedUpdate/whenMatchedDelete ordering
+    matched_clauses = [c for c in clauses if c.kind in ("update", "delete")]
     insert_clauses = [c for c in clauses if c.kind == "insert"]
 
     def clause_cond(c: MergeClause) -> Column:
         return F.expr(c.condition) if c.condition is not None else F.lit(True)
 
-    # Row keep-filter: all target rows survive; source-only rows survive iff some
-    # insert clause accepts them (whenNotMatched(...).insertAll guard, :130-131).
-    keep = F.col("__t").isNotNull()
+    # A matched row is deleted iff the first matched-clause it satisfies is a
+    # delete clause.
+    delete_fires = F.lit(False)
+    prior_neg = F.lit(True)
+    for c in matched_clauses:
+        if c.kind == "delete":
+            delete_fires = delete_fires | (matched & prior_neg & clause_cond(c))
+        prior_neg = prior_neg & ~clause_cond(c)
+
+    # Row keep-filter: target rows survive unless a delete clause fired;
+    # source-only rows survive iff some insert clause accepts them
+    # (whenNotMatched(...).insertAll guard, :130-131).
+    keep = F.col("__t").isNotNull() & ~delete_fires
     for c in insert_clauses:
         keep = keep | (unmatched_source & clause_cond(c))
 
@@ -745,10 +760,13 @@ def merge_dataframes(
         expr = F.expr(f"target.{col}")  # default: unmatched target passes through
         cascade = F.when(unmatched_target, expr)
         prior_neg = F.lit(True)
-        for c in update_clauses:
-            cond = matched & prior_neg & clause_cond(c)
-            set_expr = (c.assignments or {}).get(col, f"target.{col}")
-            cascade = cascade.when(cond, F.expr(set_expr))
+        for c in matched_clauses:
+            if c.kind == "update":
+                cond = matched & prior_neg & clause_cond(c)
+                set_expr = (c.assignments or {}).get(col, f"target.{col}")
+                cascade = cascade.when(cond, F.expr(set_expr))
+            # delete clauses produce no projection (row is filtered), but they
+            # DO consume their slot in the cascade order
             prior_neg = prior_neg & ~clause_cond(c)
         # matched but no update clause fired → keep target values
         cascade = cascade.when(matched, F.expr(f"target.{col}"))

@@ -99,6 +99,12 @@ class TxBuilder:
         self._emit("ORDER_LINE_ITEMS", op, _item_after(order_id, item_no, version, qty), before)
         return self
 
+    def order_delete(self, order_id: int, version: int = 1,
+                     status: str = "PENDING") -> "TxBuilder":
+        """GG delete event: null ``after``, row image in ``before``."""
+        self._emit("ORDERS", "D", None, _order_after(order_id, version, status))
+        return self
+
     def metadata(self) -> dict[str, Any]:
         return {
             "xid": self.xid,

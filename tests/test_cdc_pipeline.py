@@ -115,6 +115,74 @@ def test_out_of_order_across_microbatches(spark, tmp_path):
     assert len(rows) == 1 and rows[0].orderId == 11.0 and len(rows[0].lineItems) == 5
 
 
+def test_delete_event_parity_vs_opt_in(spark, tmp_path):
+    """SURVEY §2.8: by default an op_type='D' event is IGNORED end to end
+    (gg-configs/replicat/rep3.prm:6 IGNOREDELETES parity); with
+    handle_deletes=True the same event tombstones the order and the SCD1
+    whenMatchedDelete removes the row."""
+    from pyspark_cdc_engine.scd1 import merge_scd1
+    from tests.cdc_fixtures import TxBuilder
+
+    ins = insert_tx(31, "d.d.d.1", "9201")
+    delete = TxBuilder("d.d.d.2", "9202").order_delete(31)
+
+    for mode, expect_orders in ((False, [31.0]), (True, [])):
+        base = tmp_path / f"del_{mode}"
+        write_fixture_files(base / "cdc", base / "meta", [ins, delete])
+        scd2 = DeltaliteTable(spark, str(base / "order_stream"))
+        q = cdc_to_scd2_stream(spark, str(base / "cdc"), str(base / "meta"),
+                               scd2, str(base / "ckpt"), handle_deletes=mode)
+        q.awaitTermination(120)
+        scd1 = DeltaliteTable(spark, str(base / "orders_current"))
+        # merge per transaction (csn order) — the insert and the delete land
+        # in separate micro-batches, as they would from the chained stream
+        merge_scd1(spark, scd2.read().filter("csn = '9201'"), scd1,
+                   handle_deletes=mode)
+        merge_scd1(spark, scd2.read().filter("csn = '9202'"), scd1,
+                   handle_deletes=mode)
+        rows = scd1.read().collect() if scd1.exists() else []
+        assert sorted(r.orderId for r in rows) == expect_orders, mode
+        if mode:
+            # tombstone row reached SCD2 flagged, with the last-known image
+            stream = {r.orderId: r for r in scd2.read().collect()
+                      if r.xid == "d.d.d.2"}
+            assert stream[31.0].deleted is True
+            assert stream[31.0].orders[0].orderRef == "ORD-000031"
+        else:
+            # parity: the delete tx completes but contributes no entities
+            assert all(r.xid != "d.d.d.2" for r in scd2.read().collect())
+
+
+def test_delete_then_reinsert_round_trip(spark, tmp_path):
+    """Opt-in mode: delete removes the row, a later insert re-creates it —
+    the tombstone must not poison the insert clause."""
+    from pyspark_cdc_engine.scd1 import merge_scd1
+
+    from tests.cdc_fixtures import TxBuilder
+
+    base = tmp_path / "delre"
+    ins = insert_tx(41, "r.r.r.1", "9301")
+    delete = TxBuilder("r.r.r.2", "9302").order_delete(41, version=1)
+    reins = insert_tx(41, "r.r.r.3", "9303")
+
+    write_fixture_files(base / "cdc", base / "meta", [ins, delete, reins])
+    scd2 = DeltaliteTable(spark, str(base / "order_stream"))
+    q = cdc_to_scd2_stream(spark, str(base / "cdc"), str(base / "meta"),
+                           scd2, str(base / "ckpt"), handle_deletes=True)
+    q.awaitTermination(120)
+    scd1 = DeltaliteTable(spark, str(base / "orders_current"))
+    # batch 1: insert only (by csn order the builder wrote them together, so
+    # replay the three transactions as separate merges)
+    rows = scd2.read()
+    merge_scd1(spark, rows.filter("csn = '9301'"), scd1, handle_deletes=True)
+    assert scd1.read().count() == 1
+    merge_scd1(spark, rows.filter("csn = '9302'"), scd1, handle_deletes=True)
+    assert scd1.read().count() == 0  # tombstone removed the row
+    merge_scd1(spark, rows.filter("csn = '9303'"), scd1, handle_deletes=True)
+    assert scd1.read().count() == 1  # re-insert lands
+    assert scd1.read().collect()[0].orderRef == "ORD-000041"
+
+
 def test_ttl_expires_parked_transaction(spark, tmp_path):
     """Opt-in TTL (T6 extension): a transaction parked longer than the TTL is
     dropped — its events arriving after expiry start a fresh metadata-less
