@@ -49,7 +49,9 @@ def cdc_to_scd2_stream(
             assemble_transactions_stream_v2,
         )
 
-        completed = assemble_transactions_stream_v2(unified, ttl_minutes=ttl_minutes)
+        completed = assemble_transactions_stream_v2(
+            unified, ttl_minutes=ttl_minutes, handle_deletes=handle_deletes
+        )
     else:
         completed = assemble_transactions_stream(
             unified, ttl_minutes=ttl_minutes, handle_deletes=handle_deletes

@@ -74,8 +74,9 @@ _TABLES = ("ORDERS", "ORDER_DETAILS", "ORDER_LINE_ITEMS")
 class TransactionAssemblyProcessor(StatefulProcessor):
     """ListState-per-buffer transaction assembler (processTransaction parity)."""
 
-    def __init__(self, ttl_minutes: int | None = None):
+    def __init__(self, ttl_minutes: float | None = None, handle_deletes: bool = False):
         self._ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes else None
+        self._handle_deletes = handle_deletes
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._buffers = {
@@ -139,7 +140,7 @@ class TransactionAssemblyProcessor(StatefulProcessor):
         ts = datetime.now(timezone.utc).isoformat()
         records = join_transaction(
             xid, csn, buffers["ORDERS"], buffers["ORDER_DETAILS"],
-            buffers["ORDER_LINE_ITEMS"], ts,
+            buffers["ORDER_LINE_ITEMS"], ts, handle_deletes=self._handle_deletes,
         )
         for st in self._buffers.values():
             st.clear()
@@ -151,12 +152,16 @@ class TransactionAssemblyProcessor(StatefulProcessor):
 
 
 def assemble_transactions_stream_v2(
-    unified: DataFrame, ttl_minutes: int | None = None
+    unified: DataFrame,
+    ttl_minutes: float | None = None,
+    handle_deletes: bool = False,
 ) -> DataFrame:
     """State-v2 face of tx_state.assemble_transactions_stream — same input
     contract (unified tagged event stream keyed by tx_key), same output."""
     return unified.groupBy("tx_key").transformWithStateInPandas(
-        statefulProcessor=TransactionAssemblyProcessor(ttl_minutes=ttl_minutes),
+        statefulProcessor=TransactionAssemblyProcessor(
+            ttl_minutes=ttl_minutes, handle_deletes=handle_deletes
+        ),
         outputStructType=ORDER_STREAM_SCHEMA,
         outputMode="append",
         timeMode="none",

@@ -25,12 +25,18 @@ def _protobuf_available() -> bool:
         return False
 
 
-@pytest.fixture(params=["v1", "v2"])
+# v2 (transformWithStateInPandas) protocol coverage lives in
+# tests/test_tx_state_v2.py, which drives TransactionAssemblyProcessor through
+# a faithful fake of the state-v2 handle and therefore runs WITHOUT protobuf;
+# the same file carries a full-runtime smoke gated on protobuf availability.
+_IMPLS = ["v1", "v2"] if _protobuf_available() else ["v1"]
+
+
+@pytest.fixture(params=_IMPLS)
 def impl(request):
-    """Run every golden scenario against BOTH state implementations:
-    v1 = applyInPandasWithState, v2 = transformWithStateInPandas (state v2)."""
-    if request.param == "v2" and not _protobuf_available():
-        pytest.skip("state v2 needs protobuf (not shipped in this environment)")
+    """Run every golden scenario against each EXECUTABLE state implementation:
+    v1 = applyInPandasWithState, v2 = transformWithStateInPandas (state v2,
+    included whenever its protobuf state server can run)."""
     return request.param
 
 
