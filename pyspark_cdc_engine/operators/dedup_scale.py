@@ -23,6 +23,8 @@ bit-identical rows.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -360,6 +362,9 @@ _COS_TAU = 0.35      # near-dup cosine threshold (corpus max ≈ 0.44)
 _IVF_C = 16          # centroid count (deterministic seed: first C vectors)
 _IVF_QUERIES = 8
 _IVF_K = 5
+# Skew guard for the candidate stage: buckets larger than this are hash-split
+# into chunks and compared as bounded triangle tasks (env: IVF_BUCKET_CAP).
+_IVF_BUCKET_CAP = 2000
 
 _DOT_DEC_SPARK = (
     f"CAST(aggregate(zip_with({{a}}, {{b}}, (x, y) -> "
@@ -450,6 +455,95 @@ def _ivf_assigned_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _triangle_tasks(assigned: DataFrame, cap: int) -> DataFrame:
+    """Tag every (bucket) row with its chunk and replicate it to each triangle
+    task its chunk participates in.
+
+    A bucket of B rows with B > ``cap`` is hash-split into k = ceil(B/cap)
+    chunks; the bucket's all-pairs work becomes k(k+1)/2 independent tasks
+    (i, j), i <= j, each comparing chunk i against chunk j. A row in chunk c
+    joins exactly the k tasks with i = c or j = c, so replication is x k while
+    per-task work drops from B² to ~(B/k)² — the straggler bound. Buckets at
+    or under ``cap`` get k = 1: a single task, zero replication (the common,
+    unskewed case pays nothing).
+
+    Bucket size comes from a WINDOW count over centroid_id, not an agg+join —
+    ``assigned`` is typically an expensive unmaterialized plan (the IVF
+    assignment) and a self-join would compute it twice."""
+    return (
+        assigned.withColumn(
+            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("centroid_id"))
+        )
+        .withColumn("_k", F.ceil(F.col("_bsz") / cap).cast("int"))
+        .withColumn("_chunk", F.pmod(F.xxhash64("vec_id"), F.col("_k")).cast("int"))
+        .withColumn(
+            "_task",
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(sequence(0, _k - 1),"
+                    " i -> transform(sequence(i, _k - 1), j -> struct(i AS i, j AS j)))),"
+                    " p -> p.i = _chunk OR p.j = _chunk)"
+                )
+            ),
+        )
+        .withColumn("_i", F.col("_task.i"))
+        .withColumn("_j", F.col("_task.j"))
+        .drop("_task", "_bsz", "_k")
+    )
+
+
+def _bucket_candidate_pairs(
+    assigned: DataFrame, tau: float, cap: int | None = None
+) -> DataFrame:
+    """Candidate near-dup pairs per IVF bucket, vectorized and SKEW-GUARDED.
+
+    Per task, one numpy gram matrix inside applyInPandas (Arrow batch in, tiny
+    pair list out). Float64 scoring with a 1e-6 safety margin can only
+    OVER-generate relative to the exact decimal semantics (|float64 - exact|
+    << 1e-9 for 64-dim dots of |x| < 0.58), never drop a true pair.
+
+    Exactness under the triangle split: a pair (x, y) in chunks (cx, cy) is
+    compared in exactly one task — (cx, cx) when cx = cy, else
+    (min(cx,cy), max(cx,cy)) — so the union over tasks equals the unsplit
+    per-bucket all-pairs, just in bounded pieces."""
+    import numpy as np
+    import pandas as pd
+
+    cap = int(os.environ.get("IVF_BUCKET_CAP", str(cap or _IVF_BUCKET_CAP)))
+    tasks = _triangle_tasks(assigned, cap)
+
+    empty = pd.DataFrame(
+        {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+    )
+
+    def task_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = int(pdf["_i"].iloc[0]), int(pdf["_j"].iloc[0])
+        m = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        ids = pdf["vec_id"].to_numpy()
+        n2 = pdf["norm2"].to_numpy()
+        ch = pdf["_chunk"].to_numpy()
+        if ti == tj:  # within-chunk: upper triangle
+            sel = ch == ti
+            m, ids, n2 = m[sel], ids[sel], n2[sel]
+            if len(ids) < 2:
+                return empty
+            cs = (m @ m.T) / np.sqrt(np.outer(n2, n2))
+            ia, ib = np.nonzero(np.triu(cs >= tau - 1e-6, k=1))
+            va, vb = ids[ia], ids[ib]
+        else:  # cross-chunk: full rectangle, chunks are disjoint
+            sa, sb = ch == ti, ch == tj
+            if not sa.any() or not sb.any():
+                return empty
+            cs = (m[sa] @ m[sb].T) / np.sqrt(np.outer(n2[sa], n2[sb]))
+            ia, ib = np.nonzero(cs >= tau - 1e-6)
+            va, vb = ids[sa][ia], ids[sb][ib]
+        return pd.DataFrame({"vec_a": np.minimum(va, vb), "vec_b": np.maximum(va, vb)})
+
+    return tasks.groupBy("centroid_id", "_i", "_j").applyInPandas(
+        task_pairs, schema="vec_a long, vec_b long"
+    )
+
+
 @register(
     "embedding_cosine_near_dup",
     survey="M5-dedup,J5",
@@ -469,31 +563,11 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid and only same-bucket pairs are compared — N²/C exact comparisons
     instead of N² (the FAISS-style dedup recipe; at 100 TB the bucket is the
     shuffle key, so each reducer does a small local all-pairs). Recall is
-    bounded by the blocking, as with any coarse-quantizer dedup."""
-    # Stage 1 — candidate generation, vectorized: per bucket, one numpy gram
-    # matrix inside applyInPandas (Arrow batch in, tiny pair list out). Float64
-    # scoring with a 1e-6 safety margin can only OVER-generate relative to the
-    # exact decimal semantics (|float64 - exact| << 1e-9 for 64-dim dots of
-    # |x| < 0.58), never drop a true pair.
-    import numpy as np
-    import pandas as pd
-
+    bounded by the blocking, as with any coarse-quantizer dedup. A hot
+    centroid cannot collapse the stage to one straggler: oversized buckets
+    are triangle-split into bounded tasks (see _bucket_candidate_pairs)."""
     assigned = _ivf_assigned_df(spark, sf_dir)
-
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
-        ids = pdf["vec_id"].to_numpy()
-        n2 = pdf["norm2"].to_numpy()
-        cs = (m @ m.T) / np.sqrt(np.outer(n2, n2))
-        ia, ib = np.nonzero(np.triu(cs >= _COS_TAU - 1e-6, k=1))
-        va, vb = ids[ia], ids[ib]
-        return pd.DataFrame(
-            {"vec_a": np.minimum(va, vb), "vec_b": np.maximum(va, vb)}
-        )
-
-    cands = assigned.groupBy("centroid_id").applyInPandas(
-        bucket_pairs, schema="vec_a long, vec_b long"
-    )
+    cands = _bucket_candidate_pairs(assigned, _COS_TAU)
 
     # Stage 2 — exact-decimal verification of the handful of candidates
     # (broadcast the pair list, stream the corpus past it twice, HOF fold on

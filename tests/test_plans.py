@@ -128,6 +128,56 @@ def test_approx_distinct_error_bound(spark):
     assert "approx_count_distinct" in plan
 
 
+def test_ivf_hot_bucket_triangle_split(spark):
+    """Skew guard: a deliberately hot centroid (every vector in ONE bucket)
+    must not collapse the candidate stage into a single B²-sized task. With
+    cap=50 a 240-row bucket splits into k=5 chunks -> 15 triangle tasks, each
+    bounded by ~2 chunks of input; the union of task outputs must equal the
+    naive all-pairs result exactly."""
+    import numpy as np
+
+    from pyspark_cdc_engine.operators.dedup_scale import (
+        _bucket_candidate_pairs,
+        _triangle_tasks,
+    )
+
+    n, dim, tau, cap = 240, 8, 0.97, 50
+    rng = [[((i * 7 + d * 3) % 13 - 6) / 13.0 + (1.0 if d == i % 2 else 0.0)
+            for d in range(dim)] for i in range(n)]
+    m = np.asarray(rng)
+    n2 = (m * m).sum(axis=1)
+    assigned = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng[i]], float(n2[i]), 0) for i in range(n)],
+        "vec_id long, embedding array<float>, norm2 double, centroid_id int",
+    )
+
+    # naive truth (float32 storage -> recompute from what Spark holds)
+    stored = np.asarray(assigned.orderBy("vec_id").select("embedding")
+                        .rdd.map(lambda r: r[0]).collect(), dtype=np.float64)
+    sn2 = (stored * stored).sum(axis=1)
+    cs = (stored @ stored.T) / np.sqrt(np.outer(sn2, sn2))
+    ia, ib = np.nonzero(np.triu(cs >= tau - 1e-6, k=1))
+    naive = {(int(a), int(b)) for a, b in zip(ia, ib)}
+    assert naive  # fixture really produces pairs
+
+    got = {(r.vec_a, r.vec_b)
+           for r in _bucket_candidate_pairs(assigned, tau, cap=cap).collect()}
+    assert got == naive
+
+    # boundedness: 15 distinct tasks, none anywhere near the full bucket
+    tasks = _triangle_tasks(assigned, cap)
+    per_task = tasks.groupBy("centroid_id", "_i", "_j").count().collect()
+    assert len(per_task) == 15  # k=5 -> k(k+1)/2
+    assert max(r["count"] for r in per_task) <= 3 * cap  # ~2 chunks + hash variance
+    # and an unskewed bucket (<= cap) stays a single task with no replication
+    small = assigned.filter("vec_id < 40")
+    small_tasks = _triangle_tasks(small, cap)
+    assert small_tasks.count() == 40
+    assert small_tasks.select("_i", "_j").distinct().collect() == [
+        small_tasks.select("_i", "_j").distinct().first()
+    ]
+
+
 def test_jaccard_exact_baseline_is_size_guarded(spark, monkeypatch):
     """The all-pairs shingle self-join must refuse to run above its documented
     corpus-size guard and route the caller to the LSH path — the scale
