@@ -725,6 +725,48 @@ def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_quantile_sketch",
+    survey="A2,M5-text",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           quantile_cont(o_totalprice, 0.5) AS exact_median,
+           COUNT(*) AS cnt,
+           TRUE AS within_bound
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCH per group (approx_percentile, mergeable constant-size
+    state) — what replaces the exact sort-based percentile at 100 TB.
+
+    Same certification trick as approx_distinct_sketch: the sketch value is
+    engine-specific, so the row emits the sketch's CONTRACT instead —
+    approx_percentile(x, 0.5, acc=100) guarantees a result whose rank is
+    within 1% of the true median rank, so the value must land between the
+    exact 0.48 and 0.52 quantiles; ``within_bound`` asserts that in-row and
+    the oracle emits constant TRUE. The exact median rides along as the
+    hashable yardstick."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.5, 100)").alias("_approx"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+            F.expr("percentile(o_totalprice, 0.48)").alias("_lo"),
+            F.expr("percentile(o_totalprice, 0.52)").alias("_hi"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "priority",
+            "exact_median",
+            "cnt",
+            ((F.col("_approx") >= F.col("_lo")) & (F.col("_approx") <= F.col("_hi")))
+            .alias("within_bound"),
+        )
+    )
+
+
+@register(
     "map_props_events",
     survey="F9,F10,A2",
     oracle=f"""

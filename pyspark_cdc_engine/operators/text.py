@@ -183,10 +183,9 @@ _SHINGLE_W = 8  # words per shingle; distinctive enough that shared shingles ≈
 JACCARD_EXACT_MAX_DOCS = 20_000
 
 
-@register(
-    "jaccard_near_dup_pairs",
-    survey="M5-dedup,J5,A2",
-    oracle=f"""
+# Shared by the jaccard_near_dup_pairs oracle and the dedup_clusters oracle
+# (which consumes the same edge set).
+_JACCARD_PAIRS_SQL = f"""
     WITH shingled AS (
       SELECT doc_id, sh FROM (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -206,7 +205,13 @@ JACCARD_EXACT_MAX_DOCS = 20_000
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
-    """,
+"""
+
+
+@register(
+    "jaccard_near_dup_pairs",
+    survey="M5-dedup,J5,A2",
+    oracle=_JACCARD_PAIRS_SQL,
 )
 def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (word-shingle) Jaccard near-duplicate pairs. The exact algorithm:
@@ -265,6 +270,91 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.filter(F.col("jaccard") >= 0.2)
+
+
+@register(
+    "dedup_clusters",
+    survey="M5-dedup,beyond-ref",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach (id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id, MIN(r) = id AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER COLLAPSE: connected components over the near-duplicate
+    pair graph, labeling every document with its component's minimum doc_id
+    and flagging one canonical representative per cluster — the standard final
+    step of corpus dedup (pairs alone can't be dropped safely: A~B and B~C
+    must collapse to ONE survivor even when A~C was never emitted).
+
+    Algorithm: distributed min-label propagation — each round every node
+    adopts the smallest label among itself and its neighbors (one join + one
+    min-aggregate per round, both on the edge key), until a fixpoint. Rounds
+    = O(component diameter); near-dup components are small and dense (quasi-
+    cliques), so this converges in 2-3 rounds. The edge list is
+    localCheckpoint'ed once so the shingle join isn't re-executed per round.
+    At adversarial diameters switch the round body to alternating
+    large-star/small-star (same join shape, O(log n) rounds).
+
+    Edges here come from the exact jaccard baseline (so the DuckDB oracle can
+    rebuild the identical graph with a recursive CTE); at 100 TB feed it
+    minhash_lsh_near_dup pairs instead — the loop only sees (src, dst)."""
+    pairs = jaccard_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return connected_components(docs, pairs)
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Min-label propagation over an undirected pair list (see dedup_clusters
+    for the algorithm discussion). ``nodes``: one ``doc_id`` column (isolated
+    docs become their own cluster); ``pairs``: (doc_a, doc_b). Returns
+    (doc_id, cluster_id, is_canonical)."""
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = nodes.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("label"))
+    for _ in range(max_rounds):
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = labels.join(prop, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter("n.label <> o.label")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("id")).alias("is_canonical"),
+    )
 
 
 _HEXD = "0123456789abcdef"

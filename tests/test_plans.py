@@ -128,6 +128,25 @@ def test_approx_distinct_error_bound(spark):
     assert "approx_count_distinct" in plan
 
 
+def test_connected_components_chain_collapse(spark):
+    """Transitive collapse: A~B and B~C land in ONE cluster even though A~C
+    was never an edge; disjoint pairs and singletons keep their own labels.
+    The 1-2-3 chain needs >1 propagation round, exercising the fixpoint loop."""
+    from pyspark_cdc_engine.operators.text import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5), (7, 3)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in connected_components(nodes, pairs).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False), 7: (1, False),
+        4: (4, True), 5: (4, False),
+        6: (6, True),
+    }
+
+
 def test_ivf_hot_bucket_triangle_split(spark):
     """Skew guard: a deliberately hot centroid (every vector in ONE bucket)
     must not collapse the candidate stage into a single B²-sized task. With
