@@ -455,6 +455,80 @@ def _ivf_assigned_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 4      # subspaces (64-dim corpus -> 16 dims each)
+_PQ_SUB = 16   # dims per subspace
+_PQ_K = 8      # sub-centroids per subspace (deterministic: first K vectors)
+
+
+@register(
+    "pq_encode",
+    survey="M5-ann,beyond-ref",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cex AS (SELECT vec_id AS k, pos, val AS cval FROM ex WHERE vec_id < {_PQ_K}),
+    d2 AS (
+      SELECT e.vec_id, e.pos // {_PQ_SUB} AS m, c.k,
+             SUM(CAST((e.val - c.cval) * (e.val - c.cval) AS {_DEC})) AS dist2
+      FROM ex e JOIN cex c ON c.pos = e.pos
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT vec_id, m, k AS code, dist2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                ORDER BY CAST(dist2 AS DOUBLE), k) AS rn
+      FROM d2
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS code_key,
+           CAST(SUM(dist2) AS DOUBLE) AS recon_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode — the compact-code step of a PQ/IVF-PQ
+    vector index (Jégou et al.): each vector's {_PQ_M} subvectors are assigned
+    to their nearest of {_PQ_K} per-subspace centroids (deterministic seed:
+    the first K vectors' subvectors), emitting a {_PQ_M}-byte code key and the
+    exact reconstruction (quantization) error.
+
+    Plan shape = the IVF assignment's: posexplode components, broadcast-join
+    the K x dim centroid components on position, hash-aggregate exact decimal
+    term sums, argmin via min_by with a deterministic (distance, k) tiebreak —
+    all codegen, shuffles carry only (vec_id, m, k, partial-sum) rows. At
+    100 TB the corpus is scanned once and nothing larger than the code table
+    is ever materialized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cex = ex.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("k"), "pos", F.col("val").alias("cval")
+    )
+    term = ((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).cast(_DEC)
+    d2 = (
+        ex.join(F.broadcast(cex), "pos")
+        .withColumn("m", F.expr(f"pos div {_PQ_SUB}"))
+        .groupBy("vec_id", "m", "k")
+        .agg(F.sum(term).alias("dist2"))
+    )
+    best = d2.groupBy("vec_id", "m").agg(
+        F.expr(
+            "min_by(k, named_struct('d', CAST(dist2 AS DOUBLE), 'k', k))"
+        ).alias("code"),
+        F.min("dist2").alias("dist2"),
+    )
+    return best.groupBy("vec_id").agg(
+        F.expr(
+            "concat_ws('-', transform(array_sort(collect_list("
+            "named_struct('m', m, 'code', code))), x -> CAST(x.code AS STRING)))"
+        ).alias("code_key"),
+        F.sum("dist2").cast("double").alias("recon_err"),
+    )
+
+
 def _triangle_tasks(assigned: DataFrame, cap: int) -> DataFrame:
     """Tag every (bucket) row with its chunk and replicate it to each triangle
     task its chunk participates in.
