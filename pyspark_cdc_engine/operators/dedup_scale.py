@@ -458,6 +458,29 @@ def _ivf_assigned_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 4      # subspaces (64-dim corpus -> 16 dims each)
 _PQ_SUB = 16   # dims per subspace
 _PQ_K = 8      # sub-centroids per subspace (deterministic: first K vectors)
+_PQ_Q = 4      # query vectors for ADC search (first Q vec_ids)
+_PQ_TOPK = 5
+
+
+def _pq_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, k, dist2): exact-decimal squared L2 distance from every
+    vector's m-th subvector to every per-subspace sub-centroid k. The shared
+    kernel of PQ encode (argmin per (vec_id, m)) and ADC search (rows where
+    vec_id is a query ARE the distance table)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cex = ex.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("k"), "pos", F.col("val").alias("cval")
+    )
+    term = ((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).cast(_DEC)
+    return (
+        ex.join(F.broadcast(cex), "pos")
+        .withColumn("m", F.expr(f"pos div {_PQ_SUB}"))
+        .groupBy("vec_id", "m", "k")
+        .agg(F.sum(term).alias("dist2"))
+    )
 
 
 @register(
@@ -500,21 +523,7 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     all codegen, shuffles carry only (vec_id, m, k, partial-sum) rows. At
     100 TB the corpus is scanned once and nothing larger than the code table
     is ever materialized."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val")
-    ).withColumn("val", F.col("val").cast("double"))
-    cex = ex.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("k"), "pos", F.col("val").alias("cval")
-    )
-    term = ((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).cast(_DEC)
-    d2 = (
-        ex.join(F.broadcast(cex), "pos")
-        .withColumn("m", F.expr(f"pos div {_PQ_SUB}"))
-        .groupBy("vec_id", "m", "k")
-        .agg(F.sum(term).alias("dist2"))
-    )
-    best = d2.groupBy("vec_id", "m").agg(
+    best = _pq_d2(spark, sf_dir).groupBy("vec_id", "m").agg(
         F.expr(
             "min_by(k, named_struct('d', CAST(dist2 AS DOUBLE), 'k', k))"
         ).alias("code"),
@@ -526,6 +535,84 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "named_struct('m', m, 'code', code))), x -> CAST(x.code AS STRING)))"
         ).alias("code_key"),
         F.sum("dist2").cast("double").alias("recon_err"),
+    )
+
+
+@register(
+    "pq_search",
+    survey="M5-ann,beyond-ref",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cex AS (SELECT vec_id AS k, pos, val AS cval FROM ex WHERE vec_id < {_PQ_K}),
+    d2 AS (
+      SELECT e.vec_id, e.pos // {_PQ_SUB} AS m, c.k,
+             SUM(CAST((e.val - c.cval) * (e.val - c.cval) AS {_DEC})) AS dist2
+      FROM ex e JOIN cex c ON c.pos = e.pos
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY CAST(dist2 AS DOUBLE), k) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    dtab AS (SELECT vec_id AS q_id, m, k, dist2 FROM d2 WHERE vec_id < {_PQ_Q}),
+    scored AS (
+      SELECT d.q_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(d.dist2) AS DOUBLE) AS adist
+      FROM codes c JOIN dtab d ON d.m = c.m AND d.k = c.code
+      WHERE c.vec_id <> d.q_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, adist FROM (
+      SELECT query_id, neighbor_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_PQ_TOPK}
+    """,
+)
+def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes — the search
+    half of an IVF-PQ index: each query precomputes a {_PQ_M}x{_PQ_K} distance
+    table to the sub-centroids; a corpus vector's approximate distance is the
+    sum of table lookups selected by its code, never touching the raw corpus
+    floats again.
+
+    100 TB shape: the distance table is Q x M x K rows (tiny — broadcast); the
+    corpus side joins only its (vec_id, m, code) code table — {_PQ_M} ints per
+    vector regardless of dimensionality, which is the entire point of PQ. One
+    hash agg to fold the M lookups, one per-query top-k. Both the codes and
+    the distance table derive from the same shared distance kernel, computed
+    in one pass."""
+    d2 = _pq_d2(spark, sf_dir)
+    codes = d2.groupBy("vec_id", "m").agg(
+        F.expr(
+            "min_by(k, named_struct('d', CAST(dist2 AS DOUBLE), 'k', k))"
+        ).alias("code")
+    )
+    dtab = d2.filter(F.col("vec_id") < _PQ_Q).select(
+        F.col("vec_id").alias("q_id"), "m", "k", F.col("dist2").alias("qd2")
+    )
+    scored = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes["m"] == dtab["m"]) & (codes["code"] == dtab["k"]),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy(F.col("q_id").alias("query_id"), F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd2").cast("double").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "rank", "adist")
     )
 
 

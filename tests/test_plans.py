@@ -247,3 +247,15 @@ def test_pivot_is_single_scan(spark):
     assert plan.count("Scan parquet") == 1
     assert c["Exchange"] <= 2
     assert c["HashAggregate"] == 4  # partial+final x two levels
+
+
+def test_pq_plans_broadcast_and_stay_jvm(spark):
+    """PQ encode/search: the sub-centroid table (K x dim rows) and the ADC
+    distance table (Q x M x K rows) must broadcast — a sort-merge join on
+    either would shuffle the exploded corpus twice; and both plans must be
+    pure codegen (no Python eval in the scoring path)."""
+    for name in ("pq_encode", "pq_search"):
+        c = node_counts(plan_of(spark, name))
+        assert c["BroadcastHashJoin"] >= 1, name
+        assert c["SortMergeJoin"] == 0 and c["ShuffledHashJoin"] == 0, name
+        assert c["BatchEvalPython"] == 0 and c["ArrowEvalPython"] == 0, name
