@@ -613,3 +613,94 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("chunk")).alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination (benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_MOD = 20    # benchmark set = doc_id % 20 == 0 (deterministic 5% holdout)
+_DECON_T = 2       # flag a training doc sharing >= T distinct shingles
+_DECON_MAX_DF = 10 # stop-shingle guard: ignore shingles in > MAX_DF benchmark docs
+
+
+@register(
+    "decontaminate_against_benchmark",
+    survey="M5-dedup,beyond-ref",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, md5(sh) AS h FROM (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), UNNEST(range(1, len(w) - {_SHINGLE_W} + 2)) AS t(i),
+      LATERAL (SELECT array_to_string(list_slice(w, i, i + {_SHINGLE_W} - 1), ' ') AS sh)
+    ),
+    sets AS (SELECT DISTINCT doc_id, h FROM shingled),
+    bench AS (
+      SELECT doc_id AS bench_id, h FROM sets WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    live AS (
+      SELECT h FROM bench GROUP BY h HAVING COUNT(*) <= {_DECON_MAX_DF}
+    ),
+    hits AS (
+      SELECT s.doc_id, b.bench_id, COUNT(*) AS shared_ngrams
+      FROM sets s
+      JOIN (SELECT b.* FROM bench b JOIN live USING (h)) b USING (h)
+      WHERE s.doc_id % {_DECON_MOD} <> 0
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, bench_id, shared_ngrams FROM (
+      SELECT doc_id, bench_id, shared_ngrams,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY shared_ngrams DESC, bench_id) AS rn
+      FROM hits WHERE shared_ngrams >= {_DECON_T}
+    ) WHERE rn = 1
+    """,
+)
+def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training documents that share >=T
+    distinct word n-grams with any document in a held-out benchmark set
+    (deterministic 5% of the corpus here), reporting the worst-offending
+    benchmark doc per contaminated training doc.
+
+    100 TB shape — an inverted-index equi-join, not an all-pairs scan: both
+    sides shuffle only (md5(shingle), doc_id) rows; per-key fan-out is capped
+    by the stop-shingle guard (shingles present in > MAX_DF benchmark docs are
+    boilerplate and are dropped BEFORE the join, the same guard real
+    decontamination pipelines use), so worst-case join work per shingle is
+    bounded. The benchmark side is a ~5% broadcast-unfriendly set at scale, so
+    the plan keys the shuffle on the hash — never on raw text."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _SHINGLE_W
+    sets = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(text, ' ')) - {w} + 1, 0)),"
+                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {w})))"
+                )
+            ).alias("sh"),
+        )
+        .select("doc_id", F.md5(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    is_bench = F.col("doc_id") % _DECON_MOD == 0
+    bench = sets.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "h")
+    live = bench.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _DECON_MAX_DF
+    )
+    hits = (
+        sets.filter(~is_bench)
+        .join(bench.join(live.select("h"), "h"), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= _DECON_T)
+    )
+    top = Window.partitionBy("doc_id").orderBy(
+        F.col("shared_ngrams").desc(), F.col("bench_id")
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "bench_id", "shared_ngrams")
+    )
