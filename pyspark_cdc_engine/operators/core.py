@@ -1160,3 +1160,88 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("P_cnt").cast("bigint").alias("p_cnt"),
         F.coalesce("F_total", F.lit(0.0)).alias("f_total"),
     )
+
+
+@register(
+    "cube_status_priority",
+    survey="A2,F11",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS cnt,
+           {dsum_sql('o_totalprice', 2)} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one Expand +
+    one hash aggregate — a single scan emits 4 rows per input row into the
+    same partial-agg pipeline, so the cube costs one shuffle, not four
+    queries. GROUPING() bits disambiguate cube nulls from data nulls
+    identically on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice", 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "cnt",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "customer_spend_deciles",
+    survey="W1,A2,beyond-ref",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c_mktsegment AS segment, o_custkey AS custkey,
+             {dsum_sql('o_totalprice', 2)} AS spend
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT segment, custkey, spend,
+           NTILE(10) OVER w AS decile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM spend
+    WINDOW w AS (PARTITION BY segment ORDER BY spend, custkey)
+    """,
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per market segment: per-customer spend ranked
+    into deciles with percent_rank/cume_dist. The (spend, custkey) ordering is
+    a TOTAL order, so rank arithmetic — hence the emitted doubles — is
+    engine-identical. One agg shuffle + one window shuffle, both keyed on
+    bounded-cardinality columns; at 100 TB the window partitions by segment
+    (constant count), which is the documented skew ceiling — partition by a
+    finer key (e.g. segment x nation) if a single segment outgrows an
+    executor."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(dsum("o_totalprice", 2).alias("spend"))
+    )
+    w = Window.partitionBy("segment").orderBy("spend", "custkey")
+    return spend.select(
+        "segment",
+        "custkey",
+        "spend",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
