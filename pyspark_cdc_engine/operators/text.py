@@ -704,3 +704,151 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("rn") == 1)
         .select("doc_id", "bench_id", "shared_ngrams")
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocations + within-doc repetition (training-corpus quality signals)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_CNT = 5   # ignore bigrams rarer than this (PMI is noise at low counts)
+_PMI_TOPK = 50
+
+
+@register(
+    "bigram_pmi_top",
+    survey="M5-text,beyond-ref",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bigrams AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM words, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    bg AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bigrams GROUP BY 1, 2),
+    ug AS (
+      SELECT u, COUNT(*) AS c FROM (
+        SELECT w[i] AS u FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+      ) GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM bigrams)
+    SELECT w1, w2, c_ab, lift, rank FROM (
+      SELECT w1, w2, c_ab,
+             (CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE))
+               / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS lift,
+             ROW_NUMBER() OVER (ORDER BY (CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE))
+               / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) DESC, w1, w2) AS rank
+      FROM bg JOIN ug a ON a.u = w1 JOIN ug b ON b.u = w2 CROSS JOIN tot
+      WHERE c_ab >= {_PMI_MIN_CNT}
+    ) WHERE rank <= {_PMI_TOPK}
+    """,
+)
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by PMI lift P(ab)/(P(a)P(b)) — the classic phrase
+    mining signal. Exactness across engines: counts are integers and the lift
+    is a single fixed-shape double expression (IEEE ops are deterministic),
+    ranked under a total order.
+
+    100 TB shape: two hash aggs over exploded tokens (map-side partials carry
+    (token, count) — never text bodies), unigram table joined twice; the
+    unigram side is vocabulary-sized, so both joins broadcast in practice.
+    The global total is a scalar cross join (1 row). Min-count pruning happens
+    before the joins, shrinking the bigram table first."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.split("text", " ").alias("w"))
+    bigrams = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bg = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_CNT)
+    )
+    ug = (
+        words.select(F.explode("w").alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = bigrams.agg(F.count(F.lit(1)).alias("n"))
+    a = ug.select(F.col("u").alias("w1"), F.col("c").alias("c_a"))
+    b = ug.select(F.col("u").alias("w2"), F.col("c").alias("c_b"))
+    lift = (F.col("c_ab").cast("double") * F.col("n").cast("double")) / (
+        F.col("c_a").cast("double") * F.col("c_b").cast("double")
+    )
+    scored = (
+        bg.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_ab", lift.alias("lift"))
+    )
+    w = Window.orderBy(F.col("lift").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PMI_TOPK)
+        .select("w1", "w2", "c_ab", "lift", "rank")
+    )
+
+
+_REP_W = 3          # n-gram width for the repetition signal
+_REP_MAX = 0.5      # keep docs whose repeated-ngram fraction is <= this
+
+
+@register(
+    "repetition_filter",
+    survey="M5-text,beyond-ref",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(w, i, i + {_REP_W} - 1), ' ') AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(range(1, len(w) - {_REP_W} + 2)) AS t(i)
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS total_ngrams,
+             COUNT(DISTINCT g) AS distinct_ngrams
+      FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, total_ngrams, distinct_ngrams,
+           1.0 - CAST(distinct_ngrams AS DOUBLE) / CAST(total_ngrams AS DOUBLE)
+             AS rep_ratio,
+           (1.0 - CAST(distinct_ngrams AS DOUBLE) / CAST(total_ngrams AS DOUBLE))
+             <= {_REP_MAX} AS keep
+    FROM per_doc
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signal: the fraction of
+    {_REP_W}-grams that are repeats of an earlier {_REP_W}-gram in the same
+    doc. Highly repetitive documents (boilerplate, generation loops) score
+    high and are dropped by the `keep` flag.
+
+    100 TB shape: the n-grams never leave their doc's partition logically —
+    one hash agg keyed by doc_id with a distinct-count expansion; no joins,
+    no self-comparison. The ratio is one fixed-shape double expression
+    (deterministic IEEE), so the filter decision is engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(text, ' ')) - {_REP_W} + 1, 0)),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), i, {_REP_W})))"
+            )
+        ).alias("g"),
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.countDistinct("g").alias("distinct_ngrams"),
+    )
+    rep = F.lit(1.0) - F.col("distinct_ngrams").cast("double") / F.col(
+        "total_ngrams"
+    ).cast("double")
+    return per_doc.select(
+        "doc_id",
+        "total_ngrams",
+        "distinct_ngrams",
+        rep.alias("rep_ratio"),
+        (rep <= _REP_MAX).alias("keep"),
+    )
