@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -136,12 +137,17 @@ class DeltaliteTable:
         if base_version is None:
             base_version = (self._versions() or [-1])[-1]
         extra = dict(extra or {})
-        if "constraints" not in extra and base_version >= 0:
+        if base_version >= 0 and (
+            "constraints" not in extra or "partition_by" not in extra
+        ):
             if base_commit is None:
                 base_commit = self._read_commit(base_version)
             prev = base_commit.get("constraints")
-            if prev:
+            if prev and "constraints" not in extra:
                 extra["constraints"] = prev
+            prev_part = base_commit.get("partition_by")
+            if prev_part and "partition_by" not in extra:
+                extra["partition_by"] = prev_part
         version = base_version + 1
         doc = {
             "version": version,
@@ -166,7 +172,12 @@ class DeltaliteTable:
             tmp.unlink(missing_ok=True)
         return version
 
-    def _write_data_dir(self, df: DataFrame, version_hint: int) -> str:
+    def _write_data_dir(
+        self,
+        df: DataFrame,
+        version_hint: int,
+        partition_by: list[str] | None = None,
+    ) -> str:
         """Write ``df`` to a STAGED dir under ``_staging/`` and return the
         ``data/...`` path the commit will reference. The dir is renamed into
         ``data/`` only after the commit file links (:meth:`_publish`), so
@@ -175,8 +186,45 @@ class DeltaliteTable:
         :meth:`read_stream`'s ``data/*`` glob."""
         rel = f"data/{version_hint:010d}-{uuid.uuid4().hex[:8]}"
         staged = self._root / "_staging" / Path(rel).name
-        df.write.mode("overwrite").parquet(str(staged))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(staged))
         return rel
+
+    def _read_dirs(
+        self,
+        dirs: list[str],
+        schema_json: str | None,
+        partition_by: list[str] | None,
+    ) -> DataFrame:
+        """Read a set of data dirs under the LOG schema. Partitioned dirs carry
+        their partition-column values in ``key=value`` subdir names, so each
+        dir is scanned with itself as ``basePath`` (recovering the columns) and
+        the scans are unioned by name — partition pruning then applies per
+        scan (PartitionFilters), which is the entire point: a filter on the
+        partition column never lists, opens, or reads a non-matching
+        directory."""
+        schema = None
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(schema_json))
+        if not partition_by:
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            return reader.parquet(*dirs)
+        frames = []
+        for d in dirs:
+            reader = self.spark.read.option("basePath", d)
+            if schema is not None:
+                reader = reader.schema(schema)
+            frames.append(reader.parquet(d))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def _publish(self, rel: str) -> None:
         """Atomically move a staged data dir into ``data/`` (post-commit)."""
@@ -232,12 +280,7 @@ class DeltaliteTable:
         dirs = [str(self._root / d) for d in commit["live"]]
         if not dirs:
             raise ValueError(f"empty table at version {v}")
-        reader = self.spark.read
-        if commit.get("schema"):
-            from pyspark.sql.types import StructType
-
-            reader = reader.schema(StructType.fromJson(json.loads(commit["schema"])))
-        return reader.parquet(*dirs)
+        return self._read_dirs(dirs, commit.get("schema"), commit.get("partition_by"))
 
     def read_stream(self) -> DataFrame:
         """Streaming read of an append-only deltalite table (Delta streaming
@@ -247,6 +290,12 @@ class DeltaliteTable:
         The ``data/*`` glob sees COMMITTED dirs only: writers stage under
         ``_staging/`` and publish after the commit links, so crashed or
         OCC-losing writers can't feed uncommitted rows into the stream."""
+        if self._read_commit(self.latest_version()).get("partition_by"):
+            raise ValueError(
+                "read_stream is not supported on partitioned tables: the "
+                "data/* file glob cannot recover partition-dir columns. "
+                "Stream the unpartitioned upstream table instead."
+            )
         schema = self.read().schema
         return self.spark.readStream.schema(schema).parquet(str(self._root / "data" / "*"))
 
@@ -284,7 +333,11 @@ class DeltaliteTable:
             commit = self._read_commit(v)
             added = [d for d in commit["live"] if d not in prev_live]
             if commit["operation"] in ("append", "overwrite") and added:
-                df = self.spark.read.parquet(*[str(self._root / d) for d in added])
+                df = self._read_dirs(
+                    [str(self._root / d) for d in added],
+                    commit.get("schema"),
+                    commit.get("partition_by"),
+                )
                 frames.append(
                     df.withColumn("_change_type", F.lit("insert")).withColumn(
                         "_commit_version", F.lit(v)
@@ -308,8 +361,14 @@ class DeltaliteTable:
         dest = DeltaliteTable(self.spark, dest_path)
         if dest.exists():
             raise ValueError(f"clone destination already exists: {dest_path}")
-        live_abs = [str(self._root / d) for d in self._read_commit(self.latest_version())["live"]]
-        dest._write_commit("shallow_clone", live_abs, {"cloned_from": self.path}, base_version=-1)
+        src_commit = self._read_commit(self.latest_version())
+        live_abs = [str(self._root / d) for d in src_commit["live"]]
+        extra = {"cloned_from": self.path}
+        if src_commit.get("schema"):
+            extra["schema"] = src_commit["schema"]
+        if src_commit.get("partition_by"):
+            extra["partition_by"] = src_commit["partition_by"]
+        dest._write_commit("shallow_clone", live_abs, extra, base_version=-1)
         return dest
 
     def analyze(self, columns: list[str] | None = None) -> dict:
@@ -470,24 +529,37 @@ class DeltaliteTable:
         merge_schema: bool = False,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Append; with (txn_app, txn_version) the write is IDEMPOTENT — the
         Delta txnAppId/txnVersion pattern that makes foreachBatch exactly-once:
         a retried micro-batch (same version) is skipped instead of
-        double-appended. Returns the committed (or already-current) version."""
+        double-appended. Returns the committed (or already-current) version.
+
+        ``partition_by`` sets the table's Hive-style partition spec on first
+        write; later appends inherit it from the log (passing a conflicting
+        spec raises — partition evolution is an overwrite-only operation)."""
         base, commit = self._snapshot()
         if txn_app is not None and txn_version is not None and base >= 0:
             last = self.last_txn_version(txn_app)
             if last is not None and txn_version <= last:
                 return base  # replayed batch: no-op
+        spec = commit.get("partition_by") if base >= 0 else partition_by
+        if base >= 0 and partition_by is not None and list(partition_by) != list(spec or []):
+            raise ValueError(
+                f"table is partitioned by {spec}; append cannot change the "
+                f"spec to {partition_by} — use overwrite(partition_by=...)"
+            )
         if base >= 0:
             schema, df = self._evolved_schema(df, merge_schema)
             self._validate(commit.get("constraints", {}), df)
         else:
             schema = df.schema
         prev = commit.get("live", [])
-        rel = self._write_data_dir(df, base + 1)
+        rel = self._write_data_dir(df, base + 1, partition_by=spec)
         extra: dict = {"schema": schema.json()}
+        if spec:
+            extra["partition_by"] = list(spec)
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
         return self._commit_staged("append", [*prev, rel], rel, extra, base, commit)
@@ -497,21 +569,27 @@ class DeltaliteTable:
         df: DataFrame,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Replace the table contents. ``(txn_app, txn_version)`` makes the
         overwrite idempotent exactly like :meth:`append` — a replayed bootstrap
         batch (crash after commit, before checkpoint) is detected and skipped
         instead of relying on downstream merge clauses being coincidentally
-        idempotent."""
+        idempotent.
+
+        ``partition_by`` (re)declares the partition spec — overwrite is the
+        partition-evolution path. ``None`` inherits the current spec; ``[]``
+        explicitly de-partitions."""
         base, commit = self._snapshot()
         if txn_app is not None and txn_version is not None and base >= 0:
             last = self.last_txn_version(txn_app)
             if last is not None and txn_version <= last:
                 return base  # replayed batch: no-op
+        spec = commit.get("partition_by") if partition_by is None and base >= 0 else partition_by
         if base >= 0:
             self._validate(commit.get("constraints", {}), df)
-        rel = self._write_data_dir(df, base + 1)
-        extra: dict = {"schema": df.schema.json()}
+        rel = self._write_data_dir(df, base + 1, partition_by=spec)
+        extra: dict = {"schema": df.schema.json(), "partition_by": list(spec or [])}
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
         return self._commit_staged("overwrite", [rel], rel, extra, base, commit)
@@ -541,7 +619,10 @@ class DeltaliteTable:
         """RESTORE TABLE ... TO VERSION AS OF analog: re-commit an old snapshot."""
         base = self.latest_version()
         commit = self._read_commit(version)
-        extra = {"restored_from": version}
+        extra = {
+            "restored_from": version,
+            "partition_by": commit.get("partition_by") or [],
+        }
         if commit.get("schema"):
             extra["schema"] = commit["schema"]
         return self._write_commit("restore", commit["live"], extra, base)
@@ -552,7 +633,7 @@ class DeltaliteTable:
         df = self.read(version=base)
         if target_partitions:
             df = df.coalesce(target_partitions)
-        rel = self._write_data_dir(df, base + 1)
+        rel = self._write_data_dir(df, base + 1, partition_by=commit.get("partition_by"))
         return self._commit_staged(
             "compact", [rel], rel, {"schema": df.schema.json()}, base, commit
         )
@@ -562,7 +643,7 @@ class DeltaliteTable:
         per-file min/max stats become selective for those keys (data skipping)."""
         base, commit = self._snapshot()
         df = self.read(version=base).repartitionByRange(target_partitions or 8, *cols)
-        rel = self._write_data_dir(df, base + 1)
+        rel = self._write_data_dir(df, base + 1, partition_by=commit.get("partition_by"))
         return self._commit_staged(
             "zorder",
             [rel],
@@ -609,12 +690,28 @@ class DeltaliteTable:
     def _dir_key_bounds(self, rel: str, key: str):
         """(min, max) of ``key`` across a data dir, from parquet FOOTER stats
         only (no data read — the same metadata Delta keeps in its log)."""
+        root = self._root / rel
+        # partition column: its values are dir names, not footer stats
+        part_dirs = sorted(root.glob(f"{key}=*"))
+        if part_dirs:
+            def parse(v: str):
+                try:
+                    return int(v)
+                except ValueError:
+                    return v
+            raw = [p.name.split("=", 1)[1] for p in part_dirs]
+            if any(re.search(r"[^A-Za-z0-9_.-]", v) for v in raw):
+                return None  # URL-escaped values: dir-name order is unreliable
+            vals = [parse(v) for v in raw]
+            if len({type(v) for v in vals}) != 1:
+                return None
+            return min(vals), max(vals)
         try:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover
             return None
         lo = hi = None
-        for f in sorted((self._root / rel).glob("*.parquet")):
+        for f in sorted(root.rglob("*.parquet")):
             md = pq.ParquetFile(f).metadata
             schema_names = {md.row_group(0).column(i).path_in_schema: i
                             for i in range(md.num_columns)} if md.num_row_groups else {}
@@ -673,25 +770,30 @@ class DeltaliteTable:
                 rewrite = []
                 for d in live:
                     bounds = self._dir_key_bounds(d, prune_on)
-                    if bounds is None or not (bounds[1] < b.lo or bounds[0] > b.hi):
-                        rewrite.append(d)
-                    else:
+                    try:
+                        disjoint = bounds is not None and (
+                            bounds[1] < b.lo or bounds[0] > b.hi
+                        )
+                    except TypeError:  # cross-type bounds: keep conservative
+                        disjoint = False
+                    if disjoint:
                         kept.append(d)
+                    else:
+                        rewrite.append(d)
                 live = rewrite
         if live:
-            reader = self.spark.read
-            if commit.get("schema"):
-                from pyspark.sql.types import StructType
-
-                reader = reader.schema(StructType.fromJson(json.loads(commit["schema"])))
-            target_df = reader.parquet(*[str(self._root / d) for d in live])
+            target_df = self._read_dirs(
+                [str(self._root / d) for d in live],
+                commit.get("schema"),
+                commit.get("partition_by"),
+            )
         else:  # every dir pruned — merge against an empty target
             target_df = self.read(version=base).limit(0)
         out_cols = target_df.columns
         merged = merge_dataframes(target_df, source, condition, clauses, out_cols,
                                   broadcast_source=broadcast_source)
         self._validate(commit.get("constraints", {}), merged)
-        rel = self._write_data_dir(merged, base + 1)
+        rel = self._write_data_dir(merged, base + 1, partition_by=commit.get("partition_by"))
         extra = {"condition": condition, "schema": merged.schema.json()}
         if kept:
             extra["pruned_dirs_kept"] = len(kept)

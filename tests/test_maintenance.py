@@ -275,8 +275,8 @@ def test_interleaved_writer_raises_not_lost_update(spark, tmp_path):
 
     orig = DeltaliteTable._write_data_dir
 
-    def interleave(df, hint):  # B commits inside A's write window
-        rel = orig(a, df, hint)
+    def interleave(df, hint, partition_by=None):  # B commits inside A's write window
+        rel = orig(a, df, hint, partition_by=partition_by)
         b.append(spark.range(100, 103).toDF("id"))
         return rel
 
@@ -439,3 +439,83 @@ def test_check_constraints(spark, tmp_path):
     t.drop_constraint("status_domain")
     t.append(spark.createDataFrame([(4, "BOGUS")], "id long, status string"))
     assert t.read().count() == 4
+
+
+def test_partitioned_table_roundtrip_and_pruning(spark, tmp_path):
+    """Hive-style partition spec: declared once, inherited by appends,
+    recovered on read, and PRUNED — a filter on the partition column must
+    reach the scan as a PartitionFilter, not a post-scan Filter."""
+    t = DeltaliteTable(spark, str(tmp_path / "pt"))
+    df = spark.range(100).selectExpr("id", "id % 4 AS bucket", "id * 2 AS v")
+    t.append(df, partition_by=["bucket"])                       # v0 declares
+    t.append(spark.range(100, 140).selectExpr("id", "id % 4 AS bucket", "id * 2 AS v"))
+    assert t.read().count() == 140
+    assert set(t.read().columns) == {"id", "bucket", "v"}
+    # partition values survive the dir round-trip
+    got = {r.bucket for r in t.read().select("bucket").distinct().collect()}
+    assert got == {0, 1, 2, 3}
+    filtered = t.read().filter("bucket = 2")
+    assert filtered.count() == 35
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
+    # conflicting spec on append is refused; overwrite may evolve it
+    with pytest.raises(ValueError, match="partitioned by"):
+        t.append(df, partition_by=["v"])
+    t.overwrite(df, partition_by=[])
+    assert not t._read_commit(t.latest_version())["partition_by"]
+    assert t.read().count() == 100
+
+
+def test_partitioned_maintenance_preserves_spec(spark, tmp_path):
+    """compact / zorder / restore / clone keep the partition spec; merge
+    rewrites stay partitioned; time travel reads old partitioned snapshots."""
+    from pyspark_cdc_engine.tables import MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "pm"))
+    df = spark.range(60).selectExpr("id", "id % 3 AS part", "CAST(id AS DOUBLE) AS v")
+    t.append(df, partition_by=["part"])                         # v0
+    t.append(spark.range(60, 90).selectExpr("id", "id % 3 AS part", "CAST(id AS DOUBLE) AS v"))
+    t.compact()                                                  # v2
+    assert t._read_commit(t.latest_version())["partition_by"] == ["part"]
+    assert (t._root / t._read_commit(t.latest_version())["live"][0] / "part=0").exists()
+    src = spark.range(5).selectExpr("id", "id % 3 AS part", "CAST(-1 AS DOUBLE) AS v")
+    t.merge(
+        src,
+        "target.id = source.id",
+        [MergeClause("update", None, {"v": "source.v"})],
+    )                                                            # v3
+    assert t._read_commit(t.latest_version())["partition_by"] == ["part"]
+    assert t.read().filter("v = -1").count() == 5
+    assert t.read(version=0).count() == 60                       # time travel
+    t.restore(0)                                                 # v4
+    assert t._read_commit(t.latest_version())["partition_by"] == ["part"]
+    assert t.read().count() == 60
+    clone = t.clone_to(str(tmp_path / "pm_clone"))
+    assert clone.read().filter("part = 1").count() == 20
+    with pytest.raises(ValueError, match="partitioned"):
+        t.read_stream()
+
+
+def test_merge_prunes_on_partition_dir_names(spark, tmp_path):
+    """prune_on the partition column: bounds come from key=value dir names
+    (the column isn't in the parquet footers), so disjoint partitions are
+    kept verbatim instead of rewritten."""
+    from pyspark_cdc_engine.tables import MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "pp"))
+    for lo in (0, 100, 200):
+        t.append(
+            spark.range(lo, lo + 50).selectExpr("id", f"{lo} AS band", "id AS v"),
+            partition_by=["band"] if lo == 0 else None,
+        )
+    src = spark.range(10).selectExpr("id", "0 AS band", "id + 1000 AS v")
+    v = t.merge(
+        src,
+        "target.id = source.id",
+        [MergeClause("update", None, {"v": "source.v"})],
+        prune_on="band",
+    )
+    commit = t._read_commit(v)
+    assert commit.get("pruned_dirs_kept") == 2  # band=100 and band=200 dirs kept
+    assert t.read().filter("v >= 1000").count() == 10
+    assert t.read().count() == 150
