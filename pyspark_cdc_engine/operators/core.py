@@ -1245,3 +1245,94 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "above_avg_orders",
+    survey="A2,A3,J3,beyond-ref",
+    oracle=f"""
+    WITH g AS (SELECT {davg_sql('o_totalprice', 2)} AS global_avg FROM orders),
+    per AS (
+      SELECT o_orderstatus, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+                    OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice > global_avg THEN 1 ELSE 0 END) AS BIGINT)
+             AS above_global,
+           CAST(SUM(CASE WHEN o_totalprice > cust_avg THEN 1 ELSE 0 END) AS BIGINT)
+             AS above_own_avg
+    FROM per CROSS JOIN g
+    GROUP BY o_orderstatus
+    """,
+)
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated subquery shapes, expressed the Spark-planner way:
+    the scalar subquery (global average) is a 1-row broadcast cross join; the
+    correlated subquery (each customer's own average) is a window over the
+    correlation key — no per-row re-execution, one shuffle each. Averages are
+    exact-decimal sums divided as doubles, so the comparisons are
+    engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.agg(davg("o_totalprice", 2).alias("global_avg"))
+    wc = Window.partitionBy("o_custkey")
+    per = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).over(wc).cast("double")
+            / F.count(F.lit(1)).over(wc)
+        ).alias("cust_avg"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_totalprice") > F.col("global_avg"), 1).otherwise(0)
+            ).cast("bigint").alias("above_global"),
+            F.sum(
+                F.when(F.col("o_totalprice") > F.col("cust_avg"), 1).otherwise(0)
+            ).cast("bigint").alias("above_own_avg"),
+        )
+    )
+
+
+@register(
+    "event_transitions",
+    survey="W1,A2,beyond-ref",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS curr_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (the Markov/funnel-mining
+    primitive): LAG over each user's totally-ordered event sequence, then one
+    hash agg over (prev, curr). The (ts, event_id) ordering is total, so the
+    matrix is deterministic; one shuffle for the window, one for the agg —
+    both keyed on high-cardinality columns, skew-free at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", F.col("event_type").alias("curr_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
