@@ -98,3 +98,58 @@ def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
     got = pd.concat(out)
     assert len(got) == 200                      # every id exactly once
     assert got["event_id"].is_unique
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Purchases joined to the same user's views within the preceding hour,
+    as a watermarked stream-stream interval join. Inner interval joins in
+    append mode emit exactly the matched pairs, so the streamed result must
+    equal the identical batch join."""
+    from pyspark_cdc_engine.streaming.joins import interval_join_streams
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .filter("user_id < 40")
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("v_id")
+    )
+    p_dir, v_dir = tmp_path / "p", tmp_path / "v"
+    purchases.write.mode("overwrite").parquet(str(p_dir))
+    views.write.mode("overwrite").parquet(str(v_dir))
+
+    joined = interval_join_streams(
+        spark.readStream.schema(purchases.schema).parquet(str(p_dir)),
+        spark.readStream.schema(views.schema).parquet(str(v_dir)),
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="v_ts",
+    )
+    out = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, _id: out.append(df.toPandas()) if not df.isEmpty() else None
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.p_id, r.v_id)
+        for frame in out
+        for r in frame.itertuples(index=False)
+    }
+
+    batch = interval_join_streams(
+        purchases, views, on="user_id", left_ts="p_ts", right_ts="v_ts"
+    ).collect()
+    expected = {(r.p_id, r.v_id) for r in batch}
+    assert expected, "fixture must produce view->purchase pairs"
+    assert got == expected
