@@ -259,3 +259,35 @@ def test_pq_plans_broadcast_and_stay_jvm(spark):
         assert c["BroadcastHashJoin"] >= 1, name
         assert c["SortMergeJoin"] == 0 and c["ShuffledHashJoin"] == 0, name
         assert c["BatchEvalPython"] == 0 and c["ArrowEvalPython"] == 0, name
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Tables bucketed on the join key by the same bucket count join with
+    ZERO Exchange nodes — the write-time shuffle is reused by every later
+    join. This is the co-location contract write_bucketed exists for."""
+    from pyspark_cdc_engine.bucketing import read_table, write_bucketed
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    write_bucketed(orders, "t_orders_b", ["o_custkey"], 8,
+                   sort_cols=["o_custkey"], path=str(tmp_path / "ob"))
+    write_bucketed(customer, "t_customer_b", ["c_custkey"], 8,
+                   sort_cols=["c_custkey"], path=str(tmp_path / "cb"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a, b = read_table(spark, "t_orders_b"), read_table(spark, "t_customer_b")
+        joined = a.join(b, a.o_custkey == b.c_custkey).groupBy("c_mktsegment").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        c = node_counts(plan)
+        assert c["SortMergeJoin"] == 1
+        # the ONLY exchange is the groupBy's — the join itself reads
+        # co-located buckets; an unbucketed join would show 3
+        assert c["Exchange"] == 1, plan
+        # same result as the plain shuffled join
+        expect = orders.join(customer, orders.o_custkey == customer.c_custkey).count()
+        assert joined.agg({"count": "sum"}).first()[0] == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
