@@ -1336,3 +1336,57 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "semi_join_active_customers",
+    survey="J3,A2,beyond-ref",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS active_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — the complement of the anti-join probe: the
+    semi join shuffles only the distinct key set of the probe side and emits
+    each customer at most once, which is why EXISTS beats `JOIN ... DISTINCT`
+    at scale (no fan-out, no dedup pass)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+    )
+
+
+@register(
+    "modal_order_priority",
+    survey="A2,W1,beyond-ref",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS modal_priority, cnt FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def modal_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: two-level aggregation (count per value,
+    then argmax with a (count desc, value) TOTAL-order tiebreak via min_by
+    over a negated-count struct). Spark's built-in `mode()` is
+    tie-nondeterministic — this shape is the portable, engine-exact form,
+    and it's one extra hash agg over already-tiny (group, value) pairs."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.groupBy("o_orderstatus").agg(
+        F.expr(
+            "min_by(o_orderpriority, named_struct('nc', -cnt, 'm', o_orderpriority))"
+        ).alias("modal_priority"),
+        F.max("cnt").alias("cnt"),
+    )
