@@ -1390,3 +1390,32 @@ def modal_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("modal_priority"),
         F.max("cnt").alias("cnt"),
     )
+
+
+@register(
+    "monthly_revenue",
+    survey="A2,F16,F18,beyond-ref",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mon,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 2)} AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: EXTRACT(YEAR/MONTH) hash agg — the date-dimension
+    breakdown every reporting layer runs. Grouping on derived expressions
+    stays codegen; at 100 TB the month keys are low-cardinality so partial
+    aggregation collapses each partition to <=~100 rows before the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("revenue"),
+        )
+    )

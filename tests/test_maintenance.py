@@ -519,3 +519,32 @@ def test_merge_prunes_on_partition_dir_names(spark, tmp_path):
     assert commit.get("pruned_dirs_kept") == 2  # band=100 and band=200 dirs kept
     assert t.read().filter("v >= 1000").count() == 10
     assert t.read().count() == 150
+
+
+def test_partitioned_merge_equals_unpartitioned(spark, tmp_path):
+    """Partitioning is purely physical: the same MERGE against a partitioned
+    and an unpartitioned copy of the same table must produce identical rows
+    (ordered-clause semantics unaffected by the layout)."""
+    from pyspark_cdc_engine.tables import MergeClause
+
+    base_df = spark.range(80).selectExpr(
+        "id", "id % 5 AS part", "id AS version", "CAST(id AS DOUBLE) AS v"
+    )
+    src = spark.range(40, 120).selectExpr(
+        "id", "id % 5 AS part", "id + 100 AS version", "CAST(-id AS DOUBLE) AS v"
+    )
+    clauses = [
+        MergeClause("update", "source.version > target.version",
+                    {"version": "source.version", "v": "source.v"}),
+        MergeClause("insert", None, None),
+    ]
+    results = []
+    for name, part in (("flat", None), ("parted", ["part"])):
+        t = DeltaliteTable(spark, str(tmp_path / name))
+        t.append(base_df, partition_by=part)
+        t.merge(src, "target.id = source.id", clauses, prune_on="id")
+        results.append(
+            sorted((r.id, r.part, r.version, r.v) for r in t.read().collect())
+        )
+    assert results[0] == results[1]
+    assert len(results[0]) == 120
