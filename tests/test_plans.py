@@ -291,3 +291,33 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_salted_join_matches_plain_and_spreads_keys(spark):
+    """salted_join == plain join on a 90%-one-key skewed fixture, and the
+    physical join condition carries the salt column (the key spread that
+    de-hotspots the shuffle)."""
+    from pyspark_cdc_engine.functions.skew import salted_join
+
+    big = spark.range(20_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 7 END AS k", "id AS payload"
+    )
+    small = spark.range(7).selectExpr("id AS k", "id * 100 AS dim")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = salted_join(big, small, on=["k"], n_salt=8)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan.split("Join")[1][:200]  # salt is a join key
+        got = j.groupBy("k").agg({"dim": "sum", "payload": "count"}).collect()
+        plain = (
+            big.join(small, "k")
+            .groupBy("k")
+            .agg({"dim": "sum", "payload": "count"})
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, plain))
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(big, small, on=["k"], how="right")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
