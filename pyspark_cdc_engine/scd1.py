@@ -153,11 +153,14 @@ def merge_scd1(
     txn_app: str | None = None,
     txn_version: int | None = None,
     handle_deletes: bool = False,
+    partition_by: list[str] | None = None,
 ) -> None:
     """One micro-batch of order_stream -> merge into orders_current
     (mergeScdType1 parity, ScdType1MergeApp.scala:69-135). txn tags make the
     merge replay-safe inside foreachBatch (S9). ``handle_deletes`` enables the
-    opt-in tombstone path (delete-mode joiner rows remove their target row)."""
+    opt-in tombstone path (delete-mode joiner rows remove their target row).
+    ``partition_by`` partitions the current-state table at bootstrap; later
+    merges inherit the spec from the log and stay partitioned."""
     if batch_df.isEmpty():
         return
     transformed = transform_source_batch(batch_df, handle_deletes=handle_deletes)
@@ -169,7 +172,8 @@ def merge_scd1(
             # tombstones for never-seen orders have nothing to delete; the
             # flag column itself never lands in orders_current
             transformed = transformed.filter("NOT deleted").drop("deleted")
-        table.overwrite(transformed, txn_app=txn_app, txn_version=txn_version)
+        table.overwrite(transformed, txn_app=txn_app, txn_version=txn_version,
+                        partition_by=partition_by)
         return
     table.merge(
         transformed,

@@ -201,3 +201,40 @@ def test_full_chain_cdc_to_scd1(spark, tmp_path):
     assert by_id[1.0].orderRef == "ORD-000001" and by_id[1.0].version == 1.0
     assert by_id[1.0].orderDetails is not None
     assert len(by_id[3.0].lineItems) == 2 + 3 % 4
+
+
+def test_partitioned_orders_current_matches_flat(spark, tmp_path):
+    """orders_current partitioned by currency at bootstrap: merges inherit the
+    spec, content is identical to the unpartitioned table, and the data dirs
+    really are currency-partitioned."""
+    batches = [
+        _stream_rows(spark, [{
+            "xid": "x0", "csn": "c0", "dwhProcessedTs": "t0", "orderId": 1.0,
+            "orders": [_order(1.0, 1.0)],
+            "lineItems": [_item(1.0, 1.0, 1.0, 5.0)],
+        }, {
+            "xid": "x0", "csn": "c0", "dwhProcessedTs": "t0", "orderId": 2.0,
+            "orders": [dict(_order(2.0, 1.0), currency="EUR")],
+            "lineItems": [_item(2.0, 2.0, 1.0, 7.0)],
+        }]),
+        _stream_rows(spark, [{
+            "xid": "x1", "csn": "c1", "dwhProcessedTs": "t1", "orderId": 1.0,
+            "orders": [_order(1.0, 2.0, amount=99.0)],
+            "lineItems": [],
+        }]),
+    ]
+    flat = DeltaliteTable(spark, str(tmp_path / "flat"))
+    parted = DeltaliteTable(spark, str(tmp_path / "parted"))
+    for i, b in enumerate(batches):
+        merge_scd1(spark, b, flat, txn_app="f", txn_version=i)
+        merge_scd1(spark, b, parted, txn_app="p", txn_version=i,
+                   partition_by=["currency"])
+    assert parted._read_commit(parted.latest_version())["partition_by"] == ["currency"]
+    live = parted._read_commit(parted.latest_version())["live"]
+    assert any((parted._root / d / "currency=USD").exists() for d in live)
+    f = {(r.orderId, r.version, r.totalAmount, r.currency)
+         for r in flat.read().collect()}
+    p = {(r.orderId, r.version, r.totalAmount, r.currency)
+         for r in parted.read().collect()}
+    assert f == p and len(p) == 2
+    assert {r.totalAmount for r in parted.read().filter("orderId = 1.0").collect()} == {99.0}
