@@ -321,3 +321,35 @@ def test_salted_join_matches_plain_and_spreads_keys(spark):
             salted_join(big, small, on=["k"], how="right")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# Queries allowed to deviate from the sweep's defaults, with the reason.
+_SWEEP_CROSS_OK = {
+    "cosine_topk_bruteforce",   # broadcast 8-query set: BNLJ by construction
+    "ann_lsh_hyperplane",       # broadcast 512-row hyperplane table
+    "above_avg_orders",         # broadcast 1-row global aggregate
+    "bigram_pmi_top",           # broadcast 1-row bigram total
+    "training_pipeline_e2e",    # composes the gated dedup stages
+    "value_band_range_join",    # broadcast band table + range predicate (own gate)
+}
+_SWEEP_PYTHON_OK = {
+    "embedding_cosine_near_dup",  # numpy gram scoring via applyInPandas (by design)
+    "media_features",             # mapInPandas decode kernel (by design)
+    "training_pipeline_e2e",      # composes the cosine stage
+}
+
+
+def test_registry_sweep_no_cartesian_no_python(spark):
+    """EVERY registry query's physical plan is free of unintended cartesian
+    products and Python eval nodes. New queries are covered automatically;
+    a deliberate deviation must be whitelisted above with its reason."""
+    for name, q in REGISTRY.items():
+        try:
+            plan = q.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        except ValueError:
+            continue  # size-guarded exact baselines refuse big corpora, not here
+        if name not in _SWEEP_CROSS_OK:
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        if name not in _SWEEP_PYTHON_OK:
+            assert "EvalPython" not in plan, name
