@@ -925,3 +925,41 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _LSH_TOPK)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+@register(
+    "kmeans_update_step",
+    survey="M5-ann,beyond-ref",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_dot_duck('n.embedding', 'c.cemb'))},
+    comp AS (
+      SELECT a.centroid_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM assigned a, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT centroid_id, pos,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(val AS {_DEC})) AS DOUBLE) / COUNT(*) AS new_val
+    FROM comp GROUP BY 1, 2
+    """,
+)
+def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's-algorithm update: assign every vector to its nearest
+    centroid (the IVF assignment kernel), then recompute each centroid as the
+    per-dimension mean of its cluster. Iterating this operator IS k-means; a
+    driver loop would re-seed the centroid table from this output and repeat.
+
+    100 TB shape: assignment is the proven broadcast-join kernel; the update
+    is one hash agg over (centroid, dim) — C x dim cells, each a decimal-exact
+    mean, so the new centroid table is tiny and exact. No vector ever moves
+    between executors more than once per iteration."""
+    assigned = _ivf_assigned_df(spark, sf_dir)
+    comp = assigned.select(
+        "centroid_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    return comp.groupBy("centroid_id", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("val").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "new_val"
+        ),
+    )
