@@ -71,3 +71,38 @@ def test_incremental_refresh_matches_full_recompute(spark, tmp_path):
     assert _got(mv) == _expected(base)
     ops = [h["operation"] for h in mv.summary.history()]
     assert ops.count("overwrite") == 2  # rebuild happened
+
+
+def test_streaming_refresh_via_foreachbatch(spark, tmp_path):
+    """The MV refresh in its natural habitat: a file stream appends to the
+    base table inside foreachBatch and refreshes the summary in the same
+    hook — after the stream drains, the summary equals the full recompute
+    and every fold after bootstrap was incremental."""
+    src = _rows(spark, 0, 300)
+    in_dir = tmp_path / "in"
+    src.repartition(3).write.mode("overwrite").parquet(str(in_dir))
+
+    base = DeltaliteTable(spark, str(tmp_path / "sbase"))
+    mv = IncrementalAggregate(
+        spark, base, str(tmp_path / "smv"), keys=["grp"], sum_cols=["v"]
+    )
+
+    def sink(df, batch_id):
+        base.append(df, txn_app="mv_demo", txn_version=batch_id)
+        mv.refresh()
+
+    q = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert _got(mv) == _expected(base)
+    assert mv.last_refreshed_version() == base.latest_version()
+    ops = [h["operation"] for h in mv.summary.history()]
+    assert ops.count("overwrite") == 1  # bootstrap only; the rest were merges
