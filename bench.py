@@ -88,19 +88,28 @@ def main() -> None:
     # Warm the JVM + parquet footers once with a trivial action.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Per-query fault isolation: one broken query must never destroy the whole
+    # artifact — it gets an "err" entry and the run continues (rc stays 0).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         q = REGISTRY[name]
         samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
 
     cdc = None
     if os.environ.get("BENCH_CDC", "1") != "0" and not only:
-        cdc = bench_cdc_pipeline(spark, n_tx=int(os.environ.get("BENCH_CDC_TX", "2000")))
+        try:
+            cdc = bench_cdc_pipeline(spark, n_tx=int(os.environ.get("BENCH_CDC_TX", "2000")))
+        except Exception as e:  # noqa: BLE001
+            cdc = {"err": f"{type(e).__name__}: {e}"[:500]}
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     out = {
@@ -110,6 +119,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     if cdc is not None:
         out["cdc_pipeline"] = cdc
     print(json.dumps(out))

@@ -92,9 +92,15 @@ class IncrementalAggregate:
             for c in self.base.history()
             if since < c["version"] <= upto
         )
+        # Crash-idempotency: the fold lands in one commit, the watermark in a
+        # second. A crash between the two would double-fold the same delta on
+        # re-run, so every fold commit carries (txn_app, txn_version=upto) —
+        # the replay after a crash sees txn_version <= last and skips the fold,
+        # then records the watermark it missed.
+        txn_app = f"mv:{self.summary.path}"
         if not incremental_safe:
             snap = self._delta_agg(self.base.read(version=upto))
-            self.summary.overwrite(snap)
+            self.summary.overwrite(snap, txn_app=txn_app, txn_version=upto)
             self._record_watermark(upto)
             return upto
         try:
@@ -112,6 +118,8 @@ class IncrementalAggregate:
             cond,
             [MergeClause("update", None, assigns), MergeClause("insert", None, None)],
             broadcast_source=True,
+            txn_app=txn_app,
+            txn_version=upto,
         )
         self._record_watermark(upto)
         return upto

@@ -100,7 +100,12 @@ def join_transaction(
             continue
         ent = _entity(ev, ORDER_FIELDS)
         if ent is not None:
-            stream_for(ent["orderId"])["orders"].append(ent)
+            rec = stream_for(ent["orderId"])
+            rec["orders"].append(ent)
+            # last order-level op wins: a D followed by a re-insert/update of
+            # the same orderId within the transaction must NOT tombstone the
+            # order (events iterate in buffer order)
+            rec["deleted"] = False
     for ev in detail_events:
         ent = _entity(ev, DETAIL_FIELDS)
         if ent is not None:

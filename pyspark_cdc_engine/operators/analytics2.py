@@ -256,7 +256,10 @@ def first_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bounds
     ),
     m AS (
-      SELECT CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS month,
+      -- date_trunc to month in DuckDB yields DATE ('1995-01-01'); go through
+      -- TIMESTAMP so the rendering matches the generate_series spine and
+      -- Spark's date_trunc (both '1995-01-01 00:00:00')
+      SELECT CAST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS VARCHAR) AS month,
              {dsum_sql('o_totalprice', 2)} AS revenue, COUNT(*) AS n_orders
       FROM orders GROUP BY 1
     )
@@ -276,11 +279,11 @@ def dense_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
         F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
     )
+    # Generators cannot nest inside other expressions (UNSUPPORTED_GENERATOR.
+    # NESTED_IN_EXPRESSIONS): explode in its own select, cast in the next one.
     spine = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
-        ).cast("string").alias("month")
-    )
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("m")
+    ).select(F.col("m").cast("string").alias("month"))
     m = o.groupBy(
         F.date_trunc("month", "o_orderdate").cast("string").alias("month")
     ).agg(dsum("o_totalprice", 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))

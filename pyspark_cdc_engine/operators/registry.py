@@ -35,12 +35,60 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+_PYFILES_SENT: set[str] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (once per SparkContext).
+
+    mapInPandas/applyInPandas kernels are pickled by reference to this package,
+    so workers must be able to ``import pyspark_cdc_engine``. When the driver
+    process runs from the repo root the workers inherit that cwd and the import
+    works by accident; a certification harness importing ``__spark_entry__`` by
+    path from a neutral cwd does NOT give workers that path — the exact reason
+    the Python-kernel queries could never be driver-certified. ``addPyFile`` of
+    a package zip makes worker imports location-independent."""
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _PYFILES_SENT:
+        return
+    import os
+    import tempfile
+    import uuid
+    import zipfile
+
+    import pyspark_cdc_engine
+
+    pkg_dir = os.path.dirname(os.path.abspath(pyspark_cdc_engine.__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"pyspark_cdc_engine_{uuid.uuid4().hex[:8]}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    arc = os.path.join(
+                        "pyspark_cdc_engine", os.path.relpath(full, pkg_dir)
+                    )
+                    z.write(full, arc)
+    sc.addPyFile(zpath)
+    _PYFILES_SENT.add(key)
+
 
 def register(name: str, survey: str, oracle: str | None, description: str = ""):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name, survey, fn, oracle, description or (fn.__doc__ or "").strip())
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(
+            name, survey, wrapped, oracle, description or (fn.__doc__ or "").strip()
+        )
         return fn
 
     return deco
@@ -48,14 +96,21 @@ def register(name: str, survey: str, oracle: str | None, description: str = ""):
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
-        # rejects; read nanos as long and truncate to micros — exactly what DuckDB
-        # does natively, so oracle comparisons line up.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.parquet has carried two physical encodings across driver
+        # rounds: TIMESTAMP(NANOS) (readable only via nanosAsLong → bigint) and
+        # plain timestamp[us] (read as TIMESTAMP_NTZ). Normalise both to a
+        # session-TZ TIMESTAMP so downstream queries and the DuckDB oracle
+        # (which truncates nanos to micros natively) agree.
+        from pyspark.sql.types import LongType
+
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer division: double division loses sub-microsecond exactness for
-        # nanosecond epochs beyond 2^53 and lands 1us off DuckDB's truncation
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer division: double division loses sub-microsecond exactness
+            # for nanosecond epochs beyond 2^53 and lands 1us off DuckDB
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

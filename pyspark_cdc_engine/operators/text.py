@@ -756,9 +756,17 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the joins, shrinking the bigram table first."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(F.split("text", " ").alias("w"))
+    # Guard size(w) < 2: sequence(1, 0) is the DESCENDING array [1, 0] in
+    # Spark, which would emit two spurious null bigrams per 1-word doc —
+    # DuckDB's range(1, len(w)) emits none.
     bigrams = words.select(
         F.explode(
-            F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")
+            F.expr(
+                "IF(size(w) >= 2,"
+                " transform(sequence(1, size(w) - 1),"
+                "           i -> struct(w[i-1] AS w1, w[i] AS w2)),"
+                " array())"
+            )
         ).alias("b")
     ).select("b.w1", "b.w2")
     bg = (

@@ -37,6 +37,10 @@ _BASE_CONFS: dict[str, str] = {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
     "spark.sql.shuffle.partitions": "32",
+    # Some driver-generated events.parquet rounds use TIMESTAMP(NANOS), which
+    # the vectorized reader rejects; read nanos as bigint and convert at load
+    # (operators/registry.py:load_table). Harmless for micros-encoded rounds.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # 128 MB parquet split targets — keeps task count proportional to data volume.
     "spark.sql.files.maxPartitionBytes": "134217728",
 }

@@ -328,6 +328,7 @@ _SWEEP_CROSS_OK = {
     "cosine_topk_bruteforce",   # broadcast 8-query set: BNLJ by construction
     "ann_lsh_hyperplane",       # broadcast 512-row hyperplane table
     "above_avg_orders",         # broadcast 1-row global aggregate
+    "spender_activity_reconciliation",  # broadcast 1-row thresholds (same class)
     "bigram_pmi_top",           # broadcast 1-row bigram total
     "training_pipeline_e2e",    # composes the gated dedup stages
     "value_band_range_join",    # broadcast band table + range predicate (own gate)

@@ -9,12 +9,12 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
+from pyspark_cdc_engine.operators.registry import load_table
+
 
 def test_streaming_tumbling_window_matches_batch(spark, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        load_table(spark, "/root/testdata/sf0.001", "events")
         .filter("user_id < 10")
         .select("ts", "value")
     )
@@ -65,10 +65,8 @@ def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
     """Streaming exact dedup: duplicate event_ids across micro-batch files are
     emitted once (dropDuplicatesWithinWatermark keyed on event_id, RocksDB
     state) — the streaming face of the exact_dedup batch operator."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        load_table(spark, "/root/testdata/sf0.001", "events")
         .filter("event_id < 200")
         .select("event_id", "ts", "value")
     )
@@ -107,12 +105,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     equal the identical batch join."""
     from pyspark_cdc_engine.streaming.joins import interval_join_streams
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .filter("user_id < 40")
-    )
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").filter("user_id < 40")
     purchases = ev.filter("event_type = 'purchase'").select(
         "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
     )
