@@ -24,11 +24,13 @@ table) matches the reference's deployment model.
 Scale notes (100 TB design point):
 - Readers get plain multi-path parquet scans → Spark's vectorized reader, predicate
   pushdown and column pruning all apply unchanged.
-- ``merge`` is copy-on-write over the *whole* table; for a current-state (SCD1) table
-  whose size is bounded by live-entity count this is the same asymptotic cost Delta
-  pays when every file matches. A file-pruning merge (skip files whose key min/max
-  cannot match the source) is the natural next step and the format records per-commit
-  parquet dirs to enable it.
+- Every write records per-dir min/max stats in its commit (Delta's add-file stats
+  analog, harvested from the freshly staged footers), and partitioned writes publish
+  ONE live entry PER PARTITION DIR — so ``merge(prune_on=key)`` skips every dir whose
+  key range cannot touch the source batch using the log alone: untouched partition
+  dirs are never listed, read, or rewritten, and no parquet footer is ever reopened.
+- For dirs the merge can't prune, copy-on-write applies — the same asymptotic cost
+  Delta pays when every file matches.
 - Appends never rewrite; ``compact`` (OPTIMIZE analog) coalesces small streaming
   commits into target-size files.
 """
@@ -137,9 +139,7 @@ class DeltaliteTable:
         if base_version is None:
             base_version = (self._versions() or [-1])[-1]
         extra = dict(extra or {})
-        if base_version >= 0 and (
-            "constraints" not in extra or "partition_by" not in extra
-        ):
+        if base_version >= 0:
             if base_commit is None:
                 base_commit = self._read_commit(base_version)
             prev = base_commit.get("constraints")
@@ -148,6 +148,19 @@ class DeltaliteTable:
             prev_part = base_commit.get("partition_by")
             if prev_part and "partition_by" not in extra:
                 extra["partition_by"] = prev_part
+            # Per-dir min/max stats ride the log forward (Delta's add-file
+            # stats analog): stats for dirs still live after this commit are
+            # copied from the base commit, new dirs' stats come in via
+            # ``extra["stats"]`` — so pruning reads ONE json file, never
+            # parquet footers.
+            prev_stats = base_commit.get("dir_stats") or {}
+            live_set = set(live_dirs)
+            merged_stats = {r: s for r, s in prev_stats.items() if r in live_set}
+            merged_stats.update(extra.get("dir_stats") or {})
+            if merged_stats:
+                extra["dir_stats"] = merged_stats
+            elif "dir_stats" in extra:
+                del extra["dir_stats"]
         version = base_version + 1
         doc = {
             "version": version,
@@ -185,12 +198,88 @@ class DeltaliteTable:
         OCC-losing writer cannot leak duplicate/uncommitted files into
         :meth:`read_stream`'s ``data/*`` glob."""
         rel = f"data/{version_hint:010d}-{uuid.uuid4().hex[:8]}"
-        staged = self._root / "_staging" / Path(rel).name
+        staged = self._staged_path(rel)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(staged))
         return rel
+
+    def _staged_path(self, rel: str) -> Path:
+        """Staging location mirroring ``rel``'s path under ``data/``."""
+        return self._root / "_staging" / rel.removeprefix("data/")
+
+    def _staged_rels(self, rel: str, partition_by: list[str] | None) -> list[str]:
+        """Expand a staged partitioned write into one rel PER PARTITION LEAF
+        DIR (``data/<v>-<id>/k=v[/k2=v2...]``). Each leaf becomes its own live
+        entry with its own write-time stats, so a later merge keeps untouched
+        partition dirs verbatim — never read, never rewritten — exactly like
+        Delta tracks add-files per partition. Unpartitioned writes stay one
+        rel; an empty partitioned write (no leaves) falls back to the parent
+        dir so the commit still references a published path."""
+        if not partition_by:
+            return [rel]
+        staged = self._staged_path(rel)
+        leaves = [staged]
+        for col in partition_by:
+            leaves = [
+                p
+                for d in leaves
+                for p in sorted(d.iterdir())
+                if p.is_dir() and p.name.startswith(f"{col}=")
+            ]
+        if not leaves:
+            return [rel]
+        return [f"{rel}/{p.relative_to(staged)}" for p in leaves]
+
+    # Delta indexes the first 32 columns for data skipping
+    # (dataSkippingNumIndexedCols); 8 covers every key this engine merges on.
+    _STATS_MAX_COLS = 8
+
+    def _staged_stats(self, rels: list[str]) -> dict[str, dict[str, list]]:
+        """Write-time per-dir min/max stats, harvested from the freshly staged
+        parquet FOOTERS (one metadata read per file, amortized into the write)
+        and recorded in the commit — the same add-file stats Delta keeps in its
+        log. Merges then prune dirs from the log alone; footers are never
+        reopened. Only JSON-faithful scalar types are kept (int/float/str/bool)
+        so log round-trips compare exactly."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return {}
+        out: dict[str, dict[str, list]] = {}
+        for rel in rels:
+            root = self._staged_path(rel)
+            lo_hi: dict[str, list] = {}
+            dropped: set[str] = set()
+            for f in sorted(root.rglob("*.parquet")):
+                md = pq.ParquetFile(f).metadata
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for i in range(min(md.num_columns, self._STATS_MAX_COLS)):
+                        col = row_group.column(i)
+                        name = col.path_in_schema
+                        if "." in name or name in dropped:
+                            continue  # nested leaves: not mergeable per column
+                        st = col.statistics
+                        if (
+                            st is None
+                            or not st.has_min_max
+                            or not isinstance(st.min, (int, float, str, bool))
+                            or not isinstance(st.max, (int, float, str, bool))
+                        ):
+                            dropped.add(name)
+                            lo_hi.pop(name, None)
+                            continue
+                        cur = lo_hi.get(name)
+                        if cur is None:
+                            lo_hi[name] = [st.min, st.max]
+                        else:
+                            cur[0] = min(cur[0], st.min)
+                            cur[1] = max(cur[1], st.max)
+            if lo_hi:
+                out[rel] = lo_hi
+        return out
 
     def _read_dirs(
         self,
@@ -215,12 +304,26 @@ class DeltaliteTable:
             if schema is not None:
                 reader = reader.schema(schema)
             return reader.parquet(*dirs)
-        frames = []
+        # Group dirs by basePath — the prefix above the first `key=value`
+        # component (per-partition-dir live entries), or the dir itself
+        # (legacy whole-dir entries, which contain the key=value subdirs).
+        # One scan per group keeps the plan compact: sibling partition dirs
+        # of the same write share a single FileScan with PartitionFilters.
+        groups: dict[str, list[str]] = {}
         for d in dirs:
-            reader = self.spark.read.option("basePath", d)
+            parts = Path(d).parts
+            cut = next(
+                (i for i, comp in enumerate(parts) if "=" in comp and i > 0),
+                len(parts),
+            )
+            base = str(Path(*parts[:cut])) if cut < len(parts) else d
+            groups.setdefault(base, []).append(d)
+        frames = []
+        for base, ds in groups.items():
+            reader = self.spark.read.option("basePath", base)
             if schema is not None:
                 reader = reader.schema(schema)
-            frames.append(reader.parquet(d))
+            frames.append(reader.parquet(*ds))
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
@@ -228,14 +331,15 @@ class DeltaliteTable:
 
     def _publish(self, rel: str) -> None:
         """Atomically move a staged data dir into ``data/`` (post-commit)."""
-        staged = self._root / "_staging" / Path(rel).name
+        staged = self._staged_path(rel)
         dest = self._root / rel
         dest.parent.mkdir(parents=True, exist_ok=True)
         os.replace(staged, dest)
 
     def _discard_staged(self, rel: str) -> None:
         """Drop a staged dir after a failed/lost commit (nothing published)."""
-        shutil.rmtree(self._root / "_staging" / Path(rel).name, ignore_errors=True)
+        top = rel.removeprefix("data/").split("/", 1)[0]
+        shutil.rmtree(self._root / "_staging" / top, ignore_errors=True)
 
     def _ensure_published(self, live: list[str]) -> None:
         """Crash recovery: a writer that died between link(2) and publish left a
@@ -243,26 +347,43 @@ class DeltaliteTable:
         move. Best-effort, idempotent, only touches table-relative data dirs."""
         for rel in live:
             if rel.startswith("data/") and not (self._root / rel).exists():
-                if (self._root / "_staging" / Path(rel).name).exists():
+                if self._staged_path(rel).exists():
                     self._publish(rel)
 
     def _commit_staged(
         self,
         operation: str,
         live_dirs: list[str],
-        staged_rel: str,
+        staged_rels: str | list[str],
         extra: dict | None,
         base_version: int,
         base_commit: dict | None = None,
     ) -> int:
-        """Commit-then-publish for writes carrying one new data dir; the staged
-        dir is discarded (never published) if another writer won the version."""
+        """Commit-then-publish for writes carrying new data dir(s); the staged
+        dirs are discarded (never published) if another writer won the version.
+        Write-time footer stats for the new dirs are recorded in the commit so
+        later merges prune from the log without reopening footers."""
+        if isinstance(staged_rels, str):
+            staged_rels = [staged_rels]
+        extra = dict(extra or {})
+        stats = self._staged_stats(staged_rels)
+        if stats:
+            extra["dir_stats"] = {**extra.get("dir_stats", {}), **stats}
         try:
             v = self._write_commit(operation, live_dirs, extra, base_version, base_commit)
         except ConcurrentWriteError:
-            self._discard_staged(staged_rel)
+            for rel in staged_rels:
+                self._discard_staged(rel)
             raise
-        self._publish(staged_rel)
+        for rel in staged_rels:
+            self._publish(rel)
+        # after per-partition publishes the staged parent only holds _SUCCESS;
+        # never remove a dir that still has data files (interrupted publish —
+        # _ensure_published finishes the move on the next read)
+        for top in {r.removeprefix("data/").split("/", 1)[0] for r in staged_rels}:
+            leftover = self._root / "_staging" / top
+            if leftover.exists() and not any(leftover.rglob("*.parquet")):
+                shutil.rmtree(leftover, ignore_errors=True)
         return v
 
     # ----------------------------------------------------------------- reads
@@ -557,12 +678,13 @@ class DeltaliteTable:
             schema = df.schema
         prev = commit.get("live", [])
         rel = self._write_data_dir(df, base + 1, partition_by=spec)
+        rels = self._staged_rels(rel, spec)
         extra: dict = {"schema": schema.json()}
         if spec:
             extra["partition_by"] = list(spec)
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
-        return self._commit_staged("append", [*prev, rel], rel, extra, base, commit)
+        return self._commit_staged("append", [*prev, *rels], rels, extra, base, commit)
 
     def overwrite(
         self,
@@ -589,10 +711,11 @@ class DeltaliteTable:
         if base >= 0:
             self._validate(commit.get("constraints", {}), df)
         rel = self._write_data_dir(df, base + 1, partition_by=spec)
+        rels = self._staged_rels(rel, spec)
         extra: dict = {"schema": df.schema.json(), "partition_by": list(spec or [])}
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
-        return self._commit_staged("overwrite", [rel], rel, extra, base, commit)
+        return self._commit_staged("overwrite", rels, rels, extra, base, commit)
 
     def add_column(self, name: str, data_type: str) -> int:
         """ALTER TABLE ADD COLUMN analog (db/schema_evolution.sql:9-12): a
@@ -625,6 +748,8 @@ class DeltaliteTable:
         }
         if commit.get("schema"):
             extra["schema"] = commit["schema"]
+        if commit.get("dir_stats"):
+            extra["dir_stats"] = commit["dir_stats"]
         return self._write_commit("restore", commit["live"], extra, base)
 
     def compact(self, target_partitions: int | None = None) -> int:
@@ -634,8 +759,9 @@ class DeltaliteTable:
         if target_partitions:
             df = df.coalesce(target_partitions)
         rel = self._write_data_dir(df, base + 1, partition_by=commit.get("partition_by"))
+        rels = self._staged_rels(rel, commit.get("partition_by"))
         return self._commit_staged(
-            "compact", [rel], rel, {"schema": df.schema.json()}, base, commit
+            "compact", rels, rels, {"schema": df.schema.json()}, base, commit
         )
 
     def zorder_by(self, *cols: str, target_partitions: int | None = None) -> int:
@@ -644,10 +770,11 @@ class DeltaliteTable:
         base, commit = self._snapshot()
         df = self.read(version=base).repartitionByRange(target_partitions or 8, *cols)
         rel = self._write_data_dir(df, base + 1, partition_by=commit.get("partition_by"))
+        rels = self._staged_rels(rel, commit.get("partition_by"))
         return self._commit_staged(
             "zorder",
-            [rel],
-            rel,
+            rels,
+            rels,
             {"zorder_cols": list(cols), "schema": df.schema.json()},
             base,
             commit,
@@ -663,23 +790,45 @@ class DeltaliteTable:
             if commit["timestamp"] >= cutoff or v == self.latest_version():
                 referenced.update(commit["live"])
         data_root = self._root / "data"
-        dead = [
-            f"data/{p.name}"
-            for p in sorted(data_root.iterdir())
-            if p.is_dir() and f"data/{p.name}" not in referenced
-        ] if data_root.exists() else []
+        dead: list[str] = []
+        if data_root.exists():
+            for p in sorted(data_root.iterdir()):
+                if not p.is_dir():
+                    continue
+                top_rel = f"data/{p.name}"
+                if top_rel in referenced:
+                    continue
+                prefix = top_rel + "/"
+                if not any(r.startswith(prefix) for r in referenced):
+                    dead.append(top_rel)
+                    continue
+                # per-partition-dir live entries: some partition dirs under
+                # this write are still referenced — delete only the dead ones
+                for sub in sorted(d for d in p.rglob("*") if d.is_dir()):
+                    rel = f"data/{sub.relative_to(data_root)}"
+                    if rel in referenced or any(
+                        r.startswith(rel + "/") for r in referenced
+                    ):
+                        continue
+                    if any(rel.startswith(dr + "/") for dr in dead):
+                        continue  # an ancestor is already being deleted
+                    dead.append(rel)
         # abandoned staging dirs (writer crashed pre-commit / lost OCC without
         # cleanup) age out with the same retention window, keyed on mtime —
         # but never one backing a committed-yet-unpublished version
         staging_root = self._root / "_staging"
         if staging_root.exists():
-            referenced_names = {Path(r).name for r in referenced}
+            referenced_tops = {
+                r.removeprefix("data/").split("/", 1)[0]
+                for r in referenced
+                if r.startswith("data/")
+            }
             dead += [
                 f"_staging/{p.name}"
                 for p in sorted(staging_root.iterdir())
                 if p.is_dir()
                 and p.stat().st_mtime < cutoff
-                and p.name not in referenced_names
+                and p.name not in referenced_tops
             ]
         if not dry_run:
             for rel in dead:
@@ -687,10 +836,26 @@ class DeltaliteTable:
         return dead
 
     # ----------------------------------------------------------------- merge
-    def _dir_key_bounds(self, rel: str, key: str):
-        """(min, max) of ``key`` across a data dir, from parquet FOOTER stats
-        only (no data read — the same metadata Delta keeps in its log)."""
+    def _dir_key_bounds(self, rel: str, key: str, commit: dict | None = None):
+        """(min, max) of ``key`` across a data dir — from, in order: the
+        ``key=value`` component of the dir's own path (partition-dir entries),
+        write-time stats recorded in the commit log (no file opened at all),
+        dir-name listing for partition columns, then parquet FOOTER stats as
+        the legacy fallback (metadata-only; pre-stats commits)."""
         root = self._root / rel
+        # a per-partition-dir live entry: its own path pins the key exactly
+        for comp in Path(rel).parts:
+            if comp.startswith(f"{key}="):
+                v = comp.split("=", 1)[1]
+                if re.search(r"[^A-Za-z0-9_.-]", v):
+                    break  # URL-escaped value: fall through to other sources
+                try:
+                    return int(v), int(v)
+                except ValueError:
+                    return v, v
+        logged = (commit or {}).get("dir_stats", {}).get(rel, {}).get(key)
+        if logged is not None:
+            return logged[0], logged[1]
         # partition column: its values are dir names, not footer stats
         part_dirs = sorted(root.glob(f"{key}=*"))
         if part_dirs:
@@ -769,7 +934,7 @@ class DeltaliteTable:
             if b.lo is not None:
                 rewrite = []
                 for d in live:
-                    bounds = self._dir_key_bounds(d, prune_on)
+                    bounds = self._dir_key_bounds(d, prune_on, commit)
                     try:
                         disjoint = bounds is not None and (
                             bounds[1] < b.lo or bounds[0] > b.hi
@@ -794,12 +959,13 @@ class DeltaliteTable:
                                   broadcast_source=broadcast_source)
         self._validate(commit.get("constraints", {}), merged)
         rel = self._write_data_dir(merged, base + 1, partition_by=commit.get("partition_by"))
+        rels = self._staged_rels(rel, commit.get("partition_by"))
         extra = {"condition": condition, "schema": merged.schema.json()}
         if kept:
             extra["pruned_dirs_kept"] = len(kept)
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
-        return self._commit_staged("merge", [*kept, rel], rel, extra, base, commit)
+        return self._commit_staged("merge", [*kept, *rels], rels, extra, base, commit)
 
 
 def merge_dataframes(
@@ -839,7 +1005,13 @@ def merge_dataframes(
     insert_clauses = [c for c in clauses if c.kind == "insert"]
 
     def clause_cond(c: MergeClause) -> Column:
-        return F.expr(c.condition) if c.condition is not None else F.lit(True)
+        # Delta treats a NULL clause condition as not-fired, same as false.
+        # Without the coalesce a NULL leaks into delete_fires (making the keep
+        # filter NULL → row silently DROPPED, i.e. a null condition *deletes*)
+        # and poisons later clauses' prior_neg gating.
+        if c.condition is None:
+            return F.lit(True)
+        return F.coalesce(F.expr(c.condition), F.lit(False))
 
     # A matched row is deleted iff the first matched-clause it satisfies is a
     # delete clause.
@@ -856,6 +1028,14 @@ def merge_dataframes(
     keep = F.col("__t").isNotNull() & ~delete_fires
     for c in insert_clauses:
         keep = keep | (unmatched_source & clause_cond(c))
+
+    # Default insert expression: pass the source column through, null-padding
+    # any output column the source does not carry (same typed-null-pad
+    # convention as the union operator) instead of failing resolution.
+    src_cols = set(source.columns)
+
+    def default_insert(col: str) -> str:
+        return f"source.{col}" if col in src_cols else "NULL"
 
     projections = []
     for col in out_cols:
@@ -875,7 +1055,11 @@ def merge_dataframes(
         prior_neg2 = F.lit(True)
         for c in insert_clauses:
             cond = unmatched_source & prior_neg2 & clause_cond(c)
-            ins_expr = (c.assignments or {}).get(col, f"source.{col}") if c.assignments else f"source.{col}"
+            ins_expr = (
+                (c.assignments or {}).get(col, default_insert(col))
+                if c.assignments
+                else default_insert(col)
+            )
             cascade = cascade.when(cond, F.expr(ins_expr))
             prior_neg2 = prior_neg2 & ~clause_cond(c)
         projections.append(cascade.alias(col))

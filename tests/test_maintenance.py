@@ -477,7 +477,9 @@ def test_partitioned_maintenance_preserves_spec(spark, tmp_path):
     t.append(spark.range(60, 90).selectExpr("id", "id % 3 AS part", "CAST(id AS DOUBLE) AS v"))
     t.compact()                                                  # v2
     assert t._read_commit(t.latest_version())["partition_by"] == ["part"]
-    assert (t._root / t._read_commit(t.latest_version())["live"][0] / "part=0").exists()
+    # partitioned writes publish one live entry per partition dir
+    live = t._read_commit(t.latest_version())["live"]
+    assert any(d.endswith("part=0") and (t._root / d).exists() for d in live)
     src = spark.range(5).selectExpr("id", "id % 3 AS part", "CAST(-1 AS DOUBLE) AS v")
     t.merge(
         src,
@@ -548,3 +550,84 @@ def test_partitioned_merge_equals_unpartitioned(spark, tmp_path):
         )
     assert results[0] == results[1]
     assert len(results[0]) == 120
+
+
+def test_merge_prunes_from_log_stats_without_opening_footers(spark, tmp_path):
+    """Write-time per-dir min/max stats land in the commit log; a later merge
+    prunes disjoint dirs from the log ALONE. Proven by poisoning pyarrow's
+    footer reader for the duration of the merge — any footer open would raise."""
+    import pyarrow.parquet as pq
+
+    from pyspark_cdc_engine.tables import MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "ls"))
+    for lo in (0, 1000, 2000):
+        t.append(spark.range(lo, lo + 100).selectExpr("id", "id AS v"))
+    commit = t._read_commit(t.latest_version())
+    assert all(
+        commit["dir_stats"][d]["id"] == [lo, lo + 99]
+        for d, lo in zip(sorted(commit["live"]), (0, 1000, 2000))
+    )
+
+    src = spark.range(50).selectExpr("id", "id + 9000 AS v")
+    orig = pq.ParquetFile
+
+    def poisoned(*a, **k):
+        # write-time stats harvesting of the merge's OWN staged output is
+        # expected; opening any COMMITTED dir's footer is the bug
+        if "_staging" in str(a[0]):
+            return orig(*a, **k)
+        raise AssertionError("merge pruning opened a parquet footer")
+
+    pq.ParquetFile = poisoned
+    try:
+        v = t.merge(
+            src,
+            "target.id = source.id",
+            [MergeClause("update", None, {"v": "source.v"})],
+            prune_on="id",
+        )
+    finally:
+        pq.ParquetFile = orig
+    assert t._read_commit(v).get("pruned_dirs_kept") == 2
+    assert t.read().filter("v >= 9000").count() == 50
+    assert t.read().count() == 300
+
+
+def test_merge_leaves_untouched_partition_dirs_unread(spark, tmp_path):
+    """IO proof for partition-level merge pruning: corrupt the parquet files
+    of partitions the source can't touch, then merge — success means those
+    dirs were never read (a scan would crash), and the commit still references
+    them verbatim (never rewritten)."""
+    from pyspark_cdc_engine.tables import MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "io"))
+    # one write, three partition dirs; ids are disjoint ranges per partition
+    df = spark.range(300).selectExpr("id", "CAST(id DIV 100 AS INT) AS band", "id AS v")
+    t.append(df, partition_by=["band"])
+    live0 = t._read_commit(t.latest_version())["live"]
+    assert sorted(d.rsplit("/", 1)[1] for d in live0) == ["band=0", "band=1", "band=2"]
+
+    # corrupt every parquet file in band=1 and band=2 — unreadable from now on
+    for d in live0:
+        if d.endswith(("band=1", "band=2")):
+            for f in (t._root / d).rglob("*.parquet"):
+                f.write_bytes(b"not a parquet file")
+
+    src = spark.range(10).selectExpr("id", "CAST(0 AS INT) AS band", "id + 5000 AS v")
+    v = t.merge(
+        src,
+        "target.id = source.id",
+        [MergeClause("update", None, {"v": "source.v"})],
+        prune_on="id",  # NOT the partition column: stats come from the log
+    )
+    commit = t._read_commit(v)
+    assert commit.get("pruned_dirs_kept") == 2
+    kept = [d for d in commit["live"] if d in live0]
+    assert sorted(d.rsplit("/", 1)[1] for d in kept) == ["band=1", "band=2"]
+    # the rewritten band=0 partition is readable and merged
+    rewritten = [d for d in commit["live"] if d not in live0]
+    got = t._read_dirs(
+        [str(t._root / d) for d in rewritten], commit.get("schema"), ["band"]
+    )
+    assert got.filter("v >= 5000").count() == 10

@@ -231,7 +231,7 @@ def test_partitioned_orders_current_matches_flat(spark, tmp_path):
                    partition_by=["currency"])
     assert parted._read_commit(parted.latest_version())["partition_by"] == ["currency"]
     live = parted._read_commit(parted.latest_version())["live"]
-    assert any((parted._root / d / "currency=USD").exists() for d in live)
+    assert any("currency=USD" in d and (parted._root / d).exists() for d in live)
     f = {(r.orderId, r.version, r.totalAmount, r.currency)
          for r in flat.read().collect()}
     p = {(r.orderId, r.version, r.totalAmount, r.currency)
