@@ -71,3 +71,68 @@ def test_media_features_match_python_reference(spark):
 def test_multimodal_meta_no_python_in_plan(spark):
     plan = multimodal_meta(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # metadata path must stay JVM-side
+
+
+# ---------------------------------------------------------------- real codecs
+def test_bmp_roundtrip_geometry_and_mean():
+    from pyspark_cdc_engine.operators.multimodal import decode_bmp, synthesize_bmp
+
+    content = bytes(range(200))  # 200 bytes -> height = 200 // 48 = 4
+    bmp = synthesize_bmp(content)
+    feat = decode_bmp(bmp)
+    assert (feat["width"], feat["height"]) == (16, 4)
+    n_pix = 16 * 3 * 4
+    assert feat["mean_value"] == sum(content[:n_pix]) / n_pix
+
+
+def test_bmp_short_content_pads_one_row():
+    from pyspark_cdc_engine.operators.multimodal import decode_bmp, synthesize_bmp
+
+    content = b"abc"  # < one 48-byte row: zero-padded
+    feat = decode_bmp(synthesize_bmp(content))
+    assert (feat["width"], feat["height"]) == (16, 1)
+    assert feat["mean_value"] == sum(content) / 48
+
+
+def test_bmp_rejects_bad_magic_and_variant():
+    import pytest
+
+    from pyspark_cdc_engine.operators.multimodal import decode_bmp, synthesize_bmp
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"\x89PNG" + b"\x00" * 60)
+    bad = bytearray(synthesize_bmp(b"x" * 60))
+    bad[28] = 8  # declare 8 bpp
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_bmp(bytes(bad))
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    from pyspark_cdc_engine.operators.multimodal import decode_wav, synthesize_wav
+
+    content = bytes((i * 7) % 256 for i in range(300))
+    wav = synthesize_wav(content)
+    feat = decode_wav(wav)
+    assert feat["sample_rate"] == 8000
+    assert feat["n_samples"] == 256
+    assert feat["mean_value"] == sum(content[:256]) / 256
+    # a spec-conformant decoder skips unknown chunks (word-aligned walk)
+    body = wav[12:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size padded
+    patched = (
+        b"RIFF" + struct.pack("<I", 4 + len(extra) + len(body)) + b"WAVE" + extra + body
+    )
+    assert decode_wav(patched) == feat
+
+
+def test_wav_rejects_malformed():
+    import pytest
+
+    from pyspark_cdc_engine.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="missing"):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
