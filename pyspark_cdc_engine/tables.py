@@ -752,33 +752,120 @@ class DeltaliteTable:
             extra["dir_stats"] = commit["dir_stats"]
         return self._write_commit("restore", commit["live"], extra, base)
 
-    def compact(self, target_partitions: int | None = None) -> int:
-        """OPTIMIZE analog: rewrite the live set as one right-sized dir."""
+    def compact(self, target_partitions: int | None = None, where: str | None = None) -> int:
+        """OPTIMIZE analog (db/table_maintenance.sql:28-31). For a partitioned
+        table this is PARTITION-SCOPED, the only shape that survives 100 TB:
+        only partitions fragmented across >1 live dir (and matching ``where``,
+        a SQL predicate over the partition columns — the ``OPTIMIZE ... WHERE``
+        analog) are read and rewritten; every other partition's live entry and
+        logged stats carry over untouched, no IO at all. Unpartitioned tables
+        keep the whole-table rewrite."""
         base, commit = self._snapshot()
-        df = self.read(version=base)
+        spec = commit.get("partition_by")
+        live = list(commit["live"])
+        # legacy whole-dir entries can't be regrouped per partition: fall back
+        per_partition = bool(spec) and all(
+            "=" in Path(r).parts[-1] for r in live
+        )
+        if not per_partition:
+            if where is not None:
+                raise ValueError("where= requires a partitioned table")
+            df = self.read(version=base)
+            if target_partitions:
+                df = df.coalesce(target_partitions)
+            rel = self._write_data_dir(df, base + 1, partition_by=spec)
+            rels = self._staged_rels(rel, spec)
+            return self._commit_staged(
+                "compact", rels, rels, {"schema": df.schema.json()}, base, commit
+            )
+
+        # group live entries by their partition suffix (k=v[/k2=v2...])
+        groups: dict[str, list[str]] = {}
+        for r in live:
+            suffix = "/".join(p for p in Path(r).parts if "=" in p)
+            groups.setdefault(suffix, []).append(r)
+        selected = set(groups)
+        if where is not None:
+            selected = self._partitions_matching(where, groups, commit)
+        rewrite = {s for s in selected if len(groups[s]) > 1}
+        if not rewrite:
+            return base  # nothing fragmented: no-op, no commit
+        kept = [r for s, rels in groups.items() if s not in rewrite for r in rels]
+        src_dirs = [str(self._root / r) for s in rewrite for r in groups[s]]
+        df = self._read_dirs(src_dirs, commit.get("schema"), spec)
         if target_partitions:
             df = df.coalesce(target_partitions)
-        rel = self._write_data_dir(df, base + 1, partition_by=commit.get("partition_by"))
-        rels = self._staged_rels(rel, commit.get("partition_by"))
-        return self._commit_staged(
-            "compact", rels, rels, {"schema": df.schema.json()}, base, commit
-        )
+        rel = self._write_data_dir(df, base + 1, partition_by=spec)
+        rels = self._staged_rels(rel, spec)
+        extra = {
+            "schema": df.schema.json(),
+            "compacted_partitions": len(rewrite),
+            "kept_partitions": len(groups) - len(rewrite),
+        }
+        return self._commit_staged("compact", [*kept, *rels], rels, extra, base, commit)
 
-    def zorder_by(self, *cols: str, target_partitions: int | None = None) -> int:
-        """OPTIMIZE ... ZORDER BY analog: range-cluster the live set on ``cols`` so
-        per-file min/max stats become selective for those keys (data skipping)."""
-        base, commit = self._snapshot()
-        df = self.read(version=base).repartitionByRange(target_partitions or 8, *cols)
-        rel = self._write_data_dir(df, base + 1, partition_by=commit.get("partition_by"))
-        rels = self._staged_rels(rel, commit.get("partition_by"))
-        return self._commit_staged(
-            "zorder",
-            rels,
-            rels,
-            {"zorder_cols": list(cols), "schema": df.schema.json()},
-            base,
-            commit,
+    def _partitions_matching(
+        self, where: str, groups: dict[str, list[str]], commit: dict
+    ) -> set[str]:
+        """Evaluate a SQL predicate over partition VALUES (one tiny local row
+        per partition — never touches data files) and return matching suffixes."""
+        spec = commit["partition_by"]
+        rows = []
+        for suffix in groups:
+            vals = dict(p.split("=", 1) for p in suffix.split("/"))
+            rows.append((suffix, *[vals.get(c) for c in spec]))
+        pf = self.spark.createDataFrame(
+            rows, ["__suffix", *spec]
         )
+        if commit.get("schema"):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(commit["schema"]))
+            for c in spec:
+                if c in schema.fieldNames():
+                    pf = pf.withColumn(c, F.col(c).cast(schema[c].dataType))
+        return {r["__suffix"] for r in pf.filter(where).select("__suffix").collect()}
+
+    def zorder_by(
+        self,
+        *cols: str,
+        target_partitions: int | None = None,
+        where: str | None = None,
+    ) -> int:
+        """OPTIMIZE ... ZORDER BY analog: range-cluster the live set on ``cols`` so
+        per-file min/max stats become selective for those keys (data skipping).
+        ``where`` (SQL over the partition columns) scopes the rewrite to matching
+        partitions of a partitioned table — non-matching partitions' live entries
+        and logged stats carry over with zero IO, the only workable shape when a
+        100 TB table needs one hot partition re-clustered."""
+        base, commit = self._snapshot()
+        spec = commit.get("partition_by")
+        live = list(commit["live"])
+        kept: list[str] = []
+        src = self.read(version=base)
+        extra: dict = {"zorder_cols": list(cols)}
+        if where is not None:
+            if not spec or not all("=" in Path(r).parts[-1] for r in live):
+                raise ValueError("where= requires a partitioned table")
+            groups: dict[str, list[str]] = {}
+            for r in live:
+                suffix = "/".join(p for p in Path(r).parts if "=" in p)
+                groups.setdefault(suffix, []).append(r)
+            selected = self._partitions_matching(where, groups, commit)
+            if not selected:
+                return base  # nothing matches: no-op
+            kept = [r for s, rels in groups.items() if s not in selected for r in rels]
+            src = self._read_dirs(
+                [str(self._root / r) for s in selected for r in groups[s]],
+                commit.get("schema"),
+                spec,
+            )
+            extra["zordered_partitions"] = len(selected)
+        df = src.repartitionByRange(target_partitions or 8, *cols)
+        rel = self._write_data_dir(df, base + 1, partition_by=spec)
+        rels = self._staged_rels(rel, spec)
+        extra["schema"] = df.schema.json()
+        return self._commit_staged("zorder", [*kept, *rels], rels, extra, base, commit)
 
     def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False) -> list[str]:
         """Delete data dirs not referenced by any commit within the retention window

@@ -631,3 +631,70 @@ def test_merge_leaves_untouched_partition_dirs_unread(spark, tmp_path):
         [str(t._root / d) for d in rewritten], commit.get("schema"), ["band"]
     )
     assert got.filter("v >= 5000").count() == 10
+
+
+def test_partition_scoped_compact(spark, tmp_path):
+    """OPTIMIZE-WHERE analog: only partitions fragmented across >1 live dir
+    (and matching the predicate) are rewritten; every other partition's live
+    entry carries over verbatim — zero IO on healthy partitions."""
+    t = DeltaliteTable(spark, str(tmp_path / "pc"))
+    # band 0 and 1 get three appends each; band 2 only one (never fragmented)
+    for i in range(3):
+        hi = 3 if i == 0 else 2
+        t.append(
+            spark.range(100).selectExpr(
+                "id", f"CAST(id % {hi} AS INT) AS band", "id AS v"
+            ),
+            partition_by=["band"] if i == 0 else None,
+        )
+    before = t._read_commit(t.latest_version())["live"]
+    band2 = [d for d in before if d.endswith("band=2")]
+    assert len(band2) == 1
+
+    v = t.compact(target_partitions=1)
+    commit = t._read_commit(v)
+    assert commit["compacted_partitions"] == 2
+    assert commit["kept_partitions"] == 1
+    # band=2's entry is byte-identical (carried over, not rewritten)
+    assert band2[0] in commit["live"]
+    assert {d.rsplit("/", 1)[1] for d in commit["live"]} == {"band=0", "band=1", "band=2"}
+    assert len([d for d in commit["live"] if d.endswith("band=0")]) == 1
+    assert t.read().count() == 300
+    # re-compacting a healthy table is a no-op commit-wise
+    assert t.compact() == v
+
+    # WHERE-scoped: fragment band 0 and 1 again, compact only band=1
+    t.append(spark.range(100, 140).selectExpr("id", "CAST(id % 2 AS INT) AS band", "id AS v"))
+    v2 = t.compact(where="band = 1")
+    c2 = t._read_commit(v2)
+    assert c2["compacted_partitions"] == 1
+    assert len([d for d in c2["live"] if d.endswith("band=0")]) == 2  # untouched
+    assert len([d for d in c2["live"] if d.endswith("band=1")]) == 1
+    assert t.read().count() == 340
+    # unpartitioned where= refused
+    flat = DeltaliteTable(spark, str(tmp_path / "flat3"))
+    flat.append(spark.range(5).toDF("id"))
+    with pytest.raises(ValueError, match="partitioned"):
+        flat.compact(where="id = 1")
+
+
+def test_partition_scoped_zorder(spark, tmp_path):
+    """ZORDER ... WHERE: only matching partitions re-clustered; others carry
+    over verbatim."""
+    t = DeltaliteTable(spark, str(tmp_path / "pz"))
+    t.append(
+        spark.range(400).selectExpr("id", "CAST(id % 2 AS INT) AS band", "id % 37 AS k"),
+        partition_by=["band"],
+    )
+    t.append(spark.range(400, 600).selectExpr("id", "CAST(id % 2 AS INT) AS band", "id % 37 AS k"))
+    live0 = t._read_commit(t.latest_version())["live"]
+    band0_before = sorted(d for d in live0 if d.endswith("band=0"))
+
+    v = t.zorder_by("k", target_partitions=2, where="band = 1")
+    c = t._read_commit(v)
+    assert c["zordered_partitions"] == 1
+    assert sorted(d for d in c["live"] if d.endswith("band=0")) == band0_before
+    assert len([d for d in c["live"] if d.endswith("band=1")]) == 1
+    assert t.read().count() == 600
+    # no partition matches -> no-op
+    assert t.zorder_by("k", where="band = 99") == v
