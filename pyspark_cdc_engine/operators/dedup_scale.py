@@ -14,11 +14,13 @@ These are the 100 TB variants of the exact algorithms in
 - **IVF-bucketed ANN**: assign vectors to nearest-of-C centroids, then search
   only the query's bucket — the N/C scan that replaces brute force.
 
-Portability trick that makes every one of these DuckDB-oracle-able: all hash
-families are built from ``md5`` (identical hex output in both engines), minhash
-"permutations" are lexicographic MIN over seeded md5 strings, and all float
-accumulation is DECIMAL (order-independent), so Spark and DuckDB produce
-bit-identical rows.
+Portability tricks that make every one of these DuckDB-oracle-able: all hash
+families derive from ``md5`` (identical hex output in both engines), minhash
+"permutations" are universal hashes over an md5-derived 32-bit int, float
+accumulation that REACHES the output is DECIMAL (order-independent), and dots
+that only feed an argmax/bucketing decision use a fixed-point int64 sum
+(floor-scaled IEEE products — deterministic and ~5x cheaper). Spark and DuckDB
+therefore produce bit-identical rows.
 """
 
 from __future__ import annotations
@@ -204,9 +206,14 @@ def _simhash_fingerprint_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     (instr into '0123…f'), the only formulation that is expression-identical
     across engines."""
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(F.expr(_shingle_expr_spark(_SH_FEAT_W))).alias("w")
-    ).distinct().withColumn("h", F.expr("md5(CAST(w AS BINARY))"))
+    # only the first 8 md5 hex digits are used: dedup features on THAT
+    # (8 bytes/row through the distinct shuffle instead of ~20-char shingles;
+    # 32-bit collisions merge features identically in both engines)
+    words = (
+        d.select("doc_id", F.explode(F.expr(_shingle_expr_spark(_SH_FEAT_W))).alias("w"))
+        .select("doc_id", F.expr("substr(md5(CAST(w AS BINARY)), 1, 8)").alias("h"))
+        .distinct()
+    )
     # digit value per hex position p: 0..15
     for p in range(8):
         words = words.withColumn(
@@ -236,15 +243,14 @@ def _simhash_fingerprint_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_CTE_DUCK = f"""
-    words AS (
-      SELECT DISTINCT doc_id, sh AS w FROM (
+    hx AS (
+      SELECT DISTINCT doc_id, substr(md5(sh), 1, 8) AS h FROM (
         SELECT doc_id, sh FROM (
           SELECT doc_id, string_split(text, ' ') AS wl FROM documents
         ), UNNEST(range(1, len(wl) - {_SH_FEAT_W} + 2)) AS t(i),
         LATERAL (SELECT array_to_string(list_slice(wl, i, i + {_SH_FEAT_W} - 1), ' ') AS sh)
       )
     ),
-    hx AS (SELECT doc_id, md5(w) AS h FROM words),
     dv AS (
       SELECT doc_id,
              {', '.join(f"instr('{_HEXD}', substr(h, {p + 1}, 1)) - 1 AS v{p}" for p in range(8))}

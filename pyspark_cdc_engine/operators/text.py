@@ -192,7 +192,9 @@ _JACCARD_PAIRS_SQL = f"""
       ), UNNEST(range(1, len(w) - {_SHINGLE_W} + 2)) AS t(i),
       LATERAL (SELECT array_to_string(list_slice(w, i, i + {_SHINGLE_W} - 1), ' ') AS sh)
     ),
-    sets AS (SELECT DISTINCT doc_id, sh FROM shingled),
+    -- shingles dedup/join on 15-hex hashes: ~4x fewer shuffle bytes, and
+    -- collisions merge shingles identically in both engines (parity exact)
+    sets AS (SELECT DISTINCT doc_id, substr(md5(sh), 1, 15) AS sh FROM shingled),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
@@ -246,6 +248,8 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sh"),
         )
+        # dedup and self-join on 15-hex shingle hashes, not ~60-char strings
+        .select("doc_id", F.expr("substr(md5(CAST(sh AS BINARY)), 1, 15)").alias("sh"))
         .distinct()
     )
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
