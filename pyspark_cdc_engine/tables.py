@@ -236,7 +236,9 @@ class DeltaliteTable:
     # (dataSkippingNumIndexedCols); 8 covers every key this engine merges on.
     _STATS_MAX_COLS = 8
 
-    def _staged_stats(self, rels: list[str]) -> dict[str, dict[str, list]]:
+    def _staged_stats(
+        self, rels: list[str], force_cols: tuple[str, ...] = ()
+    ) -> dict[str, dict[str, list]]:
         """Write-time per-dir min/max stats, harvested from the freshly staged
         parquet FOOTERS (one metadata read per file, amortized into the write)
         and recorded in the commit — the same add-file stats Delta keeps in its
@@ -256,9 +258,11 @@ class DeltaliteTable:
                 md = pq.ParquetFile(f).metadata
                 for rg in range(md.num_row_groups):
                     row_group = md.row_group(rg)
-                    for i in range(min(md.num_columns, self._STATS_MAX_COLS)):
+                    for i in range(md.num_columns):
                         col = row_group.column(i)
                         name = col.path_in_schema
+                        if i >= self._STATS_MAX_COLS and name not in force_cols:
+                            continue  # index first N cols + any named keys
                         if "." in name or name in dropped:
                             continue  # nested leaves: not mergeable per column
                         st = col.statistics
@@ -323,7 +327,13 @@ class DeltaliteTable:
             reader = self.spark.read.option("basePath", base)
             if schema is not None:
                 reader = reader.schema(schema)
-            frames.append(reader.parquet(*ds))
+            df = reader.parquet(*ds)
+            if schema is not None:
+                # partition discovery appends physical-only dir columns (e.g.
+                # zorder's __zr range buckets) even with an explicit schema —
+                # the LOG schema is the contract, so project down to it
+                df = df.select(*[f.name for f in schema.fields])
+            frames.append(df)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
@@ -358,6 +368,7 @@ class DeltaliteTable:
         extra: dict | None,
         base_version: int,
         base_commit: dict | None = None,
+        stats_cols: tuple[str, ...] = (),
     ) -> int:
         """Commit-then-publish for writes carrying new data dir(s); the staged
         dirs are discarded (never published) if another writer won the version.
@@ -366,7 +377,7 @@ class DeltaliteTable:
         if isinstance(staged_rels, str):
             staged_rels = [staged_rels]
         extra = dict(extra or {})
-        stats = self._staged_stats(staged_rels)
+        stats = self._staged_stats(staged_rels, force_cols=stats_cols)
         if stats:
             extra["dir_stats"] = {**extra.get("dir_stats", {}), **stats}
         try:
@@ -832,8 +843,14 @@ class DeltaliteTable:
         target_partitions: int | None = None,
         where: str | None = None,
     ) -> int:
-        """OPTIMIZE ... ZORDER BY analog: range-cluster the live set on ``cols`` so
-        per-file min/max stats become selective for those keys (data skipping).
+        """OPTIMIZE ... ZORDER BY analog: range-cluster the live set on ``cols``.
+        Each range bucket is published as its OWN data dir (a hidden ``__zr``
+        physical partition, stripped from reads by the log schema), so the
+        write-time per-dir stats become selective for the cluster keys — and a
+        later ``merge(prune_on=key)`` skips every non-overlapping range dir
+        from the log alone. This closes the Delta data-skipping loop: ZORDER a
+        current-state table by its merge key and CDC merges rewrite only the
+        key ranges a batch touches.
         ``where`` (SQL over the partition columns) scopes the rewrite to matching
         partitions of a partitioned table — non-matching partitions' live entries
         and logged stats carry over with zero IO, the only workable shape when a
@@ -861,11 +878,17 @@ class DeltaliteTable:
                 spec,
             )
             extra["zordered_partitions"] = len(selected)
-        df = src.repartitionByRange(target_partitions or 8, *cols)
-        rel = self._write_data_dir(df, base + 1, partition_by=spec)
-        rels = self._staged_rels(rel, spec)
-        extra["schema"] = df.schema.json()
-        return self._commit_staged("zorder", [*kept, *rels], rels, extra, base, commit)
+        df = src.repartitionByRange(target_partitions or 8, *cols).withColumn(
+            "__zr", F.spark_partition_id()
+        )
+        phys_spec = [*(spec or []), "__zr"]
+        rel = self._write_data_dir(df, base + 1, partition_by=phys_spec)
+        rels = self._staged_rels(rel, phys_spec)
+        # the log schema omits __zr, so reads never surface it
+        extra["schema"] = src.schema.json()
+        return self._commit_staged(
+            "zorder", [*kept, *rels], rels, extra, base, commit, stats_cols=tuple(cols)
+        )
 
     def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False) -> list[str]:
         """Delete data dirs not referenced by any commit within the retention window
@@ -1052,7 +1075,10 @@ class DeltaliteTable:
             extra["pruned_dirs_kept"] = len(kept)
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
-        return self._commit_staged("merge", [*kept, *rels], rels, extra, base, commit)
+        return self._commit_staged(
+            "merge", [*kept, *rels], rels, extra, base, commit,
+            stats_cols=(prune_on,) if prune_on else (),
+        )
 
 
 def merge_dataframes(

@@ -694,7 +694,84 @@ def test_partition_scoped_zorder(spark, tmp_path):
     c = t._read_commit(v)
     assert c["zordered_partitions"] == 1
     assert sorted(d for d in c["live"] if d.endswith("band=0")) == band0_before
-    assert len([d for d in c["live"] if d.endswith("band=1")]) == 1
+    # rewritten partition now holds one dir per zorder range bucket
+    assert 1 <= len([d for d in c["live"] if "band=1/" in d]) <= 2
     assert t.read().count() == 600
     # no partition matches -> no-op
     assert t.zorder_by("k", where="band = 99") == v
+
+
+def test_zorder_then_merge_prunes_key_ranges(spark, tmp_path):
+    """The data-skipping loop: ZORDER BY the merge key publishes one dir per
+    key range with logged stats; a narrow CDC merge then keeps every
+    non-overlapping range dir verbatim — the Delta OPTIMIZE+merge pattern."""
+    from pyspark_cdc_engine.tables import MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "zm"))
+    t.append(spark.range(10_000).selectExpr("id", "id AS v"))
+    t.zorder_by("id", target_partitions=8)
+    zc = t._read_commit(t.latest_version())
+    assert len(zc["live"]) == 8  # one dir per range bucket
+    assert all("__zr=" in d for d in zc["live"])
+    assert all("id" in zc["dir_stats"][d] for d in zc["live"])
+    # __zr is physical only: never surfaced by reads
+    assert "__zr" not in t.read().columns
+    assert t.read().count() == 10_000
+
+    src = spark.range(100).selectExpr("id", "id + 50000 AS v")  # ids 0..99
+    v = t.merge(
+        src,
+        "target.id = source.id",
+        [MergeClause("update", None, {"v": "source.v"})],
+        prune_on="id",
+    )
+    c = t._read_commit(v)
+    assert c.get("pruned_dirs_kept") == 7  # only the 0..99 range dir rewritten
+    assert t.read().filter("v >= 50000").count() == 100
+    assert t.read().count() == 10_000
+
+
+def test_zorder_partitioned_table_keeps_spec_and_prunes(spark, tmp_path):
+    """ZORDER on a partitioned table nests ranges under the partition dirs;
+    reads recover the partition column and never see __zr."""
+    from pyspark_cdc_engine.tables import MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "zp"))
+    t.append(
+        spark.range(2_000).selectExpr("id", "CAST(id % 2 AS INT) AS part", "id AS v"),
+        partition_by=["part"],
+    )
+    t.zorder_by("id", target_partitions=4)
+    c = t._read_commit(t.latest_version())
+    assert all("part=" in d and "__zr=" in d for d in c["live"])
+    assert sorted(t.read().columns) == ["id", "part", "v"]
+    assert t.read().filter("part = 1").count() == 1_000
+    v = t.merge(
+        spark.range(50).selectExpr("id", "CAST(id % 2 AS INT) AS part", "id + 90000 AS v"),
+        "target.id = source.id",
+        [MergeClause("update", None, {"v": "source.v"})],
+        prune_on="id",
+    )
+    assert t._read_commit(v).get("pruned_dirs_kept", 0) >= 1
+    assert t.read().filter("v >= 90000").count() == 50
+    assert t.read().count() == 2_000
+
+
+def test_stats_force_include_zorder_key_beyond_first_cols(spark, tmp_path):
+    """A zorder/prune key past the first-8-column stats window is still
+    indexed (force-included), so range pruning works on wide tables."""
+    from pyspark_cdc_engine.tables import MergeClause
+
+    cols = [f"id + {i} AS c{i}" for i in range(9)]
+    t = DeltaliteTable(spark, str(tmp_path / "wide"))
+    t.append(spark.range(1_000).selectExpr("id", *cols, "id AS key"))  # key is col 11
+    t.zorder_by("key", target_partitions=4)
+    c = t._read_commit(t.latest_version())
+    assert all("key" in c["dir_stats"][d] for d in c["live"])
+    v = t.merge(
+        spark.range(10).selectExpr("id", *cols, "id AS key"),
+        "target.key = source.key",
+        [MergeClause("update", None, {"c0": "source.c0"})],
+        prune_on="key",
+    )
+    assert t._read_commit(v).get("pruned_dirs_kept") == 3
