@@ -338,18 +338,15 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # the moved flag rides the checkpointed frame, so the convergence
+        # probe is a filter over materialized rows — no extra join per round
         new_labels = labels.join(prop, "id", "left").select(
             "id",
             F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            (F.coalesce("nlabel", "label") < F.col("label")).alias("moved"),
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter("n.label <> o.label")
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("moved").limit(1).count()
+        labels = new_labels.drop("moved")
         if changed == 0:
             break
     else:
@@ -689,13 +686,19 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
         .distinct()
     )
     is_bench = F.col("doc_id") % _DECON_MOD == 0
-    bench = sets.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "h")
-    live = bench.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= _DECON_MAX_DF
+    # one aggregation builds the stop-shingle-guarded inverted index (df
+    # filter + posting list together), so the benchmark shingle pass runs
+    # once instead of twice
+    bench_index = (
+        sets.filter(is_bench)
+        .groupBy("h")
+        .agg(F.collect_list("doc_id").alias("bench_ids"))
+        .filter(F.size("bench_ids") <= _DECON_MAX_DF)
+        .select("h", F.explode("bench_ids").alias("bench_id"))
     )
     hits = (
         sets.filter(~is_bench)
-        .join(bench.join(live.select("h"), "h"), "h")
+        .join(bench_index, "h")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= _DECON_T)
