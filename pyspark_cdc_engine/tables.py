@@ -398,6 +398,57 @@ class DeltaliteTable:
         return v
 
     # ----------------------------------------------------------------- reads
+    def scan(
+        self,
+        key_bounds: dict[str, tuple] | None = None,
+        where: str | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping read (Delta's stats-based file skipping, at dir
+        granularity): ``key_bounds`` maps column -> ``(lo, hi)`` (either end
+        ``None`` for open); any live dir whose logged write-time [min, max]
+        for that column cannot intersect the range is SKIPPED — never listed,
+        never opened. The structured form is sound by construction (interval
+        disjointness), unlike rewriting arbitrary SQL. ``where`` then applies
+        as an ordinary filter, giving Spark's row-group-level pushdown the
+        remainder. After ``zorder_by(key)``, a narrow ``scan(key_bounds=
+        {key: (a, b)})`` touches only the overlapping range dirs — the read
+        analog of the pruned merge."""
+        v = self.latest_version() if version is None else version
+        commit = self._read_commit(v)
+        self._ensure_published(commit["live"])
+        live = list(commit["live"])
+        for col, (lo, hi) in (key_bounds or {}).items():
+            keep = []
+            for rel in live:
+                bounds = self._dir_key_bounds(rel, col, commit)
+                try:
+                    disjoint = bounds is not None and (
+                        (hi is not None and bounds[0] > hi)
+                        or (lo is not None and bounds[1] < lo)
+                    )
+                except TypeError:  # cross-type comparison: keep conservatively
+                    disjoint = False
+                if not disjoint:
+                    keep.append(rel)
+            live = keep
+        if not live:
+            return self.read(version=v).limit(0)
+        df = self._read_dirs(
+            [str(self._root / d) for d in live],
+            commit.get("schema"),
+            commit.get("partition_by"),
+        )
+        # re-apply the bounds as row filters (dir stats prune dirs, not rows)
+        for col, (lo, hi) in (key_bounds or {}).items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        if where is not None:
+            df = df.filter(where)
+        return df
+
     def read(self, version: int | None = None) -> DataFrame:
         """Batch read; ``version`` = time travel (VERSION AS OF analog).
 

@@ -775,3 +775,46 @@ def test_stats_force_include_zorder_key_beyond_first_cols(spark, tmp_path):
         prune_on="key",
     )
     assert t._read_commit(v).get("pruned_dirs_kept") == 3
+
+
+def test_scan_skips_dirs_from_log_stats(spark, tmp_path):
+    """Data-skipping read: dirs outside key_bounds are never opened — proven
+    by corrupting their parquet files; zorder makes the skipping selective."""
+    t = DeltaliteTable(spark, str(tmp_path / "ds"))
+    t.append(spark.range(8_000).selectExpr("id", "id AS v"))
+    t.zorder_by("id", target_partitions=8)
+    commit = t._read_commit(t.latest_version())
+    # corrupt every range dir whose ids are all >= 2000
+    corrupted = 0
+    for d in commit["live"]:
+        lo, hi = commit["dir_stats"][d]["id"]
+        if lo >= 2000:
+            for f in (t._root / d).rglob("*.parquet"):
+                f.write_bytes(b"garbage")
+            corrupted += 1
+    assert corrupted >= 5
+    out = t.scan(key_bounds={"id": (100, 1500)})
+    assert out.count() == 1401  # succeeds: corrupted dirs never read
+    assert out.selectExpr("min(id) lo", "max(id) hi").first()[:] == (100, 1500)
+    # open-ended bound + residual where filter
+    low = t.scan(key_bounds={"id": (None, 999)}, where="v % 2 = 0")
+    assert low.count() == 500
+    # fully disjoint bounds: empty frame, correct schema, no read
+    assert t.scan(key_bounds={"id": (10**9, None)}).count() == 0
+
+
+def test_scan_string_key_bounds(spark, tmp_path):
+    """String min/max stats round-trip the log and prune correctly."""
+    t = DeltaliteTable(spark, str(tmp_path / "dstr"))
+    t.append(spark.range(0, 100).selectExpr("concat('a', lpad(id, 3, '0')) AS k", "id AS v"))
+    t.append(spark.range(0, 100).selectExpr("concat('m', lpad(id, 3, '0')) AS k", "id AS v"))
+    t.append(spark.range(0, 100).selectExpr("concat('z', lpad(id, 3, '0')) AS k", "id AS v"))
+    # corrupt the a* and z* dirs: only the m* dir may be read
+    commit = t._read_commit(t.latest_version())
+    for d in commit["live"]:
+        lo, hi = commit["dir_stats"][d]["k"]
+        if not lo.startswith("m"):
+            for f in (t._root / d).rglob("*.parquet"):
+                f.write_bytes(b"garbage")
+    out = t.scan(key_bounds={"k": ("m000", "m049")})
+    assert out.count() == 50
