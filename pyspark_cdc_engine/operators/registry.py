@@ -103,7 +103,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (which truncates nanos to micros natively) agree.
         from pyspark.sql.types import LongType
 
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df.schema  # force analysis so an illegal-type error surfaces here
+        except Exception:
+            # TIMESTAMP(NANOS) encoding + a session without the legacy conf
+            # (the certification harness uses a plain SparkSession): opt in to
+            # nanos-as-bigint and retry — only touched on this failure path,
+            # so ordinary sessions stay unmutated
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer division: double division loses sub-microsecond exactness
             # for nanosecond epochs beyond 2^53 and lands 1us off DuckDB
