@@ -24,11 +24,56 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["region_revenue"].spark(spark, "/root/testdata/sf0.001")
 
 
+def _certification_order() -> list[str]:
+    """Registry names sorted least-recently-certified first.
+
+    The driver's correctness gate samples a prefix of ``queries()`` in dict
+    order, so iteration order decides which operators get a driver-side DuckDB
+    certification each round.  To guarantee every operator is eventually
+    certified (not just locally parity-tested), rotate: a query green in round
+    N sorts after one last green in round M < N, and queries never yet sampled
+    sort first.  Ties keep registry (registration) order.  Reading the
+    committed ``CORRECTNESS_r*.json`` artifacts makes this self-maintaining —
+    no per-round hand edits.
+    """
+    import json
+    import re
+
+    last_green: dict[str, int] = {}
+    here = Path(__file__).resolve().parent
+    for p in sorted(here.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            results = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in results.items():
+            if not isinstance(row, dict) or name not in REGISTRY:
+                continue
+            if row.get("rows_match") and row.get("hash_match") in (True, None):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
+    names = list(REGISTRY)
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last_green.get(n, 0), idx[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.spark for name, q in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered least-recently-driver-certified first (see
+    :func:`_certification_order`) so prefix sampling rotates coverage.
+    """
+    return {name: REGISTRY[name].spark for name in _certification_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query (omitted → rows-only check)."""
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _certification_order()
+        if REGISTRY[name].oracle is not None
+    }
