@@ -58,13 +58,33 @@ class IncrementalAggregate:
             )
         return rows.groupBy(*self.keys).agg(*aggs)
 
+    @property
+    def _txn_app(self) -> str:
+        return f"mv:{self.summary.path}"
+
     def last_refreshed_version(self) -> int:
+        """Highest base version whose rows are already folded in.
+
+        Consults BOTH the watermark commits (``refresh_upto``) and the fold
+        commits' own ``(txn_app, txn_version=upto)`` tag.  The fold and the
+        watermark land in two commits; after a crash between them the fold
+        commit is the only record of what was folded — and if the base gained
+        new appends before the re-run, the txn guard alone would not trip
+        (``upto' > upto``) and ``read_changes(stale_since, upto')`` would
+        re-include the already-folded delta.  Taking the max of the two makes
+        a resumed refresh start from the *folded* version, not the stale
+        watermark, closing that double-count window."""
         if not self.summary.exists():
             return -1
+        upto = -1
         for commit in self.summary.history():
             if "refresh_upto" in commit:
-                return int(commit["refresh_upto"])
-        return -1
+                upto = int(commit["refresh_upto"])
+                break
+        folded = self.summary.last_txn_version(self._txn_app)
+        if folded is not None:
+            upto = max(upto, folded)
+        return upto
 
     # ------------------------------------------------------------------- refresh
     def _record_watermark(self, upto: int) -> None:
@@ -93,11 +113,12 @@ class IncrementalAggregate:
             if since < c["version"] <= upto
         )
         # Crash-idempotency: the fold lands in one commit, the watermark in a
-        # second. A crash between the two would double-fold the same delta on
-        # re-run, so every fold commit carries (txn_app, txn_version=upto) —
-        # the replay after a crash sees txn_version <= last and skips the fold,
-        # then records the watermark it missed.
-        txn_app = f"mv:{self.summary.path}"
+        # second. Every fold commit carries (txn_app, txn_version=upto);
+        # last_refreshed_version() reads that tag too, so a re-run after a
+        # crash between the two commits resumes from the folded version even
+        # when the base gained new appends in the meantime. The merge-side
+        # txn guard stays as defense against exact-replay races.
+        txn_app = self._txn_app
         if not incremental_safe:
             snap = self._delta_agg(self.base.read(version=upto))
             self.summary.overwrite(snap, txn_app=txn_app, txn_version=upto)

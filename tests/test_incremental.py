@@ -106,3 +106,37 @@ def test_streaming_refresh_via_foreachbatch(spark, tmp_path):
     assert mv.last_refreshed_version() == base.latest_version()
     ops = [h["operation"] for h in mv.summary.history()]
     assert ops.count("overwrite") == 1  # bootstrap only; the rest were merges
+
+
+def test_crash_between_fold_and_watermark_then_new_appends(spark, tmp_path):
+    """Crash after the fold commit but before the watermark commit, THEN new
+    base appends before the re-run: the resumed refresh must start from the
+    folded version (recorded by the fold commit's txn tag), not the stale
+    watermark — otherwise the (since, upto] delta is double-counted."""
+    base = DeltaliteTable(spark, str(tmp_path / "base"))
+    base.append(_rows(spark, 0, 100))             # v0
+    mv = IncrementalAggregate(
+        spark, base, str(tmp_path / "mv"), keys=["grp"], sum_cols=["v"]
+    )
+    mv.refresh()                                   # bootstrap @ v0
+
+    base.append(_rows(spark, 100, 150))           # v1
+    orig = mv._record_watermark
+    mv._record_watermark = lambda upto: (_ for _ in ()).throw(RuntimeError("crash"))
+    try:
+        try:
+            mv.refresh()                           # folds v1, dies pre-watermark
+        except RuntimeError:
+            pass
+    finally:
+        mv._record_watermark = orig
+
+    assert mv.last_refreshed_version() == 1        # fold commit counts
+
+    base.append(_rows(spark, 150, 200))           # v2 lands before the re-run
+    assert mv.refresh() == 2
+    assert _got(mv) == _expected(base)             # v1 delta folded exactly once
+
+    # and a plain replay is still a no-op
+    assert mv.refresh() == 2
+    assert _got(mv) == _expected(base)
