@@ -123,7 +123,32 @@ def main() -> None:
         out["errors"] = errors
     if cdc is not None:
         out["cdc_pipeline"] = cdc
-    print(json.dumps(out))
+
+    # The driver keeps only the last ~2000 chars of stdout, and the full
+    # result line (86 queries) is longer than that — so (a) persist the full
+    # artifact to a committed file and (b) end stdout with a COMPACT summary
+    # line (total, slowest-10, cdc) that always fits the capture window and
+    # parses. Full per-query timings live in BENCH_full.json.
+    full_path = Path(__file__).resolve().parent / "BENCH_full.json"
+    try:
+        full_path.write_text(json.dumps(out, indent=1) + "\n")
+    except OSError:
+        pass
+    print(json.dumps(out, separators=(",", ":")))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": "total_query_wall_sec",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "queries_n": len(timings),
+        "errors_n": len(errors),
+        "queries": slowest,
+        "full": full_path.name,
+    }
+    if cdc is not None:
+        compact["cdc_pipeline"] = cdc
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 
