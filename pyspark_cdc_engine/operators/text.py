@@ -686,15 +686,17 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
         .distinct()
     )
     is_bench = F.col("doc_id") % _DECON_MOD == 0
-    # one aggregation builds the stop-shingle-guarded inverted index (df
-    # filter + posting list together), so the benchmark shingle pass runs
-    # once instead of twice
+    # Stop-shingle guard in one pass over the benchmark side: a windowed
+    # count per shingle hash (one shuffle on h) instead of
+    # collect_list+size — a boilerplate shingle present in millions of
+    # benchmark docs would grow one unbounded array in a single agg buffer,
+    # while WindowExec sorts and SPILLS oversized groups.
+    per_h = Window.partitionBy("h")
     bench_index = (
         sets.filter(is_bench)
-        .groupBy("h")
-        .agg(F.collect_list("doc_id").alias("bench_ids"))
-        .filter(F.size("bench_ids") <= _DECON_MAX_DF)
-        .select("h", F.explode("bench_ids").alias("bench_id"))
+        .withColumn("df", F.count(F.lit(1)).over(per_h))
+        .filter(F.col("df") <= _DECON_MAX_DF)
+        .select("h", F.col("doc_id").alias("bench_id"))
     )
     hits = (
         sets.filter(~is_bench)

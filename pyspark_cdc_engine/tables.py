@@ -58,6 +58,10 @@ def _commit_path(log_dir: Path, version: int) -> Path:
     return log_dir / f"{version:020d}.json"
 
 
+# Shape of a data dir component: `<version:010d>-<uuid8>` (see _write_data_dir).
+_DATA_DIR_RE = re.compile(r"^\d{10}-[0-9a-f]{8}$")
+
+
 @dataclass
 class MergeClause:
     """One WHEN MATCHED / WHEN NOT MATCHED clause, in declaration order.
@@ -313,11 +317,20 @@ class DeltaliteTable:
         # (legacy whole-dir entries, which contain the key=value subdirs).
         # One scan per group keeps the plan compact: sibling partition dirs
         # of the same write share a single FileScan with PartitionFilters.
+        # Partition components are searched only BELOW the `<version>-<uuid8>`
+        # data dir, never in the absolute prefix — a table rooted under a
+        # directory whose own name contains '=' (/data/run=5/tbl) must not
+        # shift basePath above the table root.
         groups: dict[str, list[str]] = {}
         for d in dirs:
             parts = Path(d).parts
+            vidx = next(
+                (i for i, comp in enumerate(parts) if _DATA_DIR_RE.match(comp)),
+                None,
+            )
+            start = vidx + 1 if vidx is not None else 1
             cut = next(
-                (i for i, comp in enumerate(parts) if "=" in comp and i > 0),
+                (i for i in range(start, len(parts)) if "=" in parts[i]),
                 len(parts),
             )
             base = str(Path(*parts[:cut])) if cut < len(parts) else d
@@ -814,6 +827,15 @@ class DeltaliteTable:
             extra["dir_stats"] = commit["dir_stats"]
         return self._write_commit("restore", commit["live"], extra, base)
 
+    @staticmethod
+    def _partition_suffix(rel: str) -> str:
+        """Logical partition suffix (k=v[/k2=v2...]) of a live entry, with the
+        hidden ``__zr`` zorder range-bucket component stripped — ``__zr`` is a
+        physical layout detail, never a partition value."""
+        return "/".join(
+            p for p in Path(rel).parts if "=" in p and not p.startswith("__zr=")
+        )
+
     def compact(self, target_partitions: int | None = None, where: str | None = None) -> int:
         """OPTIMIZE analog (db/table_maintenance.sql:28-31). For a partitioned
         table this is PARTITION-SCOPED, the only shape that survives 100 TB:
@@ -841,15 +863,25 @@ class DeltaliteTable:
                 "compact", rels, rels, {"schema": df.schema.json()}, base, commit
             )
 
-        # group live entries by their partition suffix (k=v[/k2=v2...])
+        # Group live entries by their LOGICAL partition suffix (k=v[/k2=v2...],
+        # the hidden ``__zr`` range-bucket component stripped — zorder splits
+        # one logical partition across many physical dirs). A group is
+        # fragmented when its entries span >1 data-dir WRITE: one zorder's
+        # range buckets alone are a deliberate layout (compacting them would
+        # only undo the clustering), but buckets plus later appends — or plain
+        # multi-append fragmentation — coalesce.
         groups: dict[str, list[str]] = {}
         for r in live:
-            suffix = "/".join(p for p in Path(r).parts if "=" in p)
+            suffix = self._partition_suffix(r)
             groups.setdefault(suffix, []).append(r)
         selected = set(groups)
         if where is not None:
             selected = self._partitions_matching(where, groups, commit)
-        rewrite = {s for s in selected if len(groups[s]) > 1}
+        rewrite = {
+            s
+            for s in selected
+            if len({rel.split("/", 2)[1] for rel in groups[s]}) > 1
+        }
         if not rewrite:
             return base  # nothing fragmented: no-op, no commit
         kept = [r for s, rels in groups.items() if s not in rewrite for r in rels]
@@ -917,7 +949,7 @@ class DeltaliteTable:
                 raise ValueError("where= requires a partitioned table")
             groups: dict[str, list[str]] = {}
             for r in live:
-                suffix = "/".join(p for p in Path(r).parts if "=" in p)
+                suffix = self._partition_suffix(r)
                 groups.setdefault(suffix, []).append(r)
             selected = self._partitions_matching(where, groups, commit)
             if not selected:

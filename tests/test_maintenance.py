@@ -818,3 +818,55 @@ def test_scan_string_key_bounds(spark, tmp_path):
                 f.write_bytes(b"garbage")
     out = t.scan(key_bounds={"k": ("m000", "m049")})
     assert out.count() == 50
+
+
+def test_compact_coalesces_zordered_partition_with_appends(spark, tmp_path):
+    """A logical partition fragmented across zorder __zr range buckets PLUS a
+    later append must group together and coalesce (the __zr component is
+    physical layout, not a partition value) — while a partition holding ONLY
+    one zorder's range buckets is a deliberate clustering and is kept."""
+    t = DeltaliteTable(spark, str(tmp_path / "zc"))
+    t.append(
+        spark.range(400).selectExpr("id", "CAST(id % 2 AS INT) AS band", "id % 37 AS k"),
+        partition_by=["band"],
+    )
+    t.zorder_by("k", target_partitions=4)
+    zlive = t._read_commit(t.latest_version())["live"]
+    band1_buckets = sorted(d for d in zlive if "band=1/" in d)
+    assert len(band1_buckets) >= 2  # fragmented physically, clustered logically
+
+    # band=0 gains an append; band=1 stays zorder-only
+    t.append(spark.range(400, 450).selectExpr("id", "CAST(0 AS INT) AS band", "id % 37 AS k"))
+    v = t.compact(target_partitions=1)
+    c = t._read_commit(v)
+    assert c["operation"] == "compact"  # not the pre-fix silent no-op
+    assert c["compacted_partitions"] == 1
+    # band=0: zorder buckets + append coalesced into a single dir
+    band0 = [d for d in c["live"] if "band=0" in d]
+    assert len(band0) == 1 and "__zr=" not in band0[0]
+    # band=1: untouched, still the original range buckets
+    assert sorted(d for d in c["live"] if "band=1/" in d) == band1_buckets
+    assert t.read().count() == 450
+    assert t.read().filter("band = 0").count() == 250
+
+
+def test_table_rooted_under_dir_with_equals_in_name(spark, tmp_path):
+    """basePath for partitioned reads must be derived relative to the table's
+    own data dirs — a table rooted under /…/run=5/tbl must not treat 'run=5'
+    as a partition component (which would push basePath above the table root
+    and surface spurious partition columns or break discovery)."""
+    root = tmp_path / "run=5" / "tbl"
+    t = DeltaliteTable(spark, str(root))
+    t.append(
+        spark.range(100).selectExpr("id", "CAST(id % 3 AS INT) AS band"),
+        partition_by=["band"],
+    )
+    t.append(spark.range(100, 130).selectExpr("id", "CAST(id % 3 AS INT) AS band"))
+    df = t.read()
+    assert sorted(df.columns) == ["band", "id"]
+    assert df.count() == 130
+    assert df.filter("band = 1").count() == 43
+    # maintenance paths that re-read per-partition dirs work too
+    v = t.compact(target_partitions=1)
+    assert t._read_commit(v)["operation"] == "compact"
+    assert t.read().count() == 130
