@@ -52,26 +52,40 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     key = sc.applicationId
     if key in _PYFILES_SENT:
         return
+    import hashlib
     import os
     import tempfile
-    import uuid
     import zipfile
 
     import pyspark_cdc_engine
 
     pkg_dir = os.path.dirname(os.path.abspath(pyspark_cdc_engine.__file__))
+    members: list[tuple[str, str]] = []  # (arcname, full path), sorted for a stable hash
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                arc = os.path.join(
+                    "pyspark_cdc_engine", os.path.relpath(full, pkg_dir)
+                )
+                members.append((arc, full))
+    members.sort()
+    digest = hashlib.md5()
+    for arc, full in members:
+        digest.update(arc.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    # content-hash-keyed name: one zip per package version in tempdir, reused
+    # across sessions instead of leaking a fresh uuid-named zip per context
     zpath = os.path.join(
-        tempfile.gettempdir(), f"pyspark_cdc_engine_{uuid.uuid4().hex[:8]}.zip"
+        tempfile.gettempdir(), f"pyspark_cdc_engine_{digest.hexdigest()[:12]}.zip"
     )
-    with zipfile.ZipFile(zpath, "w") as z:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    arc = os.path.join(
-                        "pyspark_cdc_engine", os.path.relpath(full, pkg_dir)
-                    )
-                    z.write(full, arc)
+    if not os.path.exists(zpath):
+        tmp = zpath + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for arc, full in members:
+                z.write(full, arc)
+        os.replace(tmp, zpath)
     sc.addPyFile(zpath)
     _PYFILES_SENT.add(key)
 

@@ -478,6 +478,18 @@ class DeltaliteTable:
             raise ValueError(f"empty table at version {v}")
         return self._read_dirs(dirs, commit.get("schema"), commit.get("partition_by"))
 
+    def live_data_dirs(self, version: int | None = None) -> list[str]:
+        """Absolute paths of the data dirs live at ``version`` (default: latest).
+
+        The interchange escape hatch (see README "deltalite vs. Delta Lake"):
+        each dir holds plain parquet any engine can read; this is the snapshot
+        a non-deltalite reader should consume instead of globbing ``data/``
+        (which may contain superseded or vacuum-pending dirs)."""
+        v = self.latest_version() if version is None else version
+        commit = self._read_commit(v)
+        self._ensure_published(commit["live"])
+        return [str(self._root / d) for d in commit["live"]]
+
     def read_stream(self) -> DataFrame:
         """Streaming read of an append-only deltalite table (Delta streaming
         source analog, S3): a file stream over the data dirs. Exact change feed

@@ -101,6 +101,12 @@ def test_time_travel_restore_vacuum_compact(spark, tmp_path):
     assert len(dead) >= 1
     t.vacuum(retain_hours=0)
     assert t.read().count() == 15  # latest snapshot intact
+    # interchange escape hatch: live_data_dirs is the exact set a foreign
+    # parquet reader should consume, and reading them plain matches read()
+    dirs = t.live_data_dirs()
+    assert dirs and all(Path(d).is_dir() for d in dirs)
+    assert spark.read.parquet(*dirs).count() == 15
+    assert spark.read.parquet(*t.live_data_dirs(version=0)).count() == 10
 
 
 def test_zorder_clusters_files(spark, tmp_path):
