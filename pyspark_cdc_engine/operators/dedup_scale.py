@@ -112,61 +112,118 @@ _BAND_ROWS_DUCK = ", ".join(
     """,
 )
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, one corpus pass. Shingles are hashed to
-    15-hex-char ids up front, so the dedup shuffle and every downstream join
-    move 15-byte keys instead of ~60-char shingle strings (hash collisions
-    merge shingles identically in both engines — the oracle hashes the same
-    way, so parity is exact). The K minhash "permutations" are universal
-    hashes ``(a_k * h32 + b_k) mod P`` over ONE md5 per shingle — K
-    multiply-mods replace the K md5 calls of the naive form. Each doc's
-    shingle-hash set rides through the signature aggregation (bounded by doc
-    length, the same payload LSH banding itself ships), so candidate pairs
-    verify exact Jaccard by array intersection with NO second corpus pass —
-    the plan is: one explode+distinct shuffle, one signature agg, band
-    explode map-side, one bucket self-join. Scale: shuffle bytes per doc are
-    constant (K sigs + hashes proportional to doc words)."""
+    """MinHash+LSH near-dup pairs. Shingles are hashed to 15-hex-char ids up
+    front, so the dedup shuffle and every downstream join move 15-byte keys
+    instead of ~60-char shingle strings (hash collisions merge shingles
+    identically in both engines — the oracle hashes the same way, so parity
+    is exact). The K minhash "permutations" are universal hashes
+    ``(a_k * h32 + b_k) mod P`` over ONE md5 per shingle — K multiply-mods
+    replace the K md5 calls of the naive form.
+
+    Two physically different plans, identical results, gated on corpus size
+    (``CDC_MH_REJOIN_DOCS``, default 50k):
+
+    - **small corpus (single-pass)**: each doc's shingle-hash set rides
+      through the signature agg and the band self-join, so candidates verify
+      by array intersection with no second pass. Cheapest when hot band
+      buckets are tiny.
+    - **large corpus (id-only band join + candidate re-join)**: the band
+      explode and self-join carry ONLY (doc_id, band_id, band_hash) —
+      constant ~30 bytes/row — so a hot band bucket materializes candidate
+      pairs of bounded width instead of pairs each dragging two full shingle
+      arrays. Deduped candidates semi-join back to the shingle-hash table,
+      arrays are aggregated for candidate docs only, and exact Jaccard
+      verifies via two id-keyed joins. One extra (small, candidate-side)
+      shuffle buys bounded row width through the skew-prone stage — the
+      100 TB trade."""
     d = load_table(spark, sf_dir, "documents")
+    rejoin = d.count() > _MH_REJOIN_DOCS
+    return _minhash_lsh(d, rejoin=rejoin)
+
+
+# Above this many docs the band self-join switches to the id-only +
+# candidate-re-join plan (bounded row width through hot band buckets).
+_MH_REJOIN_DOCS = int(os.environ.get("CDC_MH_REJOIN_DOCS", "50000"))
+
+
+def _minhash_lsh(d: DataFrame, rejoin: bool) -> DataFrame:
+    """See minhash_lsh_near_dup. ``rejoin`` picks the physical plan."""
     sets = (
         d.select("doc_id", F.explode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("sh"))
         .select("doc_id", F.expr("substr(md5(CAST(sh AS BINARY)), 1, 15)").alias("shh"))
         .distinct()
     )
-    sigs = (
-        sets.withColumn("h32", F.expr("CAST(conv(substr(shh, 1, 8), 16, 10) AS BIGINT)"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.expr(f"({_MH_A[k]} * h32 + {_MH_B[k]}) % {_MH_P}")).alias(f"s{k}")
-                for k in range(_MH_K)
-            ],
-            F.collect_set("shh").alias("shs"),
-        )
+    sig_aggs = [
+        F.min(F.expr(f"({_MH_A[k]} * h32 + {_MH_B[k]}) % {_MH_P}")).alias(f"s{k}")
+        for k in range(_MH_K)
+    ]
+    hashed = sets.withColumn(
+        "h32", F.expr("CAST(conv(substr(shh, 1, 8), 16, 10) AS BIGINT)")
     )
+    if rejoin:
+        sigs = hashed.groupBy("doc_id").agg(*sig_aggs)
+    else:
+        sigs = hashed.groupBy("doc_id").agg(*sig_aggs, F.collect_set("shh").alias("shs"))
+
     band_structs = ", ".join(
         f"named_struct('band_id', {b}, 'band_hash', "
         f"CONCAT_WS('|', {', '.join(f's{b * _LSH_R + r}' for r in range(_LSH_R))}))"
         for b in range(_LSH_B)
     )
+    carry = [] if rejoin else ["shs"]
     bands = sigs.select(
-        "doc_id", "shs", F.explode(F.expr(f"array({band_structs})")).alias("bd")
-    ).select("doc_id", "shs", "bd.band_id", "bd.band_hash")
+        "doc_id", *carry, F.explode(F.expr(f"array({band_structs})")).alias("bd")
+    ).select("doc_id", *carry, "bd.band_id", "bd.band_hash")
 
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shs").alias("sa"),
-            F.col("b.shs").alias("sb"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    joined = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
+    if rejoin:
+        cand = (
+            joined.select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        cand_ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        # arrays exist only for candidate docs, joined by id — never through
+        # the band bucket join above
+        shs_tbl = (
+            sets.join(cand_ids, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("shh").alias("shs"))
+        )
+        pairs = (
+            cand.join(
+                shs_tbl.select(
+                    F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa")
+                ),
+                "doc_a",
+            ).join(
+                shs_tbl.select(
+                    F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb")
+                ),
+                "doc_b",
+            )
+        ).select("doc_a", "doc_b", "sa", "sb")
+    else:
+        pairs = (
+            joined.select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.shs").alias("sa"),
+                F.col("b.shs").alias("sb"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
     return (
         pairs.select(
             "doc_a",

@@ -147,6 +147,31 @@ def test_connected_components_chain_collapse(spark):
     }
 
 
+def test_minhash_rejoin_band_join_carries_no_arrays(spark):
+    """Above the size gate, the LSH band self-join must move only
+    (doc_id, band_id, band_hash) — bounded row width through hot band
+    buckets; shingle arrays may touch candidate-keyed joins only. Both
+    physical plans must produce identical pairs."""
+    from pyspark_cdc_engine.operators.dedup_scale import _minhash_lsh
+    from pyspark_cdc_engine.operators.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    single = _minhash_lsh(docs, rejoin=False)
+    rejoin = _minhash_lsh(docs, rejoin=True)
+
+    def band_lines(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return [ln for ln in plan.splitlines() if "band_hash" in ln]
+
+    # the probe is meaningful: the single-pass plan DOES carry shs with bands
+    assert any("shs" in ln for ln in band_lines(single))
+    # the scale plan never lets an array ride a band-keyed row
+    assert band_lines(rejoin) and not any("shs" in ln for ln in band_lines(rejoin))
+
+    key = lambda r: (r.doc_a, r.doc_b, round(r.jaccard, 12))
+    assert sorted(map(key, single.collect())) == sorted(map(key, rejoin.collect()))
+
+
 def test_ivf_hot_bucket_triangle_split(spark):
     """Skew guard: a deliberately hot centroid (every vector in ONE bucket)
     must not collapse the candidate stage into a single B²-sized task. With
