@@ -302,14 +302,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     step of corpus dedup (pairs alone can't be dropped safely: A~B and B~C
     must collapse to ONE survivor even when A~C was never emitted).
 
-    Algorithm: distributed min-label propagation — each round every node
-    adopts the smallest label among itself and its neighbors (one join + one
-    min-aggregate per round, both on the edge key), until a fixpoint. Rounds
-    = O(component diameter); near-dup components are small and dense (quasi-
-    cliques), so this converges in 2-3 rounds. The edge list is
-    localCheckpoint'ed once so the shingle join isn't re-executed per round.
-    At adversarial diameters switch the round body to alternating
-    large-star/small-star (same join shape, O(log n) rounds).
+    Algorithm: distributed min-label propagation with pointer doubling —
+    each round every node adopts the smallest label among itself, its
+    neighbors, and its label's label (two joins + one min-aggregate per
+    round, all on the edge/id key), until a fixpoint. The doubling shortcut
+    makes rounds O(log diameter) even on adversarial long-chain graphs;
+    near-dup components are small and dense (quasi-cliques), so in practice
+    this converges in 2-3 rounds. The edge list is localCheckpoint'ed once so
+    the shingle join isn't re-executed per round.
 
     Edges here come from the exact jaccard baseline (so the DuckDB oracle can
     rebuild the identical graph with a recursive CTE); at 100 TB feed it
@@ -320,37 +320,78 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, pairs: DataFrame, max_rounds: int = 20
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Min-label propagation over an undirected pair list (see dedup_clusters
-    for the algorithm discussion). ``nodes``: one ``doc_id`` column (isolated
-    docs become their own cluster); ``pairs``: (doc_a, doc_b). Returns
-    (doc_id, cluster_id, is_canonical)."""
+    """Min-label propagation WITH POINTER DOUBLING over an undirected pair
+    list (see dedup_clusters for the algorithm discussion). ``nodes``: one
+    ``doc_id`` column (isolated docs become their own cluster); ``pairs``:
+    (doc_a, doc_b). Returns (doc_id, cluster_id, is_canonical).
+
+    Each round a node takes the min over {its label, its neighbors' labels,
+    its label's label}. The last term is the pointer-doubling shortcut
+    (Shiloach-Vishkin / the star-contraction family): the distance a label
+    has travelled roughly doubles per round, so convergence is
+    O(log diameter) rounds instead of O(diameter) — a 1M-node chain resolves
+    in ~20 rounds, not 1M. Safety: a label only ever holds a node id from its
+    own component (labels enter via edges or via another label in the same
+    component) and is monotone non-increasing, so the fixpoint is exactly the
+    per-component min. Every round localCheckpoints, truncating lineage; the
+    convergence probe filters materialized rows (no extra job). ``stats``,
+    when given, receives ``{"rounds": n}`` — the round-complexity contract is
+    test-asserted on a long-chain graph."""
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
         .toDF("src", "dst")
         .localCheckpoint()
     )
     labels = nodes.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("label"))
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         prop = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # pointer doubling: l(l(u)) — look up the label of u's current label
+        parents = labels.select(
+            F.col("id").alias("pid"), F.col("label").alias("hlabel")
+        )
+        hop = labels.join(parents, labels.label == parents.pid, "left").select(
+            "id", "hlabel"
+        )
         # the moved flag rides the checkpointed frame, so the convergence
         # probe is a filter over materialized rows — no extra join per round
-        new_labels = labels.join(prop, "id", "left").select(
-            "id",
-            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            (F.coalesce("nlabel", "label") < F.col("label")).alias("moved"),
-        ).localCheckpoint()
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .join(hop, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nlabel", "label"),
+                    F.coalesce("hlabel", "label"),
+                ).alias("label"),
+                (
+                    F.least(
+                        F.coalesce("nlabel", "label"), F.coalesce("hlabel", "label")
+                    )
+                    < F.col("label")
+                ).alias("moved"),
+            )
+            .localCheckpoint()
+        )
         changed = new_labels.filter("moved").limit(1).count()
         labels = new_labels.drop("moved")
         if changed == 0:
             break
     else:
         raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster_id"),

@@ -147,6 +147,27 @@ def test_connected_components_chain_collapse(spark):
     }
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """Round-complexity contract: pointer doubling resolves a diameter-127
+    chain in O(log2 diameter) rounds, not O(diameter) — the property that
+    keeps the driver-side fixpoint loop viable on adversarial graphs at
+    scale. Also re-checks correctness: the whole chain is ONE cluster."""
+    import math
+
+    from pyspark_cdc_engine.operators.text import connected_components
+
+    n = 128  # chain 0-1-2-...-127, diameter 127
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    got = connected_components(nodes, pairs, max_rounds=15, stats=stats).collect()
+    assert all(r.cluster_id == 0 for r in got) and len(got) == n
+    assert sum(r.is_canonical for r in got) == 1
+    assert stats["rounds"] <= math.ceil(math.log2(n - 1)) + 3  # = 10
+
+
 def test_minhash_rejoin_band_join_carries_no_arrays(spark):
     """Above the size gate, the LSH band self-join must move only
     (doc_id, band_id, band_hash) — bounded row width through hot band
