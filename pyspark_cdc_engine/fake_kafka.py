@@ -1,0 +1,226 @@
+"""A Kafka-wire-compatible Python data source backed by plain files (S1 e2e).
+
+The environment ships no spark-sql-kafka jar, so the real ``format("kafka")``
+path can never execute here. This module closes the gap with a PySpark 4
+Python Data Source (`pyspark.sql.datasource`) that speaks the SAME wire
+contract as the Kafka source — identical fixed schema (key/value binary,
+topic, partition, offset, timestamp, timestampType), the same option surface
+(``subscribe``, ``startingOffsets``, ``failOnDataLoss`` — reference
+TransactionalCdcProcessingApp.scala:85-92), batch and streaming read, offset
+tracking per topic-partition — with a directory of JSONL files standing in
+for the broker log:
+
+    <broker_dir>/<topic>/<partition>.jsonl    # one message per line:
+    {"key": "k" | null, "value": "...", "ts": 1700000000.5}
+
+Offsets are line numbers, so ``startingOffsets`` and incremental micro-batch
+ranges behave exactly like Kafka's. The engine's ``read_kafka_stream`` runs
+UNCHANGED against this source (format name swapped) — which is what upgrades
+S1 from "option surface pinned by unit test" to "executable end to end".
+
+This is a test/dev double, not a broker: single-writer append, no compaction,
+no consumer groups.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+FORMAT_NAME = "fakekafka"
+
+# The exact schema spark-sql-kafka exposes (KafkaRecordToRowConverter).
+KAFKA_WIRE_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("timestampType", IntegerType()),
+    ]
+)
+
+_CREATE_TIME = 0  # Kafka TimestampType.CREATE_TIME
+
+
+def _topic_partitions(broker_dir: str, topics: list[str]) -> list[tuple[str, int, str]]:
+    """(topic, partition, path) for every log file of the subscribed topics."""
+    out = []
+    for topic in topics:
+        tdir = os.path.join(broker_dir, topic)
+        if not os.path.isdir(tdir):
+            continue
+        for f in sorted(os.listdir(tdir)):
+            if f.endswith(".jsonl"):
+                out.append((topic, int(f[: -len(".jsonl")]), os.path.join(tdir, f)))
+    return out
+
+
+def _line_count(path: str) -> int:
+    with open(path, "rb") as fh:
+        return sum(1 for _ in fh)
+
+
+def _parse_options(options) -> tuple[str, list[str], str, bool]:
+    broker_dir = options.get("path") or options.get("broker.dir")
+    if not broker_dir:
+        raise ValueError("fakekafka: 'path' option (broker dir) is required")
+    subscribe = options.get("subscribe")
+    if not subscribe:
+        raise ValueError("fakekafka: 'subscribe' option is required")
+    topics = [t.strip() for t in subscribe.split(",") if t.strip()]
+    starting = options.get("startingOffsets", "latest")
+    if starting not in ("earliest", "latest"):
+        raise ValueError(f"fakekafka: unsupported startingOffsets {starting!r}")
+    fail_on_loss = str(options.get("failOnDataLoss", "true")).lower() == "true"
+    return broker_dir, topics, starting, fail_on_loss
+
+
+class _Slice(InputPartition):
+    def __init__(self, topic: str, partition: int, path: str, start: int, end: int):
+        self.topic = topic
+        self.partition = partition
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+def _read_slice(s: _Slice) -> Iterator[tuple]:
+    with open(s.path, "r", encoding="utf-8") as fh:
+        for i, line in enumerate(fh):
+            if i < s.start:
+                continue
+            if i >= s.end:
+                break
+            msg = json.loads(line)
+            key = msg.get("key")
+            ts = datetime.fromtimestamp(float(msg.get("ts", 0.0)), tz=timezone.utc)
+            yield (
+                key.encode() if key is not None else None,
+                msg["value"].encode(),
+                s.topic,
+                s.partition,
+                i,
+                ts,
+                _CREATE_TIME,
+            )
+
+
+class FakeKafkaBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self._broker_dir, self._topics, _, _ = _parse_options(options)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _Slice(t, p, path, 0, _line_count(path))
+            for t, p, path in _topic_partitions(self._broker_dir, self._topics)
+        ]
+
+    def read(self, partition: _Slice) -> Iterator[tuple]:
+        return _read_slice(partition)
+
+
+class FakeKafkaStreamReader(DataSourceStreamReader):
+    """Offsets are ``{"<topic>/<partition>": next_line}`` dicts — the same
+    per-topic-partition watermarking Kafka's source checkpoints."""
+
+    def __init__(self, options):
+        self._broker_dir, self._topics, self._starting, self._fail_on_loss = (
+            _parse_options(options)
+        )
+
+    def _current_end(self) -> dict:
+        return {
+            f"{t}/{p}": _line_count(path)
+            for t, p, path in _topic_partitions(self._broker_dir, self._topics)
+        }
+
+    def initialOffset(self) -> dict:
+        if self._starting == "latest":
+            return self._current_end()
+        return {k: 0 for k in self._current_end()}
+
+    def latestOffset(self) -> dict:
+        return self._current_end()
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        by_key = {
+            f"{t}/{p}": (t, p, path)
+            for t, p, path in _topic_partitions(self._broker_dir, self._topics)
+        }
+        missing = [k for k in start if k not in by_key]
+        if missing and self._fail_on_loss:
+            raise RuntimeError(f"fakekafka: topic-partitions lost: {missing}")
+        out = []
+        for key, hi in end.items():
+            if key not in by_key:
+                if self._fail_on_loss:
+                    raise RuntimeError(f"fakekafka: topic-partition lost: {key}")
+                continue
+            lo = int(start.get(key, 0))
+            if hi > lo:
+                t, p, path = by_key[key]
+                out.append(_Slice(t, p, path, lo, int(hi)))
+        return out
+
+    def read(self, partition: _Slice) -> Iterator[tuple]:
+        return _read_slice(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # file-log broker keeps everything; nothing to release
+
+
+class FakeKafkaDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        return KAFKA_WIRE_SCHEMA
+
+    def reader(self, schema) -> FakeKafkaBatchReader:
+        return FakeKafkaBatchReader(self.options)
+
+    def streamReader(self, schema) -> FakeKafkaStreamReader:
+        return FakeKafkaStreamReader(self.options)
+
+
+def register_fake_kafka(spark) -> None:
+    spark.dataSource.register(FakeKafkaDataSource)
+
+
+def produce(broker_dir: str, topic: str, messages, partition: int = 0) -> None:
+    """Append messages to the fake broker log. ``messages``: iterable of
+    ``value`` strings or ``(key, value)`` / ``(key, value, ts)`` tuples."""
+    tdir = os.path.join(broker_dir, topic)
+    os.makedirs(tdir, exist_ok=True)
+    path = os.path.join(tdir, f"{partition}.jsonl")
+    with open(path, "a", encoding="utf-8") as fh:
+        for m in messages:
+            if isinstance(m, str):
+                rec = {"key": None, "value": m, "ts": 0.0}
+            elif len(m) == 2:
+                rec = {"key": m[0], "value": m[1], "ts": 0.0}
+            else:
+                rec = {"key": m[0], "value": m[1], "ts": float(m[2])}
+            fh.write(json.dumps(rec) + "\n")

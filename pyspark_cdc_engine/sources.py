@@ -3,8 +3,12 @@
 Kafka needs the spark-sql-kafka jar on the classpath (absent in this
 environment); the reader is written to the same option surface the reference
 uses (TransactionalCdcProcessingApp.scala:85-92) and fails with a clear error
-if the integration isn't available. File/text sources stand in for Kafka in
-tests (same downstream contract: a ``value`` string column).
+if the integration isn't available. Two stand-ins cover tests: the
+wire-compatible fake broker (:mod:`pyspark_cdc_engine.fake_kafka`, a PySpark 4
+Python data source with Kafka's exact schema/options/offset semantics —
+``read_kafka_stream(format_name="fakekafka")`` exercises this module's real
+code path end to end), and plain file/text sources (same downstream contract:
+a ``value`` string column).
 """
 
 from __future__ import annotations
@@ -37,12 +41,21 @@ def read_kafka_stream(
     topic: str,
     starting_offsets: str = "earliest",
     fail_on_data_loss: bool = False,
+    format_name: str = "kafka",
+    extra_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Kafka streaming source, decoded to a ``value`` string column
-    (S1+S2; options per reference.conf:33-36)."""
+    (S1+S2; options per reference.conf:33-36).
+
+    ``format_name`` swaps the wire-compatible test double in
+    (:mod:`pyspark_cdc_engine.fake_kafka`, format ``"fakekafka"`` + a
+    ``path`` extra option) for environments without the Kafka jar — the
+    decode projection and everything downstream are identical either way,
+    which is what makes S1 executable end to end in tests."""
     opts = kafka_options(bootstrap_servers, topic, starting_offsets, fail_on_data_loss)
+    opts.update(extra_options or {})
     return (
-        spark.readStream.format("kafka")
+        spark.readStream.format(format_name)
         .options(**opts)
         .load()
         .select(F.col("value").cast("string").alias("value"))

@@ -43,6 +43,58 @@ def cdc_to_scd2_stream(
     default off = reference IGNOREDELETES parity."""
     cdc = parse_data_change_events(read_text_stream(spark, cdc_dir))
     meta = parse_transaction_metadata(read_text_stream(spark, meta_dir))
+    return _scd2_stream_from_values(
+        cdc, meta, table, checkpoint_dir, ttl_minutes, impl, handle_deletes
+    )
+
+
+def cdc_to_scd2_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    cdc_topic: str,
+    meta_topic: str,
+    table: DeltaliteTable,
+    checkpoint_dir: str,
+    ttl_minutes: float | None = None,
+    impl: str = "v1",
+    handle_deletes: bool = False,
+    format_name: str = "kafka",
+    extra_options: dict | None = None,
+):
+    """Kafka-source variant of the ingest pipeline — the reference's actual
+    topology (TransactionalCdcProcessingApp.scala:85-101: two topics, one
+    stateful assembly, one sink). ``format_name``/``extra_options`` let the
+    wire-compatible fake broker (fake_kafka.py) stand in where the Kafka jar
+    is absent; everything from the value column on is shared with the
+    file-source pipeline."""
+    from pyspark_cdc_engine.sources import read_kafka_stream
+
+    cdc = parse_data_change_events(
+        read_kafka_stream(
+            spark, bootstrap_servers, cdc_topic,
+            format_name=format_name, extra_options=extra_options,
+        )
+    )
+    meta = parse_transaction_metadata(
+        read_kafka_stream(
+            spark, bootstrap_servers, meta_topic,
+            format_name=format_name, extra_options=extra_options,
+        )
+    )
+    return _scd2_stream_from_values(
+        cdc, meta, table, checkpoint_dir, ttl_minutes, impl, handle_deletes
+    )
+
+
+def _scd2_stream_from_values(
+    cdc: DataFrame,
+    meta: DataFrame,
+    table: DeltaliteTable,
+    checkpoint_dir: str,
+    ttl_minutes: float | None,
+    impl: str,
+    handle_deletes: bool,
+):
     unified = unify_event_streams(cdc, meta)
     if impl == "v2":
         from pyspark_cdc_engine.streaming.tx_state_v2 import (
