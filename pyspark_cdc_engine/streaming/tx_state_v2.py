@@ -12,10 +12,11 @@ costs amortized O(events), not O(events x batches). TTL is a first-class
 state property (``ttlDurationMs``) instead of hand-rolled timeout handling.
 
 Environment note: the v2 operator's Python worker speaks a protobuf-based
-state-server protocol; in containers without ``protobuf`` the query fails at
-runtime, so the pipeline defaults to the v1 implementation and the golden
-tests skip v2 when ``google.protobuf`` is unavailable (they run both
-implementations wherever it is).
+state-server protocol. In containers without ``google.protobuf`` the
+wire-compatible shim (:mod:`pyspark_cdc_engine.streaming.minipb`) is installed
+at processor-unpickle time in every worker, so the REAL runtime executes
+everywhere — the e2e golden runs unconditionally. The pipeline still defaults
+to v1 (the longer-proven path); v2 is one ``impl="v2"`` away.
 
 Semantics preserved exactly (same protocol as tx_state.py):
 - buffers accumulate across micro-batches, metadata may arrive any time (T4);
@@ -42,7 +43,10 @@ from pyspark.sql.streaming.stateful_processor import (
 import pyspark_cdc_engine.joiner
 import pyspark_cdc_engine.schemas
 import pyspark_cdc_engine.streaming.tx_state
+import pyspark_cdc_engine.streaming._state_message_spec
+import pyspark_cdc_engine.streaming.minipb
 from pyspark_cdc_engine.joiner import join_transaction
+from pyspark_cdc_engine.streaming import minipb
 from pyspark_cdc_engine.schemas import ORDER_STREAM_SCHEMA
 from pyspark_cdc_engine.streaming.tx_state import (
     _as_dict,
@@ -58,6 +62,8 @@ for _cp_name in ("pyspark.cloudpickle", "cloudpickle"):
         _cp.register_pickle_by_value(pyspark_cdc_engine.joiner)
         _cp.register_pickle_by_value(pyspark_cdc_engine.schemas)
         _cp.register_pickle_by_value(pyspark_cdc_engine.streaming.tx_state)
+        _cp.register_pickle_by_value(pyspark_cdc_engine.streaming._state_message_spec)
+        _cp.register_pickle_by_value(pyspark_cdc_engine.streaming.minipb)
         _cp.register_pickle_by_value(sys.modules[__name__])
     except (ImportError, AttributeError):
         pass
@@ -78,7 +84,19 @@ class TransactionAssemblyProcessor(StatefulProcessor):
         self._ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes else None
         self._handle_deletes = handle_deletes
 
+    def __setstate__(self, state: dict) -> None:
+        # Runs at unpickle time in EVERY worker process (driver pre-init
+        # worker and each executor task) — i.e. strictly before the runtime's
+        # first state-server call (set_handle_state precedes even init() in
+        # _handle_pre_init). The earliest reliable point to route pyspark's
+        # protobuf-generated StateMessage module to the wire-compatible shim
+        # where google.protobuf is absent (see minipb module doc); a no-op
+        # wherever real protobuf ships.
+        minipb.install()
+        self.__dict__.update(state)
+
     def init(self, handle: StatefulProcessorHandle) -> None:
+        minipb.install()  # also covers driver-side construction without pickling
         self._buffers = {
             t: handle.getListState(f"buf_{t.lower()}", _EVENT_STATE_SCHEMA, self._ttl_ms)
             for t in _TABLES
