@@ -25,11 +25,11 @@ def _protobuf_available() -> bool:
         return False
 
 
-# v2 (transformWithStateInPandas) protocol coverage lives in
-# tests/test_tx_state_v2.py, which drives TransactionAssemblyProcessor through
-# a faithful fake of the state-v2 handle and therefore runs WITHOUT protobuf;
-# the same file carries a full-runtime smoke gated on protobuf availability.
-_IMPLS = ["v1", "v2"] if _protobuf_available() else ["v1"]
+# v2 (transformWithStateInPandas) executes the REAL runtime everywhere: where
+# google.protobuf is absent, the minipb wire codec (streaming/minipb.py) is
+# installed at processor-unpickle time, so every golden scenario below runs
+# against the actual JVM state server under both implementations.
+_IMPLS = ["v1", "v2"]
 
 
 @pytest.fixture(params=_IMPLS)
