@@ -5,10 +5,12 @@ schema a 100 TB training-data lake uses (payload bytes + modality tag +
 per-modality struct). Library-backed codec work (JPEG decode, audio resample,
 video frame-sampling) needs packages this container doesn't ship, so
 :func:`decode_media`'s ``fake=False`` path raises ``NotImplementedError`` and
-the deterministic fake exercises the Spark-side contract. Two codecs ARE real,
-though: pure-Python spec-compliant 24-bpp BMP and PCM WAV
-(:func:`decode_bmp` / :func:`decode_wav`, exercised end-to-end and
-oracle-certified by ``media_decode_real``). Video remains the env stub.
+the deterministic fake exercises the Spark-side contract. Three codecs ARE
+real, though: pure-Python spec-compliant 24-bpp BMP, PCM WAV, and
+uncompressed RIFF-AVI video (:func:`decode_bmp` / :func:`decode_wav` /
+:func:`decode_avi`, exercised end-to-end and oracle-certified by
+``media_decode_real``). Only compressed formats (JPEG/MP3/H.264) stay behind
+the library stub.
 
 The payload here is derived from ``documents.text`` (UTF-8 bytes), because the
 driver's testdata has no binary column; the plumbing is payload-agnostic.
@@ -157,15 +159,16 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Real codecs (pure-Python BMP + WAV — no external libraries needed).
+# Real codecs (pure-Python BMP + WAV + AVI — no external libraries needed).
 #
-# The env ships no PIL/ffmpeg, but two standard container formats are simple
+# The env ships no PIL/ffmpeg, but three standard container formats are simple
 # enough to implement from their public specs: 24-bpp uncompressed BMP
-# (BITMAPINFOHEADER) and PCM WAV (RIFF chunks). `media_decode_real` runs the
-# full loop — synthesize a REAL container from deterministic content bytes,
-# parse it back with a spec-compliant decoder, compute features — so the
-# multimodal path is no longer plumbing-only for these codecs. Video remains
-# the documented env stub (no tractable pure-Python codec).
+# (BITMAPINFOHEADER), PCM WAV (RIFF chunks), and uncompressed RIFF-AVI video
+# (hdrl/avih/strl headers, raw '00db' DIB frames, idx1 index).
+# `media_decode_real` runs the full loop — synthesize a REAL container from
+# deterministic content bytes, parse it back with a spec-compliant decoder,
+# compute features — so the multimodal path is no longer plumbing-only for
+# any modality; only compressed codecs stay behind the library stub.
 
 _BMP_WIDTH = 16  # 16 px * 3 bytes = 48-byte rows: already 4-aligned, no pad
 _BMP_MAX_H = 8
@@ -256,6 +259,102 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+_AVI_W = 8        # 8 px * 3 bytes = 24-byte rows, 4-aligned
+_AVI_H = 8        # 192 bytes per raw 24-bpp frame
+_AVI_MAX_F = 4
+_AVI_FPS_NUM, _AVI_FPS_DEN = 25, 1
+_AVI_FRAME_BYTES = _AVI_W * 3 * _AVI_H
+
+
+def synthesize_avi(content: bytes) -> bytes:
+    """Build a real uncompressed AVI (RIFF 'AVI ': hdrl/avih + strl/strh/strf,
+    movi with raw '00db' DIB frames, idx1) whose frame pixels are the first
+    ``192 * f`` content bytes, ``f = clamp(len(content) // 192, 1, 4)``
+    (zero-padded only when content < one frame)."""
+    f = max(1, min(_AVI_MAX_F, len(content) // _AVI_FRAME_BYTES))
+    pix = content[: _AVI_FRAME_BYTES * f].ljust(_AVI_FRAME_BYTES * f, b"\x00")
+    frames = [
+        pix[i * _AVI_FRAME_BYTES : (i + 1) * _AVI_FRAME_BYTES] for i in range(f)
+    ]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec_per_frame = 1_000_000 * _AVI_FPS_DEN // _AVI_FPS_NUM
+    avih = struct.pack(
+        "<14I", usec_per_frame, _AVI_FRAME_BYTES * _AVI_FPS_NUM, 0, 0x10, f, 0, 1,
+        _AVI_FRAME_BYTES, _AVI_W, _AVI_H, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0, 0,
+        _AVI_FPS_DEN, _AVI_FPS_NUM, 0, f, _AVI_FRAME_BYTES, 0, 0,
+        0, 0, _AVI_W, _AVI_H,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, _AVI_W, _AVI_H, 1, 24, 0, _AVI_FRAME_BYTES, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00db", fr) for fr in frames)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame; offsets are relative to the 'movi' list kind
+    idx_entries, off = [], 4
+    for fr in frames:
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(fr)))
+        off += 8 + len(fr) + (len(fr) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _riff_chunks(payload: bytes, pos: int, end: int):
+    """Yield (chunk_id, body_start, body_size) walking sibling RIFF chunks."""
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        yield cid, pos + 8, size
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+
+
+def decode_avi(payload: bytes) -> dict:
+    """Spec-compliant uncompressed-AVI parse: RIFF/'AVI ' magic, avih
+    geometry, strh timing (fps = dwRate / dwScale), raw '00db' frames from the
+    movi list. Features are frame-order-invariant."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF/'AVI ' magic")
+    width = height = None
+    scale = rate = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, scale, rate
+        for cid, body, size in _riff_chunks(payload, pos, end):
+            if cid == b"LIST":
+                walk(body + 4, body + size)  # skip the 4-byte list kind
+            elif cid == b"avih":
+                vals = struct.unpack("<14I", payload[body : body + 56])
+                width, height = vals[8], vals[9]
+            elif cid == b"strh":
+                fcc = payload[body : body + 4]
+                if fcc == b"vids":
+                    scale, rate = struct.unpack("<II", payload[body + 20 : body + 28])
+            elif cid == b"00db":
+                frames.append(payload[body : body + size])
+
+    walk(12, len(payload))
+    if width is None or scale is None or not frames:
+        raise ValueError("AVI missing avih/strh/frames")
+    useful = b"".join(frames)
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(frames),
+        "fps": rate / scale,
+        "mean_value": sum(useful) / len(useful),
+    }
+
+
 REAL_MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -264,36 +363,41 @@ REAL_MEDIA_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("n_samples", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
         T.StructField("mean_value", T.DoubleType()),
     ]
 )
 
 
+_CODECS = {
+    "image": (synthesize_bmp, decode_bmp),
+    "audio": (synthesize_wav, decode_wav),
+    "video": (synthesize_avi, decode_avi),
+}
+
+
 def _decode_real_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    rows: dict[str, list] = {k.name: [] for k in REAL_MEDIA_SCHEMA.fields}
     for pdf in batches:
-        out = {k.name: [] for k in REAL_MEDIA_SCHEMA.fields}
+        out: dict[str, list] = {k.name: [] for k in REAL_MEDIA_SCHEMA.fields}
         for doc_id, payload, modality in zip(
             pdf["doc_id"], pdf["payload"], pdf["modality"]
         ):
-            container = (
-                synthesize_bmp(bytes(payload))
-                if modality == "image"
-                else synthesize_wav(bytes(payload))
-            )
-            feat = decode_bmp(container) if modality == "image" else decode_wav(container)
+            synth, decode = _CODECS[modality]
+            feat = decode(synth(bytes(payload)))
             out["doc_id"].append(doc_id)
             out["modality"].append(modality)
             out["width"].append(feat.get("width"))
             out["height"].append(feat.get("height"))
             out["sample_rate"].append(feat.get("sample_rate"))
             out["n_samples"].append(feat.get("n_samples"))
+            out["n_frames"].append(feat.get("n_frames"))
+            out["fps"].append(feat.get("fps"))
             # no rounding: the sum is an exact integer and IEEE double
             # division is bit-identical across engines, while ROUND at a
             # binary-fraction tie differs (banker's vs half-away)
             out["mean_value"].append(feat["mean_value"])
         yield pd.DataFrame(out)
-    del rows
 
 
 @register(
@@ -303,43 +407,49 @@ def _decode_real_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     WITH m AS (
       SELECT doc_id, text, length(text) AS n,
              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                                          WHEN 1 THEN 'audio' END AS modality
+                                          WHEN 1 THEN 'audio'
+                                          ELSE 'video' END AS modality
       FROM documents
-      WHERE CAST(doc_id % 3 AS INT) IN (0, 1)
     ),
     geo AS (
       SELECT doc_id, text, n, modality,
              CASE WHEN modality = 'image'
                   THEN 48 * GREATEST(1, LEAST(8, n // 48)) END AS n_pix,
-             CASE WHEN modality = 'audio' THEN LEAST(256, n) END AS n_samp
+             CASE WHEN modality = 'audio' THEN LEAST(256, n) END AS n_samp,
+             CASE WHEN modality = 'video'
+                  THEN 192 * GREATEST(1, LEAST(4, n // 192)) END AS n_vid
       FROM m
     )
     SELECT g.doc_id, g.modality,
-           CASE WHEN g.modality = 'image' THEN 16 END AS width,
-           CASE WHEN g.modality = 'image'
-                THEN CAST(g.n_pix // 48 AS INT) END AS height,
+           CASE g.modality WHEN 'image' THEN 16 WHEN 'video' THEN 8 END AS width,
+           CASE g.modality WHEN 'image' THEN CAST(g.n_pix // 48 AS INT)
+                           WHEN 'video' THEN 8 END AS height,
            CASE WHEN g.modality = 'audio' THEN 8000 END AS sample_rate,
            CASE WHEN g.modality = 'audio' THEN CAST(g.n_samp AS INT) END AS n_samples,
+           CASE WHEN g.modality = 'video'
+                THEN CAST(g.n_vid // 192 AS INT) END AS n_frames,
+           CASE WHEN g.modality = 'video' THEN 25.0 END AS fps,
            list_aggregate(
              list_transform(
                string_split(
-                 substr(g.text, 1, LEAST(g.n, COALESCE(g.n_pix, g.n_samp))), ''),
+                 substr(g.text, 1, LEAST(g.n, COALESCE(g.n_pix, g.n_samp, g.n_vid))), ''),
                x -> ascii(x)), 'sum')
-           / CAST(COALESCE(g.n_pix, g.n_samp) AS DOUBLE) AS mean_value
+           / CAST(COALESCE(g.n_pix, g.n_samp, g.n_vid) AS DOUBLE) AS mean_value
     FROM geo g
     """,
 )
 def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round-trip over the multimodal columns: per document,
-    synthesize a genuine BMP (image) or PCM WAV (audio) container from the
-    payload bytes, parse it back with the pure-Python spec decoder above, and
-    emit geometry + mean sample value. mapInPandas end to end — one Arrow
-    batch in, one out, embarrassingly parallel over input partitions, no
-    shuffle (same 100 TB shape as `media_features`). The DuckDB oracle
-    recomputes the identical features straight from the content bytes, which
-    certifies the synthesize→decode loop is lossless where it must be."""
+    synthesize a genuine BMP (image), PCM WAV (audio), or uncompressed
+    RIFF-AVI (video) container from the payload bytes, parse it back with the
+    pure-Python spec decoder above, and emit geometry/timing + mean sample
+    value. mapInPandas end to end — one Arrow batch in, one out,
+    embarrassingly parallel over input partitions, no shuffle (same 100 TB
+    shape as `media_features`). The DuckDB oracle recomputes the identical
+    features straight from the content bytes, which certifies the
+    synthesize→decode loop is lossless where it must be."""
     d = load_table(spark, sf_dir, "documents")
-    media = with_media_columns(d).filter(F.col("modality").isin("image", "audio"))
+    media = with_media_columns(d)
     return media.select("doc_id", "payload", "modality").mapInPandas(
         _decode_real_kernel, schema=REAL_MEDIA_SCHEMA
     )

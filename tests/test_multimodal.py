@@ -136,3 +136,46 @@ def test_wav_rejects_malformed():
         decode_wav(b"OggS" + b"\x00" * 40)
     with pytest.raises(ValueError, match="missing"):
         decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_avi_roundtrip_frames_fps_and_mean():
+    from pyspark_cdc_engine.operators.multimodal import decode_avi, synthesize_avi
+
+    content = bytes((i * 13) % 256 for i in range(500))  # 500 // 192 = 2 frames
+    avi = synthesize_avi(content)
+    feat = decode_avi(avi)
+    assert (feat["width"], feat["height"]) == (8, 8)
+    assert feat["n_frames"] == 2 and feat["fps"] == 25.0
+    n = 192 * 2
+    assert feat["mean_value"] == sum(content[:n]) / n
+
+
+def test_avi_clamps_frames_and_pads_short_content():
+    from pyspark_cdc_engine.operators.multimodal import decode_avi, synthesize_avi
+
+    # short content: one zero-padded frame
+    feat = decode_avi(synthesize_avi(b"xyz"))
+    assert feat["n_frames"] == 1
+    assert feat["mean_value"] == (ord("x") + ord("y") + ord("z")) / 192
+    # long content: clamped to 4 frames
+    feat = decode_avi(synthesize_avi(bytes(250) * 10))
+    assert feat["n_frames"] == 4
+
+
+def test_avi_rejects_malformed_and_skips_unknown_chunks():
+    import struct
+
+    import pytest
+
+    from pyspark_cdc_engine.operators.multimodal import decode_avi, synthesize_avi
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="missing"):
+        decode_avi(b"RIFF\x04\x00\x00\x00AVI ")
+    # unknown JUNK chunk between lists must be skipped by a conformant walk
+    avi = synthesize_avi(bytes(range(200)))
+    body = avi[12:]
+    junk = b"JUNK" + struct.pack("<I", 3) + b"pad" + b"\x00"
+    patched = b"RIFF" + struct.pack("<I", 4 + len(junk) + len(body)) + b"AVI " + junk + body
+    assert decode_avi(patched) == decode_avi(avi)
