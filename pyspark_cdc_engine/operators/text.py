@@ -356,13 +356,17 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        # pointer doubling: l(l(u)) — look up the label of u's current label
-        parents = labels.select(
-            F.col("id").alias("pid"), F.col("label").alias("hlabel")
-        )
-        hop = labels.join(parents, labels.label == parents.pid, "left").select(
-            "id", "hlabel"
-        )
+        # pointer doubling: l(l(u)) — look up the label of u's current label.
+        # Round 1 skips it (labels are all self, the hop is the identity).
+        if rounds == 1:
+            hop = labels.select("id", F.col("label").alias("hlabel"))
+        else:
+            parents = labels.select(
+                F.col("id").alias("pid"), F.col("label").alias("hlabel")
+            )
+            hop = labels.join(parents, labels.label == parents.pid, "left").select(
+                "id", "hlabel"
+            )
         # the moved flag rides the checkpointed frame, so the convergence
         # probe is a filter over materialized rows — no extra join per round
         new_labels = (
