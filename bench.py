@@ -22,10 +22,14 @@ from pyspark_cdc_engine.operators import REGISTRY  # noqa: E402
 from pyspark_cdc_engine.session import get_spark  # noqa: E402
 
 
-def bench_cdc_pipeline(spark, n_tx: int) -> dict:
+def bench_cdc_pipeline(spark, n_tx: int, impl: str = "v1") -> dict:
     """End-to-end CDC throughput (BASELINE.md M6 protocol): file-source GG
     events -> stateful assembly -> SCD2 deltalite, then the SCD1 merge; events/s
-    and tx/s for stage 1, wall sec for the stage-2 MERGE."""
+    and tx/s for stage 1, wall sec for the stage-2 MERGE.
+
+    ``impl`` (env ``BENCH_CDC_IMPL``): "v1" = applyInPandasWithState (the
+    BASELINE.md-comparable default), "v2" = transformWithStateInPandas
+    (ListState buffers; runs everywhere via the minipb wire codec)."""
     import shutil
     import tempfile
 
@@ -53,7 +57,8 @@ def bench_cdc_pipeline(spark, n_tx: int) -> dict:
         scd2 = DeltaliteTable(spark, str(base / "order_stream"))
         t0 = time.perf_counter()
         q = cdc_to_scd2_stream(
-            spark, str(base / "cdc"), str(base / "meta"), scd2, str(base / "ckpt")
+            spark, str(base / "cdc"), str(base / "meta"), scd2, str(base / "ckpt"),
+            impl=impl,
         )
         q.awaitTermination(600)
         scd2_sec = time.perf_counter() - t0
@@ -107,7 +112,11 @@ def main() -> None:
     cdc = None
     if os.environ.get("BENCH_CDC", "1") != "0" and not only:
         try:
-            cdc = bench_cdc_pipeline(spark, n_tx=int(os.environ.get("BENCH_CDC_TX", "2000")))
+            cdc = bench_cdc_pipeline(
+                spark,
+                n_tx=int(os.environ.get("BENCH_CDC_TX", "2000")),
+                impl=os.environ.get("BENCH_CDC_IMPL", "v1"),
+            )
         except Exception as e:  # noqa: BLE001
             cdc = {"err": f"{type(e).__name__}: {e}"[:500]}
 

@@ -132,3 +132,66 @@ def test_roundtrip_against_real_protobuf_when_available(pb):
         )
     ).SerializeToString()
     assert ours == theirs
+
+
+# ------------------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _list_state_calls(draw):
+    pb = minipb.build_module()
+    name = draw(st.text(min_size=0, max_size=20))
+    arm = draw(st.sampled_from(["exists", "appendList", "listStateGet", "clear"]))
+    kw = {"stateName": name}
+    if arm == "exists":
+        kw["exists"] = pb.Exists()
+    elif arm == "appendList":
+        vals = draw(st.lists(st.binary(max_size=64), max_size=8))
+        kw["appendList"] = pb.AppendList(
+            value=vals, fetchWithArrow=draw(st.booleans())
+        )
+    elif arm == "listStateGet":
+        kw["listStateGet"] = pb.ListStateGet(iteratorId=draw(st.text(max_size=10)))
+    else:
+        kw["clear"] = pb.Clear()
+    return pb, pb.ListStateCall(**kw), kw, arm
+
+
+@given(_list_state_calls())
+@settings(max_examples=60, deadline=None)
+def test_property_request_roundtrip(case):
+    """Any client-buildable ListStateCall survives serialize->parse with every
+    field intact — the request-side contract the JVM depends on."""
+    pb, msg, kw, arm = case
+    back = pb.ListStateCall()
+    back.ParseFromString(msg.SerializeToString())
+    assert back.stateName == kw["stateName"]
+    if arm == "appendList":
+        assert list(back.appendList.value) == list(kw["appendList"].value)
+        assert back.appendList.fetchWithArrow == kw["appendList"].fetchWithArrow
+    elif arm == "listStateGet":
+        assert back.listStateGet.iteratorId == kw["listStateGet"].iteratorId
+
+
+@given(
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    st.text(max_size=40),
+    st.lists(st.binary(max_size=40), max_size=10),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_property_response_roundtrip(status, err, values, more):
+    """Any JVM-shaped StateResponseWithListGet parses back exactly (signed
+    int32 status codes included)."""
+    pb = minipb.build_module()
+    blob = pb.StateResponseWithListGet(
+        statusCode=status, errorMessage=err, value=values, requireNextFetch=more
+    ).SerializeToString()
+    r = pb.StateResponseWithListGet()
+    r.ParseFromString(blob)
+    assert (r.statusCode, r.errorMessage, list(r.value), r.requireNextFetch) == (
+        status, err, list(values), more,
+    )
