@@ -68,6 +68,21 @@ def test_insert_only_transaction(spark, tmp_path, impl):
     assert r.lineItems[0].itemQty is not None
 
 
+def test_rocksdb_state_store_actually_engaged(spark, tmp_path, impl):
+    """T5 is a conf row only if nothing proves the provider ran. Assert the
+    session conf AND that the streaming checkpoint materialized RocksDB state
+    artifacts (.zip snapshots / .changelog files under state/), which the
+    default HDFSBackedStateStoreProvider does not produce."""
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+    tx = insert_tx(3, xid="rocks.1", csn="9001")
+    _, base = _run_stream(spark, tmp_path, [tx], impl=impl)
+    state = base / "ckpt" / "state"
+    arts = [p for p in state.rglob("*") if p.suffix in (".zip", ".changelog")]
+    assert arts, f"no RocksDB snapshot/changelog artifacts under {state}"
+
+
 def test_update_with_before_images(spark, tmp_path, impl):
     """Scenario 4: U events carry before images into the nested structs."""
     from tests.cdc_fixtures import _order_after
