@@ -1,4 +1,5 @@
-"""Export a deltalite snapshot as a REAL Delta Lake table.
+"""Delta Lake interop WITHOUT delta jars: export deltalite snapshots as real
+Delta tables, and read real Delta tables into Spark DataFrames.
 
 deltalite's own log (`tables.py`) is an analog, not the Delta format — the
 documented boundary in README "deltalite vs. Delta Lake". This module closes
@@ -18,12 +19,19 @@ which the README documents.
 No Delta library is needed to WRITE this format (it's JSON-lines over a
 directory contract), which is exactly why the export can live here while the
 env ships no delta jars.
+
+The inverse, :func:`read_delta_snapshot`, parses a Delta table's
+``_delta_log`` — JSON commits plus parquet checkpoints (``_last_checkpoint``)
+— replays add/remove actions to the requested version, and returns the
+snapshot as a DataFrame with partition columns reconstructed from
+``partitionValues`` (Delta stores them in the log, not in the files). Export
+and import round-trip through the REAL on-disk format, so each validates the
+other without a delta dependency.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import shutil
 import time
 import uuid
@@ -126,3 +134,104 @@ def export_delta_snapshot(
         "total_bytes": total,
         "dest": str(dest_path),
     }
+
+
+# --------------------------------------------------------------------- import
+
+
+def _log_actions_upto(log_dir: Path, version: int | None):
+    """Yield (action_dict) streams: checkpoint rows first (if one at or below
+    the target version exists), then JSON commits after it, in order. Returns
+    (checkpoint_path_or_None, checkpoint_version, [json_commit_paths])."""
+    versions = sorted(
+        int(p.stem) for p in log_dir.glob("*.json") if p.stem.isdigit()
+    )
+    if not versions:
+        raise FileNotFoundError(f"no Delta commits in {log_dir}")
+    target = versions[-1] if version is None else version
+    if target not in versions and not list(log_dir.glob(f"{target:020d}.checkpoint*.parquet")):
+        raise ValueError(f"version {target} not present in {log_dir}")
+
+    ckpt_path, ckpt_v = None, -1
+    for p in log_dir.glob("*.checkpoint.parquet"):
+        v = int(p.name.split(".")[0])
+        if ckpt_v < v <= target:
+            ckpt_v, ckpt_path = v, p
+    jsons = [
+        log_dir / f"{v:020d}.json" for v in versions if ckpt_v < v <= target
+    ]
+    return ckpt_path, ckpt_v, jsons
+
+
+def read_delta_snapshot(spark, path: str, version: int | None = None):
+    """Read a REAL Delta table (written by any engine) as a DataFrame, no
+    delta jars needed. Supports JSON commits and single-file parquet
+    checkpoints; ``version`` = time travel (VERSION AS OF).
+
+    Partition columns are reconstructed per add-file from the log's
+    ``partitionValues`` (cast to the schema's types), grouped so each distinct
+    partition tuple is one ``spark.read.parquet`` with literal columns — the
+    same information a Delta-native reader uses."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
+    root = Path(path)
+    log_dir = root / "_delta_log"
+    ckpt_path, _ckpt_v, jsons = _log_actions_upto(log_dir, version)
+
+    schema_json: str | None = None
+    partition_cols: list[str] = []
+    live: dict[str, dict] = {}  # path -> partitionValues
+
+    if ckpt_path is not None:
+        for row in spark.read.parquet(str(ckpt_path)).collect():
+            d = row.asDict(recursive=True)
+            if d.get("metaData") and d["metaData"].get("schemaString"):
+                schema_json = d["metaData"]["schemaString"]
+                partition_cols = list(d["metaData"]["partitionColumns"] or [])
+            add = d.get("add")
+            if add and add.get("path"):
+                live[add["path"]] = dict(add.get("partitionValues") or {})
+            rm = d.get("remove")
+            if rm and rm.get("path"):
+                live.pop(rm["path"], None)
+
+    for jp in jsons:
+        for ln in jp.read_text().splitlines():
+            if not ln.strip():
+                continue
+            a = json.loads(ln)
+            if "metaData" in a:
+                schema_json = a["metaData"]["schemaString"]
+                partition_cols = list(a["metaData"].get("partitionColumns") or [])
+            elif "add" in a:
+                live[a["add"]["path"]] = dict(a["add"].get("partitionValues") or {})
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+
+    if schema_json is None:
+        raise ValueError(f"no metaData action found in {log_dir}")
+    if not live:
+        raise ValueError(f"empty Delta snapshot at {path}")
+
+    full_schema = StructType.fromJson(json.loads(schema_json))
+    data_fields = [f for f in full_schema.fields if f.name not in partition_cols]
+    data_schema = StructType(data_fields)
+    part_types = {f.name: f.dataType for f in full_schema.fields if f.name in partition_cols}
+
+    # group files by partition tuple; one scan per tuple with literal columns
+    groups: dict[tuple, list[str]] = {}
+    for rel, pvals in live.items():
+        key = tuple(pvals.get(c) for c in partition_cols)
+        groups.setdefault(key, []).append(str(root / rel))
+
+    out = None
+    for key, files in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+        df = spark.read.schema(data_schema).parquet(*files)
+        for c, v in zip(partition_cols, key):
+            # Delta encodes null partition values as missing/empty
+            lit = F.lit(None) if v is None or v == "" else F.lit(v)
+            df = df.withColumn(c, lit.cast(part_types[c]))
+        df = df.select(*[f.name for f in full_schema.fields])
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -70,3 +70,98 @@ def test_export_partitioned_carries_partition_values(spark, tmp_path):
     assert {a["partitionValues"]["bucket"] for a in adds} == {"0", "1"}
     # file paths keep the Hive-style layout the values were parsed from
     assert all(f"bucket={a['partitionValues']['bucket']}" in a["path"] for a in adds)
+
+
+# ---------------------------------------------------------------- delta READ
+
+
+def test_read_back_roundtrip_through_real_format(spark, tmp_path):
+    """Export then import through the actual on-disk Delta format: the two
+    independent codepaths must agree with the original table exactly."""
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(50).selectExpr("id", "CAST(id % 3 AS STRING) AS g"),
+                partition_by=["g"])
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    got = read_delta_snapshot(spark, str(dest))
+    assert [f.name for f in got.schema.fields] == ["id", "g"]
+    assert sorted((r.id, r.g) for r in got.collect()) == sorted(
+        (r.id, r.g) for r in t.read().collect()
+    )
+
+
+def test_remove_actions_and_version_time_travel(spark, tmp_path):
+    """A later commit's remove action drops that file from the snapshot;
+    version= replays only up to the requested commit."""
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(10).toDF("id"))
+    t.append(spark.range(10, 25).toDF("id"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+
+    actions = _read_actions(dest)
+    adds = [a["add"] for a in actions if "add" in a]
+    victim = adds[0]["path"]
+    victim_rows = spark.read.parquet(str(dest / victim)).count()
+    commit1 = dest / "_delta_log" / f"{1:020d}.json"
+    commit1.write_text(json.dumps({"remove": {"path": victim, "dataChange": True}}) + "\n")
+
+    full = read_delta_snapshot(spark, str(dest), version=0).count()
+    pruned = read_delta_snapshot(spark, str(dest), version=1).count()
+    assert full == 25 and pruned == 25 - victim_rows
+    assert read_delta_snapshot(spark, str(dest)).count() == pruned  # latest = v1
+
+
+def test_read_from_parquet_checkpoint(spark, tmp_path):
+    """Snapshot state can come from a parquet checkpoint with only LATER json
+    commits present — the standard long-history layout."""
+    from pyspark.sql.types import StructType
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(30).toDF("id"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    actions = _read_actions(dest)
+    meta = actions[2]["metaData"]
+    adds = [a["add"] for a in actions if "add" in a]
+
+    ckpt_schema = (
+        "metaData struct<id:string,schemaString:string,partitionColumns:array<string>>, "
+        "add struct<path:string,partitionValues:map<string,string>>, "
+        "remove struct<path:string>"
+    )
+    rows = [
+        {"metaData": {"id": meta["id"], "schemaString": meta["schemaString"],
+                      "partitionColumns": meta["partitionColumns"]},
+         "add": None, "remove": None}
+    ] + [
+        {"metaData": None,
+         "add": {"path": a["path"], "partitionValues": a["partitionValues"]},
+         "remove": None}
+        for a in adds
+    ]
+    log = dest / "_delta_log"
+    ckpt_tmp = tmp_path / "ckpt_build"
+    spark.createDataFrame(rows, ckpt_schema).coalesce(1).write.parquet(str(ckpt_tmp))
+    part = next(p for p in ckpt_tmp.iterdir() if p.suffix == ".parquet")
+    part.rename(log / f"{0:020d}.checkpoint.parquet")
+    (log / f"{0:020d}.json").unlink()  # only the checkpoint carries v0 now
+    # one later json commit on top of the checkpoint
+    extra = spark.range(30, 40).toDF("id")
+    extra_dir = tmp_path / "extra"
+    extra.coalesce(1).write.parquet(str(extra_dir))
+    epart = next(p for p in extra_dir.iterdir() if p.suffix == ".parquet")
+    (dest / "extra.parquet").write_bytes(epart.read_bytes())
+    (log / f"{1:020d}.json").write_text(
+        json.dumps({"add": {"path": "extra.parquet", "partitionValues": {},
+                            "dataChange": True}}) + "\n"
+    )
+    got = read_delta_snapshot(spark, str(dest))
+    assert got.count() == 40
+    assert {r.id for r in got.collect()} == set(range(40))
