@@ -86,6 +86,50 @@ def cdc_to_scd2_stream_kafka(
     )
 
 
+def cdc_to_scd2_stream_kafka_4topics(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    orders_topic: str,
+    details_topic: str,
+    items_topic: str,
+    meta_topic: str,
+    table: DeltaliteTable,
+    checkpoint_dir: str,
+    ttl_minutes: float | None = None,
+    impl: str = "v1",
+    handle_deletes: bool = False,
+    format_name: str = "kafka",
+    extra_options: dict | None = None,
+):
+    """The reference's EXACT topology — four topics, one per GG table plus
+    transaction metadata (TransactionalCdcProcessingApp.scala:47-62) — with
+    the three data-topic streams unioned on the raw value column BEFORE the
+    single from_json parse (events self-identify via their ``table`` field,
+    so one parse replaces the reference's parse-then-union: same rows, one
+    JSON projection in the plan instead of three)."""
+    from functools import reduce
+
+    from pyspark_cdc_engine.sources import read_kafka_stream
+
+    raw = [
+        read_kafka_stream(
+            spark, bootstrap_servers, t,
+            format_name=format_name, extra_options=extra_options,
+        )
+        for t in (orders_topic, details_topic, items_topic)
+    ]
+    cdc = parse_data_change_events(reduce(lambda a, b: a.union(b), raw))
+    meta = parse_transaction_metadata(
+        read_kafka_stream(
+            spark, bootstrap_servers, meta_topic,
+            format_name=format_name, extra_options=extra_options,
+        )
+    )
+    return _scd2_stream_from_values(
+        cdc, meta, table, checkpoint_dir, ttl_minutes, impl, handle_deletes
+    )
+
+
 def _scd2_stream_from_values(
     cdc: DataFrame,
     meta: DataFrame,

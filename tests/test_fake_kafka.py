@@ -129,3 +129,34 @@ def test_streaming_offsets_honor_starting_latest(spark, broker, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT * FROM latest_probe").count() == 0
+
+
+def test_cdc_pipeline_four_topic_reference_topology(spark, broker, tmp_path):
+    """The reference's literal wiring (TransactionalCdcProcessingApp.scala:
+    47-62): orders / order_details / order_line_items / transaction_metadata
+    as four separate topics, unioned into one assembly."""
+    from pyspark_cdc_engine.streaming.pipeline import cdc_to_scd2_stream_kafka_4topics
+
+    register_fake_kafka(spark)
+    txs = [insert_tx(i, f"t4.{i}", f"8{i:03d}") for i in range(1, 3)]
+    for b in txs:
+        for e in b.events:
+            t = e["table"].split(".")[-1]
+            topic = {"ORDERS": "gg.orders", "ORDER_DETAILS": "gg.details",
+                     "ORDER_LINE_ITEMS": "gg.items"}[t]
+            produce(broker, topic, [json.dumps(e)])
+        produce(broker, "gg.meta", [json.dumps(b.metadata())])
+
+    table = DeltaliteTable(spark, str(tmp_path / "order_stream"))
+    q = cdc_to_scd2_stream_kafka_4topics(
+        spark, "fake:9092", "gg.orders", "gg.details", "gg.items", "gg.meta",
+        table, str(tmp_path / "ckpt"),
+        format_name="fakekafka", extra_options={"path": broker},
+    )
+    q.awaitTermination(180)
+    rows = table.read().collect()
+    assert sorted(int(r.orderId) for r in rows) == [1, 2]
+    # insert_tx(i) carries 2 + i%4 line items; all must assemble across topics
+    by_id = {int(r.orderId): r for r in rows}
+    assert all(len(by_id[i].orders) == 1 and len(by_id[i].lineItems) == 2 + i % 4
+               for i in (1, 2))
