@@ -426,3 +426,81 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+_TSW = 8  # window length (events per similarity window)
+# centered probe: a rising ramp, i - mean(1..8) = i - 4.5 for i in 1..8
+_TS_PROBE = [i - 4.5 for i in range(1, _TSW + 1)]
+
+
+def _ts_dist_sql(arr: str, fn: str = "element_at") -> tuple[str, str]:
+    """Sum of squared deviations between the CENTERED window and the centered
+    ramp probe, fully unrolled so both engines evaluate the identical
+    left-associated double expression tree (bit-exact, no fold-order risk).
+    ``fn``: the 1-based element accessor — ``element_at`` (Spark; bracket
+    indexing is 0-based there) / ``list_extract`` (DuckDB)."""
+    at = lambda i: f"{fn}({arr}, {i})"
+    mean = "(" + " + ".join(at(i) for i in range(1, _TSW + 1)) + f") / {_TSW}.0"
+    terms = [
+        f"(({at(i)} - __m) - ({_TS_PROBE[i - 1]!r})) * (({at(i)} - __m) - ({_TS_PROBE[i - 1]!r}))"
+        for i in range(1, _TSW + 1)
+    ]
+    return mean, " + ".join(terms)
+
+
+@register(
+    "ts_window_similarity_topk",
+    survey="W1,O1,beyond-ref",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN CURRENT ROW AND {_TSW - 1} FOLLOWING) AS arr
+      FROM events
+    ),
+    full_w AS (SELECT * FROM w WHERE len(arr) = {_TSW}),
+    d AS (
+      SELECT user_id, event_id AS start_event_id,
+             {_ts_dist_sql('arr', 'list_extract')[1].replace(
+                 '__m', f"(({_ts_dist_sql('arr', 'list_extract')[0]}))")} AS dist
+      FROM full_w
+    )
+    SELECT user_id, start_event_id, dist
+    FROM d ORDER BY dist, user_id, start_event_id LIMIT 20
+    """,
+)
+def ts_window_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (streaming-data window matching, EDBT'19
+    theme): per user, every run of {_TSW} consecutive event values becomes a
+    window; each window is centered (mean-removed) and scored by exact squared
+    Euclidean distance to a centered rising-ramp probe; global top-20 closest
+    windows win.
+
+    Spark-first shape: ONE shuffle on user_id feeds a frame-spec collect_list
+    (ROWS BETWEEN CURRENT AND {_TSW - 1} FOLLOWING); the distance is a fully
+    unrolled codegen double expression (no HOF lambda — those are interpreted
+    and fold-order-ambiguous); global top-k plans as TakeOrderedAndProject,
+    never a full sort. At 100 TB: shuffle bytes = the events themselves once,
+    window arrays never leave the exchange-local stage, and the driver
+    receives exactly k rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, _TSW - 1)
+    )
+    mean_sql, dist_sql = _ts_dist_sql("arr")
+    full = (
+        ev.select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            F.collect_list("value").over(w).alias("arr"),
+        )
+        .filter(F.size("arr") == _TSW)
+    )
+    d = full.select(
+        "user_id",
+        "start_event_id",
+        F.expr(dist_sql.replace("__m", f"(({mean_sql}))")).alias("dist"),
+    )
+    return d.orderBy("dist", "user_id", "start_event_id").limit(20)

@@ -147,6 +147,17 @@ def test_connected_components_chain_collapse(spark):
     }
 
 
+def test_ts_window_similarity_single_shuffle_topk(spark):
+    """One shuffle (the user_id window) + TakeOrderedAndProject for the global
+    top-k — never a full sort; distance math stays unrolled codegen (no
+    Python, no HOF lambdas)."""
+    plan = plan_of(spark, "ts_window_similarity_topk")
+    c = node_counts(plan)
+    assert c["TakeOrderedAndProject"] == 1
+    assert c["Exchange"] <= 1
+    assert c["BatchEvalPython"] == 0 and c["ArrowEvalPython"] == 0
+
+
 def test_connected_components_long_chain_log_rounds(spark):
     """Round-complexity contract: pointer doubling resolves a diameter-127
     chain in O(log2 diameter) rounds, not O(diameter) — the property that
