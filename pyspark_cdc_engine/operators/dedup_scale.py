@@ -78,11 +78,8 @@ _BAND_ROWS_DUCK = ", ".join(
 )
 
 
-@register(
-    "minhash_lsh_near_dup",
-    survey="M5-dedup,A2,J5",
-    oracle=f"""
-    WITH {_SHINGLE_CTE_DUCK},
+# CTE chain shared by the minhash pair oracle and the LSH cluster oracle
+_MH_CTES_DUCK = f"""{_SHINGLE_CTE_DUCK},
     hsets AS (
       SELECT DISTINCT doc_id, substr(md5(sh), 1, 15) AS shh FROM sets
     ),
@@ -95,20 +92,30 @@ _BAND_ROWS_DUCK = ", ".join(
       SELECT doc_id, shs, band_id, band_hash
       FROM sigs, (VALUES {_BAND_ROWS_DUCK}) AS v(band_id, band_hash)
     ),
-    pairs AS (
+    cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              ANY_VALUE(a.shs) AS sa, ANY_VALUE(b.shs) AS sb
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-             / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
-    FROM pairs
-    WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-            / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= {_MH_TAU}
+    ),
+    mh_pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+               / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
+      FROM cand
+      WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+              / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= {_MH_TAU}
+    )"""
+
+
+@register(
+    "minhash_lsh_near_dup",
+    survey="M5-dedup,A2,J5",
+    oracle=f"""
+    WITH {_MH_CTES_DUCK}
+    SELECT doc_a, doc_b, jaccard FROM mh_pairs
     """,
 )
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,6 +248,40 @@ def _minhash_lsh(d: DataFrame, rejoin: bool) -> DataFrame:
         )
         .filter(F.col("jaccard") >= _MH_TAU)
     )
+
+
+@register(
+    "dedup_clusters_lsh",
+    survey="M5-dedup,beyond-ref",
+    oracle=f"""
+    WITH RECURSIVE {_MH_CTES_DUCK},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM mh_pairs
+    ),
+    reach (id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id, MIN(r) = id AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cluster collapse, end to end: MinHash-LSH candidate pairs
+    (constant shuffle bytes per doc — see minhash_lsh_near_dup) feed the
+    pointer-doubling connected-components loop (O(log diameter) rounds — see
+    text.connected_components). This is the pipeline `dedup_clusters` (exact
+    edges, size-guarded) points at for corpora where the quadratic baseline
+    refuses to run; the oracle rebuilds the identical graph with a recursive
+    CTE over the same LSH pair derivation."""
+    from pyspark_cdc_engine.operators.text import connected_components
+
+    pairs = minhash_lsh_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return connected_components(docs, pairs)
 
 
 # ---------------------------------------------------------------------------
