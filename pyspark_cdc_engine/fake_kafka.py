@@ -142,12 +142,19 @@ class FakeKafkaBatchReader(DataSourceReader):
 
 class FakeKafkaStreamReader(DataSourceStreamReader):
     """Offsets are ``{"<topic>/<partition>": next_line}`` dicts — the same
-    per-topic-partition watermarking Kafka's source checkpoints."""
+    per-topic-partition watermarking Kafka's source checkpoints.
+
+    ``maxOffsetsPerTrigger`` (same option as spark-sql-kafka): cap the TOTAL
+    messages admitted per micro-batch, spread evenly across topic-partitions
+    with backlog — ingest stays bounded however deep the log is."""
 
     def __init__(self, options):
         self._broker_dir, self._topics, self._starting, self._fail_on_loss = (
             _parse_options(options)
         )
+        mx = options.get("maxOffsetsPerTrigger")
+        self._max_per_trigger = int(mx) if mx else None
+        self._last_end: dict | None = None
 
     def _current_end(self) -> dict:
         return {
@@ -156,12 +163,34 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
         }
 
     def initialOffset(self) -> dict:
-        if self._starting == "latest":
-            return self._current_end()
-        return {k: 0 for k in self._current_end()}
+        init = (
+            self._current_end()
+            if self._starting == "latest"
+            else {k: 0 for k in self._current_end()}
+        )
+        self._last_end = dict(init)
+        return init
 
     def latestOffset(self) -> dict:
-        return self._current_end()
+        avail = self._current_end()
+        if self._max_per_trigger is None:
+            self._last_end = dict(avail)
+            return avail
+        start = self._last_end or {k: 0 for k in avail}
+        lag = {k: avail[k] - start.get(k, 0) for k in avail}
+        backlogged = [k for k, d in lag.items() if d > 0]
+        end = {k: start.get(k, 0) for k in avail}
+        if backlogged:
+            share = max(1, self._max_per_trigger // len(backlogged))
+            budget = self._max_per_trigger
+            for k in sorted(backlogged):
+                take = min(lag[k], share, budget)
+                end[k] += take
+                budget -= take
+                if budget <= 0:
+                    break
+        self._last_end = dict(end)
+        return end
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         by_key = {

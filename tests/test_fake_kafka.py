@@ -160,3 +160,48 @@ def test_cdc_pipeline_four_topic_reference_topology(spark, broker, tmp_path):
     by_id = {int(r.orderId): r for r in rows}
     assert all(len(by_id[i].orders) == 1 and len(by_id[i].lineItems) == 2 + i % 4
                for i in (1, 2))
+
+
+def test_max_offsets_per_trigger_bounds_each_batch(spark, broker, tmp_path):
+    """maxOffsetsPerTrigger (same option as spark-sql-kafka) caps admitted
+    messages per micro-batch; a processingTime drain over a 20-message backlog
+    must take multiple batches, each within the cap, and still deliver all."""
+    register_fake_kafka(spark)
+    produce(broker, "bulk", [f"m{i}" for i in range(20)])
+    df = (
+        spark.readStream.format("fakekafka")
+        .option("path", broker)
+        .option("subscribe", "bulk")
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", "6")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS v")
+    )
+    seen_batches: list[int] = []
+
+    def sink(batch_df, batch_id):
+        n = batch_df.count()
+        if n:
+            seen_batches.append(n)
+            batch_df.write.mode("append").parquet(str(tmp_path / "out"))
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(str(tmp_path / "out")).count() >= 20:
+                break
+        except Exception:
+            pass  # sink dir not created / mid-write yet
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+    got = {r.v for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {f"m{i}" for i in range(20)}
+    assert all(n <= 6 for n in seen_batches) and len(seen_batches) >= 4
