@@ -193,6 +193,15 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
         return end
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # restart-with-cap: the checkpointed start is the truth — fast-forward
+        # the rate limiter's cursor so capped admission resumes from there
+        # instead of replaying empty batches from zero
+        if self._max_per_trigger is not None:
+            cur = self._last_end or {}
+            for k, lo in start.items():
+                if cur.get(k, 0) < lo:
+                    cur[k] = int(lo)
+            self._last_end = cur
         by_key = {
             f"{t}/{p}": (t, p, path)
             for t, p, path in _topic_partitions(self._broker_dir, self._topics)
