@@ -144,17 +144,31 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       shuffle buys bounded row width through the skew-prone stage — the
       100 TB trade."""
     d = load_table(spark, sf_dir, "documents")
-    rejoin = d.count() > _MH_REJOIN_DOCS
-    return _minhash_lsh(d, rejoin=rejoin)
+    n_docs = d.count()
+    return _minhash_lsh(d, rejoin=n_docs > _MH_REJOIN_DOCS, n_docs=n_docs)
 
 
 # Above this many docs the band self-join switches to the id-only +
 # candidate-re-join plan (bounded row width through hot band buckets).
 _MH_REJOIN_DOCS = int(os.environ.get("CDC_MH_REJOIN_DOCS", "50000"))
 
+# Above this many docs, frames consumed by multiple downstream operators
+# (shingle sets, signature tables, fingerprints) are materialized via
+# localCheckpoint so each corpus pass runs ONCE. Below it, letting Spark
+# recompute inside one job is faster — the duplicate work overlaps on idle
+# cores, while an eager checkpoint serializes two jobs.
+_MATERIALIZE_DOCS = int(os.environ.get("CDC_MATERIALIZE_DOCS", "50000"))
 
-def _minhash_lsh(d: DataFrame, rejoin: bool) -> DataFrame:
-    """See minhash_lsh_near_dup. ``rejoin`` picks the physical plan."""
+
+def _maybe_materialize(df: DataFrame, n_docs: int) -> DataFrame:
+    """See _MATERIALIZE_DOCS. On a real cluster use reliable checkpoint
+    (localCheckpoint dies with an executor)."""
+    return df.localCheckpoint() if n_docs > _MATERIALIZE_DOCS else df
+
+
+def _minhash_lsh(d: DataFrame, rejoin: bool, n_docs: int = 0) -> DataFrame:
+    """See minhash_lsh_near_dup. ``rejoin`` picks the physical plan;
+    ``n_docs`` gates shared-frame materialization (_MATERIALIZE_DOCS)."""
     sets = (
         d.select("doc_id", F.explode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("sh"))
         .select("doc_id", F.expr("substr(md5(CAST(sh AS BINARY)), 1, 15)").alias("shh"))
@@ -168,9 +182,19 @@ def _minhash_lsh(d: DataFrame, rejoin: bool) -> DataFrame:
         "h32", F.expr("CAST(conv(substr(shh, 1, 8), 16, 10) AS BIGINT)")
     )
     if rejoin:
+        # sets feeds BOTH the signature agg and the candidate-side shingle
+        # re-join: above the gate, materialize once or Spark recomputes the
+        # shingle explode + distinct per consumer (an extra corpus pass each)
+        sets = _maybe_materialize(sets, n_docs)
+        hashed = sets.withColumn(
+            "h32", F.expr("CAST(conv(substr(shh, 1, 8), 16, 10) AS BIGINT)")
+        )
         sigs = hashed.groupBy("doc_id").agg(*sig_aggs)
     else:
         sigs = hashed.groupBy("doc_id").agg(*sig_aggs, F.collect_set("shh").alias("shs"))
+    # the band table self-joins: above the gate, materialize so the signature
+    # aggregation runs once, not once per join side
+    sigs = _maybe_materialize(sigs, n_docs)
 
     band_structs = ", ".join(
         f"named_struct('band_id', {b}, 'band_hash', "
@@ -434,7 +458,11 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves (guarantees recall for Hamming<=1-per-half splits, standard
     Charikar banding), bucket-join on half equality, verify Hamming <= 6.
     Shuffle payload per doc: 2×(half, fingerprint) — constant bytes."""
-    fp = _simhash_fingerprint_df(spark, sf_dir)
+    # the halves table self-joins below: above the gate, materialize the
+    # fingerprint agg once, or Spark recomputes the shingle explode + distinct
+    # + 32-way vote agg per join side (two full corpus passes instead of one)
+    d = load_table(spark, sf_dir, "documents")
+    fp = _maybe_materialize(_simhash_fingerprint_df(spark, sf_dir), d.count())
     halves = fp.select(
         "doc_id",
         "fingerprint",

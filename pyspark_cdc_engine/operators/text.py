@@ -252,6 +252,12 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr("substr(md5(CAST(sh AS BINARY)), 1, 15)").alias("sh"))
         .distinct()
     )
+    # sets feeds the size agg AND both sides of the candidate self-join: above
+    # the shared gate, materialize once or the shingle explode+distinct runs 3×
+    # (below it, recomputing overlaps on idle cores and beats the extra job)
+    from pyspark_cdc_engine.operators.dedup_scale import _maybe_materialize
+
+    sets = _maybe_materialize(sets, n_docs)
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sets.alias("a")
     b = sets.alias("b")
