@@ -22,6 +22,13 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter join pruning (InjectRuntimeFilter): a selective
+    # build side plants a bloom filter into the probe side's scan, dropping
+    # non-joining rows BEFORE the shuffle. Default size thresholds keep it
+    # dormant on test-scale inputs; at the 100 TB design point it prunes
+    # fact-table shuffles against filtered dims (gated by tests/test_plans.py
+    # with thresholds lowered).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Deterministic comparisons vs DuckDB (which is UTC-naive).
     "spark.sql.session.timeZone": "UTC",
     # ANSI mode is default-on in Spark 4; keep it, and use try_* functions where

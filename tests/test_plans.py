@@ -147,6 +147,53 @@ def test_connected_components_chain_collapse(spark):
     }
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """The 100 TB join-pruning path: with a selective dim filter, Spark's
+    InjectRuntimeFilter plants a bloom_filter_agg from the dim side as a
+    might_contain predicate on the fact side, dropping non-joining fact rows
+    before the shuffle. Size thresholds keep it dormant at test scale, so
+    lower them here to prove the machinery engages — and that results are
+    unchanged with it on."""
+    sf = SF_DIR
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        with_bloom = {(r.o_orderpriority, r["count"]) for r in j.collect()}
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = {
+            (r.o_orderpriority, r["count"])
+            for r in li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        }
+        assert with_bloom == without and with_bloom
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_ts_window_similarity_single_shuffle_topk(spark):
     """One shuffle (the user_id window) + TakeOrderedAndProject for the global
     top-k — never a full sort; distance math stays unrolled codegen (no
