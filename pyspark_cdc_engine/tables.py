@@ -382,11 +382,15 @@ class DeltaliteTable:
         base_version: int,
         base_commit: dict | None = None,
         stats_cols: tuple[str, ...] = (),
+        keep_staged_on_conflict: bool = False,
     ) -> int:
         """Commit-then-publish for writes carrying new data dir(s); the staged
-        dirs are discarded (never published) if another writer won the version.
-        Write-time footer stats for the new dirs are recorded in the commit so
-        later merges prune from the log without reopening footers."""
+        dirs are discarded (never published) if another writer won the version
+        — unless ``keep_staged_on_conflict``, where the caller owns them (the
+        append conflict-retry relinks the SAME staged data against the new
+        base instead of rewriting it). Write-time footer stats for the new
+        dirs are recorded in the commit so later merges prune from the log
+        without reopening footers."""
         if isinstance(staged_rels, str):
             staged_rels = [staged_rels]
         extra = dict(extra or {})
@@ -396,8 +400,9 @@ class DeltaliteTable:
         try:
             v = self._write_commit(operation, live_dirs, extra, base_version, base_commit)
         except ConcurrentWriteError:
-            for rel in staged_rels:
-                self._discard_staged(rel)
+            if not keep_staged_on_conflict:
+                for rel in staged_rels:
+                    self._discard_staged(rel)
             raise
         for rel in staged_rels:
             self._publish(rel)
@@ -738,6 +743,7 @@ class DeltaliteTable:
         txn_app: str | None = None,
         txn_version: int | None = None,
         partition_by: list[str] | None = None,
+        retries: int = 0,
     ) -> int:
         """Append; with (txn_app, txn_version) the write is IDEMPOTENT — the
         Delta txnAppId/txnVersion pattern that makes foreachBatch exactly-once:
@@ -746,7 +752,15 @@ class DeltaliteTable:
 
         ``partition_by`` sets the table's Hive-style partition spec on first
         write; later appends inherit it from the log (passing a conflicting
-        spec raises — partition evolution is an overwrite-only operation)."""
+        spec raises — partition evolution is an overwrite-only operation).
+
+        ``retries``: blind-append conflict resolution (Delta WriteSerializable
+        semantics). When another writer wins the version race, the staged data
+        dirs are KEPT and re-linked against the new base — no rewrite of the
+        data — provided every interleaved commit is itself a plain append with
+        unchanged schema/constraints/partition spec; anything else (overwrite,
+        restore, merge, concurrent schema change) still raises
+        ConcurrentWriteError because blind re-linking could bury its effect."""
         base, commit = self._snapshot()
         if txn_app is not None and txn_version is not None and base >= 0:
             last = self.last_txn_version(txn_app)
@@ -771,7 +785,45 @@ class DeltaliteTable:
             extra["partition_by"] = list(spec)
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
-        return self._commit_staged("append", [*prev, *rels], rels, extra, base, commit)
+        attempt = 0
+        while True:
+            try:
+                return self._commit_staged(
+                    "append", [*prev, *rels], rels, extra, base, commit,
+                    keep_staged_on_conflict=attempt < retries,
+                )
+            except ConcurrentWriteError:
+                if attempt >= retries:
+                    raise
+                attempt += 1
+                new_base, new_commit = self._snapshot()
+
+                def _conflict(reason: str):
+                    for r in rels:
+                        self._discard_staged(r)
+                    return ConcurrentWriteError(
+                        f"append retry abandoned at version {new_base}: {reason}"
+                    )
+
+                for v in range(base + 1, new_base + 1):
+                    if self._read_commit(v).get("operation") != "append":
+                        raise _conflict(
+                            f"interleaved non-append commit at version {v}"
+                        )
+                if new_commit.get("schema") != commit.get("schema"):
+                    raise _conflict("schema changed concurrently")
+                if new_commit.get("constraints", {}) != commit.get("constraints", {}):
+                    raise _conflict("constraints changed concurrently")
+                if list(new_commit.get("partition_by") or []) != list(spec or []):
+                    raise _conflict("partition spec changed concurrently")
+                if txn_app is not None and txn_version is not None:
+                    last = self.last_txn_version(txn_app)
+                    if last is not None and txn_version <= last:
+                        for r in rels:
+                            self._discard_staged(r)
+                        return new_base  # another replica landed our batch
+                prev = new_commit.get("live", [])
+                base, commit = new_base, new_commit
 
     def overwrite(
         self,

@@ -876,3 +876,64 @@ def test_table_rooted_under_dir_with_equals_in_name(spark, tmp_path):
     v = t.compact(target_partitions=1)
     assert t._read_commit(v)["operation"] == "compact"
     assert t.read().count() == 130
+
+
+def test_append_conflict_retry_relinks_staged_data(spark, tmp_path):
+    """Blind-append conflict resolution: when another writer wins the version
+    race, append(retries=N) re-links the SAME staged files against the new
+    base — all rows from both writers land, nothing is rewritten or lost."""
+    t = DeltaliteTable(spark, str(tmp_path / "cc"))
+    t.overwrite(spark.range(10).toDF("id"))  # v0
+
+    rival = DeltaliteTable(spark, str(tmp_path / "cc"))
+    real = t._write_commit
+    fired = {"n": 0}
+
+    def race(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            rival.append(spark.range(100, 120).toDF("id"))  # steals v1
+        return real(*a, **kw)
+
+    t._write_commit = race
+    try:
+        v = t.append(spark.range(10, 30).toDF("id"), retries=1)
+    finally:
+        t._write_commit = real
+    assert v == 2
+    assert sorted(r.id for r in t.read().collect()) == sorted(
+        list(range(30)) + list(range(100, 120))
+    )
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["append", "append", "overwrite"]
+    # nothing lingering in staging
+    staging = tmp_path / "cc" / "_staging"
+    assert not staging.exists() or not any(staging.rglob("*.parquet"))
+
+
+def test_append_retry_refuses_interleaved_non_append(spark, tmp_path):
+    """An interleaved overwrite/restore must still raise — blind re-linking
+    would silently bury its effect."""
+    from pyspark_cdc_engine.tables import ConcurrentWriteError
+
+    t = DeltaliteTable(spark, str(tmp_path / "cc2"))
+    t.overwrite(spark.range(5).toDF("id"))
+
+    rival = DeltaliteTable(spark, str(tmp_path / "cc2"))
+    real = t._write_commit
+    fired = {"n": 0}
+
+    def race(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            rival.overwrite(spark.range(50, 60).toDF("id"))
+        return real(*a, **kw)
+
+    t._write_commit = race
+    try:
+        with pytest.raises(ConcurrentWriteError, match="non-append"):
+            t.append(spark.range(5, 9).toDF("id"), retries=3)
+    finally:
+        t._write_commit = real
+    # rival's overwrite intact, our append absent
+    assert sorted(r.id for r in t.read().collect()) == list(range(50, 60))
