@@ -157,9 +157,12 @@ def _scd2_stream_from_values(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # txn-tagged append: a micro-batch replayed after failure (same
-        # batch_id) is a no-op — exactly-once end to end (S9).
+        # batch_id) is a no-op — exactly-once end to end (S9). retries=2 =
+        # blind-append conflict resolution against a concurrent appender
+        # (idempotency is re-checked under retry; a racing non-append such as
+        # OPTIMIZE still fails the batch for Structured Streaming to retry).
         if not batch_df.isEmpty():
-            table.append(batch_df, txn_app=txn_app, txn_version=batch_id)
+            table.append(batch_df, txn_app=txn_app, txn_version=batch_id, retries=2)
 
     return (
         completed.writeStream.foreachBatch(sink)
