@@ -920,3 +920,63 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.alias("rep_ratio"),
         (rep <= _REP_MAX).alias("keep"),
     )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and RE2
+# (DuckDB): plain character classes, bounded quantifiers, no lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+# every doc gets the same deterministic contaminated suffix so the operator's
+# behavior is exercised on each row, not just on corpora that happen to
+# contain PII (the oracle appends the identical suffix)
+_PII_SUFFIX = " contact: jane.doe@example.org 555-123-4567"
+
+
+@register(
+    "pii_scrub",
+    survey="M5-text,F10,beyond-ref",
+    oracle=f"""
+    WITH c AS (SELECT doc_id, text || '{_PII_SUFFIX}' AS t FROM documents),
+    s AS (
+      SELECT doc_id, t,
+             regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                            '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+      FROM c
+    )
+    SELECT doc_id,
+           length(t) - length(regexp_replace(t, '{_PII_EMAIL}', '', 'g'))
+             > 0 AS had_email,
+           length(t) - length(regexp_replace(t, '{_PII_PHONE}', '', 'g'))
+             > 0 AS had_phone,
+           md5(scrubbed) AS scrubbed_md5,
+           length(scrubbed) AS scrubbed_len
+    FROM s
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the standard pre-training scrub pass: replace email
+    addresses and phone numbers with typed placeholder tokens, reporting
+    per-document detection flags and a content hash of the scrubbed text.
+    Pure regexp_replace column expressions (JVM codegen, no UDF): at 100 TB
+    this is a map-only pass with zero shuffle. Patterns are restricted to the
+    regex subset Java and RE2 interpret identically; a deterministic
+    contaminated suffix guarantees every row exercises both patterns in both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(F.col("text"), F.lit(_PII_SUFFIX))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        (F.length(t) - F.length(F.regexp_replace(t, _PII_EMAIL, "")) > 0).alias(
+            "had_email"
+        ),
+        (F.length(t) - F.length(F.regexp_replace(t, _PII_PHONE, "")) > 0).alias(
+            "had_phone"
+        ),
+        # column API, not F.expr: Spark SQL string literals would eat the
+        # pattern's backslashes ('\d' -> 'd')
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
