@@ -299,3 +299,29 @@ def test_duplicate_replay_semantics(spark, tmp_path):
     current = scd1.read().collect()
     assert len(current) == 1  # SCD1 dedupes: one row per order
     assert current[0].orderId == 5.0 and current[0].version == 1.0
+
+
+def test_malformed_cdc_lines_are_dropped_not_fatal(spark, tmp_path, impl):
+    """Poison-pill tolerance: garbage JSON, valid-JSON-wrong-shape, and empty
+    lines interleaved with a real transaction must be dropped by the
+    from_json + null-key filter (P1/P4) — the stream completes and the good
+    transaction lands."""
+    import json as _json
+
+    base = tmp_path / "poison"
+    tx = insert_tx(5, xid="p.5", csn="6005")
+    (base / "cdc").mkdir(parents=True)
+    (base / "meta").mkdir(parents=True)
+    lines = ["{not json at all", '{"unrelated": "shape"}', ""]
+    lines += [_json.dumps(e) for e in tx.events]
+    lines += ['<<<binary-ish \x01 garbage>>>']
+    (base / "cdc" / "batch0.json").write_text("\n".join(lines) + "\n")
+    (base / "meta" / "batch0.json").write_text(
+        _json.dumps(tx.metadata()) + "\n" + "{broken meta\n"
+    )
+    table = DeltaliteTable(spark, str(base / "order_stream"))
+    q = cdc_to_scd2_stream(spark, str(base / "cdc"), str(base / "meta"),
+                           table, str(base / "ckpt"), impl=impl)
+    q.awaitTermination(120)
+    rows = table.read().collect()
+    assert len(rows) == 1 and rows[0].orderId == 5.0
