@@ -116,3 +116,45 @@ def table_health(table: DeltaliteTable) -> dict:
         "avg_file_bytes": total // len(files) if files else 0,
         "healthy_128mb": bool(files) and total / len(files) >= 128 * 1024 * 1024,
     }
+
+
+def register_sql_maintenance_functions(spark: SparkSession) -> None:
+    """Make the DESCRIBE HISTORY analog reachable from plain ``spark.sql``
+    (closing part of the deltalite/Delta SQL-surface gap the README
+    documents): ``SELECT * FROM deltalite_history('/path/to/table')`` returns
+    the commit log newest-first, one row per version with the operationally
+    useful fields flattened. Python UDTF (Spark 4): the log is a handful of
+    JSON files, so driver/executor-local reads are appropriate — the DATA
+    surfaces (current snapshot, change feed) stay DataFrame/view-based
+    because they are distributed reads (register_cdc_views)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "version int, timestamp double, operation string, "
+            "num_live_dirs int, txn_app string, txn_version bigint, "
+            "extra_keys string"
+        )
+    )
+    class History:
+        def eval(self, path: str):
+            import json as _json
+            from pathlib import Path as _Path
+
+            log = _Path(path) / "_log"
+            std = {"version", "timestamp", "operation", "live", "schema",
+                   "constraints", "partition_by", "dir_stats", "txn"}
+            for p in sorted(log.glob("*.json"), reverse=True):
+                doc = _json.loads(p.read_text())
+                txn = doc.get("txn") or {}
+                yield (
+                    int(doc["version"]),
+                    float(doc["timestamp"]),
+                    doc.get("operation"),
+                    len(doc.get("live", [])),
+                    txn.get("app"),
+                    txn.get("version"),
+                    ",".join(sorted(k for k in doc if k not in std)),
+                )
+
+    spark.udtf.register("deltalite_history", History)

@@ -937,3 +937,28 @@ def test_append_retry_refuses_interleaved_non_append(spark, tmp_path):
         t._write_commit = real
     # rival's overwrite intact, our append absent
     assert sorted(r.id for r in t.read().collect()) == list(range(50, 60))
+
+
+def test_deltalite_history_udtf_via_spark_sql(spark, tmp_path):
+    """DESCRIBE HISTORY from plain spark.sql: the deltalite_history UDTF
+    returns the commit log newest-first with txn tags flattened."""
+    from pyspark_cdc_engine.maintenance import register_sql_maintenance_functions
+
+    t = DeltaliteTable(spark, str(tmp_path / "h"))
+    t.overwrite(spark.range(5).toDF("id"))
+    t.append(spark.range(5, 8).toDF("id"), txn_app="job_a", txn_version=3)
+    t.compact(target_partitions=1)
+    register_sql_maintenance_functions(spark)
+    rows = spark.sql(
+        f"SELECT * FROM deltalite_history('{tmp_path / 'h'}')"
+    ).collect()
+    assert [r.version for r in rows] == [2, 1, 0]
+    assert [r.operation for r in rows] == ["compact", "append", "overwrite"]
+    assert rows[1].txn_app == "job_a" and rows[1].txn_version == 3
+    assert all(r.timestamp > 0 and r.num_live_dirs >= 1 for r in rows)
+    # composes with ordinary SQL
+    n = spark.sql(
+        f"SELECT COUNT(*) AS c FROM deltalite_history('{tmp_path / 'h'}') "
+        "WHERE operation = 'append'"
+    ).collect()[0].c
+    assert n == 1
