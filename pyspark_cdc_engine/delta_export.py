@@ -65,8 +65,13 @@ def export_delta_snapshot(
     consuming engine too."""
     v = table.latest_version() if version is None else version
     commit = table._read_commit(v)
-    schema = table.schema()
-    if schema is None:
+    # the EXPORTED version's schema, not the latest — a time-travel export of
+    # a schema-evolved table must advertise what its files actually hold
+    if commit.get("schema"):
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(commit["schema"]))
+    else:
         # pre-evolution table: derive the schema by reading the snapshot
         schema = table.read(version=v).schema
     partition_cols = list(commit.get("partition_by") or [])
@@ -146,17 +151,22 @@ def _log_actions_upto(log_dir: Path, version: int | None):
     versions = sorted(
         int(p.stem) for p in log_dir.glob("*.json") if p.stem.isdigit()
     )
-    if not versions:
+    ckpt_versions = sorted(
+        int(p.name.split(".")[0]) for p in log_dir.glob("*.checkpoint.parquet")
+    )
+    if not versions and not ckpt_versions:
         raise FileNotFoundError(f"no Delta commits in {log_dir}")
-    target = versions[-1] if version is None else version
-    if target not in versions and not list(log_dir.glob(f"{target:020d}.checkpoint*.parquet")):
+    # a metadata-cleaned table may hold ONLY a checkpoint (json commits
+    # retired by delta.logRetentionDuration) — still a complete snapshot
+    latest = max(versions + ckpt_versions)
+    target = latest if version is None else version
+    if target not in versions and target not in ckpt_versions:
         raise ValueError(f"version {target} not present in {log_dir}")
 
     ckpt_path, ckpt_v = None, -1
-    for p in log_dir.glob("*.checkpoint.parquet"):
-        v = int(p.name.split(".")[0])
+    for v in ckpt_versions:
         if ckpt_v < v <= target:
-            ckpt_v, ckpt_path = v, p
+            ckpt_v, ckpt_path = v, log_dir / f"{v:020d}.checkpoint.parquet"
     jsons = [
         log_dir / f"{v:020d}.json" for v in versions if ckpt_v < v <= target
     ]

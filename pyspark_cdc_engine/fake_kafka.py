@@ -176,15 +176,24 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
         if self._max_per_trigger is None:
             self._last_end = dict(avail)
             return avail
+        # NOTE on restart: a fresh reader has no cursor, so the first capped
+        # end is computed from 0 and may be BELOW the checkpointed start.
+        # That is safe — Spark treats end <= committed start as "no new data"
+        # (verified empirically: no duplicate delivery) — and partitions()
+        # fast-forwards the cursor to the real start on the first live batch.
         start = self._last_end or {k: 0 for k in avail}
-        lag = {k: avail[k] - start.get(k, 0) for k in avail}
-        backlogged = [k for k, d in lag.items() if d > 0]
         end = {k: start.get(k, 0) for k in avail}
-        if backlogged:
-            share = max(1, self._max_per_trigger // len(backlogged))
-            budget = self._max_per_trigger
-            for k in sorted(backlogged):
-                take = min(lag[k], share, budget)
+        budget = self._max_per_trigger
+        # two passes: an even share first, then redistribute budget stranded
+        # by short partitions onto the remaining backlog (so a deep queue
+        # drains at the full cap, like Kafka's proportional limiter)
+        for _ in range(2):
+            backlogged = [k for k in sorted(avail) if end[k] < avail[k]]
+            if not backlogged or budget <= 0:
+                break
+            share = max(1, budget // len(backlogged))
+            for k in backlogged:
+                take = min(avail[k] - end[k], share, budget)
                 end[k] += take
                 budget -= take
                 if budget <= 0:

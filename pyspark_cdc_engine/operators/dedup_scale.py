@@ -30,7 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspark_cdc_engine.operators.registry import load_table, register
+from pyspark_cdc_engine.operators.registry import load_table, register, table_row_count
 from pyspark_cdc_engine.operators.vectors import _DEC, _norm2_dec
 
 # ---------------------------------------------------------------------------
@@ -144,7 +144,7 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       shuffle buys bounded row width through the skew-prone stage — the
       100 TB trade."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n_docs = table_row_count(spark, sf_dir, "documents")  # footer-only, no scan
     return _minhash_lsh(d, rejoin=n_docs > _MH_REJOIN_DOCS, n_docs=n_docs)
 
 
@@ -461,8 +461,10 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the halves table self-joins below: above the gate, materialize the
     # fingerprint agg once, or Spark recomputes the shingle explode + distinct
     # + 32-way vote agg per join side (two full corpus passes instead of one)
-    d = load_table(spark, sf_dir, "documents")
-    fp = _maybe_materialize(_simhash_fingerprint_df(spark, sf_dir), d.count())
+    fp = _maybe_materialize(
+        _simhash_fingerprint_df(spark, sf_dir),
+        table_row_count(spark, sf_dir, "documents"),  # footer-only, no scan
+    )
     halves = fp.select(
         "doc_id",
         "fingerprint",

@@ -75,11 +75,14 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
         digest.update(arc.encode())
         with open(full, "rb") as fh:
             digest.update(fh.read())
-    # content-hash-keyed name: one zip per package version in tempdir, reused
-    # across sessions instead of leaking a fresh uuid-named zip per context
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"pyspark_cdc_engine_{digest.hexdigest()[:12]}.zip"
-    )
+    # content-hash-keyed name under a per-user 0700 dir: one zip per package
+    # version, reused across sessions — and not squattable by another local
+    # user the way a predictable world-writable /tmp name would be
+    zdir = os.path.join(tempfile.gettempdir(), f"pyspark_cdc_engine_{os.getuid()}")
+    os.makedirs(zdir, mode=0o700, exist_ok=True)
+    if os.stat(zdir).st_uid != os.getuid():
+        zdir = tempfile.mkdtemp(prefix="pyspark_cdc_engine_")  # name taken: fresh private dir
+    zpath = os.path.join(zdir, f"pkg_{digest.hexdigest()[:12]}.zip")
     if not os.path.exists(zpath):
         tmp = zpath + f".tmp{os.getpid()}"
         with zipfile.ZipFile(tmp, "w") as z:
@@ -106,6 +109,28 @@ def register(name: str, survey: str, oracle: str | None, description: str = ""):
         return fn
 
     return deco
+
+
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTERS — no Spark job, no data scan. The
+    dedup/ANN operators gate physical-plan choices on corpus size; paying a
+    corpus scan just to pick a plan would defeat the point at scale. Falls
+    back to a Spark count for layouts pyarrow can't resolve."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        parts = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if parts:
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in parts)
+    except Exception:
+        pass
+    return load_table(spark, sf_dir, name).count()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

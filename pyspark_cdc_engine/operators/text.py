@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspark_cdc_engine.operators.registry import load_table, register
+from pyspark_cdc_engine.operators.registry import load_table, register, table_row_count
 
 
 def _occurrences(col: str, needle: str) -> F.Column:
@@ -229,7 +229,7 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of silently launching an all-pairs explosion on a cluster."""
     d = load_table(spark, sf_dir, "documents")
     limit = int(os.environ.get("JACCARD_EXACT_MAX_DOCS", str(JACCARD_EXACT_MAX_DOCS)))
-    n_docs = d.count()
+    n_docs = table_row_count(spark, sf_dir, "documents")  # footer-only, no scan
     if n_docs > limit:
         raise ValueError(
             f"jaccard_near_dup_pairs is the exact small-N baseline: corpus has "

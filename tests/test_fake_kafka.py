@@ -205,3 +205,48 @@ def test_max_offsets_per_trigger_bounds_each_batch(spark, broker, tmp_path):
     got = {r.v for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {f"m{i}" for i in range(20)}
     assert all(n <= 6 for n in seen_batches) and len(seen_batches) >= 4
+
+
+def test_rate_limited_restart_no_duplicates(spark, broker, tmp_path):
+    """Restart with maxOffsetsPerTrigger: the fresh reader's cursor starts at
+    zero, so its first capped ends sit below the checkpointed start — Spark
+    must treat those as no-new-data (no duplicate delivery), then drain the
+    newly produced backlog in capped batches."""
+    import time
+
+    register_fake_kafka(spark)
+    produce(broker, "rt", [f"a{i}" for i in range(10)])
+
+    def drain(out_name):
+        seen: list[list[str]] = []
+
+        def sink(b, i):
+            rows = [r.v for r in b.selectExpr("CAST(value AS STRING) v").collect()]
+            if rows:
+                seen.append(rows)
+
+        df = (
+            spark.readStream.format("fakekafka")
+            .option("path", broker).option("subscribe", "rt")
+            .option("startingOffsets", "earliest")
+            .option("maxOffsetsPerTrigger", "4")
+            .load()
+        )
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="500 milliseconds").start()
+        )
+        time.sleep(12)
+        q.stop()
+        q.awaitTermination(30)
+        return seen
+
+    first = drain("r1")
+    assert [m for b in first for m in b] == [f"a{i}" for i in range(10)]
+    assert all(len(b) <= 4 for b in first)
+
+    produce(broker, "rt", [f"b{i}" for i in range(6)])
+    second = drain("r2")
+    assert [m for b in second for m in b] == [f"b{i}" for i in range(6)]  # no a* replay
+    assert all(len(b) <= 4 for b in second)
