@@ -165,3 +165,62 @@ def test_read_from_parquet_checkpoint(spark, tmp_path):
     got = read_delta_snapshot(spark, str(dest))
     assert got.count() == 40
     assert {r.id for r in got.collect()} == set(range(40))
+
+
+def test_read_checkpoint_only_log(spark, tmp_path):
+    """Metadata-cleaned Delta tables keep ONLY a parquet checkpoint (json
+    commits retired) — still a complete, readable snapshot."""
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(12).toDF("id"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    actions = _read_actions(dest)
+    meta = actions[2]["metaData"]
+    adds = [a["add"] for a in actions if "add" in a]
+    rows = [
+        {"metaData": {"id": meta["id"], "schemaString": meta["schemaString"],
+                      "partitionColumns": meta["partitionColumns"]},
+         "add": None, "remove": None}
+    ] + [
+        {"metaData": None,
+         "add": {"path": a["path"], "partitionValues": a["partitionValues"]},
+         "remove": None}
+        for a in adds
+    ]
+    ckpt_schema = (
+        "metaData struct<id:string,schemaString:string,partitionColumns:array<string>>, "
+        "add struct<path:string,partitionValues:map<string,string>>, "
+        "remove struct<path:string>"
+    )
+    log = dest / "_delta_log"
+    build = tmp_path / "b"
+    spark.createDataFrame(rows, ckpt_schema).coalesce(1).write.parquet(str(build))
+    next(p for p in build.iterdir() if p.suffix == ".parquet").rename(
+        log / f"{0:020d}.checkpoint.parquet"
+    )
+    (log / f"{0:020d}.json").unlink()  # NO json commits remain
+    got = read_delta_snapshot(spark, str(dest))
+    assert got.count() == 12
+
+
+def test_time_travel_export_uses_that_versions_schema(spark, tmp_path):
+    """Exporting v0 of a schema-evolved table must advertise v0's schema, not
+    the latest — a Delta reader applies schemaString against the files."""
+    from pyspark.sql.types import StructType
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(4).toDF("id"))                                   # v0: (id)
+    t.append(spark.range(4, 6).selectExpr("id", "id * 2 AS extra"),
+             merge_schema=True)                                              # v1: (id, extra)
+    dest0 = tmp_path / "delta_v0"
+    export_delta_snapshot(t, str(dest0), version=0)
+    meta = _read_actions(dest0)[2]["metaData"]
+    fields = [f.name for f in StructType.fromJson(json.loads(meta["schemaString"])).fields]
+    assert fields == ["id"]
+    dest1 = tmp_path / "delta_v1"
+    export_delta_snapshot(t, str(dest1), version=1)
+    meta1 = _read_actions(dest1)[2]["metaData"]
+    fields1 = [f.name for f in StructType.fromJson(json.loads(meta1["schemaString"])).fields]
+    assert fields1 == ["id", "extra"]
