@@ -148,14 +148,52 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 @register(
     "media_features",
     survey="M5-multimodal,UDF",
-    oracle=None,  # mapInPandas kernel — rows-only driver check; exact values
-    # covered by tests/test_multimodal.py against a pure-Python reference
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, length(text) AS n,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                                          WHEN 1 THEN 'audio'
+                                          ELSE 'video' END AS modality,
+             list_transform(
+               string_split(substr(text, 1, {_HIST_BYTES}), ''),
+               x -> ascii(x) // 64) AS bins,
+             GREATEST(LEAST(n, {_HIST_BYTES}), 1) AS total
+      FROM documents
+    )
+    SELECT doc_id, modality,
+           CAST(GREATEST(1, n // 32) AS INT) AS n_frames,
+           CAST(len(list_filter(bins, x -> x = 0)) AS DOUBLE) / total AS hist_b0,
+           CAST(len(list_filter(bins, x -> x = 1)) AS DOUBLE) / total AS hist_b1,
+           CAST(len(list_filter(bins, x -> x = 2)) AS DOUBLE) / total AS hist_b2,
+           CAST(len(list_filter(bins, x -> x = 3)) AS DOUBLE) / total AS hist_b3
+    FROM b
+    """,
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake-decode feature extraction (frame count + normalized
-    byte histogram) through the real mapInPandas plumbing."""
+    byte histogram) through the real mapInPandas plumbing.
+
+    The registered query surfaces the histogram as SCALAR columns
+    (``hist_b0..hist_b3``) rather than the raw ``byte_hist`` array: the
+    driver's oracle canonicalizer (pandas ``sort_values``/``factorize``)
+    cannot hash list-typed cells, and the four bin fractions determine the
+    array exactly. ``extract_media_features`` keeps the array-returning form
+    as the library API. Each fraction is one integer count IEEE-divided by
+    one integer total, so Spark and DuckDB agree bit-for-bit (the payload is
+    the UTF-8 bytes of ``documents.text``, ASCII in this corpus, so DuckDB's
+    per-character ``ascii()`` sees the same byte values the Python kernel
+    does — the same contract ``media_decode_real``'s oracle relies on)."""
     d = load_table(spark, sf_dir, "documents")
-    return extract_media_features(with_media_columns(d))
+    feats = extract_media_features(with_media_columns(d))
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_frames",
+        *[
+            F.element_at("byte_hist", i + 1).alias(f"hist_b{i}")
+            for i in range(_HIST_BINS)
+        ],
+    )
 
 
 # --------------------------------------------------------------------------

@@ -65,7 +65,8 @@ def test_media_features_match_python_reference(spark):
     for r in feats:
         ref = _py_reference(texts[r.doc_id])
         assert r.n_frames == ref["n_frames"], r.doc_id
-        assert r.byte_hist == pytest.approx(ref["byte_hist"]), r.doc_id
+        hist = [r.hist_b0, r.hist_b1, r.hist_b2, r.hist_b3]
+        assert hist == pytest.approx(ref["byte_hist"]), r.doc_id
 
 
 def test_multimodal_meta_no_python_in_plan(spark):
