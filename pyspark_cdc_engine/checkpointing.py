@@ -1,0 +1,40 @@
+"""Lineage-truncation helper for iterative and shared-frame plans.
+
+Iterative operators (connected-components label propagation) and frames feeding
+multiple downstream consumers (LSH shingle tables) must materialize, or lineage
+grows per round / the corpus is re-scanned per consumer. Two mechanisms:
+
+- ``df.localCheckpoint()`` — blocks cached on executors. Fast (no distributed
+  write), but NOT fault-tolerant: losing one executor loses blocks and kills
+  the job mid-loop. Right for local mode and the test/bench boxes.
+- ``df.checkpoint()`` to a RELIABLE directory (HDFS/S3) — survives executor
+  loss; the only safe choice for a multi-hour 100 TB run on a real cluster.
+
+:func:`materialize` routes between them on the ``engine.checkpoint-dir``
+config key (env: ``CDC_RELIABLE_CHECKPOINT`` / ``CDC_CONF_ENGINE_CHECKPOINT_DIR``,
+see :mod:`pyspark_cdc_engine.config`): set it to a durable directory on a real
+cluster and every iterative path in the engine switches to reliable
+checkpointing with no code change; unset, behavior is the fast local default.
+Results are identical either way — only failure-recovery semantics differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from pyspark_cdc_engine.config import get_config
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut ``df``'s lineage: reliable ``checkpoint()`` when
+    ``engine.checkpoint-dir`` is configured, ``localCheckpoint()`` otherwise."""
+    ckpt_dir = get_config().get_str("engine.checkpoint-dir")
+    if not ckpt_dir:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    current = sc.getCheckpointDir()
+    # setCheckpointDir appends a random subdir; only (re)set when the
+    # configured root isn't already the active one
+    if current is None or ckpt_dir.rstrip("/") not in current:
+        sc.setCheckpointDir(ckpt_dir)
+    return df.checkpoint(eager=True)

@@ -1,0 +1,217 @@
+"""Layered configuration (reference: AppConfig.scala:22-26, reference.conf:3-36).
+
+The reference loads Typesafe/HOCON config with the resolution order
+
+    system properties  >  job config file  >  reference.conf defaults
+
+This is the Python analog over public stdlib pieces only:
+
+    1. **Environment variables** (the system-properties layer).  Every key has
+       a canonical env name — ``CDC_CONF_`` + key with ``.``/``-`` replaced by
+       ``_``, uppercased (``spark.dev.app-name`` → ``CDC_CONF_SPARK_DEV_APP_NAME``)
+       — plus, for knobs that predate this module, a documented legacy alias
+       (``CDC_MH_REJOIN_DOCS``, ``IVF_BUCKET_CAP``, …).  Env is consulted LIVE
+       on every ``get`` so test monkeypatching and operator-level overrides
+       keep working.
+    2. **Programmatic overrides** passed to :func:`load` (a job's inline conf).
+    3. **Job config file** — JSON (flat or nested), the
+       ``transactional-cdc-processing.conf`` analog.  Located explicitly via
+       ``config_file=`` or by job name under ``$CDC_CONFIG_DIR`` / ``./conf``.
+    4. **DEFAULTS** below — the packaged ``reference.conf`` analog.
+
+Keys mirror the reference's HOCON paths where a counterpart exists
+(``spark.dev.master``, ``spark.state-store.provider-class``,
+``kafka.starting-offsets``, ``job.kafka.topics.orders`` …); engine-specific
+scale knobs live under ``engine.*``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from pathlib import Path
+from typing import Any
+
+# ------------------------------------------------------------------ defaults
+# reference.conf:3-36 counterparts first, then engine scale knobs.
+DEFAULTS: dict[str, Any] = {
+    "spark.dev.master": "",  # "" -> session.get_spark picks local[$SPARK_GRAFT_CPUS]
+    "spark.dev.app-name": "pyspark-cdc-engine",
+    "spark.state-store.provider-class": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.warehouse-dir": "",
+    "spark.log-level": "WARN",
+    "spark.ui-port": "",
+    # kafka defaults (reference.conf:34-36)
+    "kafka.starting-offsets": "earliest",
+    "kafka.fail-on-data-loss": False,
+    # job surface (transactional-cdc-processing.conf analog; empty = unset)
+    "job.kafka.bootstrap-servers": "",
+    "job.kafka.topics.orders": "",
+    "job.kafka.topics.order-details": "",
+    "job.kafka.topics.order-line-items": "",
+    "job.kafka.topics.transaction-metadata": "",
+    "job.output.checkpoint-location": "",
+    "job.output.delta-table-name": "",
+    # engine scale knobs (previously scattered env vars)
+    "engine.minhash-rejoin-docs": 50_000,
+    "engine.materialize-docs": 50_000,
+    "engine.ivf-bucket-cap": 2_000,
+    "engine.jaccard-exact-max-docs": 20_000,
+    # Reliable checkpointing for iterative/shared-frame paths: when set to a
+    # directory, connected-components rounds and shared-frame materialization
+    # use spark.sparkContext.setCheckpointDir + df.checkpoint() (survives
+    # executor loss); empty = localCheckpoint (fast, single-job local mode).
+    "engine.checkpoint-dir": "",
+}
+
+# Pre-module env names kept as first-class aliases (highest layer, probed
+# after the canonical CDC_CONF_* name).
+LEGACY_ENV: dict[str, str] = {
+    "engine.minhash-rejoin-docs": "CDC_MH_REJOIN_DOCS",
+    "engine.materialize-docs": "CDC_MATERIALIZE_DOCS",
+    "engine.ivf-bucket-cap": "IVF_BUCKET_CAP",
+    "engine.jaccard-exact-max-docs": "JACCARD_EXACT_MAX_DOCS",
+    "engine.checkpoint-dir": "CDC_RELIABLE_CHECKPOINT",
+}
+
+_MISSING = object()
+
+
+def env_name(key: str) -> str:
+    """Canonical environment-variable name for a config key."""
+    return "CDC_CONF_" + re.sub(r"[.\-]", "_", key).upper()
+
+
+def _flatten(obj: Any, prefix: str = "") -> dict[str, Any]:
+    """Flatten nested JSON into dotted keys ({"spark":{"dev":{"master":x}}}
+    -> {"spark.dev.master": x}); scalars and lists are leaves."""
+    out: dict[str, Any] = {}
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            path = f"{prefix}.{k}" if prefix else str(k)
+            out.update(_flatten(v, path))
+    else:
+        out[prefix] = obj
+    return out
+
+
+class AppConfig:
+    """One resolved configuration. ``get`` applies the layer order documented
+    in the module docstring; typed getters coerce strings (env/file values)
+    the way Typesafe Config's getInt/getBoolean do."""
+
+    def __init__(
+        self,
+        file_layer: dict[str, Any] | None = None,
+        overrides: dict[str, Any] | None = None,
+        source: str | None = None,
+    ) -> None:
+        self._file = dict(file_layer or {})
+        self._overrides = dict(overrides or {})
+        self.source = source  # config file path, for diagnostics
+
+    # ------------------------------------------------------------- resolution
+    def get(self, key: str, default: Any = _MISSING) -> Any:
+        for name in (env_name(key), LEGACY_ENV.get(key)):
+            if name and name in os.environ:
+                return os.environ[name]
+        if key in self._overrides:
+            return self._overrides[key]
+        if key in self._file:
+            return self._file[key]
+        if key in DEFAULTS:
+            return DEFAULTS[key]
+        if default is _MISSING:
+            raise KeyError(f"config key not found: {key}")
+        return default
+
+    def get_str(self, key: str, default: Any = _MISSING) -> str:
+        return str(self.get(key, default))
+
+    def get_int(self, key: str, default: Any = _MISSING) -> int:
+        return int(self.get(key, default))
+
+    def get_float(self, key: str, default: Any = _MISSING) -> float:
+        return float(self.get(key, default))
+
+    def get_bool(self, key: str, default: Any = _MISSING) -> bool:
+        v = self.get(key, default)
+        if isinstance(v, bool):
+            return v
+        return str(v).strip().lower() in ("1", "true", "yes", "on")
+
+    # ------------------------------------------------------------ convenience
+    def spark_confs(self) -> dict[str, str]:
+        """Spark confs this config contributes to session building: the
+        state-store provider, optional ui port / warehouse dir, plus every
+        ``spark.conf.<name>`` key passed through verbatim (the escape hatch
+        for arbitrary ``--conf``-style settings in a job file)."""
+        confs: dict[str, str] = {
+            "spark.sql.streaming.stateStore.providerClass": self.get_str(
+                "spark.state-store.provider-class"
+            ),
+        }
+        if self.get_str("spark.ui-port"):
+            confs["spark.ui.port"] = self.get_str("spark.ui-port")
+        if self.get_str("spark.warehouse-dir"):
+            confs["spark.sql.warehouse.dir"] = self.get_str("spark.warehouse-dir")
+        prefix = "spark.conf."
+        for layer in (self._file, self._overrides):
+            for k, v in layer.items():
+                if k.startswith(prefix):
+                    confs[k[len(prefix):]] = str(v)
+        return confs
+
+    def keys(self) -> list[str]:
+        """Every key with a value in any layer (env aliases not enumerable)."""
+        return sorted({*DEFAULTS, *self._file, *self._overrides})
+
+
+def load(
+    job_name: str | None = None,
+    config_file: str | Path | None = None,
+    overrides: dict[str, Any] | None = None,
+) -> AppConfig:
+    """Build an :class:`AppConfig` (AppConfig.load analog).
+
+    ``config_file`` names a JSON file directly; otherwise ``job_name`` is
+    searched as ``<job_name>.json`` under ``$CDC_CONFIG_DIR`` then ``./conf``.
+    A missing job file is not an error — defaults still apply, matching the
+    reference where every key has a reference.conf fallback."""
+    path: Path | None = None
+    if config_file is not None:
+        path = Path(config_file)
+        if not path.is_file():
+            raise FileNotFoundError(f"config file not found: {path}")
+    elif job_name:
+        for d in (os.environ.get("CDC_CONFIG_DIR"), "conf"):
+            if d and (Path(d) / f"{job_name}.json").is_file():
+                path = Path(d) / f"{job_name}.json"
+                break
+    file_layer: dict[str, Any] = {}
+    if path is not None:
+        file_layer = _flatten(json.loads(path.read_text()))
+    return AppConfig(file_layer, overrides, source=str(path) if path else None)
+
+
+_GLOBAL: AppConfig | None = None
+
+
+def get_config() -> AppConfig:
+    """Process-default config (no job file): DEFAULTS overlaid by live env.
+    Operators use this for their scale knobs so one env/config story covers
+    library use, tests, and the bench."""
+    global _GLOBAL
+    if _GLOBAL is None:
+        _GLOBAL = AppConfig()
+    return _GLOBAL
+
+
+def set_config(config: AppConfig | None) -> None:
+    """Install (or with ``None`` reset) the process-default config — the hook
+    a job entry point uses so operator knobs see its job file."""
+    global _GLOBAL
+    _GLOBAL = config

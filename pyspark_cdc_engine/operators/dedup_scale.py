@@ -30,6 +30,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_cdc_engine.checkpointing import materialize
+from pyspark_cdc_engine.config import get_config
 from pyspark_cdc_engine.operators.registry import load_table, register, table_row_count
 from pyspark_cdc_engine.operators.vectors import _DEC, _norm2_dec
 
@@ -145,25 +147,34 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       100 TB trade."""
     d = load_table(spark, sf_dir, "documents")
     n_docs = table_row_count(spark, sf_dir, "documents")  # footer-only, no scan
-    return _minhash_lsh(d, rejoin=n_docs > _MH_REJOIN_DOCS, n_docs=n_docs)
+    return _minhash_lsh(d, rejoin=n_docs > _mh_rejoin_docs(), n_docs=n_docs)
 
 
-# Above this many docs the band self-join switches to the id-only +
-# candidate-re-join plan (bounded row width through hot band buckets).
-_MH_REJOIN_DOCS = int(os.environ.get("CDC_MH_REJOIN_DOCS", "50000"))
+def _mh_rejoin_docs() -> int:
+    """Above this many docs the band self-join switches to the id-only +
+    candidate-re-join plan (bounded row width through hot band buckets).
+    Config ``engine.minhash-rejoin-docs`` (env CDC_MH_REJOIN_DOCS)."""
+    return get_config().get_int("engine.minhash-rejoin-docs")
 
-# Above this many docs, frames consumed by multiple downstream operators
-# (shingle sets, signature tables, fingerprints) are materialized via
-# localCheckpoint so each corpus pass runs ONCE. Below it, letting Spark
-# recompute inside one job is faster — the duplicate work overlaps on idle
-# cores, while an eager checkpoint serializes two jobs.
-_MATERIALIZE_DOCS = int(os.environ.get("CDC_MATERIALIZE_DOCS", "50000"))
+
+def _materialize_docs() -> int:
+    """Above this many docs, frames consumed by multiple downstream operators
+    (shingle sets, signature tables, fingerprints) are materialized so each
+    corpus pass runs ONCE. Below it, letting Spark recompute inside one job is
+    faster — the duplicate work overlaps on idle cores, while an eager
+    checkpoint serializes two jobs. Config ``engine.materialize-docs``
+    (env CDC_MATERIALIZE_DOCS)."""
+    return get_config().get_int("engine.materialize-docs")
 
 
 def _maybe_materialize(df: DataFrame, n_docs: int) -> DataFrame:
-    """See _MATERIALIZE_DOCS. On a real cluster use reliable checkpoint
-    (localCheckpoint dies with an executor)."""
-    return df.localCheckpoint() if n_docs > _MATERIALIZE_DOCS else df
+    """See :func:`_materialize_docs`; routes through
+    :func:`pyspark_cdc_engine.checkpointing.materialize`, so configuring
+    ``engine.checkpoint-dir`` upgrades these cuts to reliable checkpoints
+    (localCheckpoint dies with an executor on a real cluster)."""
+    if n_docs <= _materialize_docs():
+        return df
+    return materialize(df)
 
 
 def _minhash_lsh(d: DataFrame, rejoin: bool, n_docs: int = 0) -> DataFrame:
@@ -513,8 +524,8 @@ _IVF_C = 16          # centroid count (deterministic seed: first C vectors)
 _IVF_QUERIES = 8
 _IVF_K = 5
 # Skew guard for the candidate stage: buckets larger than this are hash-split
-# into chunks and compared as bounded triangle tasks (env: IVF_BUCKET_CAP).
-_IVF_BUCKET_CAP = 2000
+# into chunks and compared as bounded triangle tasks. The default lives in
+# config: engine.ivf-bucket-cap (env IVF_BUCKET_CAP).
 
 _DOT_DEC_SPARK = (
     f"CAST(aggregate(zip_with({{a}}, {{b}}, (x, y) -> "
@@ -841,7 +852,7 @@ def _bucket_candidate_pairs(
     import numpy as np
     import pandas as pd
 
-    cap = int(os.environ.get("IVF_BUCKET_CAP", str(cap or _IVF_BUCKET_CAP)))
+    cap = get_config().get_int("engine.ivf-bucket-cap") if cap is None else cap
     tasks = _triangle_tasks(assigned, cap)
 
     empty = pd.DataFrame(

@@ -9,11 +9,12 @@ in :mod:`pyspark_cdc_engine.operators.dedup_scale` with rows-only checks.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_cdc_engine.checkpointing import materialize
+from pyspark_cdc_engine.config import get_config
 from pyspark_cdc_engine.operators.registry import load_table, register, table_row_count
 
 
@@ -228,7 +229,7 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (default 20k docs; env-overridable) and points at the LSH sibling instead
     of silently launching an all-pairs explosion on a cluster."""
     d = load_table(spark, sf_dir, "documents")
-    limit = int(os.environ.get("JACCARD_EXACT_MAX_DOCS", str(JACCARD_EXACT_MAX_DOCS)))
+    limit = get_config().get_int("engine.jaccard-exact-max-docs")
     n_docs = table_row_count(spark, sf_dir, "documents")  # footer-only, no scan
     if n_docs > limit:
         raise ValueError(
@@ -314,7 +315,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     round, all on the edge/id key), until a fixpoint. The doubling shortcut
     makes rounds O(log diameter) even on adversarial long-chain graphs;
     near-dup components are small and dense (quasi-cliques), so in practice
-    this converges in 2-3 rounds. The edge list is localCheckpoint'ed once so
+    this converges in 2-3 rounds. The edge list is materialized once so
     the shingle join isn't re-executed per round.
 
     Edges here come from the exact jaccard baseline (so the DuckDB oracle can
@@ -344,14 +345,16 @@ def connected_components(
     in ~20 rounds, not 1M. Safety: a label only ever holds a node id from its
     own component (labels enter via edges or via another label in the same
     component) and is monotone non-increasing, so the fixpoint is exactly the
-    per-component min. Every round localCheckpoints, truncating lineage; the
+    per-component min. Every round materializes via
+    :func:`pyspark_cdc_engine.checkpointing.materialize` (reliable
+    ``checkpoint()`` when ``engine.checkpoint-dir`` is configured — an
+    executor loss mid-loop on a real cluster then recovers instead of killing
+    the job — ``localCheckpoint()`` otherwise), truncating lineage; the
     convergence probe filters materialized rows (no extra job). ``stats``,
     when given, receives ``{"rounds": n}`` — the round-complexity contract is
     test-asserted on a long-chain graph."""
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .localCheckpoint()
+    edges = materialize(
+        pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     )
     labels = nodes.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("label"))
     rounds = 0
@@ -392,8 +395,8 @@ def connected_components(
                     < F.col("label")
                 ).alias("moved"),
             )
-            .localCheckpoint()
         )
+        new_labels = materialize(new_labels)
         changed = new_labels.filter("moved").limit(1).count()
         labels = new_labels.drop("moved")
         if changed == 0:

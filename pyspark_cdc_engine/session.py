@@ -54,22 +54,37 @@ _BASE_CONFS: dict[str, str] = {
 
 
 def get_spark(
-    app_name: str = "pyspark-cdc-engine",
+    app_name: str | None = None,
     master: str | None = None,
     extra_confs: dict[str, str] | None = None,
     warehouse_dir: str | None = None,
+    config=None,
 ) -> SparkSession:
     """Build (or fetch) the session.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract) or
-    ``local[*]``. On a real cluster, pass ``master=None`` with the conf coming from
-    spark-submit and only the semantic confs here apply.
+    ``master`` defaults to ``config``'s ``spark.dev.master``, then
+    ``local[$SPARK_GRAFT_CPUS]`` (driver contract), then ``local[*]``. On a
+    real cluster, pass ``master=None`` with the conf coming from spark-submit
+    and only the semantic confs here apply.
+
+    ``config`` — an :class:`pyspark_cdc_engine.config.AppConfig` (layered
+    env > job file > defaults, AppConfig.scala analog). Supplies app name,
+    master, warehouse dir, log level, state-store provider, and arbitrary
+    ``spark.conf.*`` passthroughs; explicit keyword arguments win over it.
     """
+    from pyspark_cdc_engine.config import get_config
+
+    cfg = config if config is not None else get_config()
+    if app_name is None:
+        app_name = cfg.get_str("spark.dev.app-name")
+    if master is None:
+        master = cfg.get_str("spark.dev.master") or None
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(_BASE_CONFS)
+    confs.update(cfg.spark_confs())
     if warehouse_dir:
         confs["spark.sql.warehouse.dir"] = warehouse_dir
     if extra_confs:
@@ -77,5 +92,5 @@ def get_spark(
     for k, v in confs.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(cfg.get_str("spark.log-level"))
     return spark

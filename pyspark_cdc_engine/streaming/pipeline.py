@@ -173,6 +173,35 @@ def _scd2_stream_from_values(
     )
 
 
+def cdc_to_scd2_stream_from_config(
+    spark: SparkSession,
+    config,
+    table: DeltaliteTable,
+    impl: str = "v1",
+    format_name: str = "kafka",
+    extra_options: dict | None = None,
+):
+    """Config-driven launch of the reference's exact four-topic topology
+    (TransactionalCdcProcessingApp.scala:34-62 reads the same keys from its
+    HOCON job file; ours come from an
+    :class:`pyspark_cdc_engine.config.AppConfig` — layered env > job file >
+    packaged defaults). Topics/bootstrap/checkpoint come from ``job.kafka.*``
+    and ``job.output.checkpoint-location``."""
+    return cdc_to_scd2_stream_kafka_4topics(
+        spark,
+        config.get_str("job.kafka.bootstrap-servers"),
+        config.get_str("job.kafka.topics.orders"),
+        config.get_str("job.kafka.topics.order-details"),
+        config.get_str("job.kafka.topics.order-line-items"),
+        config.get_str("job.kafka.topics.transaction-metadata"),
+        table,
+        config.get_str("job.output.checkpoint-location"),
+        impl=impl,
+        format_name=format_name,
+        extra_options=extra_options,
+    )
+
+
 def cdc_to_scd2_batch(
     spark: SparkSession, cdc_dir: str, meta_dir: str, handle_deletes: bool = False
 ) -> DataFrame:

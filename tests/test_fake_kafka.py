@@ -162,6 +162,51 @@ def test_cdc_pipeline_four_topic_reference_topology(spark, broker, tmp_path):
                for i in (1, 2))
 
 
+def test_cdc_pipeline_from_config(spark, broker, tmp_path):
+    """Config-driven launch: the same keys the reference job file declares
+    (transactional-cdc-processing.conf) drive the four-topic pipeline through
+    AppConfig — job file + env layering included."""
+    import json as _json
+
+    from pyspark_cdc_engine.config import load
+    from pyspark_cdc_engine.streaming.pipeline import cdc_to_scd2_stream_from_config
+
+    register_fake_kafka(spark)
+    b = insert_tx(9, "cfg.9", "9009")
+    for e in b.events:
+        t = e["table"].split(".")[-1]
+        topic = {"ORDERS": "cfg.orders", "ORDER_DETAILS": "cfg.details",
+                 "ORDER_LINE_ITEMS": "cfg.items"}[t]
+        produce(broker, topic, [json.dumps(e)])
+    produce(broker, "cfg.meta", [json.dumps(b.metadata())])
+
+    job_file = tmp_path / "transactional-cdc-processing.json"
+    job_file.write_text(_json.dumps({
+        "job": {
+            "kafka": {
+                "bootstrap-servers": "fake:9092",
+                "topics": {
+                    "orders": "cfg.orders",
+                    "order-details": "cfg.details",
+                    "order-line-items": "cfg.items",
+                    "transaction-metadata": "cfg.meta",
+                },
+            },
+            "output": {"checkpoint-location": str(tmp_path / "ckpt")},
+        },
+    }))
+    cfg = load(config_file=job_file)
+    table = DeltaliteTable(spark, str(tmp_path / "order_stream"))
+    q = cdc_to_scd2_stream_from_config(
+        spark, cfg, table, format_name="fakekafka",
+        extra_options={"path": broker},
+    )
+    q.awaitTermination(180)
+    rows = table.read().collect()
+    assert [int(r.orderId) for r in rows] == [9]
+    assert len(rows[0].lineItems) == 2 + 9 % 4
+
+
 def test_max_offsets_per_trigger_bounds_each_batch(spark, broker, tmp_path):
     """maxOffsetsPerTrigger (same option as spark-sql-kafka) caps admitted
     messages per micro-batch; a processingTime drain over a 20-message backlog
