@@ -34,22 +34,31 @@ from __future__ import annotations
 import json
 import shutil
 import time
+import urllib.parse
 import uuid
 from pathlib import Path
 
 from pyspark_cdc_engine.tables import DeltaliteTable
 
 
-def _partition_values(rel_path: str, partition_cols: list[str]) -> dict[str, str]:
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_values(
+    rel_path: str, partition_cols: list[str]
+) -> dict[str, str | None]:
     """Hive-style `key=value` components of a file's relative path, in the
-    table's partition-column order (Delta `add.partitionValues`)."""
-    vals: dict[str, str] = {}
+    table's partition-column order (Delta `add.partitionValues`). Dir-name
+    values are URL-unescaped (Spark escapes special chars in partition dirs)
+    and Hive's null sentinel becomes JSON null, per the Delta spec's
+    representation of null partition values."""
+    vals: dict[str, str | None] = {}
     for comp in Path(rel_path).parts[:-1]:
         if "=" in comp:
             k, _, v = comp.partition("=")
             if k in partition_cols:
-                vals[k] = v
-    return {c: vals.get(c, "") for c in partition_cols} if partition_cols else {}
+                vals[k] = None if v == _HIVE_NULL else urllib.parse.unquote(v)
+    return {c: vals.get(c) for c in partition_cols} if partition_cols else {}
 
 
 def export_delta_snapshot(
@@ -76,6 +85,39 @@ def export_delta_snapshot(
         schema = table.read(version=v).schema
     partition_cols = list(commit.get("partition_by") or [])
 
+    # A renamed/dropped-column table stores PHYSICAL names in its files; the
+    # real Delta equivalent is columnMapping mode=name — emit the spec's
+    # per-field metadata (delta.columnMapping.physicalName/.id) and the
+    # required protocol bump (minReaderVersion 2, minWriterVersion 5) so any
+    # mapping-aware Delta reader resolves files exactly as deltalite does.
+    mapping = dict(commit.get("column_mapping") or {})
+    configuration: dict[str, str] = {}
+    min_reader, min_writer = 1, 2
+    if mapping:
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": mapping.get(
+                            f.name, f.name
+                        ),
+                    },
+                )
+                for i, f in enumerate(schema.fields)
+            ]
+        )
+        configuration = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(len(schema.fields)),
+        }
+        min_reader, min_writer = 2, 5
+
     dest_path = Path(dest)
     log_dir = dest_path / "_delta_log"
     log_dir.mkdir(parents=True, exist_ok=False)
@@ -97,7 +139,14 @@ def export_delta_snapshot(
             adds.append(
                 {
                     "add": {
-                        "path": rel.as_posix(),
+                        # spec: path is URL-encoded (RFC 2396) per component;
+                        # chars legal in a URI path segment ($&+,;=:@ and the
+                        # mark set) stay literal — matches java.net.URI, so
+                        # hive-style `k=v` dirs keep their readable form
+                        "path": "/".join(
+                            urllib.parse.quote(c, safe="$&+,;=:@!*'()-_.~")
+                            for c in rel.parts
+                        ),
                         "partitionValues": _partition_values(
                             rel.as_posix(), partition_cols
                         ),
@@ -118,14 +167,14 @@ def export_delta_snapshot(
                 "engineInfo": "pyspark-cdc-engine deltalite export",
             }
         },
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": {"minReaderVersion": min_reader, "minWriterVersion": min_writer}},
         {
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": json.dumps(schema.jsonValue()),
                 "partitionColumns": partition_cols,
-                "configuration": {},
+                "configuration": configuration,
                 "createdTime": now_ms,
             }
         },
@@ -142,6 +191,41 @@ def export_delta_snapshot(
 
 
 # --------------------------------------------------------------------- import
+
+
+def _check_last_checkpoint(log_dir: Path, target: int, versions: list[int]) -> None:
+    """ADVICE guard: multi-part (``parts``) and v2 (sidecar) checkpoints are
+    not parseable here, and our ``*.checkpoint.parquet`` glob cannot even SEE
+    them (multi-part files are named ``N.checkpoint.M.P.parquet``). If
+    ``_last_checkpoint`` says such a checkpoint ≤ target exists and the JSON
+    commits alone cannot replay the full history (0..target contiguous), fail
+    loudly instead of returning a silently incomplete snapshot."""
+    lc = log_dir / "_last_checkpoint"
+    if not lc.is_file():
+        return
+    try:
+        meta = json.loads(lc.read_text())
+    except ValueError:
+        return
+    v = int(meta.get("version", -1))
+    unsupported = (
+        int(meta.get("parts") or 1) > 1
+        or meta.get("v2Checkpoint") is not None
+        or str(meta.get("checkpointSchema", "")).find("sidecar") >= 0
+        or meta.get("tag") == "v2"
+    )
+    if v < 0 or v > target or not unsupported:
+        return
+    json_complete = bool(versions) and versions[0] == 0 and set(
+        range(0, target + 1)
+    ) <= set(versions)
+    if not json_complete:
+        raise ValueError(
+            f"{log_dir}: _last_checkpoint at version {v} is a multi-part or "
+            f"v2/sidecar checkpoint, which this reader does not support, and "
+            f"the JSON commits do not cover 0..{target} — refusing to return "
+            f"a partial snapshot"
+        )
 
 
 def _log_actions_upto(log_dir: Path, version: int | None):
@@ -162,6 +246,7 @@ def _log_actions_upto(log_dir: Path, version: int | None):
     target = latest if version is None else version
     if target not in versions and target not in ckpt_versions:
         raise ValueError(f"version {target} not present in {log_dir}")
+    _check_last_checkpoint(log_dir, target, versions)
 
     ckpt_path, ckpt_v = None, -1
     for v in ckpt_versions:
@@ -178,12 +263,23 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
     delta jars needed. Supports JSON commits and single-file parquet
     checkpoints; ``version`` = time travel (VERSION AS OF).
 
+    Protocol enforcement (PROTOCOL.md): the ``protocol`` action is parsed and
+    tables demanding reader capabilities we do not implement fail LOUDLY —
+    reader version 3 tables are accepted only when every listed readerFeature
+    is supported here (``columnMapping``), and any add-file carrying a
+    ``deletionVector`` is rejected (silently resurrecting deleted rows is the
+    failure mode this guards against). Column mapping mode=name is fully
+    supported: files are resolved via each field's
+    ``delta.columnMapping.physicalName`` and projected back to logical names;
+    mode=id (parquet field-id resolution) is rejected.
+
     Partition columns are reconstructed per add-file from the log's
     ``partitionValues`` (cast to the schema's types), grouped so each distinct
     partition tuple is one ``spark.read.parquet`` with literal columns — the
-    same information a Delta-native reader uses."""
+    same information a Delta-native reader uses. add.path is URL-decoded per
+    the spec (RFC 2396)."""
     import pyspark.sql.functions as F
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     root = Path(path)
     log_dir = root / "_delta_log"
@@ -191,33 +287,61 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
 
     schema_json: str | None = None
     partition_cols: list[str] = []
-    live: dict[str, dict] = {}  # path -> partitionValues
+    configuration: dict = {}
+    protocol: dict = {}
+    live: dict[str, dict] = {}  # raw add.path -> add action (partitionValues+)
+
+    def _apply(a: dict) -> None:
+        nonlocal schema_json, partition_cols, configuration, protocol
+        if a.get("metaData") and a["metaData"].get("schemaString"):
+            schema_json = a["metaData"]["schemaString"]
+            partition_cols = list(a["metaData"].get("partitionColumns") or [])
+            configuration = dict(a["metaData"].get("configuration") or {})
+        elif a.get("protocol"):
+            protocol = dict(a["protocol"])
+        elif a.get("add") and a["add"].get("path"):
+            live[a["add"]["path"]] = a["add"]
+        elif a.get("remove") and a["remove"].get("path"):
+            live.pop(a["remove"]["path"], None)
 
     if ckpt_path is not None:
         for row in spark.read.parquet(str(ckpt_path)).collect():
-            d = row.asDict(recursive=True)
-            if d.get("metaData") and d["metaData"].get("schemaString"):
-                schema_json = d["metaData"]["schemaString"]
-                partition_cols = list(d["metaData"]["partitionColumns"] or [])
-            add = d.get("add")
-            if add and add.get("path"):
-                live[add["path"]] = dict(add.get("partitionValues") or {})
-            rm = d.get("remove")
-            if rm and rm.get("path"):
-                live.pop(rm["path"], None)
-
+            _apply(row.asDict(recursive=True))
     for jp in jsons:
         for ln in jp.read_text().splitlines():
-            if not ln.strip():
-                continue
-            a = json.loads(ln)
-            if "metaData" in a:
-                schema_json = a["metaData"]["schemaString"]
-                partition_cols = list(a["metaData"].get("partitionColumns") or [])
-            elif "add" in a:
-                live[a["add"]["path"]] = dict(a["add"].get("partitionValues") or {})
-            elif "remove" in a:
-                live.pop(a["remove"]["path"], None)
+            if ln.strip():
+                _apply(json.loads(ln))
+
+    # ---- reader-capability gate (ADVICE: fail loudly, never read wrong)
+    min_reader = int(protocol.get("minReaderVersion") or 1)
+    reader_features = {
+        f for f in (protocol.get("readerFeatures") or []) if f
+    }
+    SUPPORTED_FEATURES = {"columnMapping"}
+    if min_reader >= 3:
+        unsupported = reader_features - SUPPORTED_FEATURES
+        if unsupported:
+            raise ValueError(
+                f"unsupported Delta readerFeatures {sorted(unsupported)} at "
+                f"{path} (minReaderVersion={min_reader}); refusing to read"
+            )
+    elif min_reader > 2:
+        raise ValueError(
+            f"unsupported Delta minReaderVersion={min_reader} at {path}"
+        )
+    cm_mode = configuration.get("delta.columnMapping.mode", "none")
+    if cm_mode not in ("none", "", "name"):
+        raise ValueError(
+            f"unsupported delta.columnMapping.mode={cm_mode!r} at {path} "
+            f"(only 'name' mapping is implemented)"
+        )
+    for add in live.values():
+        if add.get("deletionVector"):
+            raise ValueError(
+                f"table at {path} uses deletion vectors "
+                f"({add['path']}); reading it without DV support would "
+                f"resurrect deleted rows — refusing"
+            )
 
     if schema_json is None:
         raise ValueError(f"no metaData action found in {log_dir}")
@@ -225,21 +349,46 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
         raise ValueError(f"empty Delta snapshot at {path}")
 
     full_schema = StructType.fromJson(json.loads(schema_json))
-    data_fields = [f for f in full_schema.fields if f.name not in partition_cols]
-    data_schema = StructType(data_fields)
-    part_types = {f.name: f.dataType for f in full_schema.fields if f.name in partition_cols}
+    mapped = cm_mode == "name"
 
-    # group files by partition tuple; one scan per tuple with literal columns
+    def phys_name(f: StructField) -> str:
+        if mapped and f.metadata and "delta.columnMapping.physicalName" in f.metadata:
+            return f.metadata["delta.columnMapping.physicalName"]
+        return f.name
+
+    phys_of = {f.name: phys_name(f) for f in full_schema.fields}
+    data_fields = [f for f in full_schema.fields if f.name not in partition_cols]
+    data_schema = StructType(
+        [StructField(phys_of[f.name], f.dataType, f.nullable) for f in data_fields]
+    )
+    part_types = {
+        f.name: f.dataType for f in full_schema.fields if f.name in partition_cols
+    }
+
+    # group files by partition tuple; one scan per tuple with literal columns.
+    # partitionValues keys are PHYSICAL names under column mapping (spec).
     groups: dict[tuple, list[str]] = {}
-    for rel, pvals in live.items():
-        key = tuple(pvals.get(c) for c in partition_cols)
-        groups.setdefault(key, []).append(str(root / rel))
+    for rel, add in live.items():
+        pvals = dict(add.get("partitionValues") or {})
+        key = tuple(
+            pvals.get(phys_of.get(c, c), pvals.get(c)) for c in partition_cols
+        )
+        groups.setdefault(key, []).append(
+            str(root / Path(urllib.parse.unquote(rel)))
+        )
 
     out = None
     for key, files in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(data_schema).parquet(*files)
+        # project physical file columns back to logical names
+        df = df.select(
+            *[
+                F.col(phys_of[f.name]).alias(f.name)
+                for f in data_fields
+            ]
+        )
         for c, v in zip(partition_cols, key):
-            # Delta encodes null partition values as missing/empty
+            # Delta encodes null partition values as JSON null / missing
             lit = F.lit(None) if v is None or v == "" else F.lit(v)
             df = df.withColumn(c, lit.cast(part_types[c]))
         df = df.select(*[f.name for f in full_schema.fields])

@@ -152,6 +152,12 @@ class DeltaliteTable:
             prev_part = base_commit.get("partition_by")
             if prev_part and "partition_by" not in extra:
                 extra["partition_by"] = prev_part
+            # column-mapping state (logical->physical names + retired physical
+            # names) rides every commit forward, like constraints
+            for cm_key in ("column_mapping", "retired_physical"):
+                prev_cm = base_commit.get(cm_key)
+                if prev_cm and cm_key not in extra:
+                    extra[cm_key] = prev_cm
             # Per-dir min/max stats ride the log forward (Delta's add-file
             # stats analog): stats for dirs still live after this commit are
             # copied from the base commit, new dirs' stats come in via
@@ -189,18 +195,38 @@ class DeltaliteTable:
             tmp.unlink(missing_ok=True)
         return version
 
+    @staticmethod
+    def _mapping(commit: dict | None) -> dict[str, str]:
+        """Logical-name -> physical-name map of a commit (column mapping,
+        ALTER TABLE RENAME/DROP COLUMN support). Identity for unmapped names."""
+        return dict((commit or {}).get("column_mapping") or {})
+
+    @staticmethod
+    def _to_physical(df: DataFrame, mapping: dict[str, str] | None) -> DataFrame:
+        if not mapping:
+            return df
+        return df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
+
     def _write_data_dir(
         self,
         df: DataFrame,
         version_hint: int,
         partition_by: list[str] | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> str:
         """Write ``df`` to a STAGED dir under ``_staging/`` and return the
         ``data/...`` path the commit will reference. The dir is renamed into
         ``data/`` only after the commit file links (:meth:`_publish`), so
         ``data/`` never holds uncommitted rows — a crashed writer or an
         OCC-losing writer cannot leak duplicate/uncommitted files into
-        :meth:`read_stream`'s ``data/*`` glob."""
+        :meth:`read_stream`'s ``data/*`` glob.
+
+        ``mapping`` — the table's column mapping; files on disk always carry
+        PHYSICAL column names (rename/drop are log-only, existing parquet
+        stays valid), readers translate back (:meth:`_read_dirs`)."""
+        df = self._to_physical(df, mapping)
         rel = f"data/{version_hint:010d}-{uuid.uuid4().hex[:8]}"
         staged = self._staged_path(rel)
         writer = df.write.mode("overwrite")
@@ -294,6 +320,7 @@ class DeltaliteTable:
         dirs: list[str],
         schema_json: str | None,
         partition_by: list[str] | None,
+        mapping: dict[str, str] | None = None,
     ) -> DataFrame:
         """Read a set of data dirs under the LOG schema. Partitioned dirs carry
         their partition-column values in ``key=value`` subdir names, so each
@@ -301,17 +328,46 @@ class DeltaliteTable:
         the scans are unioned by name — partition pruning then applies per
         scan (PartitionFilters), which is the entire point: a filter on the
         partition column never lists, opens, or reads a non-matching
-        directory."""
+        directory.
+
+        ``mapping`` (logical -> physical, from the commit's column mapping):
+        files hold PHYSICAL names, so the scan schema is the log schema with
+        fields renamed to physical, and the result projects back to logical.
+        A column dropped from the log schema simply has no field in the scan
+        schema — its bytes in old files are never read (column pruning), the
+        Delta DROP COLUMN semantics."""
         schema = None
         if schema_json:
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(schema_json))
+        phys_schema = None
+        if schema is not None and mapping:
+            from pyspark.sql.types import StructField, StructType
+
+            phys_schema = StructType(
+                [
+                    StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            )
+        read_schema = phys_schema if phys_schema is not None else schema
+
+        def _to_logical(df: DataFrame) -> DataFrame:
+            if phys_schema is None:
+                return df
+            return df.select(
+                *[
+                    F.col(mapping.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+
         if not partition_by:
             reader = self.spark.read
-            if schema is not None:
-                reader = reader.schema(schema)
-            return reader.parquet(*dirs)
+            if read_schema is not None:
+                reader = reader.schema(read_schema)
+            return _to_logical(reader.parquet(*dirs))
         # Group dirs by basePath — the prefix above the first `key=value`
         # component (per-partition-dir live entries), or the dir itself
         # (legacy whole-dir entries, which contain the key=value subdirs).
@@ -338,19 +394,19 @@ class DeltaliteTable:
         frames = []
         for base, ds in groups.items():
             reader = self.spark.read.option("basePath", base)
-            if schema is not None:
-                reader = reader.schema(schema)
+            if read_schema is not None:
+                reader = reader.schema(read_schema)
             df = reader.parquet(*ds)
-            if schema is not None:
+            if read_schema is not None:
                 # partition discovery appends physical-only dir columns (e.g.
                 # zorder's __zr range buckets) even with an explicit schema —
                 # the LOG schema is the contract, so project down to it
-                df = df.select(*[f.name for f in schema.fields])
+                df = df.select(*[f.name for f in read_schema.fields])
             frames.append(df)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        return out
+        return _to_logical(out)
 
     def _publish(self, rel: str) -> None:
         """Atomically move a staged data dir into ``data/`` (post-commit)."""
@@ -394,7 +450,10 @@ class DeltaliteTable:
         if isinstance(staged_rels, str):
             staged_rels = [staged_rels]
         extra = dict(extra or {})
-        stats = self._staged_stats(staged_rels, force_cols=stats_cols)
+        cm = self._mapping(base_commit)
+        stats = self._staged_stats(
+            staged_rels, force_cols=tuple(cm.get(c, c) for c in stats_cols)
+        )
         if stats:
             extra["dir_stats"] = {**extra.get("dir_stats", {}), **stats}
         try:
@@ -456,6 +515,7 @@ class DeltaliteTable:
             [str(self._root / d) for d in live],
             commit.get("schema"),
             commit.get("partition_by"),
+            commit.get("column_mapping"),
         )
         # re-apply the bounds as row filters (dir stats prune dirs, not rows)
         for col, (lo, hi) in (key_bounds or {}).items():
@@ -481,7 +541,12 @@ class DeltaliteTable:
         dirs = [str(self._root / d) for d in commit["live"]]
         if not dirs:
             raise ValueError(f"empty table at version {v}")
-        return self._read_dirs(dirs, commit.get("schema"), commit.get("partition_by"))
+        return self._read_dirs(
+            dirs,
+            commit.get("schema"),
+            commit.get("partition_by"),
+            commit.get("column_mapping"),
+        )
 
     def live_data_dirs(self, version: int | None = None) -> list[str]:
         """Absolute paths of the data dirs live at ``version`` (default: latest).
@@ -503,14 +568,39 @@ class DeltaliteTable:
         The ``data/*`` glob sees COMMITTED dirs only: writers stage under
         ``_staging/`` and publish after the commit links, so crashed or
         OCC-losing writers can't feed uncommitted rows into the stream."""
-        if self._read_commit(self.latest_version()).get("partition_by"):
+        commit = self._read_commit(self.latest_version())
+        if commit.get("partition_by"):
             raise ValueError(
                 "read_stream is not supported on partitioned tables: the "
                 "data/* file glob cannot recover partition-dir columns. "
                 "Stream the unpartitioned upstream table instead."
             )
-        schema = self.read().schema
-        return self.spark.readStream.schema(schema).parquet(str(self._root / "data" / "*"))
+        schema = self.read().schema  # logical
+        mapping = self._mapping(commit)
+        if not mapping:
+            return (
+                self.spark.readStream.schema(schema)
+                .parquet(str(self._root / "data" / "*"))
+            )
+        # files carry physical names: scan physical, project back to logical
+        from pyspark.sql.types import StructField, StructType
+
+        phys = StructType(
+            [
+                StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        return (
+            self.spark.readStream.schema(phys)
+            .parquet(str(self._root / "data" / "*"))
+            .select(
+                *[
+                    F.col(mapping.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        )
 
     def read_as_of_timestamp(self, ts: float) -> DataFrame:
         """TIMESTAMP AS OF analog: last version committed at or before ``ts``."""
@@ -550,6 +640,7 @@ class DeltaliteTable:
                     [str(self._root / d) for d in added],
                     commit.get("schema"),
                     commit.get("partition_by"),
+                    commit.get("column_mapping"),
                 )
                 frames.append(
                     df.withColumn("_change_type", F.lit("insert")).withColumn(
@@ -581,6 +672,9 @@ class DeltaliteTable:
             extra["schema"] = src_commit["schema"]
         if src_commit.get("partition_by"):
             extra["partition_by"] = src_commit["partition_by"]
+        for cm_key in ("column_mapping", "retired_physical"):
+            if src_commit.get(cm_key):
+                extra[cm_key] = src_commit[cm_key]
         dest._write_commit("shallow_clone", live_abs, extra, base_version=-1)
         return dest
 
@@ -778,7 +872,10 @@ class DeltaliteTable:
         else:
             schema = df.schema
         prev = commit.get("live", [])
-        rel = self._write_data_dir(df, base + 1, partition_by=spec)
+        rel = self._write_data_dir(
+            df, base + 1, partition_by=spec,
+            mapping=self._mapping(commit) if base >= 0 else None,
+        )
         rels = self._staged_rels(rel, spec)
         extra: dict = {"schema": schema.json()}
         if spec:
@@ -849,7 +946,10 @@ class DeltaliteTable:
         spec = commit.get("partition_by") if partition_by is None and base >= 0 else partition_by
         if base >= 0:
             self._validate(commit.get("constraints", {}), df)
-        rel = self._write_data_dir(df, base + 1, partition_by=spec)
+        rel = self._write_data_dir(
+            df, base + 1, partition_by=spec,
+            mapping=self._mapping(commit) if base >= 0 else None,
+        )
         rels = self._staged_rels(rel, spec)
         extra: dict = {"schema": df.schema.json(), "partition_by": list(spec or [])}
         if txn_app is not None and txn_version is not None:
@@ -858,9 +958,16 @@ class DeltaliteTable:
 
     def add_column(self, name: str, data_type: str) -> int:
         """ALTER TABLE ADD COLUMN analog (db/schema_evolution.sql:9-12): a
-        log-only commit — existing files surface the new column as nulls."""
+        log-only commit — existing files surface the new column as nulls.
+
+        If ``name`` collides with a PHYSICAL name still present in old files
+        (a renamed-away or dropped column), the new column gets a fresh
+        generated physical name — old bytes can never resurface under the new
+        logical column (the reason Delta's column mapping never reuses
+        physical names)."""
         from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
+        base, commit = self._snapshot()
         current = self.schema() or self.read().schema
         if name in {f.name for f in current.fields}:
             raise ValueError(f"column exists: {name}")
@@ -868,11 +975,110 @@ class DeltaliteTable:
             list(current.fields)
             + [StructField(name, _parse_datatype_string(data_type), True)]
         )
+        mapping = self._mapping(commit)
+        phys_in_use = (
+            {mapping.get(f.name, f.name) for f in current.fields}
+            | set(mapping.values())
+            | set(commit.get("retired_physical") or [])
+        )
+        extra: dict = {"schema": evolved.json(), "added_column": name}
+        if name in phys_in_use:
+            mapping[name] = f"col-{uuid.uuid4().hex[:8]}"
+            extra["column_mapping"] = mapping
+        return self._write_commit("add_column", commit["live"], extra, base, commit)
+
+    def _check_column_unreferenced(self, commit: dict, name: str) -> None:
+        """Reject log-only schema changes that would break recorded SQL state:
+        CHECK constraints reference columns by name in free-form predicates."""
+        for cname, pred in (commit.get("constraints") or {}).items():
+            if re.search(rf"\b{re.escape(name)}\b", pred):
+                raise ValueError(
+                    f"column {name} is referenced by constraint {cname} "
+                    f"({pred!r}); drop the constraint first"
+                )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE ... RENAME COLUMN analog (db/schema_evolution.sql:30-31,
+        requires delta.columnMapping.mode=name in Delta — deltalite's column
+        mapping is always name-based): a LOG-ONLY commit. The field is renamed
+        in the log schema and the mapping records logical ``new`` -> physical
+        ``old`` (or old's prior physical), so every existing parquet file
+        stays valid — readers scan physical names and project back
+        (:meth:`_read_dirs`); writers translate before writing
+        (:meth:`_write_data_dir`)."""
+        from pyspark.sql.types import StructField, StructType
+
         base, commit = self._snapshot()
+        current = self.schema() or self.read().schema
+        names = [f.name for f in current.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column exists: {new}")
+        if old in (commit.get("partition_by") or []):
+            raise ValueError(
+                f"cannot rename partition column {old}: partition values are "
+                f"directory names — rewrite via overwrite(partition_by=...)"
+            )
+        self._check_column_unreferenced(commit, old)
+        mapping = self._mapping(commit)
+        phys = mapping.pop(old, old)
+        if phys != new:
+            mapping[new] = phys
+        else:
+            mapping.pop(new, None)  # renamed back to its physical name
+        evolved = StructType(
+            [
+                StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in current.fields
+            ]
+        )
         return self._write_commit(
-            "add_column",
+            "rename_column",
             commit["live"],
-            {"schema": evolved.json(), "added_column": name},
+            {
+                "schema": evolved.json(),
+                "column_mapping": mapping,
+                "renamed_column": {"from": old, "to": new},
+            },
+            base,
+            commit,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE ... DROP COLUMN analog (db/schema_evolution.sql:40):
+        LOG-ONLY — the column leaves the schema and the mapping; its bytes
+        stay in existing files but the explicit scan schema never reads them
+        (the Delta semantics: "removes the column from the schema, not from
+        the underlying Parquet files"). The physical name is retired so a
+        later ``add_column`` with the same name cannot resurrect old bytes."""
+        from pyspark.sql.types import StructType
+
+        base, commit = self._snapshot()
+        current = self.schema() or self.read().schema
+        names = [f.name for f in current.fields]
+        if name not in names:
+            raise ValueError(f"no such column: {name}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        if name in (commit.get("partition_by") or []):
+            raise ValueError(f"cannot drop partition column {name}")
+        self._check_column_unreferenced(commit, name)
+        mapping = self._mapping(commit)
+        phys = mapping.pop(name, name)
+        retired = list(commit.get("retired_physical") or [])
+        if phys not in retired:
+            retired.append(phys)
+        evolved = StructType([f for f in current.fields if f.name != name])
+        return self._write_commit(
+            "drop_column",
+            commit["live"],
+            {
+                "schema": evolved.json(),
+                "column_mapping": mapping,
+                "retired_physical": retired,
+                "dropped_column": name,
+            },
             base,
             commit,
         )
@@ -884,6 +1090,8 @@ class DeltaliteTable:
         extra = {
             "restored_from": version,
             "partition_by": commit.get("partition_by") or [],
+            "column_mapping": commit.get("column_mapping") or {},
+            "retired_physical": commit.get("retired_physical") or [],
         }
         if commit.get("schema"):
             extra["schema"] = commit["schema"]
@@ -921,7 +1129,9 @@ class DeltaliteTable:
             df = self.read(version=base)
             if target_partitions:
                 df = df.coalesce(target_partitions)
-            rel = self._write_data_dir(df, base + 1, partition_by=spec)
+            rel = self._write_data_dir(
+                df, base + 1, partition_by=spec, mapping=self._mapping(commit)
+            )
             rels = self._staged_rels(rel, spec)
             return self._commit_staged(
                 "compact", rels, rels, {"schema": df.schema.json()}, base, commit
@@ -950,10 +1160,14 @@ class DeltaliteTable:
             return base  # nothing fragmented: no-op, no commit
         kept = [r for s, rels in groups.items() if s not in rewrite for r in rels]
         src_dirs = [str(self._root / r) for s in rewrite for r in groups[s]]
-        df = self._read_dirs(src_dirs, commit.get("schema"), spec)
+        df = self._read_dirs(
+            src_dirs, commit.get("schema"), spec, commit.get("column_mapping")
+        )
         if target_partitions:
             df = df.coalesce(target_partitions)
-        rel = self._write_data_dir(df, base + 1, partition_by=spec)
+        rel = self._write_data_dir(
+            df, base + 1, partition_by=spec, mapping=self._mapping(commit)
+        )
         rels = self._staged_rels(rel, spec)
         extra = {
             "schema": df.schema.json(),
@@ -1023,13 +1237,16 @@ class DeltaliteTable:
                 [str(self._root / r) for s in selected for r in groups[s]],
                 commit.get("schema"),
                 spec,
+                commit.get("column_mapping"),
             )
             extra["zordered_partitions"] = len(selected)
         df = src.repartitionByRange(target_partitions or 8, *cols).withColumn(
             "__zr", F.spark_partition_id()
         )
         phys_spec = [*(spec or []), "__zr"]
-        rel = self._write_data_dir(df, base + 1, partition_by=phys_spec)
+        rel = self._write_data_dir(
+            df, base + 1, partition_by=phys_spec, mapping=self._mapping(commit)
+        )
         rels = self._staged_rels(rel, phys_spec)
         # the log schema omits __zr, so reads never surface it
         extra["schema"] = src.schema.json()
@@ -1098,7 +1315,10 @@ class DeltaliteTable:
         ``key=value`` component of the dir's own path (partition-dir entries),
         write-time stats recorded in the commit log (no file opened at all),
         dir-name listing for partition columns, then parquet FOOTER stats as
-        the legacy fallback (metadata-only; pre-stats commits)."""
+        the legacy fallback (metadata-only; pre-stats commits). ``key`` is a
+        LOGICAL name; stats/footers/dirs carry physical names, so the commit's
+        column mapping translates first."""
+        key = self._mapping(commit).get(key, key)
         root = self._root / rel
         # a per-partition-dir live entry: its own path pins the key exactly
         for comp in Path(rel).parts:
@@ -1208,6 +1428,7 @@ class DeltaliteTable:
                 [str(self._root / d) for d in live],
                 commit.get("schema"),
                 commit.get("partition_by"),
+                commit.get("column_mapping"),
             )
         else:  # every dir pruned — merge against an empty target
             target_df = self.read(version=base).limit(0)
@@ -1215,7 +1436,11 @@ class DeltaliteTable:
         merged = merge_dataframes(target_df, source, condition, clauses, out_cols,
                                   broadcast_source=broadcast_source)
         self._validate(commit.get("constraints", {}), merged)
-        rel = self._write_data_dir(merged, base + 1, partition_by=commit.get("partition_by"))
+        rel = self._write_data_dir(
+            merged, base + 1,
+            partition_by=commit.get("partition_by"),
+            mapping=self._mapping(commit),
+        )
         rels = self._staged_rels(rel, commit.get("partition_by"))
         extra = {"condition": condition, "schema": merged.schema.json()}
         if kept:

@@ -1,0 +1,205 @@
+"""Column mapping: ALTER TABLE RENAME/DROP COLUMN as LOG-ONLY commits with
+stable physical names (db/schema_evolution.sql:25-40 under
+delta.columnMapping.mode=name), plus the documented DOUBLE->DECIMAL migration
+recipe (db/schema_evolution.sql:52-104)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_cdc_engine.tables import DeltaliteTable, MergeClause
+
+
+def _mk(spark, path, rows=5):
+    t = DeltaliteTable(spark, str(path))
+    df = spark.range(rows).select(
+        F.col("id").alias("order_id"),
+        (F.col("id") * 10.0 + 0.5).alias("total_amount"),
+        F.concat(F.lit("s"), F.col("id")).alias("status"),
+    )
+    t.overwrite(df)
+    return t
+
+
+def test_rename_column_is_log_only(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    live_before = t._read_commit(t.latest_version())["live"]
+    v = t.rename_column("total_amount", "grand_total")
+    commit = t._read_commit(v)
+    assert commit["live"] == live_before  # no data rewritten
+    assert commit["operation"] == "rename_column"
+    got = t.read()
+    assert got.columns == ["order_id", "grand_total", "status"]
+    assert sorted(r.grand_total for r in got.collect()) == [
+        0.5, 10.5, 20.5, 30.5, 40.5,
+    ]
+    # physical files still carry the ORIGINAL name — existing parquet valid
+    import pyarrow.parquet as pq
+
+    f = next((t._root / live_before[0]).rglob("*.parquet"))
+    assert "total_amount" in pq.ParquetFile(f).schema_arrow.names
+    # time travel shows the pre-rename schema
+    assert "total_amount" in t.read(version=v - 1).columns
+
+
+def test_rename_validations(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("ghost", "x")
+    with pytest.raises(ValueError, match="column exists"):
+        t.rename_column("status", "order_id")
+    t.add_constraint("amt_pos", "total_amount >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t.rename_column("total_amount", "amt")
+
+
+def test_rename_partition_column_rejected(spark, tmp_path):
+    t = DeltaliteTable(spark, str(tmp_path / "p"))
+    df = spark.range(4).select(
+        F.col("id"), (F.col("id") % 2).alias("bucket")
+    )
+    t.overwrite(df, partition_by=["bucket"])
+    with pytest.raises(ValueError, match="partition column"):
+        t.rename_column("bucket", "b2")
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column("bucket")
+
+
+def test_append_and_merge_after_rename(spark, tmp_path):
+    """New writes land under the PHYSICAL name; merges on the logical name
+    work, and write-time stats pruning still keys correctly."""
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("total_amount", "grand_total")
+    more = spark.createDataFrame(
+        [(100, 999.0, "s100")], ["order_id", "grand_total", "status"]
+    )
+    t.append(more)
+    assert t.read().count() == 6
+    import pyarrow.parquet as pq
+
+    latest_commit = t._read_commit(t.latest_version())
+    new_dir = [d for d in latest_commit["live"]][-1]
+    f = next((t._root / new_dir).rglob("*.parquet"))
+    names = pq.ParquetFile(f).schema_arrow.names
+    assert "total_amount" in names and "grand_total" not in names
+
+    src = spark.createDataFrame([(100, 111.0)], ["order_id", "grand_total"])
+    t.merge(
+        src,
+        "target.order_id = source.order_id",
+        [MergeClause("update", None, {"grand_total": "source.grand_total"})],
+        prune_on="order_id",
+    )
+    assert t.read().filter("order_id = 100").first().grand_total == 111.0
+    # scan pruning on the logical name routes through the mapping
+    assert t.scan(key_bounds={"order_id": (100, None)}).count() == 1
+
+
+def test_drop_column_log_only_and_never_resurrects(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    live_before = t._read_commit(t.latest_version())["live"]
+    v = t.drop_column("status")
+    commit = t._read_commit(v)
+    assert commit["live"] == live_before  # log-only
+    got = t.read()
+    assert got.columns == ["order_id", "total_amount"]
+    # bytes remain in the files (Delta semantics), the scan just prunes them
+    import pyarrow.parquet as pq
+
+    f = next((t._root / live_before[0]).rglob("*.parquet"))
+    assert "status" in pq.ParquetFile(f).schema_arrow.names
+    # time travel to pre-drop still surfaces the column
+    assert "status" in t.read(version=v - 1).columns
+    # re-adding the same name maps to a FRESH physical column: all nulls,
+    # the old bytes cannot leak back
+    t.add_column("status", "string")
+    vals = [r.status for r in t.read().collect()]
+    assert vals == [None] * 5
+    assert t._mapping(t._read_commit(t.latest_version()))["status"].startswith("col-")
+    # and new writes of it round-trip
+    t.append(
+        spark.createDataFrame([(7, 70.5, "fresh")],
+                              ["order_id", "total_amount", "status"])
+    )
+    assert t.read().filter("order_id = 7").first().status == "fresh"
+
+
+def test_drop_column_validations(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="no such column"):
+        t.drop_column("ghost")
+    t.add_constraint("amt_pos", "total_amount >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t.drop_column("total_amount")
+
+
+def test_restore_across_rename_pins_old_mapping(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    v0 = t.latest_version()
+    t.rename_column("total_amount", "grand_total")
+    assert "grand_total" in t.read().columns
+    t.restore(v0)
+    got = t.read()
+    assert got.columns == ["order_id", "total_amount", "status"]
+    assert sorted(r.total_amount for r in got.collect())[0] == 0.5
+
+
+def test_stream_after_rename(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("total_amount", "grand_total")
+    sdf = t.read_stream()
+    assert sdf.columns == ["order_id", "grand_total", "status"]
+
+
+def test_decimal_migration_recipe(spark, tmp_path):
+    """The documented DOUBLE->DECIMAL type migration
+    (db/schema_evolution.sql:52-104): add a DECIMAL column, backfill with a
+    cast, drop the DOUBLE original, rename the new column into its place."""
+    t = _mk(spark, tmp_path / "t")
+    t.add_column("total_amount_dec", "decimal(20,4)")
+    backfilled = t.read().withColumn(
+        "total_amount_dec", F.col("total_amount").cast("decimal(20,4)")
+    )
+    t.overwrite(backfilled)
+    t.drop_column("total_amount")
+    t.rename_column("total_amount_dec", "total_amount")
+
+    got = t.read()
+    # the migrated column sits where add_column appended it (no reorder op,
+    # same as Delta); the logical surface is otherwise identical
+    assert got.columns == ["order_id", "status", "total_amount"]
+    assert dict(got.dtypes)["total_amount"] == "decimal(20,4)"
+    from decimal import Decimal
+
+    assert sorted(r.total_amount for r in got.collect()) == [
+        Decimal("0.5000"), Decimal("10.5000"), Decimal("20.5000"),
+        Decimal("30.5000"), Decimal("40.5000"),
+    ]
+    # appends under the migrated schema keep working and enforce the new type
+    t.append(
+        spark.createDataFrame(
+            [(9, "s9", Decimal("99.1234"))],
+            "order_id long, status string, total_amount decimal(20,4)",
+        )
+    )
+    assert t.read().count() == 6
+    # the log-only tail of the migration cost zero data rewrites
+    ops = [c["operation"] for c in t.history()]
+    assert ops[1:3] == ["rename_column", "drop_column"]
+
+
+def test_compact_and_zorder_preserve_mapping(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("total_amount", "grand_total")
+    t.append(
+        spark.createDataFrame([(50, 5.0, "x")],
+                              ["order_id", "grand_total", "status"])
+    )
+    t.compact()
+    got = t.read()
+    assert got.columns == ["order_id", "grand_total", "status"]
+    assert got.count() == 6
+    t.zorder_by("order_id")
+    assert t.read().columns == ["order_id", "grand_total", "status"]
+    assert t.scan(key_bounds={"order_id": (50, None)}).count() == 1

@@ -224,3 +224,141 @@ def test_time_travel_export_uses_that_versions_schema(spark, tmp_path):
     meta1 = _read_actions(dest1)[2]["metaData"]
     fields1 = [f.name for f in StructType.fromJson(json.loads(meta1["schemaString"])).fields]
     assert fields1 == ["id", "extra"]
+
+
+# ----------------------------------------------- protocol + mapping guards
+
+
+def test_column_mapped_table_exports_and_reads_back(spark, tmp_path):
+    """A renamed-column deltalite table exports with REAL Delta columnMapping
+    metadata (mode=name, per-field physicalName, protocol 2/5) and the
+    independent reader resolves files through it — round-trip exact."""
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(
+        spark.range(20).selectExpr("id", "CAST(id * 2.0 AS DOUBLE) AS amount")
+    )
+    t.rename_column("amount", "total")
+    t.append(spark.createDataFrame([(99, 5.0)], ["id", "total"]))
+    dest = tmp_path / "delta_cm"
+    export_delta_snapshot(t, str(dest))
+
+    actions = _read_actions(dest)
+    proto = actions[1]["protocol"]
+    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (2, 5)
+    meta = actions[2]["metaData"]
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    f = {x.name: x for x in schema.fields}
+    assert f["total"].metadata["delta.columnMapping.physicalName"] == "amount"
+    assert f["id"].metadata["delta.columnMapping.physicalName"] == "id"
+
+    got = read_delta_snapshot(spark, str(dest))
+    assert got.columns == ["id", "total"]
+    assert got.count() == 21
+    assert got.filter("id = 99").first().total == 5.0
+    expect = {(r.id, r.total) for r in t.read().collect()}
+    assert {(r.id, r.total) for r in got.collect()} == expect
+
+
+def test_reader_rejects_unsupported_features_and_dvs(spark, tmp_path):
+    """ADVICE: minReaderVersion>1 features we don't implement must fail loudly
+    (deletion vectors silently resurrect deleted rows otherwise)."""
+    import pytest
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(5).toDF("id"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    commit = dest / "_delta_log" / f"{0:020d}.json"
+    actions = [json.loads(ln) for ln in commit.read_text().splitlines()]
+
+    # reader-version-3 feature set beyond our support
+    mutated = list(actions)
+    mutated[1] = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                               "readerFeatures": ["deletionVectors"]}}
+    commit.write_text("\n".join(json.dumps(a) for a in mutated) + "\n")
+    with pytest.raises(ValueError, match="readerFeatures"):
+        read_delta_snapshot(spark, str(dest))
+
+    # a deletion vector on an add action
+    mutated = list(actions)
+    for a in mutated:
+        if "add" in a:
+            a["add"]["deletionVector"] = {
+                "storageType": "u", "pathOrInlineDv": "x", "offset": 1,
+                "sizeInBytes": 40, "cardinality": 2,
+            }
+            break
+    commit.write_text("\n".join(json.dumps(a) for a in mutated) + "\n")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        read_delta_snapshot(spark, str(dest))
+
+    # column mapping by parquet field id: unsupported mode
+    mutated = [json.loads(ln) for ln in commit.read_text().splitlines()]
+    for a in mutated:
+        if "add" in a:
+            a["add"].pop("deletionVector", None)
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+    commit.write_text("\n".join(json.dumps(a) for a in mutated) + "\n")
+    with pytest.raises(ValueError, match="columnMapping.mode"):
+        read_delta_snapshot(spark, str(dest))
+
+
+def test_reader_rejects_multipart_checkpoint_with_cleaned_log(spark, tmp_path):
+    """ADVICE: a multi-part checkpoint our glob can't even see must not
+    degrade to a partial-but-plausible snapshot when JSON commits were
+    retention-cleaned."""
+    import pytest
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(5).toDF("id"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    log = dest / "_delta_log"
+    # simulate: commits 0..4 existed, 0..3 cleaned, multi-part ckpt at 3
+    (log / f"{0:020d}.json").rename(log / f"{4:020d}.json")
+    (log / "_last_checkpoint").write_text(
+        json.dumps({"version": 3, "size": 10, "parts": 4})
+    )
+    with pytest.raises(ValueError, match="multi-part"):
+        read_delta_snapshot(spark, str(dest))
+    # with the full JSON history present, the checkpoint is unnecessary and
+    # the guard stays quiet
+    (log / f"{4:020d}.json").rename(log / f"{0:020d}.json")
+    (log / "_last_checkpoint").write_text(
+        json.dumps({"version": 0, "size": 10, "parts": 4})
+    )
+    assert read_delta_snapshot(spark, str(dest)).count() == 5
+
+
+def test_partition_null_sentinel_and_url_encoding(spark, tmp_path):
+    """ADVICE: Hive's __HIVE_DEFAULT_PARTITION__ must surface as JSON null in
+    partitionValues (not a literal sentinel string), and escaped dir values
+    URL-decode."""
+    from pyspark.sql import functions as F
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    df = spark.range(6).select(
+        "id",
+        F.when(F.col("id") < 2, F.lit(None))
+         .when(F.col("id") < 4, F.lit("a b"))   # space -> escaped dir name
+         .otherwise(F.lit("plain")).alias("k"),
+    )
+    t.overwrite(df, partition_by=["k"])
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    adds = [a["add"] for a in _read_actions(dest) if "add" in a]
+    vals = {a["partitionValues"]["k"] for a in adds}
+    assert vals == {None, "a b", "plain"}
+    got = read_delta_snapshot(spark, str(dest))
+    by_k = {r.k: r.cnt for r in got.groupBy("k").count().toDF("k", "cnt").collect()}
+    assert by_k == {None: 2, "a b": 2, "plain": 2}

@@ -281,8 +281,8 @@ def test_interleaved_writer_raises_not_lost_update(spark, tmp_path):
 
     orig = DeltaliteTable._write_data_dir
 
-    def interleave(df, hint, partition_by=None):  # B commits inside A's write window
-        rel = orig(a, df, hint, partition_by=partition_by)
+    def interleave(df, hint, partition_by=None, **kw):  # B commits inside A's write window
+        rel = orig(a, df, hint, partition_by=partition_by, **kw)
         b.append(spark.range(100, 103).toDF("id"))
         return rel
 
