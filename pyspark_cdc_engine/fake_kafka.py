@@ -155,6 +155,14 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
         mx = options.get("maxOffsetsPerTrigger")
         self._max_per_trigger = int(mx) if mx else None
         self._last_end: dict | None = None
+        # Highest offset per topic-partition KNOWN delivered/committed: raised
+        # by every `start` Spark hands to partitions() (checkpoint truth) and
+        # by commit(). latestOffset never returns an end below it, and read
+        # slices never start below it — so a capped restart with UNEVEN
+        # committed offsets across partitions can neither log a regressed end
+        # nor replay already-delivered records (the single-partition-only
+        # safety the old cursor fast-forward gave, generalized).
+        self._floor: dict[str, int] = {}
 
     def _current_end(self) -> dict:
         return {
@@ -177,10 +185,10 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
             self._last_end = dict(avail)
             return avail
         # NOTE on restart: a fresh reader has no cursor, so the first capped
-        # end is computed from 0 and may be BELOW the checkpointed start.
-        # That is safe — Spark treats end <= committed start as "no new data"
-        # (verified empirically: no duplicate delivery) — and partitions()
-        # fast-forwards the cursor to the real start on the first live batch.
+        # end is computed from 0 and may be BELOW the checkpointed start for
+        # some partitions; the floor clamp below keeps any such end from
+        # regressing once a start/commit has been observed, and partitions()
+        # clamps the actual read range for the window before that.
         start = self._last_end or {k: 0 for k in avail}
         end = {k: start.get(k, 0) for k in avail}
         budget = self._max_per_trigger
@@ -198,13 +206,22 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
                 budget -= take
                 if budget <= 0:
                     break
+        for k in end:  # never emit an end below a known-delivered offset
+            f = self._floor.get(k, 0)
+            if end[k] < f:
+                end[k] = min(f, avail.get(k, f))
         self._last_end = dict(end)
         return end
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        # restart-with-cap: the checkpointed start is the truth — fast-forward
-        # the rate limiter's cursor so capped admission resumes from there
-        # instead of replaying empty batches from zero
+        # the checkpointed start is committed truth: it raises the delivery
+        # floor for every partition it names
+        for k, lo in start.items():
+            if self._floor.get(k, 0) < int(lo):
+                self._floor[k] = int(lo)
+        # restart-with-cap: fast-forward the rate limiter's cursor so capped
+        # admission resumes from the committed start instead of replaying
+        # empty batches from zero
         if self._max_per_trigger is not None:
             cur = self._last_end or {}
             for k, lo in start.items():
@@ -224,7 +241,11 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
                 if self._fail_on_loss:
                     raise RuntimeError(f"fakekafka: topic-partition lost: {key}")
                 continue
-            lo = int(start.get(key, 0))
+            # never read below the delivery floor: if a regressed end entered
+            # the offset log before the floor was known (capped restart, see
+            # latestOffset), the next batch's start would point at
+            # already-delivered records — skip them instead of re-emitting
+            lo = max(int(start.get(key, 0)), self._floor.get(key, 0))
             if hi > lo:
                 t, p, path = by_key[key]
                 out.append(_Slice(t, p, path, lo, int(hi)))
@@ -234,7 +255,11 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
         return _read_slice(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # file-log broker keeps everything; nothing to release
+        # nothing to release (file-log broker keeps everything), but a
+        # committed batch end is delivery truth: raise the floor
+        for k, v in (end or {}).items():
+            if self._floor.get(k, 0) < int(v):
+                self._floor[k] = int(v)
 
 
 class FakeKafkaDataSource(DataSource):

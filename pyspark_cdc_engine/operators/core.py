@@ -1272,21 +1272,25 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar + correlated subquery shapes, expressed the Spark-planner way:
     the scalar subquery (global average) is a 1-row broadcast cross join; the
-    correlated subquery (each customer's own average) is a window over the
-    correlation key — no per-row re-execution, one shuffle each. Averages are
-    exact-decimal sums divided as doubles, so the comparisons are
-    engine-identical."""
-    o = load_table(spark, sf_dir, "orders")
-    g = o.agg(davg("o_totalprice", 2).alias("global_avg"))
-    wc = Window.partitionBy("o_custkey")
-    per = o.select(
-        "o_orderstatus",
-        "o_totalprice",
-        (
-            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).over(wc).cast("double")
-            / F.count(F.lit(1)).over(wc)
-        ).alias("cust_avg"),
+    correlated subquery (each customer's own average) is a hash AGGREGATE on
+    the correlation key joined back to the fact — partial aggregation shrinks
+    the shuffle to one row per customer and there is NO per-partition sort,
+    unlike the window formulation (a window over o_custkey shuffles every
+    order row AND sorts each partition; the agg+join ships the same order
+    rows but sorts nothing, and AQE turns the join into a broadcast when the
+    per-customer side is small). Averages are exact-decimal sums divided as
+    doubles, so the comparisons are engine-identical either way."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice"
     )
+    g = o.agg(davg("o_totalprice", 2).alias("global_avg"))
+    per_cust = o.groupBy("o_custkey").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cust_avg")
+    )
+    per = o.join(per_cust, "o_custkey")
     return (
         per.crossJoin(F.broadcast(g))
         .groupBy(F.col("o_orderstatus").alias("status"))

@@ -295,3 +295,62 @@ def test_rate_limited_restart_no_duplicates(spark, broker, tmp_path):
     second = drain("r2")
     assert [m for b in second for m in b] == [f"b{i}" for i in range(6)]  # no a* replay
     assert all(len(b) <= 4 for b in second)
+
+
+def test_rate_limited_restart_uneven_multi_partition_no_duplicates(
+    spark, broker, tmp_path
+):
+    """ADVICE r4: restart with maxOffsetsPerTrigger over MULTIPLE partitions at
+    UNEVEN committed offsets. The fresh reader's zero cursor can emit a capped
+    end above one partition's committed start but below another's; the offset
+    floor must keep any regressed end from replaying already-delivered
+    records on the lagging partition."""
+    import time
+
+    register_fake_kafka(spark)
+    # partition 0 deep (12), partition 1 shallow (2): committed offsets end
+    # uneven after the first drain
+    produce(broker, "mp", [f"p0-{i}" for i in range(12)], partition=0)
+    produce(broker, "mp", [f"p1-{i}" for i in range(2)], partition=1)
+
+    def drain():
+        seen: list[list[str]] = []
+
+        def sink(b, i):
+            rows = [r.v for r in b.selectExpr("CAST(value AS STRING) v").collect()]
+            if rows:
+                seen.append(rows)
+
+        df = (
+            spark.readStream.format("fakekafka")
+            .option("path", broker).option("subscribe", "mp")
+            .option("startingOffsets", "earliest")
+            .option("maxOffsetsPerTrigger", "4")
+            .load()
+        )
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="500 milliseconds").start()
+        )
+        time.sleep(14)
+        q.stop()
+        q.awaitTermination(30)
+        return seen
+
+    first = drain()
+    flat1 = sorted(m for b in first for m in b)
+    assert flat1 == sorted(
+        [f"p0-{i}" for i in range(12)] + [f"p1-{i}" for i in range(2)]
+    )
+    assert all(len(b) <= 4 for b in first)
+
+    # restart with fresh backlog on both partitions — nothing may replay
+    produce(broker, "mp", [f"p0-new{i}" for i in range(3)], partition=0)
+    produce(broker, "mp", [f"p1-new{i}" for i in range(3)], partition=1)
+    second = drain()
+    flat2 = sorted(m for b in second for m in b)
+    assert flat2 == sorted(
+        [f"p0-new{i}" for i in range(3)] + [f"p1-new{i}" for i in range(3)]
+    ), f"duplicates or loss across capped multi-partition restart: {flat2}"
+    assert all(len(b) <= 4 for b in second)
