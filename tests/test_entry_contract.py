@@ -64,3 +64,25 @@ def test_sampled_prefix_covers_all_never_certified():
     oracled_order = [n for n in spark_entry.queries() if n in spark_entry.oracle_sql()]
     never = {n for n in oracled_order if last.get(n, 0) == 0}
     assert never <= set(oracled_order[:50]), sorted(never - set(oracled_order[:50]))
+
+
+def test_synthetic_new_query_sorts_before_every_certified_name():
+    """VERDICT r4 #6: the rotation guarantee must survive refactors even once
+    every registry entry has a green row (the other tests go vacuous then).
+    Inject a brand-new registry name: it must sort before every ever-green
+    query so the driver's 50-query prefix certifies it next round."""
+    from pyspark_cdc_engine.operators.registry import Query
+
+    name = "zzz_synthetic_never_certified"
+    spark_entry.REGISTRY[name] = Query(
+        name, "test", lambda s, d: None, "SELECT 1 AS one"
+    )
+    try:
+        order = list(spark_entry.queries())
+        greens = _ever_green()
+        green_ranks = [i for i, n in enumerate(order) if greens.get(n, 0) > 0]
+        assert green_ranks, "no artifacts — cannot exercise the contract"
+        assert order.index(name) < min(green_ranks)
+        assert name in list(spark_entry.oracle_sql())[: len(order)]
+    finally:
+        del spark_entry.REGISTRY[name]
