@@ -10,5 +10,6 @@ from pyspark_cdc_engine.operators import cdc_like  # noqa: F401,E402
 from pyspark_cdc_engine.operators import text  # noqa: F401,E402
 from pyspark_cdc_engine.operators import vectors  # noqa: F401,E402
 from pyspark_cdc_engine.operators import dedup_scale  # noqa: F401,E402
+from pyspark_cdc_engine.operators import dedup_incremental  # noqa: F401,E402
 from pyspark_cdc_engine.operators import multimodal  # noqa: F401,E402
 from pyspark_cdc_engine.operators import analytics2  # noqa: F401,E402

@@ -140,3 +140,115 @@ def test_crash_between_fold_and_watermark_then_new_appends(spark, tmp_path):
     # and a plain replay is still a no-op
     assert mv.refresh() == 2
     assert _got(mv) == _expected(base)
+
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+# ------------------------------------------------ incremental LSH index (r5)
+
+
+def test_incremental_lsh_folds_only_delta_and_matches_full(spark, tmp_path):
+    """VERDICT r4 #8: the second refresh must (a) APPEND band rows for the
+    delta docs only — the base corpus is neither re-read nor rewritten — and
+    (b) leave the index row-identical to a from-scratch rebuild."""
+    from pyspark_cdc_engine.operators.dedup_incremental import (
+        IncrementalLshIndex,
+        lsh_band_table,
+        minhash_signatures,
+    )
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    base_docs = docs.filter("doc_id % 4 != 0")
+    delta_docs = docs.filter("doc_id % 4 = 0")
+    n_delta = delta_docs.count()
+
+    t = DeltaliteTable(spark, str(tmp_path / "docs"))
+    t.overwrite(base_docs)
+    idx = IncrementalLshIndex(spark, t, str(tmp_path / "lsh"))
+    idx.refresh()
+    v1 = idx.index.latest_version()
+    base_live = set(idx.index._read_commit(v1)["live"])
+
+    t.append(delta_docs)
+    # spy: the fold must consume the change feed of exactly (v_before, v_after)
+    calls = []
+    orig = DeltaliteTable.read_changes
+
+    def spy(self, a, b=None):
+        out = orig(self, a, b)
+        calls.append((a, b, [f.split("/data/")[-1] for f in out.inputFiles()]))
+        return out
+
+    DeltaliteTable.read_changes = spy
+    try:
+        idx.refresh()
+    finally:
+        DeltaliteTable.read_changes = orig
+
+    assert len(calls) == 1
+    _, _, files_read = calls[0]
+    delta_dirs = {
+        d.split("/")[0]
+        for d in files_read
+    }
+    all_dirs = {d.removeprefix("data/").split("/")[0]
+                for d in t._read_commit(t.latest_version())["live"]}
+    assert len(delta_dirs) == 1 and delta_dirs < all_dirs, (
+        "refresh read more than the delta commit's dirs"
+    )
+
+    # index side: one APPEND of exactly the delta's band rows; the base band
+    # dirs carried over untouched
+    commit = idx.index._read_commit(idx.index.latest_version() - 1)
+    assert commit["operation"] == "append"
+    assert base_live < set(commit["live"])
+    added = idx.index.read_changes(v1).drop("_change_type", "_commit_version")
+    assert added.count() == n_delta * 4  # _LSH_B band rows per delta doc
+    assert {r.doc_id for r in added.select("doc_id").distinct().collect()} == {
+        r.doc_id for r in delta_docs.collect()
+    }
+
+    # equivalence: incrementally built index == from-scratch recompute
+    full = lsh_band_table(minhash_signatures(docs))
+    inc = idx.index.read()
+    assert inc.count() == full.count()
+    assert inc.exceptAll(full).count() == 0 and full.exceptAll(inc).count() == 0
+
+
+def test_incremental_lsh_rebuilds_on_non_append(spark, tmp_path):
+    """A merge/overwrite on the documents table invalidates additive folding:
+    the next refresh must fall back to one full rebuild (overwrite commit)."""
+    from pyspark_cdc_engine.operators.dedup_incremental import IncrementalLshIndex
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(40)
+    t = DeltaliteTable(spark, str(tmp_path / "docs"))
+    t.overwrite(docs)
+    idx = IncrementalLshIndex(spark, t, str(tmp_path / "lsh"))
+    idx.refresh()
+
+    t.overwrite(docs.filter("doc_id % 2 = 0"))  # history rewrite
+    idx.refresh()
+    last_fold = [c for c in idx.index.history() if c["operation"] != "refresh"][0]
+    assert last_fold["operation"] == "overwrite"
+    assert {r.doc_id for r in idx.index.read().select("doc_id").distinct().collect()} \
+        == {r.doc_id for r in docs.filter("doc_id % 2 = 0").collect()}
+
+
+def test_incremental_lsh_refresh_is_idempotent(spark, tmp_path):
+    from pyspark_cdc_engine.operators.dedup_incremental import IncrementalLshIndex
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(30)
+    t = DeltaliteTable(spark, str(tmp_path / "docs"))
+    t.overwrite(docs)
+    idx = IncrementalLshIndex(spark, t, str(tmp_path / "lsh"))
+    w1 = idx.refresh()
+    n1 = idx.index.read().count()
+    w2 = idx.refresh()  # nothing new: no-op
+    assert (w1, n1) == (w2, idx.index.read().count())
