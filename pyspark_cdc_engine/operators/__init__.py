@@ -13,3 +13,4 @@ from pyspark_cdc_engine.operators import dedup_scale  # noqa: F401,E402
 from pyspark_cdc_engine.operators import dedup_incremental  # noqa: F401,E402
 from pyspark_cdc_engine.operators import multimodal  # noqa: F401,E402
 from pyspark_cdc_engine.operators import analytics2  # noqa: F401,E402
+from pyspark_cdc_engine.operators import curation  # noqa: F401,E402
