@@ -129,3 +129,74 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("norm").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("avg_norm"),
         F.min(F.size("embedding")).alias("dim"),
     )
+
+
+@register(
+    "embedding_int8_quantize",
+    survey="M5-ann,A2,J3,beyond-ref",
+    oracle=f"""
+    WITH comps AS (
+      SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    dims AS (SELECT d, MIN(x) AS lo, MAX(x) AS hi FROM comps GROUP BY d),
+    coded AS (
+      SELECT c.vec_id, c.x, dims.lo, dims.hi,
+             CASE WHEN dims.hi = dims.lo THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                       CAST(FLOOR((c.x - dims.lo) * 255 / (dims.hi - dims.lo)) AS INT)))
+             END AS code
+      FROM comps c JOIN dims ON dims.d = c.d
+    ),
+    err AS (
+      SELECT vec_id,
+             ABS(x - (lo + (code + 0.5) * (hi - lo) / 255)) AS e
+      FROM coded
+    )
+    SELECT vec_id, CAST(COUNT(*) AS INT) AS n_dims,
+           CAST(SUM(CAST(e AS {_DEC})) AS DOUBLE) / COUNT(*) AS mean_abs_err,
+           MAX(e) AS max_abs_err
+    FROM err GROUP BY vec_id
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dimension min/max) int8 quantization of the embedding
+    column with exact reconstruction-error accounting — the storage-side
+    step of a vector index (4x smaller than float32; PQ in dedup_scale is the
+    multi-dim codebook sibling). Per-vector output: dimension count, mean and
+    max absolute reconstruction error of the (code + 0.5)-centroid
+    dequantization.
+
+    Plan: posexplode to (vec_id, dim, x); per-dimension min/max is a 64-row
+    aggregate BROADCAST back to the components (no second shuffle of the
+    corpus); code/error are pure column IEEE arithmetic identical in both
+    engines; final hash agg on vec_id with the error sum accumulated in
+    DECIMAL so reduction order can't move the mean. At 100 TB the only
+    corpus-sized shuffle is the final per-vector agg — and a real deployment
+    would fuse it away by keeping components in vector order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "xf")
+    ).select("vec_id", "d", F.col("xf").cast("double").alias("x"))
+    dims = comps.groupBy("d").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    coded = comps.join(F.broadcast(dims), "d")
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("x") - F.col("lo")) * 255 / (F.col("hi") - F.col("lo"))
+                ).cast("int"),
+            ),
+        )
+    )
+    recon = F.col("lo") + (code + 0.5) * (F.col("hi") - F.col("lo")) / 255
+    err = coded.select("vec_id", F.abs(F.col("x") - recon).alias("e"))
+    return err.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_dims"),
+        (F.sum(F.col("e").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "mean_abs_err"
+        ),
+        F.max("e").alias("max_abs_err"),
+    )
