@@ -246,3 +246,143 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+_C4_CHUNK = 64  # chars per non-overlapping dedup chunk
+
+
+@register(
+    "chunk_dedup_c4",
+    survey="M5-dedup,J5,A2,beyond-ref",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id,
+             substr(text, 1 + i * {_C4_CHUNK}, {_C4_CHUNK}) AS chunk
+      FROM documents,
+           UNNEST(range(0, CAST(CEIL(LENGTH(text) / {_C4_CHUNK}.0) AS BIGINT))) AS t(i)
+    ),
+    freq AS (
+      SELECT md5(chunk) AS h, COUNT(*) AS cnt FROM chunks GROUP BY md5(chunk)
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN f.cnt = 1 THEN LENGTH(c.chunk) ELSE 0 END) AS BIGINT)
+             AS clean_chars
+    FROM chunks c JOIN freq f ON f.h = md5(c.chunk)
+    GROUP BY c.doc_id
+    """,
+)
+def chunk_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup accounting: split every document into
+    non-overlapping {_C4_CHUNK}-char chunks, count each chunk's corpus-wide
+    occurrences by content hash, and report per document how many chunks are
+    shared with any other occurrence (boilerplate / duplicated passages) and
+    how many characters survive a keep-only-unique-chunks clean. Exact-copy
+    documents mark ALL their chunks shared; partially copied boilerplate
+    marks just the copied span — the sub-document granularity whole-doc
+    dedup can't see. Plan: map-side chunk explode (no shuffle of text — only
+    16-byte hashes shuffle into the frequency agg), hash join back on the
+    chunk hash, one final agg on doc_id. All counts integer-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(CEIL(LENGTH(text) / {_C4_CHUNK}.0) AS INT) - 1),"
+                f" i -> substring(text, 1 + i * {_C4_CHUNK}, {_C4_CHUNK}))"
+            )
+        ).alias("chunk"),
+    ).select(
+        "doc_id",
+        F.length("chunk").alias("clen"),
+        F.md5(F.col("chunk").cast("binary")).alias("h"),
+    )
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            F.sum(F.when(F.col("cnt") == 1, F.col("clen")).otherwise(0))
+            .cast("bigint")
+            .alias("clean_chars"),
+        )
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+_PACK_BUCKETS = 32   # parallel packing streams
+
+
+@register(
+    "sequence_pack_greedy",
+    survey="W1,A2,F18,beyond-ref",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(doc_id % {_PACK_BUCKETS} AS INT) AS bucket,
+             CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT bucket, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS running
+      FROM toks
+    )
+    SELECT bucket,
+           CAST((running - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_BUDGET} AS fill_ratio
+    FROM packed
+    GROUP BY bucket, (running - n_tokens) // {_PACK_BUDGET}
+    """,
+)
+def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence PACKING: assign documents to fixed-token-budget
+    ({_PACK_BUDGET}) training sequences by greedy in-order concatenation —
+    the pretraining dataloader step that turns a shuffled corpus into dense
+    fixed-length samples. A single global packing order would serialize on
+    one partition, so documents are first split into {_PACK_BUCKETS}
+    deterministic hash streams and packed within each (the standard
+    distributed-packing compromise: bounded parallelism loss, no global
+    sort). One window cumsum per bucket (running token offset), sequence id
+    = starting offset div budget, then a hash agg per (bucket, seq). All
+    token arithmetic integer-exact."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_BUCKETS).cast("int").alias("bucket"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("running", F.sum("n_tokens").over(w))
+    return (
+        packed.select(
+            "bucket",
+            F.expr(f"(running - n_tokens) div {_PACK_BUDGET}").alias("seq_id"),
+            "n_tokens",
+        )
+        .groupBy("bucket", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / _PACK_BUDGET).alias("fill_ratio"),
+        )
+    )
