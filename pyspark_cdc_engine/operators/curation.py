@@ -386,3 +386,64 @@ def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tokens").cast("double") / _PACK_BUDGET).alias("fill_ratio"),
         )
     )
+
+
+@register(
+    "source_mix_report",
+    survey="A2,F18,beyond-ref",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source, doc_id, md5(text) AS h,
+             CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    keepers AS (
+      SELECT h, MIN(doc_id) AS keeper FROM per_doc GROUP BY h
+    )
+    SELECT p.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS raw_tokens,
+           CAST(SUM(CASE WHEN p.doc_id = k.keeper THEN p.n_tokens ELSE 0 END)
+                AS BIGINT) AS dedup_tokens,
+           CAST(SUM(CASE WHEN p.doc_id = k.keeper THEN 0 ELSE 1 END)
+                AS BIGINT) AS dup_docs
+    FROM per_doc p JOIN keepers k ON k.h = p.h
+    GROUP BY p.source
+    """,
+)
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture accounting per source — the table a pretraining run's
+    sampling weights are derived from: raw vs exact-deduplicated token counts
+    and the duplicate-document count per source (keeper = min doc_id per
+    content hash, the same convention as ``exact_dedup``). A source whose
+    raw/dedup ratio is far from 1 is overweighted by naive size-proportional
+    sampling — this report is what corrects it. Plan: map-side md5 + token
+    arithmetic; one agg on the 16-byte hash (keepers), hash join back, one
+    agg on source. Integer-exact throughout."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("bigint").alias("n_tokens"),
+    )
+    keepers = per_doc.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    return (
+        per_doc.join(keepers, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
+            F.sum(F.when(F.col("doc_id") == F.col("keeper"), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("dedup_tokens"),
+            F.sum(F.when(F.col("doc_id") == F.col("keeper"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("dup_docs"),
+        )
+    )

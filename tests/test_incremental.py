@@ -252,3 +252,67 @@ def test_incremental_lsh_refresh_is_idempotent(spark, tmp_path):
     n1 = idx.index.read().count()
     w2 = idx.refresh()  # nothing new: no-op
     assert (w1, n1) == (w2, idx.index.read().count())
+
+
+def test_incremental_lsh_driven_by_streaming_appends(spark, tmp_path):
+    """The CDC-side wiring: a stream of document appends drives the LSH index
+    through foreachBatch — each micro-batch lands as a deltalite append and
+    the index folds it O(delta). After the drain the index equals a
+    from-scratch build."""
+    from pyspark_cdc_engine.operators.dedup_incremental import (
+        IncrementalLshIndex,
+        lsh_band_table,
+        minhash_signatures,
+    )
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    t = DeltaliteTable(spark, str(tmp_path / "docs"))
+    t.overwrite(docs.filter("doc_id % 3 = 0"))
+    idx = IncrementalLshIndex(spark, t, str(tmp_path / "lsh"))
+    idx.refresh()
+
+    # stream the remaining docs in as JSON lines -> append + refresh per batch
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    rest = docs.filter("doc_id % 3 != 0").collect()
+    half = len(rest) // 2
+    for i, part in enumerate((rest[:half], rest[half:])):
+        with open(src_dir / f"batch{i}.json", "w") as fh:
+            for r in part:
+                import json as _json
+
+                fh.write(_json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src_dir))
+    )
+
+    def sink(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            t.append(batch_df, txn_app="stream_docs", txn_version=batch_id)
+            idx.refresh()
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert t.read().count() == 60
+    full = lsh_band_table(minhash_signatures(docs))
+    inc = idx.index.read()
+    assert inc.count() == full.count()
+    assert inc.exceptAll(full).count() == 0 and full.exceptAll(inc).count() == 0
+    # every fold after the bootstrap was an append (O(delta)), never a rebuild
+    ops = [c["operation"] for c in idx.index.history()]
+    assert "overwrite" not in ops[: ops.index("append") + 1] or ops.count("overwrite") == 1
+    assert ops.count("append") >= 2

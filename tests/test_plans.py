@@ -458,3 +458,38 @@ def test_registry_sweep_no_cartesian_no_python(spark):
             assert "BroadcastNestedLoopJoin" not in plan, name
         if name not in _SWEEP_PYTHON_OK:
             assert "EvalPython" not in plan, name
+
+
+# ------------------------------------------------------- round-5 curation ops
+
+
+def test_curation_ops_stay_jvm_side(spark):
+    """The new curation/quantize queries are pure column arithmetic: no
+    Python evaluation node may appear in any of their plans."""
+    for name in (
+        "word_commonness_score",
+        "containment_near_dup",
+        "retention_cohorts",
+        "chunk_dedup_c4",
+        "sequence_pack_greedy",
+        "source_mix_report",
+        "embedding_int8_quantize",
+    ):
+        plan = plan_of(spark, name)
+        assert "Python" not in plan, f"{name} fell off codegen:\n{plan[:800]}"
+
+
+def test_sequence_pack_window_is_bucket_parallel(spark):
+    """Packing must parallelize across hash streams: the window partitions by
+    `bucket`, never a SinglePartition global sort."""
+    plan = plan_of(spark, "sequence_pack_greedy")
+    assert "SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(bucket", plan), plan[:800]
+
+
+def test_quantize_dim_stats_join_is_broadcast(spark):
+    """The 64-row per-dimension stats side must broadcast back to the
+    components — a shuffle join here would reshuffle the whole corpus."""
+    plan = plan_of(spark, "embedding_int8_quantize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
