@@ -270,3 +270,87 @@ def test_e2e_scd1_matches_python_model(spark, tmp_path_factory, ops, batch_split
         assert r.orderStatus == m["status"], (oid, "status")
         got_items = {li.lineItemId: li.version for li in (r.lineItems or [])}
         assert got_items == {float(k): v for k, v in m["items"].items()}, (oid, "items")
+
+
+# --------------------------------------------------- column-mapping model check
+
+# A random program of schema-evolution ops, checked against a pure-Python
+# model: after any sequence of rename/drop/add/append, read() must equal the
+# model exactly (names, order, values), and every rename/drop must be log-only.
+_cm_op = st.one_of(
+    st.tuples(st.just("rename"), st.integers(0, 5), st.integers(0, 99)),
+    st.tuples(st.just("drop"), st.integers(0, 5)),
+    st.tuples(st.just("add"), st.integers(0, 99)),
+    st.tuples(st.just("append"), st.integers(1, 3)),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_cm_op, min_size=1, max_size=6))
+def test_column_mapping_random_program_matches_model(spark, tmp_path_factory, ops):
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    tmp = tmp_path_factory.mktemp("cmprop")
+    t = DeltaliteTable(spark, str(tmp / "t"))
+    # model: list of (logical_name,) column order + dict of rows {id: {col: val}}
+    cols = ["id", "c0", "c1"]
+    rows = {i: {"id": i, "c0": i * 10, "c1": i * 100} for i in range(3)}
+    t.overwrite(
+        spark.createDataFrame(
+            [tuple(rows[i][c] for c in cols) for i in sorted(rows)],
+            "id long, c0 long, c1 long",
+        )
+    )
+    next_id = 100
+    fresh = 0
+    for op in ops:
+        kind = op[0]
+        if kind == "rename":
+            if len(cols) <= 1:
+                continue
+            old = cols[1:][op[1] % (len(cols) - 1)]
+            new = f"r{op[2]}"
+            if new in cols:
+                continue
+            t.rename_column(old, new)
+            cols[cols.index(old)] = new
+            for r in rows.values():
+                r[new] = r.pop(old)
+        elif kind == "drop":
+            if len(cols) <= 2:
+                continue  # keep id + one data column
+            victim = cols[1:][op[1] % (len(cols) - 1)]
+            t.drop_column(victim)
+            cols.remove(victim)
+            for r in rows.values():
+                r.pop(victim)
+        elif kind == "add":
+            name = f"a{op[1]}"
+            if name in cols:
+                continue
+            t.add_column(name, "long")
+            cols.append(name)
+            for r in rows.values():
+                r[name] = None
+        else:  # append
+            new_rows = {}
+            for _ in range(op[1]):
+                new_rows[next_id] = {
+                    c: (next_id if c == "id" else next_id * 7) for c in cols
+                }
+                next_id += 1
+            t.append(
+                spark.createDataFrame(
+                    [tuple(nr[c] for c in cols) for nr in new_rows.values()],
+                    ", ".join(f"{c} long" for c in cols),
+                )
+            )
+            rows.update(new_rows)
+        fresh += 1
+
+    got = t.read()
+    assert got.columns == cols
+    got_rows = {r["id"]: r.asDict() for r in got.collect()}
+    assert got_rows == rows
