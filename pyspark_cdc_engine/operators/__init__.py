@@ -14,3 +14,4 @@ from pyspark_cdc_engine.operators import dedup_incremental  # noqa: F401,E402
 from pyspark_cdc_engine.operators import multimodal  # noqa: F401,E402
 from pyspark_cdc_engine.operators import analytics2  # noqa: F401,E402
 from pyspark_cdc_engine.operators import curation  # noqa: F401,E402
+from pyspark_cdc_engine.operators import graph_sketch  # noqa: F401,E402

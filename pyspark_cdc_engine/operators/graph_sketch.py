@@ -1,0 +1,202 @@
+"""Mergeable-sketch and iterative-graph operators (round 5 beyond-reference).
+
+Two algorithm families a corpus-scale engine needs beyond the existing
+HLL/approx-percentile sketches and connected components:
+
+- **Misra-Gries frequent items** (``heavy_hitters_mg``): a k-counter mergeable
+  summary computed per Arrow batch and combined by pointwise sum — the
+  classic distributed heavy-hitters sketch (constant memory per task,
+  one tiny shuffle). Certified with the same trick as
+  ``approx_distinct_sketch``: sketch internals are engine-specific, so the row
+  emits the sketch's CONTRACT — every item with true frequency > n/(k+1) must
+  be found, and its summed lower-bound estimate must be within n/(k+1) of the
+  exact count — asserted in-row against exactly computed frequencies, with
+  the oracle emitting constant TRUE.
+- **Unrolled PageRank** (``pagerank3_near_dup``): three power iterations of
+  damped PageRank over the near-duplicate pair graph — the canonical
+  iterative-algorithm shape (join contributions on src, aggregate on dst,
+  rebind) expressed purely declaratively, with every per-node contribution
+  sum accumulated in DECIMAL so Spark's and DuckDB's reduction orders cannot
+  produce different floats. Fixed iteration count makes the whole computation
+  SQL-expressible, so the oracle replays it exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_cdc_engine.checkpointing import materialize
+from pyspark_cdc_engine.operators.registry import load_table, register
+from pyspark_cdc_engine.operators.text import _JACCARD_PAIRS_SQL, jaccard_near_dup_pairs
+
+_MG_K = 64  # Misra-Gries counter budget; error bound = n / (K + 1)
+
+
+def _mg_batch_summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One Misra-Gries pass per Arrow batch: at most ``_MG_K`` counters live
+    at any point; surviving (word, count) rows are LOWER bounds with
+    per-batch error ≤ batch_n/(K+1), and summing summaries keeps the total
+    error ≤ n/(K+1) (mergeable-summaries property)."""
+    for pdf in batches:
+        counters: dict[str, int] = {}
+        for word in pdf["word"]:
+            if word in counters:
+                counters[word] += 1
+            elif len(counters) < _MG_K:
+                counters[word] = 1
+            else:  # decrement-all step: evict zeros
+                dead = []
+                for k in counters:
+                    counters[k] -= 1
+                    if counters[k] == 0:
+                        dead.append(k)
+                for k in dead:
+                    del counters[k]
+        yield pd.DataFrame(
+            {"word": list(counters), "est": list(counters.values())}
+        )
+
+
+@register(
+    "heavy_hitters_mg",
+    survey="A2,M5-text,UDF,beyond-ref",
+    oracle=f"""
+    WITH tok AS (
+      SELECT word FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    ),
+    n AS (SELECT COUNT(*) AS c FROM tok),
+    freq AS (SELECT word, COUNT(*) AS exact_cnt FROM tok GROUP BY word)
+    SELECT word, exact_cnt, TRUE AS sketch_found, TRUE AS within_bound
+    FROM freq, n WHERE exact_cnt > c / {_MG_K + 1}.0
+    """,
+)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed frequent-items via Misra-Gries (K={_MG_K}): per-batch
+    sketches stream through ``mapInPandas`` (constant memory, the raw token
+    stream never shuffles — only ≤K counter rows per batch do), summaries
+    merge by a plain word-keyed sum. The output rows are the EXACT heavy
+    hitters (frequency > n/(K+1)) with two in-row contract assertions:
+    ``sketch_found`` (the merged sketch surfaced the item) and
+    ``within_bound`` (exact − estimate ≤ n/(K+1)). At 100 TB the exact-freq
+    yardstick drops and the sketch stands alone — same state size."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    summaries = tokens.mapInPandas(
+        _mg_batch_summaries,
+        schema=T.StructType(
+            [
+                T.StructField("word", T.StringType()),
+                T.StructField("est", T.LongType()),
+            ]
+        ),
+    )
+    merged = summaries.groupBy("word").agg(F.sum("est").alias("est"))
+    exact = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    n_total = tokens.agg(F.count(F.lit(1)).alias("n"))
+    bound = F.col("n") / (_MG_K + 1)
+    return (
+        exact.crossJoin(F.broadcast(n_total))
+        .filter(F.col("exact_cnt") > bound)
+        .join(merged, "word", "left")
+        .select(
+            "word",
+            "exact_cnt",
+            F.col("est").isNotNull().alias("sketch_found"),
+            (
+                (F.col("exact_cnt") - F.coalesce("est", F.lit(0))) <= bound
+            ).alias("within_bound"),
+        )
+    )
+
+
+_PR_DAMP = 0.85
+_PR_DEC = "DECIMAL(28,16)"
+
+
+def _pr_sum(expr: str) -> str:
+    """Order-independent double sum of per-edge contributions (both engines)."""
+    return f"CAST(SUM(CAST({expr} AS {_PR_DEC})) AS DOUBLE)"
+
+
+@register(
+    "pagerank3_near_dup",
+    survey="J3,A2,beyond-ref",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r1 AS (
+      SELECT n.doc_id,
+             0.15 + {_PR_DAMP} * COALESCE(i.s, 0.0) AS r
+      FROM documents n LEFT JOIN (
+        SELECT e.dst AS doc_id, {_pr_sum('1.0 / deg.d')} AS s
+        FROM edges e JOIN deg ON deg.src = e.src GROUP BY e.dst
+      ) i ON i.doc_id = n.doc_id
+    ),
+    r2 AS (
+      SELECT n.doc_id,
+             0.15 + {_PR_DAMP} * COALESCE(i.s, 0.0) AS r
+      FROM documents n LEFT JOIN (
+        SELECT e.dst AS doc_id, {_pr_sum('r1.r / deg.d')} AS s
+        FROM edges e JOIN deg ON deg.src = e.src
+        JOIN r1 ON r1.doc_id = e.src GROUP BY e.dst
+      ) i ON i.doc_id = n.doc_id
+    )
+    SELECT n.doc_id,
+           0.15 + {_PR_DAMP} * COALESCE(i.s, 0.0) AS pagerank
+    FROM documents n LEFT JOIN (
+      SELECT e.dst AS doc_id, {_pr_sum('r2.r / deg.d')} AS s
+      FROM edges e JOIN deg ON deg.src = e.src
+      JOIN r2 ON r2.doc_id = e.src GROUP BY e.dst
+    ) i ON i.doc_id = n.doc_id
+    """,
+)
+def pagerank3_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three damped power iterations of PageRank over the near-duplicate pair
+    graph (uniform start r=1): per iteration, each node's rank splits evenly
+    across its edges (r/deg computed per edge, IEEE-identical in both
+    engines), incoming contributions aggregate under DECIMAL accumulation
+    (order-independent), and isolated documents settle at the teleport mass
+    0.15. Each iteration is one src-keyed join plus one dst-keyed aggregate —
+    the exact dataflow GraphX/Pregel runs, expressed as plain DataFrame ops
+    so Catalyst pipelines it; the fixed iteration count keeps the whole thing
+    SQL-expressible for the oracle. The edge list here comes from the exact
+    Jaccard baseline (materialized once — iterations must not re-run
+    candidate generation); at 100 TB feed LSH pairs and materialize the rank
+    vector every few iterations too."""
+    pairs = jaccard_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # every iteration re-reads the edge list: materialize it ONCE or the
+    # shingle-join candidate generation re-executes per iteration (3x the
+    # dominant cost; same reason connected_components cuts its edge lineage)
+    edges_d = materialize(edges.join(deg, "src"))
+
+    r = nodes.select("doc_id", F.lit(1.0).alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges_d.join(r, edges_d.src == r.doc_id)
+            .select(F.col("dst"), F.expr(f"CAST(r / d AS {_PR_DEC})").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        r = nodes.join(contrib, nodes.doc_id == contrib.dst, "left").select(
+            "doc_id",
+            (F.lit(0.15) + _PR_DAMP * F.coalesce("s", F.lit(0.0))).alias("r"),
+        )
+    return r.select("doc_id", F.col("r").alias("pagerank"))
