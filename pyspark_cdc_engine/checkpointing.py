@@ -31,10 +31,20 @@ def materialize(df: DataFrame) -> DataFrame:
     ckpt_dir = get_config().get_str("engine.checkpoint-dir")
     if not ckpt_dir:
         return df.localCheckpoint()
+    from pathlib import PurePath
+
     sc = df.sparkSession.sparkContext
     current = sc.getCheckpointDir()
-    # setCheckpointDir appends a random subdir; only (re)set when the
-    # configured root isn't already the active one
-    if current is None or ckpt_dir.rstrip("/") not in current:
+    # setCheckpointDir stores <root>/<uuid>; re-set unless the ACTIVE root
+    # (parent of that uuid dir, scheme stripped) equals the configured root —
+    # a substring test would wrongly accept e.g. /data/ckpt-old for
+    # /data/ckpt and keep "reliable" checkpoints on the wrong filesystem
+    active_root = None
+    if current is not None:
+        path_part = current.split("://", 1)[-1]
+        if path_part.startswith("file:"):
+            path_part = path_part[len("file:"):]
+        active_root = str(PurePath(path_part).parent)
+    if active_root != str(PurePath(ckpt_dir.rstrip("/"))):
         sc.setCheckpointDir(ckpt_dir)
     return df.checkpoint(eager=True)

@@ -208,21 +208,29 @@ def _check_last_checkpoint(log_dir: Path, target: int, versions: list[int]) -> N
     except ValueError:
         return
     v = int(meta.get("version", -1))
-    unsupported = (
-        int(meta.get("parts") or 1) > 1
-        or meta.get("v2Checkpoint") is not None
-        or str(meta.get("checkpointSchema", "")).find("sidecar") >= 0
-        or meta.get("tag") == "v2"
+    if v < 0 or v > target:
+        return
+    # The ROBUST signal (real writers often put nothing but version/size in
+    # _last_checkpoint): a checkpoint at v exists per the pointer, but the
+    # only layout we can parse is a single-file {v}.checkpoint.parquet.
+    # Multi-part (N.checkpoint.M.P.parquet), v2/UUID-named, and sidecar
+    # checkpoints are all invisible to that name — so if the parseable file
+    # is absent AND the JSON commits can't replay 0..target on their own,
+    # any result would be silently incomplete.
+    parseable = (
+        int(meta.get("parts") or 1) == 1
+        and (log_dir / f"{v:020d}.checkpoint.parquet").is_file()
     )
-    if v < 0 or v > target or not unsupported:
+    if parseable:
         return
     json_complete = bool(versions) and versions[0] == 0 and set(
         range(0, target + 1)
     ) <= set(versions)
     if not json_complete:
         raise ValueError(
-            f"{log_dir}: _last_checkpoint at version {v} is a multi-part or "
-            f"v2/sidecar checkpoint, which this reader does not support, and "
+            f"{log_dir}: _last_checkpoint points at version {v} but no "
+            f"single-file {v:020d}.checkpoint.parquet exists (multi-part, "
+            f"v2/UUID-named, or sidecar checkpoint — unsupported here), and "
             f"the JSON commits do not cover 0..{target} — refusing to return "
             f"a partial snapshot"
         )
@@ -318,14 +326,21 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
         f for f in (protocol.get("readerFeatures") or []) if f
     }
     SUPPORTED_FEATURES = {"columnMapping"}
-    if min_reader >= 3:
+    if min_reader == 3:
+        # v3 tables MUST enumerate readerFeatures; an absent/empty list means
+        # we cannot know what the table demands — fail loudly either way
+        if not reader_features:
+            raise ValueError(
+                f"Delta protocol at {path} declares minReaderVersion=3 with "
+                f"no readerFeatures — refusing to guess"
+            )
         unsupported = reader_features - SUPPORTED_FEATURES
         if unsupported:
             raise ValueError(
                 f"unsupported Delta readerFeatures {sorted(unsupported)} at "
                 f"{path} (minReaderVersion={min_reader}); refusing to read"
             )
-    elif min_reader > 2:
+    elif min_reader > 3:
         raise ValueError(
             f"unsupported Delta minReaderVersion={min_reader} at {path}"
         )

@@ -471,7 +471,7 @@ def _ts_dist_sql(arr: str, fn: str = "element_at") -> tuple[str, str]:
 )
 def ts_window_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity search (streaming-data window matching, EDBT'19
-    theme): per user, every run of {_TSW} consecutive event values becomes a
+    theme): per user, every run of 8 consecutive event values becomes a
     window; each window is centered (mean-removed) and scored by exact squared
     Euclidean distance to a centered rising-ramp probe; global top-20 closest
     windows win.

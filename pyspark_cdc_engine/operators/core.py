@@ -683,10 +683,10 @@ _SALT_N = 8
 )
 def salted_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigation pattern, demonstrated end-to-end: o_orderstatus has ~3
-    heavily skewed values, so the aggregation is salted into {_SALT_N}
+    heavily skewed values, so the aggregation is salted into 8
     sub-keys (stage 1: groupBy(status, salt) — spreads each hot key over
-    {_SALT_N} reducers) and then re-aggregated (stage 2: groupBy(status) over
-    {_SALT_N} rows/key). Decimal partials re-sum exactly, so the result is
+    8 reducers) and then re-aggregated (stage 2: groupBy(status) over
+    8 rows/key). Decimal partials re-sum exactly, so the result is
     identical to the direct aggregation the oracle runs."""
     o = load_table(spark, sf_dir, "orders")
     salted = o.withColumn("_salt", (F.col("o_orderkey") % _SALT_N).cast("int"))

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from pyspark_cdc_engine.config import get_config
 from pyspark_cdc_engine.operators.registry import load_table, register, table_row_count
+from pyspark_cdc_engine.operators.dedup_scale import _shingle_expr_spark
 from pyspark_cdc_engine.operators.text import (
     _JACCARD_PAIRS_SQL,
     _SHINGLE_W,
@@ -117,12 +118,7 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = (
         d.select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(split(text, ' ')) - {w} + 1, 0)),"
-                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {w})))"
-                )
-            ).alias("sh"),
+            F.explode(F.expr(_shingle_expr_spark(w))).alias("sh"),
         )
         .select("doc_id", F.expr("substr(md5(CAST(sh AS BINARY)), 1, 15)").alias("sh"))
         .distinct()
@@ -275,7 +271,7 @@ _C4_CHUNK = 64  # chars per non-overlapping dedup chunk
 )
 def chunk_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style sub-document dedup accounting: split every document into
-    non-overlapping {_C4_CHUNK}-char chunks, count each chunk's corpus-wide
+    non-overlapping 64-char chunks, count each chunk's corpus-wide
     occurrences by content hash, and report per document how many chunks are
     shared with any other occurrence (boilerplate / duplicated passages) and
     how many characters survive a keep-only-unique-chunks clean. Exact-copy
@@ -285,12 +281,17 @@ def chunk_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte hashes shuffle into the frequency agg), hash join back on the
     chunk hash, one final agg on doc_id. All counts integer-exact."""
     d = load_table(spark, sf_dir, "documents")
+    # empty-text guard: Spark's sequence(0, -1) yields [0, -1] (descending),
+    # which would emit two phantom '' chunks; DuckDB's range(0, 0) is empty —
+    # make the Spark side explicitly empty too
     chunks = d.select(
         "doc_id",
         F.explode(
             F.expr(
+                f"CASE WHEN LENGTH(text) > 0 THEN "
                 f"transform(sequence(0, CAST(CEIL(LENGTH(text) / {_C4_CHUNK}.0) AS INT) - 1),"
-                f" i -> substring(text, 1 + i * {_C4_CHUNK}, {_C4_CHUNK}))"
+                f" i -> substring(text, 1 + i * {_C4_CHUNK}, {_C4_CHUNK})) "
+                f"ELSE CAST(array() AS array<string>) END"
             )
         ).alias("chunk"),
     ).select(
@@ -346,10 +347,10 @@ _PACK_BUCKETS = 32   # parallel packing streams
 )
 def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence PACKING: assign documents to fixed-token-budget
-    ({_PACK_BUDGET}) training sequences by greedy in-order concatenation —
+    (2048-token) training sequences by greedy in-order concatenation —
     the pretraining dataloader step that turns a shuffled corpus into dense
     fixed-length samples. A single global packing order would serialize on
-    one partition, so documents are first split into {_PACK_BUCKETS}
+    one partition, so documents are first split into 32
     deterministic hash streams and packed within each (the standard
     distributed-packing compromise: bounded parallelism loss, no global
     sort). One window cumsum per bucket (running token offset), sequence id

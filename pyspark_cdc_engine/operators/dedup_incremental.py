@@ -32,111 +32,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_cdc_engine.operators.dedup_scale import (
-    _LSH_B,
-    _LSH_R,
-    _MH_A,
-    _MH_B,
     _MH_CTES_DUCK,
-    _MH_K,
-    _MH_P,
-    _MH_TAU,
-    _SHINGLE_W,
-    _shingle_expr_spark,
+    lsh_band_table,
+    minhash_shingle_sets,
+    minhash_signatures,
+    verified_pairs_from_bands,
 )
 from pyspark_cdc_engine.operators.registry import load_table, register
 from pyspark_cdc_engine.tables import DeltaliteTable
-
-
-def minhash_shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, shh): distinct 15-hex shingle hashes per document — the
-    same shingle pipeline as dedup_scale._minhash_lsh (one md5 per shingle,
-    15-byte keys through every downstream shuffle)."""
-    return (
-        docs.select(
-            "doc_id", F.explode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("sh")
-        )
-        .select("doc_id", F.expr("substr(md5(CAST(sh AS BINARY)), 1, 15)").alias("shh"))
-        .distinct()
-    )
-
-
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, s0..s{K-1}): K universal-hash minima over each doc's shingle
-    hashes. Pure map + one hash aggregate on doc_id."""
-    hashed = minhash_shingle_sets(docs).withColumn(
-        "h32", F.expr("CAST(conv(substr(shh, 1, 8), 16, 10) AS BIGINT)")
-    )
-    return hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(f"({_MH_A[k]} * h32 + {_MH_B[k]}) % {_MH_P}")).alias(f"s{k}")
-            for k in range(_MH_K)
-        ]
-    )
-
-
-def lsh_band_table(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band_id, band_hash): the banded signature — ``_LSH_B`` rows
-    per doc, each hashing ``_LSH_R`` signature slots. This IS the index."""
-    band_structs = ", ".join(
-        f"named_struct('band_id', {b}, 'band_hash', "
-        f"CONCAT_WS('|', {', '.join(f's{b * _LSH_R + r}' for r in range(_LSH_R))}))"
-        for b in range(_LSH_B)
-    )
-    return sigs.select(
-        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bd")
-    ).select("doc_id", "bd.band_id", "bd.band_hash")
-
-
-def verified_pairs_from_bands(bands: DataFrame, docs: DataFrame) -> DataFrame:
-    """Near-dup pairs from a band table: id-only band self-join (bounded
-    ~30 B/row through hot buckets — the 100 TB plan shape of
-    minhash_lsh_near_dup's rejoin path), then exact-Jaccard verification by
-    re-shingling ONLY candidate documents via two id-keyed joins."""
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    shs_tbl = (
-        minhash_shingle_sets(docs.join(cand_ids, "doc_id", "left_semi"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("shh").alias("shs"))
-    )
-    pairs = cand.join(
-        shs_tbl.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa")),
-        "doc_a",
-    ).join(
-        shs_tbl.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb")),
-        "doc_b",
-    )
-    return (
-        pairs.select(
-            "doc_a",
-            "doc_b",
-            F.expr("size(array_intersect(sa, sb))").alias("i"),
-            F.size("sa").alias("na"),
-            F.size("sb").alias("nb"),
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= _MH_TAU)
-    )
 
 
 class IncrementalLshIndex:
@@ -217,6 +120,31 @@ class IncrementalLshIndex:
         return verified_pairs_from_bands(self.index.read(), self.base.read())
 
 
+# Scratch-dir hygiene: every invocation rebuilds its docs table + index from
+# scratch, so the PREVIOUS invocation's directory (for the same sf_dir) is
+# garbage the moment a new one starts — delete it then, and sweep everything
+# at interpreter exit. Without this, each bench/certification run would leak
+# a corpus copy under /tmp.
+_SCRATCH: dict[str, str] = {}
+
+
+def _fresh_scratch_dir(key: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    old = _SCRATCH.pop(key, None)
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    if not _SCRATCH:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _SCRATCH.values()]
+        )
+    tmp = tempfile.mkdtemp(prefix="lsh_inc_")
+    _SCRATCH[key] = tmp
+    return tmp
+
+
 @register(
     "minhash_lsh_incremental",
     survey="M5-dedup,beyond-ref,S3",
@@ -234,10 +162,8 @@ def minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute, which is exactly what the oracle does (same CTE chain as
     minhash_lsh_near_dup). This is the CDC-side MV-refresh machinery
     (incremental.py's watermark pattern) driving the dedup-side index."""
-    import tempfile
-
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="lsh_inc_")
+    tmp = _fresh_scratch_dir(sf_dir)
     base_tbl = DeltaliteTable(spark, f"{tmp}/docs")
     base_tbl.overwrite(d.filter(F.col("doc_id") % 4 != 0))
     idx = IncrementalLshIndex(spark, base_tbl, f"{tmp}/lsh_index")

@@ -47,9 +47,17 @@ _MH_TAU = 0.8    # verified-Jaccard output threshold
 
 
 def _shingle_expr_spark(w: int) -> str:
+    """Word-shingle array expr. Guarded for docs SHORTER than ``w`` words:
+    Spark's ``sequence(1, 0)`` yields the DESCENDING array [1, 0] (not
+    empty!), and ``slice(arr, 0, w)`` then throws — so the short-doc case
+    returns an explicit empty array (matching DuckDB's ``range``, which IS
+    empty there)."""
+    n = f"size(split(text, ' '))"
     return (
-        f"transform(sequence(1, greatest(size(split(text, ' ')) - {w} + 1, 0)),"
-        f" i -> concat_ws(' ', slice(split(text, ' '), i, {w})))"
+        f"CASE WHEN {n} >= {w} THEN "
+        f"transform(sequence(1, {n} - {w} + 1),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {w}))) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
 
 
@@ -177,14 +185,139 @@ def _maybe_materialize(df: DataFrame, n_docs: int) -> DataFrame:
     return materialize(df)
 
 
-def _minhash_lsh(d: DataFrame, rejoin: bool, n_docs: int = 0) -> DataFrame:
-    """See minhash_lsh_near_dup. ``rejoin`` picks the physical plan;
-    ``n_docs`` gates shared-frame materialization (_MATERIALIZE_DOCS)."""
-    sets = (
-        d.select("doc_id", F.explode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("sh"))
+
+# --------------------------------------------------------------------------
+# Shared MinHash/LSH building blocks — the ONE definition of the shingle→
+# signature→band pipeline. `_minhash_lsh` (the registered batch query) and
+# `operators.dedup_incremental.IncrementalLshIndex` (the change-feed-
+# maintained index) both build from these, so the incremental index's
+# row-identical-to-full-recompute contract can never drift.
+
+
+def minhash_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shh): distinct 15-hex shingle hashes per document (one md5
+    per shingle; 15-byte keys through every downstream shuffle)."""
+    return (
+        docs.select(
+            "doc_id", F.explode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("sh")
+        )
         .select("doc_id", F.expr("substr(md5(CAST(sh AS BINARY)), 1, 15)").alias("shh"))
         .distinct()
     )
+
+
+def minhash_signatures_from_sets(sets: DataFrame) -> DataFrame:
+    """(doc_id, s0..s{K-1}) from a prebuilt (doc_id, shh) set table."""
+    hashed = sets.withColumn(
+        "h32", F.expr("CAST(conv(substr(shh, 1, 8), 16, 10) AS BIGINT)")
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({_MH_A[k]} * h32 + {_MH_B[k]}) % {_MH_P}")).alias(f"s{k}")
+            for k in range(_MH_K)
+        ]
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s{K-1}): K universal-hash minima over each doc's shingle
+    hashes. Pure map + one hash aggregate on doc_id."""
+    return minhash_signatures_from_sets(minhash_shingle_sets(docs))
+
+
+_BAND_STRUCTS_EXPR = "array(" + ", ".join(
+    f"named_struct('band_id', {b}, 'band_hash', "
+    f"CONCAT_WS('|', {', '.join(f's{b * _LSH_R + r}' for r in range(_LSH_R))}))"
+    for b in range(_LSH_B)
+) + ")"
+
+
+def lsh_band_table(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash): the banded signature — ``_LSH_B`` rows
+    per doc, each hashing ``_LSH_R`` signature slots. This IS the index."""
+    return sigs.select(
+        "doc_id", F.explode(F.expr(_BAND_STRUCTS_EXPR)).alias("bd")
+    ).select("doc_id", "bd.band_id", "bd.band_hash")
+
+
+def verified_pairs_from_bands(
+    bands: DataFrame,
+    docs: DataFrame | None = None,
+    shingle_sets: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs from a band table: id-only band self-join (bounded
+    ~30 B/row through hot buckets — the 100 TB plan shape), then exact-Jaccard
+    verification via two id-keyed joins against shingle sets built for
+    CANDIDATE docs only. Pass ``shingle_sets`` to reuse a (possibly
+    materialized) (doc_id, shh) table; else ``docs`` is re-shingled after the
+    candidate semi-join."""
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    if shingle_sets is not None:
+        sets = shingle_sets.join(cand_ids, "doc_id", "left_semi")
+    else:
+        sets = minhash_shingle_sets(docs.join(cand_ids, "doc_id", "left_semi"))
+    shs_tbl = sets.groupBy("doc_id").agg(F.collect_set("shh").alias("shs"))
+    pairs = cand.join(
+        shs_tbl.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa")),
+        "doc_a",
+    ).join(
+        shs_tbl.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb")),
+        "doc_b",
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(sa, sb))").alias("i"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _MH_TAU)
+    )
+
+
+def _minhash_lsh(d: DataFrame, rejoin: bool, n_docs: int = 0) -> DataFrame:
+    """See minhash_lsh_near_dup. ``rejoin`` picks the physical plan;
+    ``n_docs`` gates shared-frame materialization (_materialize_docs).
+
+    Both plans build from the shared pipeline pieces above; only the
+    candidate-verification shape differs."""
+    sets = minhash_shingle_sets(d)
+    if rejoin:
+        # sets feeds BOTH the signature agg and the candidate-side shingle
+        # re-join: above the gate, materialize once or Spark recomputes the
+        # shingle explode + distinct per consumer (an extra corpus pass each).
+        # The band table self-joins too — materialize the signatures so the
+        # aggregation runs once, not once per join side.
+        sets = _maybe_materialize(sets, n_docs)
+        sigs = _maybe_materialize(minhash_signatures_from_sets(sets), n_docs)
+        return verified_pairs_from_bands(lsh_band_table(sigs), shingle_sets=sets)
+
+    # small corpus (single-pass): each doc's shingle-hash set rides through
+    # the signature agg and the band self-join, so candidates verify by array
+    # intersection with no second pass
     sig_aggs = [
         F.min(F.expr(f"({_MH_A[k]} * h32 + {_MH_B[k]}) % {_MH_P}")).alias(f"s{k}")
         for k in range(_MH_K)
@@ -192,80 +325,27 @@ def _minhash_lsh(d: DataFrame, rejoin: bool, n_docs: int = 0) -> DataFrame:
     hashed = sets.withColumn(
         "h32", F.expr("CAST(conv(substr(shh, 1, 8), 16, 10) AS BIGINT)")
     )
-    if rejoin:
-        # sets feeds BOTH the signature agg and the candidate-side shingle
-        # re-join: above the gate, materialize once or Spark recomputes the
-        # shingle explode + distinct per consumer (an extra corpus pass each)
-        sets = _maybe_materialize(sets, n_docs)
-        hashed = sets.withColumn(
-            "h32", F.expr("CAST(conv(substr(shh, 1, 8), 16, 10) AS BIGINT)")
-        )
-        sigs = hashed.groupBy("doc_id").agg(*sig_aggs)
-    else:
-        sigs = hashed.groupBy("doc_id").agg(*sig_aggs, F.collect_set("shh").alias("shs"))
-    # the band table self-joins: above the gate, materialize so the signature
-    # aggregation runs once, not once per join side
+    sigs = hashed.groupBy("doc_id").agg(*sig_aggs, F.collect_set("shh").alias("shs"))
     sigs = _maybe_materialize(sigs, n_docs)
-
-    band_structs = ", ".join(
-        f"named_struct('band_id', {b}, 'band_hash', "
-        f"CONCAT_WS('|', {', '.join(f's{b * _LSH_R + r}' for r in range(_LSH_R))}))"
-        for b in range(_LSH_B)
-    )
-    carry = [] if rejoin else ["shs"]
     bands = sigs.select(
-        "doc_id", *carry, F.explode(F.expr(f"array({band_structs})")).alias("bd")
-    ).select("doc_id", *carry, "bd.band_id", "bd.band_hash")
-
+        "doc_id", "shs", F.explode(F.expr(_BAND_STRUCTS_EXPR)).alias("bd")
+    ).select("doc_id", "shs", "bd.band_id", "bd.band_hash")
     a, b = bands.alias("a"), bands.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.band_id") == F.col("b.band_id"))
-        & (F.col("a.band_hash") == F.col("b.band_hash"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shs").alias("sa"),
+            F.col("b.shs").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    if rejoin:
-        cand = (
-            joined.select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .dropDuplicates(["doc_a", "doc_b"])
-        )
-        cand_ids = (
-            cand.select(F.col("doc_a").alias("doc_id"))
-            .union(cand.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-        )
-        # arrays exist only for candidate docs, joined by id — never through
-        # the band bucket join above
-        shs_tbl = (
-            sets.join(cand_ids, "doc_id", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.collect_set("shh").alias("shs"))
-        )
-        pairs = (
-            cand.join(
-                shs_tbl.select(
-                    F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa")
-                ),
-                "doc_a",
-            ).join(
-                shs_tbl.select(
-                    F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb")
-                ),
-                "doc_b",
-            )
-        ).select("doc_a", "doc_b", "sa", "sb")
-    else:
-        pairs = (
-            joined.select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.shs").alias("sa"),
-                F.col("b.shs").alias("sb"),
-            )
-            .dropDuplicates(["doc_a", "doc_b"])
-        )
     return (
         pairs.select(
             "doc_a",

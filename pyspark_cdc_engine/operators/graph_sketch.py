@@ -79,7 +79,7 @@ def _mg_batch_summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     """,
 )
 def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed frequent-items via Misra-Gries (K={_MG_K}): per-batch
+    """Distributed frequent-items via Misra-Gries (K=64): per-batch
     sketches stream through ``mapInPandas`` (constant memory, the raw token
     stream never shuffles — only ≤K counter rows per batch do), summaries
     merge by a plain word-keyed sum. The output rows are the EXACT heavy

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from pyspark_cdc_engine.checkpointing import materialize
 from pyspark_cdc_engine.config import get_config
+from pyspark_cdc_engine.operators.dedup_scale import _shingle_expr_spark
 from pyspark_cdc_engine.operators.registry import load_table, register, table_row_count
 
 
@@ -179,9 +180,8 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLE_W = 8  # words per shingle; distinctive enough that shared shingles ≈ near-dup
 
-# Guard for the exact all-pairs baseline below: above this corpus size the
-# registry refuses the raw-shingle self-join and points at minhash_lsh_near_dup.
-JACCARD_EXACT_MAX_DOCS = 20_000
+# Guard for the exact all-pairs baseline below lives in config:
+# engine.jaccard-exact-max-docs (env alias JACCARD_EXACT_MAX_DOCS), default 20k.
 
 
 # Shared by the jaccard_near_dup_pairs oracle and the dedup_clusters oracle
@@ -225,9 +225,11 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SIZE-GUARDED: the raw-shingle self-join is the exact small-N baseline and
     is quadratic in the worst case (every hot shingle fans out all-pairs), so
-    the registry entry refuses corpora above ``JACCARD_EXACT_MAX_DOCS``
-    (default 20k docs; env-overridable) and points at the LSH sibling instead
-    of silently launching an all-pairs explosion on a cluster."""
+    the registry entry refuses corpora above the
+    ``engine.jaccard-exact-max-docs`` config knob (env
+    ``JACCARD_EXACT_MAX_DOCS``, default 20k docs) and points at the LSH
+    sibling instead of silently launching an all-pairs explosion on a
+    cluster."""
     d = load_table(spark, sf_dir, "documents")
     limit = get_config().get_int("engine.jaccard-exact-max-docs")
     n_docs = table_row_count(spark, sf_dir, "documents")  # footer-only, no scan
@@ -235,19 +237,15 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             f"jaccard_near_dup_pairs is the exact small-N baseline: corpus has "
             f"{n_docs} docs > guard {limit}. Use minhash_lsh_near_dup (bucketed "
-            f"LSH, constant shuffle bytes/doc) at this scale, or raise "
-            f"JACCARD_EXACT_MAX_DOCS explicitly."
+            f"LSH, constant shuffle bytes/doc) at this scale, or raise the "
+            f"engine.jaccard-exact-max-docs config knob (env "
+            f"JACCARD_EXACT_MAX_DOCS) explicitly."
         )
     w = _SHINGLE_W
     sets = (
         d.select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(split(text, ' ')) - {w} + 1, 0)),"
-                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {w})))"
-                )
-            ).alias("sh"),
+            F.explode(F.expr(_shingle_expr_spark(w))).alias("sh"),
         )
         # dedup and self-join on 15-hex shingle hashes, not ~60-char strings
         .select("doc_id", F.expr("substr(md5(CAST(sh AS BINARY)), 1, 15)").alias("sh"))
@@ -729,12 +727,7 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
     sets = (
         d.select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(split(text, ' ')) - {w} + 1, 0)),"
-                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {w})))"
-                )
-            ).alias("sh"),
+            F.explode(F.expr(_shingle_expr_spark(w))).alias("sh"),
         )
         .select("doc_id", F.md5(F.col("sh")).alias("h"))
         .distinct()
@@ -902,12 +895,7 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     grams = d.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(split(text, ' ')) - {_REP_W} + 1, 0)),"
-                f" i -> concat_ws(' ', slice(split(text, ' '), i, {_REP_W})))"
-            )
-        ).alias("g"),
+        F.explode(F.expr(_shingle_expr_spark(_REP_W))).alias("g"),
     )
     per_doc = grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("total_ngrams"),

@@ -944,6 +944,17 @@ class DeltaliteTable:
             if last is not None and txn_version <= last:
                 return base  # replayed batch: no-op
         spec = commit.get("partition_by") if partition_by is None and base >= 0 else partition_by
+        mapped = self._mapping(commit)
+        if spec and any(c in mapped for c in spec):
+            # a renamed column's files carry its PHYSICAL name; partitionBy on
+            # the logical name would split the write surface in two. Loud
+            # rejection beats silently broken partition dirs.
+            raise ValueError(
+                f"cannot partition by renamed column(s) "
+                f"{[c for c in spec if c in mapped]}: partition values are "
+                f"directory names bound to physical columns — rename back "
+                f"first, or rewrite under the physical name"
+            )
         if base >= 0:
             self._validate(commit.get("constraints", {}), df)
         rel = self._write_data_dir(

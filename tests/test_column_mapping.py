@@ -203,3 +203,18 @@ def test_compact_and_zorder_preserve_mapping(spark, tmp_path):
     t.zorder_by("order_id")
     assert t.read().columns == ["order_id", "grand_total", "status"]
     assert t.scan(key_bounds={"order_id": (50, None)}).count() == 1
+
+
+def test_partition_promotion_of_renamed_column_rejected(spark, tmp_path):
+    """Review r5: partitionBy on a RENAMED column would write physical-named
+    data under logical-named dirs — must be rejected loudly, not silently
+    split."""
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("status", "state")
+    with pytest.raises(ValueError, match="renamed column"):
+        t.overwrite(
+            spark.createDataFrame(
+                [(1, 2.0, "x")], ["order_id", "total_amount", "state"]
+            ),
+            partition_by=["state"],
+        )

@@ -181,3 +181,22 @@ def test_session_factory_accepts_config(spark):
     c = AppConfig(overrides={"spark.log-level": "WARN"})
     s = get_spark(config=c)  # getOrCreate reuses the pytest session
     assert s.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_materialize_reroutes_when_active_root_is_similar_prefix(
+    spark, tmp_path, monkeypatch
+):
+    """Review r5: the active-checkpoint-root check must be a path comparison,
+    not substring containment — /data/ckpt must NOT be satisfied by an active
+    /data/ckpt-old."""
+    old = tmp_path / "ckpt-old"
+    new = tmp_path / "ckpt"
+    monkeypatch.setenv("CDC_RELIABLE_CHECKPOINT", str(old))
+    materialize(spark.range(3))
+    assert str(old) in (spark.sparkContext.getCheckpointDir() or "")
+    # str(new) is a prefix of str(old) — substring logic would skip the reset
+    monkeypatch.setenv("CDC_RELIABLE_CHECKPOINT", str(new))
+    materialize(spark.range(3))
+    ccd = spark.sparkContext.getCheckpointDir() or ""
+    assert str(new) in ccd and "ckpt-old" not in ccd
+    assert any(new.rglob("rdd-*"))

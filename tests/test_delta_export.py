@@ -362,3 +362,45 @@ def test_partition_null_sentinel_and_url_encoding(spark, tmp_path):
     got = read_delta_snapshot(spark, str(dest))
     by_k = {r.k: r.cnt for r in got.groupBy("k").count().toDF("k", "cnt").collect()}
     assert by_k == {None: 2, "a b": 2, "plain": 2}
+
+
+def test_reader_rejects_v3_protocol_without_features(spark, tmp_path):
+    """Review r5: minReaderVersion=3 with no readerFeatures is unknowable —
+    must raise, not silently proceed."""
+    import pytest
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(3).toDF("id"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    commit = dest / "_delta_log" / f"{0:020d}.json"
+    actions = [json.loads(ln) for ln in commit.read_text().splitlines()]
+    actions[1] = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
+    commit.write_text("\n".join(json.dumps(a) for a in actions) + "\n")
+    with pytest.raises(ValueError, match="no readerFeatures"):
+        read_delta_snapshot(spark, str(dest))
+
+
+def test_reader_rejects_invisible_checkpoint_even_without_metadata_keys(
+    spark, tmp_path
+):
+    """Review r5: real writers often put only {version,size} in
+    _last_checkpoint — the guard must key on 'no parseable checkpoint file
+    exists', not on optional metadata fields."""
+    import pytest
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(5).toDF("id"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    log = dest / "_delta_log"
+    # simulate retention-cleaned log: only commit 4 survives; the pointer
+    # names a v2/UUID checkpoint our glob cannot see, with NO format keys
+    (log / f"{0:020d}.json").rename(log / f"{4:020d}.json")
+    (log / "_last_checkpoint").write_text(json.dumps({"version": 3, "size": 9}))
+    with pytest.raises(ValueError, match="refusing to return"):
+        read_delta_snapshot(spark, str(dest))

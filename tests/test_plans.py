@@ -436,11 +436,14 @@ _SWEEP_CROSS_OK = {
     "bigram_pmi_top",           # broadcast 1-row bigram total
     "training_pipeline_e2e",    # composes the gated dedup stages
     "value_band_range_join",    # broadcast band table + range predicate (own gate)
+    "heavy_hitters_mg",         # broadcast 1-row token total (bound computation)
 }
 _SWEEP_PYTHON_OK = {
     "embedding_cosine_near_dup",  # numpy gram scoring via applyInPandas (by design)
     "media_features",             # mapInPandas decode kernel (by design)
     "training_pipeline_e2e",      # composes the cosine stage
+    "media_decode_real",          # mapInPandas real-codec kernel (by design)
+    "heavy_hitters_mg",           # mapInPandas Misra-Gries summaries (by design)
 }
 
 
@@ -493,3 +496,27 @@ def test_quantize_dim_stats_join_is_broadcast(spark):
     plan = plan_of(spark, "embedding_int8_quantize")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_shingle_queries_survive_short_and_empty_documents(spark, tmp_path):
+    """Review r5: sequence(1, 0) in Spark is the DESCENDING [1, 0] — docs
+    shorter than the shingle width (or empty) must yield zero shingles/chunks,
+    not a slice(..., 0, w) crash or phantom '' chunks."""
+    from pyspark.sql import functions as F
+
+    from pyspark_cdc_engine.operators.dedup_scale import (
+        _SHINGLE_W,
+        _shingle_expr_spark,
+        minhash_shingle_sets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short doc"), (2, ""), (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9")],
+        ["doc_id", "text"],
+    )
+    sets = minhash_shingle_sets(docs).collect()
+    assert {r.doc_id for r in sets} == {3}
+    out = docs.select(
+        "doc_id", F.explode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("sh")
+    ).collect()
+    assert all(r.doc_id == 3 for r in out) and len(out) == 2
