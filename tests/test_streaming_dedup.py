@@ -78,3 +78,59 @@ def test_only_hash_enters_state_schema(spark, tmp_path):
     plan = dedup_stream_exact(stream)._jdf.queryExecution().analyzed().toString()
     dd = [ln for ln in plan.splitlines() if "Deduplicate" in ln]
     assert dd and all("content_md5" in ln and "text" not in ln for ln in dd)
+
+
+def test_trending_terms_state_survives_micro_batches(spark, tmp_path):
+    """streaming/trending.py: per-key Misra-Gries counters live in keyed
+    streaming state — a term's count accumulates ACROSS micro-batches, the
+    per-key state stays bounded at k counters, and each trigger emits the
+    current top items."""
+    import json
+
+    from pyspark_cdc_engine.streaming.trending import trending_terms_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # batch 0: 'alpha' x3, 'beta' x2 on key A; batch 1 adds 'alpha' x2 more
+    with open(src / "b0.json", "w") as fh:
+        for t in ["alpha", "alpha", "alpha", "beta", "beta", "gamma"]:
+            fh.write(json.dumps({"k": "A", "term": t}) + "\n")
+        fh.write(json.dumps({"k": "B", "term": "solo"}) + "\n")
+    with open(src / "b1.json", "w") as fh:
+        for t in ["alpha", "alpha", "beta"]:
+            fh.write(json.dumps({"k": "A", "term": t}) + "\n")
+
+    stream = (
+        spark.readStream.schema("k string, term string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    out = trending_terms_stream(stream, "k", "term", k=4, top=3)
+    batches: list[list] = []
+
+    def sink(df, bid):
+        rows = df.collect()
+        if rows:
+            batches.append(sorted(rows, key=lambda r: (r.key, r.rank)))
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # final state for key A: alpha=5, beta=3 — counts crossed the batch
+    # boundary through the state store
+    final_a = [r for r in batches[-1] if r.key == "A"]
+    assert final_a[0].term == "alpha" and final_a[0].est == 5
+    assert final_a[1].term == "beta" and final_a[1].est == 3
+    assert final_a[0].n_seen == 9
+    # every batch emitted at most `top` rows per key, ranked from 1
+    for b in batches:
+        per_key: dict = {}
+        for r in b:
+            per_key.setdefault(r.key, []).append(r.rank)
+        assert all(ranks == list(range(1, len(ranks) + 1)) for ranks in per_key.values())
