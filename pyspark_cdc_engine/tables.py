@@ -624,8 +624,15 @@ class DeltaliteTable:
         ``(starting_version, ending_version]``, tagged with ``_change_type``
         ('insert' — append-only CDF) and ``_commit_version``. Commits that only
         rewrite data (compact/zorder/restore/merge) contribute nothing: their
-        dirs are physical reorganizations, not logical changes."""
+        dirs are physical reorganizations, not logical changes.
+
+        Every slice is read under the END version's schema + column mapping
+        (not each commit's own): physical names are stable across renames, so
+        a feed spanning a RENAME COLUMN surfaces one consistent set of
+        logical names — the current ones — instead of failing to union
+        per-commit frames with mismatched columns."""
         end = self.latest_version() if ending_version is None else ending_version
+        end_commit = self._read_commit(end)
         frames = []
         prev_live: set[str] = set(
             self._read_commit(starting_version)["live"]
@@ -638,9 +645,11 @@ class DeltaliteTable:
             if commit["operation"] in ("append", "overwrite") and added:
                 df = self._read_dirs(
                     [str(self._root / d) for d in added],
-                    commit.get("schema"),
+                    end_commit.get("schema") or commit.get("schema"),
                     commit.get("partition_by"),
-                    commit.get("column_mapping"),
+                    end_commit.get("column_mapping")
+                    if end_commit.get("schema")
+                    else commit.get("column_mapping"),
                 )
                 frames.append(
                     df.withColumn("_change_type", F.lit("insert")).withColumn(

@@ -218,3 +218,38 @@ def test_partition_promotion_of_renamed_column_rejected(spark, tmp_path):
             ),
             partition_by=["state"],
         )
+
+
+def test_change_feed_spans_rename_under_latest_names(spark, tmp_path):
+    """read_changes across a RENAME COLUMN must surface ONE consistent set of
+    logical names (the end version's) — physical names are stable, so
+    pre-rename dirs read fine under the latest schema."""
+    t = _mk(spark, tmp_path / "t")       # v0: 5 rows
+    t.append(spark.createDataFrame(
+        [(10, 1.0, "s10")], ["order_id", "total_amount", "status"]))  # v1
+    t.rename_column("total_amount", "grand_total")                    # v2
+    t.append(spark.createDataFrame(
+        [(11, 2.0, "s11")], ["order_id", "grand_total", "status"]))   # v3
+    feed = t.read_changes(0)
+    assert set(feed.columns) == {
+        "order_id", "grand_total", "status", "_change_type", "_commit_version"
+    }
+    got = {(r.order_id, r.grand_total) for r in feed.collect()}
+    assert got == {(10, 1.0), (11, 2.0)}
+
+
+def test_incremental_aggregate_survives_rename_of_key(spark, tmp_path):
+    """The MV refresh machinery reads through the change feed: a rename of a
+    non-aggregated column between refreshes must not break folding."""
+    from pyspark_cdc_engine.incremental import IncrementalAggregate
+
+    t = DeltaliteTable(spark, str(tmp_path / "base"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "grp", "amt"]))
+    mv = IncrementalAggregate(spark, t, str(tmp_path / "mv"), ["grp"], ["amt"])
+    mv.refresh()
+    t.rename_column("id", "row_id")  # untouched by the aggregate
+    t.append(spark.createDataFrame([(3, "a", 5.0)], ["row_id", "grp", "amt"]))
+    mv.refresh()
+    got = {r.grp: (r.cnt, r.sum_amt) for r in mv.read().collect()}
+    assert got == {"a": (2, 15.0), "b": (1, 20.0)}
