@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pyspark_cdc_engine.checkpointing import materialize
+from pyspark_cdc_engine.operators.dedup_scale import _SHINGLE_W, _shingle_expr_spark
 from pyspark_cdc_engine.operators.registry import load_table, register
 from pyspark_cdc_engine.operators.text import _JACCARD_PAIRS_SQL, jaccard_near_dup_pairs
 
@@ -200,3 +201,109 @@ def pagerank3_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.15) + _PR_DAMP * F.coalesce("s", F.lit(0.0))).alias("r"),
         )
     return r.select("doc_id", F.col("r").alias("pagerank"))
+
+
+_WIN_W = 4  # winnowing window (consecutive shingle hashes per window)
+
+
+@register(
+    "winnowing_fingerprints",
+    survey="M5-dedup,W1,A2,beyond-ref",
+    oracle=f"""
+    WITH shingled AS (
+      SELECT doc_id, i - 1 AS pos,
+             substr(md5(array_to_string(list_slice(w, i, i + {_SHINGLE_W} - 1), ' ')), 1, 15) AS h
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(range(1, len(w) - {_SHINGLE_W} + 2)) AS t(i)
+    ),
+    -- composite key: h then (999999 - pos): its window MIN is the minimal
+    -- hash with the RIGHTMOST position on ties, in one pass, no join
+    wins AS (
+      SELECT doc_id,
+             MIN(h || lpad(CAST(999999 - pos AS VARCHAR), 6, '0'))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS mc,
+             COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+               AS wn
+      FROM shingled
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             substr(mc, 1, 15) AS h,
+             999999 - CAST(substr(mc, 16, 6) AS INT) AS fp_pos
+      FROM wins WHERE wn = {_WIN_W}
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_fingerprints,
+           md5(string_agg(lpad(CAST(fp_pos AS VARCHAR), 6, '0') || ':' || h,
+                          ',' ORDER BY lpad(CAST(fp_pos AS VARCHAR), 6, '0') || ':' || h))
+             AS fp_md5
+    FROM fps GROUP BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING (the MOSS fingerprint-selection algorithm): over each
+    document's sequence of shingle hashes, every window of 4 consecutive
+    hashes contributes its minimum (rightmost position on ties), and the
+    distinct selected (position, hash) pairs are the document's
+    fingerprints — guaranteed to include at least one from every 4-shingle
+    span, so any sufficiently long shared substring between two documents
+    shares a fingerprint. The per-document fingerprint set is surfaced as a
+    scalar count + canonical md5 digest (driver-hashable); matching digests
+    = identical fingerprint sets.
+
+    Plan shape: one Generate (positions ride along), then ONE frame-spec
+    window pass per doc — the rightmost-min tie-break is encoded into the
+    window key itself (hash || reversed-position), so no positional
+    self-join ever materializes the per-doc cross product — then distinct +
+    per-doc aggregation. Everything is keyed on doc_id: embarrassingly
+    parallel at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    shingled = d.select(
+        "doc_id",
+        F.posexplode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("pos", "sh"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(
+            "concat(substr(md5(CAST(sh AS BINARY)), 1, 15), "
+            "lpad(CAST(999999 - pos AS STRING), 6, '0'))"
+        ).alias("hc"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    wins = shingled.select(
+        "doc_id",
+        F.min("hc").over(w).alias("mc"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).filter(F.col("wn") == _WIN_W)
+    fps = wins.select(
+        "doc_id",
+        F.expr("substr(mc, 1, 15)").alias("h"),
+        F.expr("999999 - CAST(substr(mc, 16, 6) AS INT)").alias("fp_pos"),
+    ).distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        # zero-padded positions keep the canonical ordering a pure string
+        # sort — identical in both engines
+        F.md5(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            F.lpad(F.col("fp_pos").cast("string"), 6, "0"),
+                            F.col("h"),
+                        )
+                    )
+                ),
+                ",",
+            ).cast("binary")
+        ).alias("fp_md5"),
+    )
