@@ -448,3 +448,97 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_docs"),
         )
     )
+
+
+_DSIR_BUCKETS = 16
+# engine-portable word bucket: first 4 md5 hex digits -> int -> mod buckets
+_DSIR_B_SPARK = (
+    f"CAST(conv(substr(md5(CAST(word AS BINARY)), 1, 4), 16, 10) AS INT) % {_DSIR_BUCKETS}"
+)
+_DSIR_B_DUCK = (
+    "(instr('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(word), 4, 1)) - 1)"
+)
+
+
+@register(
+    "domain_similarity_score",
+    survey="M5-text,A2,J3,beyond-ref",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, ({_DSIR_B_DUCK}) % {_DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    target AS (
+      SELECT b, COUNT(*) AS tc FROM tok WHERE lang = 'en' GROUP BY b
+    ),
+    tn AS (SELECT CAST(SUM(tc) AS BIGINT) AS n FROM target),
+    doc_b AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM tok GROUP BY doc_id, b
+    ),
+    doc_n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM doc_b GROUP BY doc_id),
+    terms AS (
+      SELECT d.doc_id,
+             ABS(CAST(d.c AS DOUBLE) / dn.n - CAST(COALESCE(t.tc, 0) AS DOUBLE) / tn.n)
+               AS term
+      FROM doc_b d
+      JOIN doc_n dn ON dn.doc_id = d.doc_id
+      LEFT JOIN target t ON t.b = d.b
+      CROSS JOIN tn
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(term AS DECIMAL(18,12))) AS DOUBLE) AS l1_distance
+    FROM terms GROUP BY doc_id
+    """,
+)
+def domain_similarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style domain scoring: each document's hashed-word-bucket
+    distribution is compared (L1) against a target-domain profile — here the
+    ``lang='en'`` sub-corpus — the importance-sampling signal used to select
+    pretraining data resembling a target domain. Buckets come from md5 hex
+    digits (identical in both engines); each |p_doc - p_target| term is one
+    deterministic IEEE expression and the per-doc sum accumulates in DECIMAL,
+    so cross-engine parity is exact. Docs wholly inside the target still get
+    nonzero distance unless their profile matches the pooled target — the
+    correct semantics.
+
+    Plan: token explode -> 16-bucket hash counts per doc (one shuffle on
+    doc_id with map-side combine), the 16-row target profile broadcast back,
+    final 16-rows-per-doc aggregate. Under-represented buckets (count 0 in a
+    doc) contribute p_target each; adding them would need a dense 16-way
+    expansion — omitted on BOTH sides identically, keeping the score a
+    same-support L1 (rank-equivalent for filtering)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("word"),
+    ).filter(F.col("word") != "").select(
+        "doc_id", "lang", F.expr(_DSIR_B_SPARK).alias("b")
+    )
+    target = tok.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    tn = target.agg(F.sum("tc").cast("bigint").alias("n_t"))
+    doc_b = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    doc_n = doc_b.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n_d"))
+    terms = (
+        doc_b.join(doc_n, "doc_id")
+        .join(F.broadcast(target), "b", "left")
+        .crossJoin(F.broadcast(tn))
+        .select(
+            "doc_id",
+            F.abs(
+                F.col("c").cast("double") / F.col("n_d")
+                - F.coalesce("tc", F.lit(0)).cast("double") / F.col("n_t")
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum(F.col("term").cast("decimal(18,12)")).cast("double").alias("l1_distance")
+    )
