@@ -542,3 +542,189 @@ def domain_similarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("doc_id").agg(
         F.sum(F.col("term").cast("decimal(18,12)")).cast("double").alias("l1_distance")
     )
+
+
+@register(
+    "daily_anomaly_scores",
+    survey="A2,W1,F18,beyond-ref",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             CAST(SUM(CAST(cnt AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_cnt,
+             CAST(SUM(CAST(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS sum_sq
+      FROM daily GROUP BY event_type
+    ),
+    scored AS (
+      SELECT d.event_type, d.d, d.cnt, s.n_days, s.mean_cnt,
+             (s.sum_sq / s.n_days) - (s.mean_cnt * s.mean_cnt) AS var_pop
+      FROM daily d JOIN stats s ON s.event_type = d.event_type
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day, cnt,
+           CASE WHEN var_pop > 0
+                THEN (cnt - mean_cnt) / SQRT(var_pop) ELSE 0.0 END AS z_score,
+           ABS(cnt - mean_cnt) > 3 * SQRT(CASE WHEN var_pop > 0 THEN var_pop ELSE 0 END)
+             AS is_anomaly
+    FROM scored
+    """,
+)
+def daily_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality anomaly detection over the event stream: per event type,
+    each day's volume is z-scored against that type's own daily distribution
+    (population variance via the sum-of-squares identity, both moments
+    accumulated in DECIMAL so the variance is bit-identical across engines —
+    the naive two-pass stddev would hit reduction-order drift). The 3-sigma
+    flag is the standard ingest-monitoring gate: a crawler outage or a
+    duplicate storm shows up as an anomalous day per affected type. One
+    hash agg to days, one tiny per-type agg broadcast back — no window, no
+    self-join; at 100 TB the daily rollup is the only corpus-sized pass."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.sum(F.col("cnt").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_cnt"),
+        F.sum(
+            (F.col("cnt").cast("double") * F.col("cnt").cast("double")).cast(
+                "decimal(28,6)"
+            )
+        ).cast("double").alias("sum_sq"),
+    )
+    daily = daily.withColumn("day", F.col("day").cast("string"))
+    scored = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "var_pop",
+        (F.col("sum_sq") / F.col("n_days")) - (F.col("mean_cnt") * F.col("mean_cnt")),
+    )
+    sd = F.sqrt(F.when(F.col("var_pop") > 0, F.col("var_pop")).otherwise(0.0))
+    return scored.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.when(
+            F.col("var_pop") > 0,
+            (F.col("cnt") - F.col("mean_cnt")) / F.sqrt("var_pop"),
+        ).otherwise(F.lit(0.0)).alias("z_score"),
+        (F.abs(F.col("cnt") - F.col("mean_cnt")) > 3 * sd).alias("is_anomaly"),
+    )
+
+
+_BM25_TERMS = ("join", "hash", "window", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TOP = 20
+
+
+@register(
+    "bm25_odds_search",
+    survey="A2,W1,O1,beyond-ref",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(dlen AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM tok
+      WHERE word IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    terms AS (
+      SELECT tf.doc_id,
+             ((c.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1))
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dlen / c.avgdl))
+               AS term_score
+      FROM tf
+      JOIN df ON df.word = tf.word
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN corpus c
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(term_score AS DECIMAL(18,12))) AS DOUBLE) AS score
+      FROM terms GROUP BY doc_id
+    )
+    SELECT rank, doc_id, score FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_TOP}
+    """,
+)
+def bm25_odds_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval over the corpus for a fixed term set — BM25 term
+    saturation and length normalization with the ODDS form of IDF
+    ((N-df+0.5)/(df+0.5), i.e. BM25's idf without the log): rank-equivalent
+    per term, and — unlike log() — bit-identical across engines (Java's
+    Math.log and C libm are each only ~1ulp-accurate and may disagree, which
+    would flake the hash certification; every operation here is IEEE exact
+    division/multiply from identical inputs, with the per-doc term sum
+    DECIMAL-accumulated and the top-k ordered by a total order).
+
+    Plan: token explode -> doc lengths (one doc-keyed agg); tf only for the
+    query terms (the WHERE prunes before the shuffle — at 100 TB this is the
+    inverted-index probe, a tiny fraction of the corpus); 4-row df and 1-row
+    corpus stats broadcast; TakeOrdered top-{_BM25_TOP}."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum(F.col("dlen").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    terms = (
+        tf.join(F.broadcast(df_t), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf").cast("double") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.sum(F.col("term_score").cast("decimal(18,12)")).cast("double").alias("score")
+    )
+    # top-k FIRST via orderBy+limit (plans TakeOrderedAndProject — no global
+    # single-partition sort of every scored doc); the rank window then runs
+    # over just the k survivors
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(_BM25_TOP)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )
