@@ -1218,6 +1218,56 @@ class DeltaliteTable:
                     pf = pf.withColumn(c, F.col(c).cast(schema[c].dataType))
         return {r["__suffix"] for r in pf.filter(where).select("__suffix").collect()}
 
+    _Z_BITS = 8  # per-key resolution of the z-curve (256 buckets per key)
+
+    def _zvalue_expr(self, src: DataFrame, cols: list[str]):
+        """Bit-interleaved z-value column for 2+ NUMERIC cluster keys, or
+        ``None`` when a z-curve doesn't apply (single key / non-numeric).
+
+        Each key is mapped to a ``_Z_BITS``-bit bucket by equal-width
+        min/max scaling (bounds from one tiny aggregate — the same
+        metadata-bounded driver read as IVF centroids; equal-DEPTH cutpoints
+        via approxQuantile are the upgrade for heavily skewed keys), then the
+        bucket bits interleave: bit i of key j lands at position
+        ``i * n_keys + j``. Range-partitioning this value gives every output
+        dir a bounded range in EVERY key — which is the entire point of
+        Z-ordering over lexicographic sort."""
+        from pyspark.sql.types import NumericType
+
+        if len(cols) < 2:
+            return None
+        types = dict((f.name, f.dataType) for f in src.schema.fields)
+        if not all(isinstance(types.get(c), NumericType) for c in cols):
+            return None
+        bounds = src.agg(
+            *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cols)],
+            *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cols)],
+        ).first()
+        n_b = (1 << self._Z_BITS) - 1
+        z = F.lit(0).cast("long")
+        for j, c in enumerate(cols):
+            lo = float(bounds[f"lo_{j}"] or 0)
+            hi = float(bounds[f"hi_{j}"] or 0)
+            if hi <= lo:
+                continue  # constant key contributes nothing to the curve
+            bucket = F.least(
+                F.lit(n_b),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(c).cast("double") - lo) * (n_b + 1) / (hi - lo)
+                    ).cast("int"),
+                ),
+            )
+            for i in range(self._Z_BITS):
+                z = z + (
+                    F.shiftleft(
+                        F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                        i * len(cols) + j,
+                    ).cast("long")
+                )
+        return z
+
     def zorder_by(
         self,
         *cols: str,
@@ -1260,9 +1310,25 @@ class DeltaliteTable:
                 commit.get("column_mapping"),
             )
             extra["zordered_partitions"] = len(selected)
-        df = src.repartitionByRange(target_partitions or 8, *cols).withColumn(
-            "__zr", F.spark_partition_id()
-        )
+        zv = self._zvalue_expr(src, list(cols))
+        if zv is not None:
+            # TRUE Z-curve for 2+ numeric keys: range-cluster on the
+            # bit-interleaved z-value, so every published dir has a BOUNDED
+            # range in EVERY key — scans/merges prune on any of them. Plain
+            # lexicographic range order would leave the 2nd..nth keys
+            # scattered across all dirs (zero pruning power).
+            df = (
+                src.withColumn("__zv", zv)
+                .repartitionByRange(target_partitions or 8, "__zv")
+                .drop("__zv")
+                .withColumn("__zr", F.spark_partition_id())
+            )
+            extra["zorder_curve"] = "bit-interleaved"
+        else:
+            # single key, or non-numeric keys: linear range order IS optimal
+            df = src.repartitionByRange(target_partitions or 8, *cols).withColumn(
+                "__zr", F.spark_partition_id()
+            )
         phys_spec = [*(spec or []), "__zr"]
         rel = self._write_data_dir(
             df, base + 1, partition_by=phys_spec, mapping=self._mapping(commit)

@@ -962,3 +962,37 @@ def test_deltalite_history_udtf_via_spark_sql(spark, tmp_path):
         "WHERE operation = 'append'"
     ).collect()[0].c
     assert n == 1
+
+
+def test_zorder_bit_interleaved_prunes_on_every_key(spark, tmp_path):
+    """True Z-curve (r5): after zorder_by(a, b), a narrow scan on EITHER key
+    must skip most data dirs — lexicographic range order would leave `b`
+    scattered across every dir (zero pruning power on the second key)."""
+    import itertools
+
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "z"))
+    rows = [(a, b, a * 100 + b) for a, b in itertools.product(range(64), range(64))]
+    t.overwrite(spark.createDataFrame(rows, "a int, b int, v int"))
+    v = t.zorder_by("a", "b", target_partitions=16)
+    commit = t._read_commit(v)
+    assert commit.get("zorder_curve") == "bit-interleaved"
+    n_dirs = len(commit["live"])
+    assert n_dirs >= 8
+
+    def dirs_read(**bounds):
+        df = t.scan(key_bounds=bounds)
+        return len({f.rsplit("/", 1)[0] for f in df.inputFiles()}), df
+
+    # narrow band on the FIRST key: prunes
+    na, da = dirs_read(a=(10, 13))
+    assert na <= n_dirs // 2, f"a-pruning weak: {na}/{n_dirs}"
+    assert da.count() == 4 * 64
+    # narrow band on the SECOND key: must ALSO prune (the z-curve's point)
+    nb, db = dirs_read(b=(10, 13))
+    assert nb <= n_dirs // 2, f"b-pruning weak: {nb}/{n_dirs}"
+    assert db.count() == 4 * 64
+    # correctness: 2-D box
+    box = t.scan(key_bounds={"a": (0, 15), "b": (0, 15)})
+    assert box.count() == 16 * 16
