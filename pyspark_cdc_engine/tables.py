@@ -1128,14 +1128,35 @@ class DeltaliteTable:
             p for p in Path(rel).parts if "=" in p and not p.startswith("__zr=")
         )
 
-    def compact(self, target_partitions: int | None = None, where: str | None = None) -> int:
+    def _live_bytes(self, rels: list[str]) -> int:
+        """Total on-disk bytes of the given live dirs (file stat only)."""
+        return sum(
+            f.stat().st_size
+            for rel in rels
+            for f in (self._root / rel).rglob("*.parquet")
+        )
+
+    def compact(
+        self,
+        target_partitions: int | None = None,
+        where: str | None = None,
+        target_mb: int | None = None,
+    ) -> int:
         """OPTIMIZE analog (db/table_maintenance.sql:28-31). For a partitioned
         table this is PARTITION-SCOPED, the only shape that survives 100 TB:
         only partitions fragmented across >1 live dir (and matching ``where``,
         a SQL predicate over the partition columns — the ``OPTIMIZE ... WHERE``
         analog) are read and rewritten; every other partition's live entry and
         logged stats carry over untouched, no IO at all. Unpartitioned tables
-        keep the whole-table rewrite."""
+        keep the whole-table rewrite.
+
+        ``target_mb`` sizes the rewrite from ACTUAL bytes instead of a fixed
+        partition count: output file count = ceil(rewritten_bytes /
+        target_mb) — the action behind the reference's ≥128 MB average-file
+        health heuristic (db/table_maintenance.sql:121-125;
+        ``maintenance.table_health`` is the matching probe)."""
+        if target_mb is not None and target_partitions is not None:
+            raise ValueError("pass target_partitions or target_mb, not both")
         base, commit = self._snapshot()
         spec = commit.get("partition_by")
         live = list(commit["live"])
@@ -1146,6 +1167,10 @@ class DeltaliteTable:
         if not per_partition:
             if where is not None:
                 raise ValueError("where= requires a partitioned table")
+            if target_mb is not None:
+                target_partitions = max(
+                    1, -(-self._live_bytes(live) // (target_mb * 1024 * 1024))
+                )
             df = self.read(version=base)
             if target_partitions:
                 df = df.coalesce(target_partitions)
@@ -1179,10 +1204,15 @@ class DeltaliteTable:
         if not rewrite:
             return base  # nothing fragmented: no-op, no commit
         kept = [r for s, rels in groups.items() if s not in rewrite for r in rels]
-        src_dirs = [str(self._root / r) for s in rewrite for r in groups[s]]
+        rewrite_rels = [r for s in rewrite for r in groups[s]]
+        src_dirs = [str(self._root / r) for r in rewrite_rels]
         df = self._read_dirs(
             src_dirs, commit.get("schema"), spec, commit.get("column_mapping")
         )
+        if target_mb is not None:
+            target_partitions = max(
+                1, -(-self._live_bytes(rewrite_rels) // (target_mb * 1024 * 1024))
+            )
         if target_partitions:
             df = df.coalesce(target_partitions)
         rel = self._write_data_dir(

@@ -996,3 +996,29 @@ def test_zorder_bit_interleaved_prunes_on_every_key(spark, tmp_path):
     # correctness: 2-D box
     box = t.scan(key_bounds={"a": (0, 15), "b": (0, 15)})
     assert box.count() == 16 * 16
+
+
+def test_compact_target_mb_sizes_output_from_actual_bytes(spark, tmp_path):
+    """compact(target_mb=...) is the ACTION behind the >=128MB health
+    heuristic: output file count derives from the rewritten bytes, so a
+    fragmented table converges toward the target average file size."""
+    from pyspark_cdc_engine.maintenance import table_health
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    # 20 tiny appends -> many small files
+    t.overwrite(spark.range(0, 5000).toDF("id"))
+    for i in range(1, 20):
+        t.append(spark.range(i * 5000, (i + 1) * 5000).toDF("id"))
+    before = table_health(t)
+    total_mb_ceil = -(-before["size_bytes"] // (1024 * 1024))
+    t.compact(target_mb=1)
+    after = table_health(t)
+    assert after["num_files"] <= total_mb_ceil  # ~one file per target MB
+    assert after["num_files"] < before["num_files"]
+    assert after["avg_file_bytes"] > before["avg_file_bytes"]
+    assert t.read().count() == 20 * 5000
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        t.compact(target_partitions=2, target_mb=1)
