@@ -437,6 +437,8 @@ _SWEEP_CROSS_OK = {
     "training_pipeline_e2e",    # composes the gated dedup stages
     "value_band_range_join",    # broadcast band table + range predicate (own gate)
     "heavy_hitters_mg",         # broadcast 1-row token total (bound computation)
+    "domain_similarity_score",  # broadcast 1-row target-corpus total
+    "bm25_odds_search",         # broadcast 1-row corpus stats (N, avgdl)
 }
 _SWEEP_PYTHON_OK = {
     "embedding_cosine_near_dup",  # numpy gram scoring via applyInPandas (by design)
