@@ -1425,6 +1425,88 @@ class DeltaliteTable:
                 shutil.rmtree(self._root / rel, ignore_errors=True)
         return dead
 
+    def delete(
+        self,
+        where: str,
+        prune_bounds: dict[str, tuple] | None = None,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
+        """DELETE FROM ... WHERE analog (Delta's targeted delete): copy-on-
+        write of only the data dirs that COULD hold matching rows.
+
+        ``prune_bounds`` maps column -> (lo, hi) covering every row the
+        predicate can match (the caller's promise, same contract as
+        ``scan(key_bounds=...)``); any live dir whose logged write-time
+        [min, max] cannot intersect is kept verbatim — never listed, read,
+        or rewritten. Sound for ANY ``where`` because kept dirs contain no
+        matching rows by the bounds promise, and unmatched rows pass through
+        a delete unchanged. Without bounds, every dir is rewritten (the
+        whole-table delete). ``(txn_app, txn_version)`` makes the delete
+        idempotent under replay, like append/merge. Returns the committed
+        version. The rewrite is a non-append commit, so incremental
+        consumers (MV refresh, LSH index) correctly fall back to a rebuild."""
+        if txn_app is not None and txn_version is not None:
+            last = self.last_txn_version(txn_app)
+            if last is not None and txn_version <= last:
+                return self.latest_version()
+        base, commit = self._snapshot()
+        self._ensure_published(commit["live"])
+        live = list(commit["live"])
+        kept: list[str] = []
+        if prune_bounds:
+            rewrite = []
+            for d in live:
+                disjoint = False
+                for col, (lo, hi) in prune_bounds.items():
+                    bounds = self._dir_key_bounds(d, col, commit)
+                    try:
+                        if bounds is not None and (
+                            (hi is not None and bounds[0] > hi)
+                            or (lo is not None and bounds[1] < lo)
+                        ):
+                            disjoint = True
+                            break
+                    except TypeError:
+                        pass  # cross-type bounds: keep conservatively
+                (kept if disjoint else rewrite).append(d)
+            live = rewrite
+        if not live:  # every dir pruned: nothing can match
+            return base
+        remaining = self._read_dirs(
+            [str(self._root / d) for d in live],
+            commit.get("schema"),
+            commit.get("partition_by"),
+            commit.get("column_mapping"),
+        ).filter(f"NOT ({where}) OR ({where}) IS NULL")
+        rel = self._write_data_dir(
+            remaining, base + 1,
+            partition_by=commit.get("partition_by"),
+            mapping=self._mapping(commit),
+        )
+        rels = self._staged_rels(rel, commit.get("partition_by"))
+        extra: dict = {"delete_where": where, "schema": commit.get("schema")
+                       or remaining.schema.json()}
+        if kept:
+            extra["pruned_dirs_kept"] = len(kept)
+        if txn_app is not None and txn_version is not None:
+            extra["txn"] = {"app": txn_app, "version": txn_version}
+        return self._commit_staged(
+            "delete", [*kept, *rels], rels, extra, base, commit,
+            stats_cols=tuple(prune_bounds or ()),
+        )
+
+    def restore_to_timestamp(self, ts: float) -> int:
+        """RESTORE TABLE ... TO TIMESTAMP AS OF analog: restore the last
+        version committed at or before ``ts``."""
+        best = None
+        for v in self._versions():
+            if self._read_commit(v)["timestamp"] <= ts:
+                best = v
+        if best is None:
+            raise ValueError(f"no version at or before {ts}")
+        return self.restore(best)
+
     # ----------------------------------------------------------------- merge
     def _dir_key_bounds(self, rel: str, key: str, commit: dict | None = None):
         """(min, max) of ``key`` across a data dir — from, in order: the

@@ -1022,3 +1022,56 @@ def test_compact_target_mb_sizes_output_from_actual_bytes(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not both"):
         t.compact(target_partitions=2, target_mb=1)
+
+
+def test_delete_prunes_untouched_dirs_and_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE FROM analog (r5): stats-pruned copy-on-write — dirs whose key
+    range can't match survive VERBATIM; rows where the predicate is NULL are
+    kept (SQL delete semantics); replay with the same txn tag is a no-op."""
+    from pyspark.sql import functions as F
+
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    # three key-range-disjoint commits -> three dirs with logged stats
+    t.overwrite(spark.range(0, 100).select("id", (F.col("id") * 2.0).alias("v")))
+    t.append(spark.range(100, 200).select("id", (F.col("id") * 2.0).alias("v")))
+    t.append(
+        spark.createDataFrame([(200, None), (201, 402.0)], "id long, v double")
+    )
+    live_before = t._read_commit(t.latest_version())["live"]
+
+    v = t.delete("v > 300", prune_bounds={"id": (150, None)},
+                 txn_app="del", txn_version=1)
+    commit = t._read_commit(v)
+    assert commit["operation"] == "delete"
+    # the two dirs wholly below id=150 carried over untouched
+    assert set(live_before[:1]) < set(commit["live"])
+    assert commit.get("pruned_dirs_kept", 0) >= 1
+    got = t.read()
+    # v>300 matches ids 151..199 and 201; the NULL-v row (200) must survive
+    assert got.count() == 151 + 1
+    assert got.filter("id = 200").count() == 1
+    assert got.filter("v > 300").count() == 0
+    # time travel shows the pre-delete table
+    assert t.read(version=v - 1).count() == 202
+    # replayed batch: no-op
+    assert t.delete("v > 0", prune_bounds=None, txn_app="del", txn_version=1) == v
+    assert t.read().count() == 152
+
+
+def test_delete_everything_pruned_is_noop_and_restore_ts(spark, tmp_path):
+    import time as _time
+
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).toDF("id"))
+    v0 = t.latest_version()
+    ts_after_v0 = _time.time()
+    # bounds disjoint from all data: no commit at all
+    assert t.delete("id > 5", prune_bounds={"id": (1000, None)}) == v0
+    t.append(spark.range(10, 20).toDF("id"))
+    assert t.read().count() == 20
+    t.restore_to_timestamp(ts_after_v0)
+    assert t.read().count() == 10
