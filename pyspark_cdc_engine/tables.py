@@ -622,9 +622,14 @@ class DeltaliteTable:
         """Change Data Feed analog (``table_changes(t, from, to)`` —
         db/query_scd1_table.sql:157-158): rows added by each commit in
         ``(starting_version, ending_version]``, tagged with ``_change_type``
-        ('insert' — append-only CDF) and ``_commit_version``. Commits that only
-        rewrite data (compact/zorder/restore/merge) contribute nothing: their
-        dirs are physical reorganizations, not logical changes.
+        ('insert') and ``_commit_version``. DELETE commits additionally emit
+        their removed rows with ``_change_type='delete'`` — reconstructed
+        exactly by replaying the recorded predicate over the pre-delete dirs
+        the commit rewrote (the rows filtered out are precisely the deleted
+        set). Other rewriting commits (compact/zorder/restore/merge/update)
+        contribute nothing: physical reorganizations aren't logical changes,
+        and update/merge pre/post images are out of the append-only contract
+        (consumers like the incremental MV treat them as rebuild triggers).
 
         Every slice is read under the END version's schema + column mapping
         (not each commit's own): physical names are stable across renames, so
@@ -642,20 +647,39 @@ class DeltaliteTable:
                 continue
             commit = self._read_commit(v)
             added = [d for d in commit["live"] if d not in prev_live]
+            read_schema = end_commit.get("schema") or commit.get("schema")
+            read_mapping = (
+                end_commit.get("column_mapping")
+                if end_commit.get("schema")
+                else commit.get("column_mapping")
+            )
             if commit["operation"] in ("append", "overwrite") and added:
                 df = self._read_dirs(
                     [str(self._root / d) for d in added],
-                    end_commit.get("schema") or commit.get("schema"),
+                    read_schema,
                     commit.get("partition_by"),
-                    end_commit.get("column_mapping")
-                    if end_commit.get("schema")
-                    else commit.get("column_mapping"),
+                    read_mapping,
                 )
                 frames.append(
                     df.withColumn("_change_type", F.lit("insert")).withColumn(
                         "_commit_version", F.lit(v)
                     )
                 )
+            elif commit["operation"] == "delete" and commit.get("delete_where"):
+                replaced = [d for d in prev_live if d not in set(commit["live"])]
+                if replaced:
+                    where = commit["delete_where"]
+                    pre = self._read_dirs(
+                        [str(self._root / d) for d in replaced],
+                        read_schema,
+                        commit.get("partition_by"),
+                        read_mapping,
+                    )
+                    frames.append(
+                        pre.filter(where)
+                        .withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_version", F.lit(v))
+                    )
             prev_live = set(commit["live"])
         if not frames:
             raise ValueError(
@@ -1452,25 +1476,7 @@ class DeltaliteTable:
                 return self.latest_version()
         base, commit = self._snapshot()
         self._ensure_published(commit["live"])
-        live = list(commit["live"])
-        kept: list[str] = []
-        if prune_bounds:
-            rewrite = []
-            for d in live:
-                disjoint = False
-                for col, (lo, hi) in prune_bounds.items():
-                    bounds = self._dir_key_bounds(d, col, commit)
-                    try:
-                        if bounds is not None and (
-                            (hi is not None and bounds[0] > hi)
-                            or (lo is not None and bounds[1] < lo)
-                        ):
-                            disjoint = True
-                            break
-                    except TypeError:
-                        pass  # cross-type bounds: keep conservatively
-                (kept if disjoint else rewrite).append(d)
-            live = rewrite
+        live, kept = self._split_by_bounds(commit, prune_bounds)
         if not live:  # every dir pruned: nothing can match
             return base
         remaining = self._read_dirs(
@@ -1495,6 +1501,90 @@ class DeltaliteTable:
             "delete", [*kept, *rels], rels, extra, base, commit,
             stats_cols=tuple(prune_bounds or ()),
         )
+
+    def update(
+        self,
+        set: dict[str, str],
+        where: str,
+        prune_bounds: dict[str, tuple] | None = None,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
+        """UPDATE ... SET ... WHERE analog — the same stats-pruned
+        copy-on-write as :meth:`delete`: only dirs whose logged key ranges
+        can hold matching rows are rewritten; in them, rows where ``where``
+        is TRUE get the ``set`` expressions (SQL over the row's columns)
+        applied, every other row passes through byte-identical. Replay-
+        idempotent via ``(txn_app, txn_version)``. Completes the Delta DML
+        triad (UPDATE / DELETE / MERGE) on deltalite."""
+        if txn_app is not None and txn_version is not None:
+            last = self.last_txn_version(txn_app)
+            if last is not None and txn_version <= last:
+                return self.latest_version()
+        base, commit = self._snapshot()
+        self._ensure_published(commit["live"])
+        live, kept = self._split_by_bounds(commit, prune_bounds)
+        if not live:
+            return base
+        df = self._read_dirs(
+            [str(self._root / d) for d in live],
+            commit.get("schema"),
+            commit.get("partition_by"),
+            commit.get("column_mapping"),
+        )
+        cond = F.expr(where)
+        updated = df.select(
+            *[
+                F.when(cond, F.expr(set[c])).otherwise(F.col(c)).alias(c)
+                if c in set
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        self._validate(commit.get("constraints", {}), updated)
+        rel = self._write_data_dir(
+            updated, base + 1,
+            partition_by=commit.get("partition_by"),
+            mapping=self._mapping(commit),
+        )
+        rels = self._staged_rels(rel, commit.get("partition_by"))
+        extra: dict = {
+            "update_where": where,
+            "update_set": dict(set),
+            "schema": commit.get("schema") or updated.schema.json(),
+        }
+        if kept:
+            extra["pruned_dirs_kept"] = len(kept)
+        if txn_app is not None and txn_version is not None:
+            extra["txn"] = {"app": txn_app, "version": txn_version}
+        return self._commit_staged(
+            "update", [*kept, *rels], rels, extra, base, commit,
+            stats_cols=tuple(prune_bounds or ()),
+        )
+
+    def _split_by_bounds(
+        self, commit: dict, prune_bounds: dict[str, tuple] | None
+    ) -> tuple[list[str], list[str]]:
+        """(rewrite, kept) partition of the live dirs by stats disjointness."""
+        live = list(commit["live"])
+        if not prune_bounds:
+            return live, []
+        rewrite, kept = [], []
+        for d in live:
+            disjoint = False
+            for col, (lo, hi) in prune_bounds.items():
+                bounds = self._dir_key_bounds(d, col, commit)
+                try:
+                    if bounds is not None and (
+                        (hi is not None and bounds[0] > hi)
+                        or (lo is not None and bounds[1] < lo)
+                    ):
+                        disjoint = True
+                        break
+                except TypeError:
+                    pass
+            (kept if disjoint else rewrite).append(d)
+        return rewrite, kept
 
     def restore_to_timestamp(self, ts: float) -> int:
         """RESTORE TABLE ... TO TIMESTAMP AS OF analog: restore the last

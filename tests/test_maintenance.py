@@ -1075,3 +1075,37 @@ def test_delete_everything_pruned_is_noop_and_restore_ts(spark, tmp_path):
     assert t.read().count() == 20
     t.restore_to_timestamp(ts_after_v0)
     assert t.read().count() == 10
+
+
+def test_update_analog_and_cdf_delete_rows(spark, tmp_path):
+    """UPDATE SET WHERE with stats pruning + the change feed emitting the
+    exact deleted rows for delete commits."""
+    from pyspark.sql import functions as F
+
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(0, 50).select("id", (F.col("id") * 1.0).alias("v")))
+    t.append(spark.range(50, 100).select("id", (F.col("id") * 1.0).alias("v")))
+    v_seed = t.latest_version()
+    live_before = t._read_commit(v_seed)["live"]
+
+    v_up = t.update({"v": "v + 1000"}, "id >= 90", prune_bounds={"id": (90, None)})
+    commit = t._read_commit(v_up)
+    assert commit["operation"] == "update"
+    assert commit.get("pruned_dirs_kept") == 1  # the 0..49 dir untouched
+    assert live_before[0] in commit["live"]
+    got = t.read()
+    assert got.filter("id >= 90 AND v < 1000").count() == 0
+    assert got.filter("id < 90 AND v >= 1000").count() == 0
+    assert got.count() == 100
+    # replay no-op
+    t.update({"v": "0.0"}, "id >= 0", txn_app="u", txn_version=1)
+    assert t.update({"v": "-1.0"}, "id >= 0", txn_app="u", txn_version=1) \
+        == t.latest_version()
+
+    v_del = t.delete("id BETWEEN 95 AND 97")
+    feed = t.read_changes(v_del - 1, v_del)
+    dels = feed.filter("_change_type = 'delete'")
+    assert sorted(r.id for r in dels.collect()) == [95, 96, 97]
+    assert t.read().count() == 97
