@@ -354,3 +354,51 @@ def test_column_mapping_random_program_matches_model(spark, tmp_path_factory, op
     assert got.columns == cols
     got_rows = {r["id"]: r.asDict() for r in got.collect()}
     assert got_rows == rows
+
+
+# ------------------------------------------------------- DML model check (r5)
+
+_dml_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(1, 3)),
+    st.tuples(st.just("delete"), st.integers(0, 120), st.integers(1, 40)),
+    st.tuples(st.just("update"), st.integers(0, 120), st.integers(1, 40),
+              st.integers(1, 9)),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_dml_op, min_size=1, max_size=5))
+def test_dml_random_program_matches_model(spark, tmp_path_factory, ops):
+    """delete/update/append in any order must leave the table exactly equal
+    to a plain-Python dict model — including prune_bounds pruning, which must
+    never change results (only IO)."""
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    tmp = tmp_path_factory.mktemp("dml")
+    t = DeltaliteTable(spark, str(tmp / "t"))
+    rows = {i: i * 10 for i in range(20)}  # id -> v
+    t.overwrite(
+        spark.createDataFrame([(k, v) for k, v in rows.items()], "id long, v long")
+    )
+    next_id = 100
+    for op in ops:
+        if op[0] == "append":
+            new = {next_id + j: (next_id + j) * 10 for j in range(op[1])}
+            next_id += op[1]
+            t.append(spark.createDataFrame(list(new.items()), "id long, v long"))
+            rows.update(new)
+        elif op[0] == "delete":
+            lo, width = op[1], op[2]
+            t.delete(f"id BETWEEN {lo} AND {lo + width}",
+                     prune_bounds={"id": (lo, lo + width)})
+            rows = {k: v for k, v in rows.items() if not (lo <= k <= lo + width)}
+        else:
+            lo, width, bump = op[1], op[2], op[3]
+            t.update({"v": f"v + {bump}"}, f"id BETWEEN {lo} AND {lo + width}",
+                     prune_bounds={"id": (lo, lo + width)})
+            rows = {k: (v + bump if lo <= k <= lo + width else v)
+                    for k, v in rows.items()}
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == rows
