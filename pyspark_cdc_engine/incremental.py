@@ -107,8 +107,14 @@ class IncrementalAggregate:
         since = self.last_refreshed_version()
         if since >= upto:
             return since  # nothing new
+        # log-only commits (schema evolution, analyze, refresh markers) and
+        # physical reorganizations change no rows — only genuine history
+        # rewrites (overwrite/merge/restore/delete/update) force a rebuild
         incremental_safe = since >= 0 and all(
-            c["operation"] in ("append", "compact", "zorder", "analyze")
+            c["operation"] in (
+                "append", "compact", "zorder", "analyze",
+                "rename_column", "drop_column", "add_column", "refresh",
+            )
             for c in self.base.history()
             if since < c["version"] <= upto
         )

@@ -253,3 +253,8 @@ def test_incremental_aggregate_survives_rename_of_key(spark, tmp_path):
     mv.refresh()
     got = {r.grp: (r.cnt, r.sum_amt) for r in mv.read().collect()}
     assert got == {"a": (2, 15.0), "b": (1, 20.0)}
+    # the log-only rename must NOT have forced a snapshot rebuild: the fold
+    # landed as an O(delta) merge, not an overwrite
+    fold_ops = [c["operation"] for c in mv.summary.history()
+                if c["operation"] not in ("refresh",)]
+    assert "merge" in fold_ops[:2]
