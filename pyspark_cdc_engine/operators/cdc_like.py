@@ -259,3 +259,38 @@ def array_merge_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, e) -> CAST(acc + CAST(e.qty AS DECIMAL(28,6)) AS DECIMAL(28,6))) AS DOUBLE)"
         ).alias("qty_total"),
     )
+
+
+@register(
+    "dml_orders_scenario",
+    survey="§2.12,J4,F18,beyond-ref",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           CASE WHEN o_orderstatus = 'P'
+                THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 1000)
+    """,
+)
+def dml_orders_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deltalite DML triad under driver certification (the same pattern
+    version_merge_batch uses for MERGE): materialize orders as a deltalite
+    table, run a stats-pruned DELETE (drop cheap finished orders) then an
+    UPDATE (reprice pending orders), and return the final state — which must
+    equal the oracle's one-shot SQL over the raw table. Both mutations use
+    the real copy-on-write path (commit log, staged publish, constraint
+    validation); the reprice multiply is one IEEE expression over identical
+    inputs, so values certify bit-exact."""
+    from pyspark_cdc_engine.operators.dedup_incremental import _fresh_scratch_dir
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = _fresh_scratch_dir(f"dml:{sf_dir}")
+    t = DeltaliteTable(spark, f"{tmp}/orders_dml")
+    t.overwrite(o)
+    t.delete("o_orderstatus = 'F' AND o_totalprice < 1000")
+    t.update({"o_totalprice": "o_totalprice * 1.1"}, "o_orderstatus = 'P'")
+    return t.read()
