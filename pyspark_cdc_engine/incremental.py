@@ -26,6 +26,45 @@ from pyspark.sql import functions as F
 
 from pyspark_cdc_engine.tables import DeltaliteTable, MergeClause
 
+# Operations that change no rows: physical reorganizations and log-only
+# commits. Schema commits are only safe for a given consumer when they don't
+# touch a column it references (see incremental_fold_safe).
+_ROW_PRESERVING_OPS = (
+    "append", "compact", "zorder", "analyze",
+    "rename_column", "drop_column", "add_column", "refresh",
+)
+_SCHEMA_OPS = ("rename_column", "drop_column", "add_column")
+
+
+def _schema_commit_touches(commit: dict, referenced: set[str]) -> bool:
+    op = commit["operation"]
+    if op == "rename_column":
+        rc = commit.get("renamed_column") or {}
+        return rc.get("from") in referenced or rc.get("to") in referenced
+    if op == "drop_column":
+        return commit.get("dropped_column") in referenced
+    if op == "add_column":
+        # a re-added name shadows retired bytes for THIS consumer's column:
+        # folding across it would mix old and new physical columns
+        return commit.get("added_column") in referenced
+    return False
+
+
+def incremental_fold_safe(
+    history: list[dict], since: int, upto: int, referenced: set[str]
+) -> bool:
+    """True iff every commit in (since, upto] preserves rows AND no schema
+    commit renames/drops/re-adds a column the consumer references — the
+    condition under which additive folding equals a full rebuild."""
+    for c in history:
+        if not (since < c["version"] <= upto):
+            continue
+        if c["operation"] not in _ROW_PRESERVING_OPS:
+            return False
+        if c["operation"] in _SCHEMA_OPS and _schema_commit_touches(c, referenced):
+            return False
+    return True
+
 
 class IncrementalAggregate:
     """Maintains ``SELECT keys, COUNT(*), SUM(cols)... GROUP BY keys`` over a
@@ -107,16 +146,13 @@ class IncrementalAggregate:
         since = self.last_refreshed_version()
         if since >= upto:
             return since  # nothing new
-        # log-only commits (schema evolution, analyze, refresh markers) and
-        # physical reorganizations change no rows — only genuine history
-        # rewrites (overwrite/merge/restore/delete/update) force a rebuild
-        incremental_safe = since >= 0 and all(
-            c["operation"] in (
-                "append", "compact", "zorder", "analyze",
-                "rename_column", "drop_column", "add_column", "refresh",
-            )
-            for c in self.base.history()
-            if since < c["version"] <= upto
+        # Row-preserving commits fold incrementally; genuine history rewrites
+        # — and schema commits touching a column THIS aggregate references
+        # (a dropped-then-re-added sum column would mix old and new physical
+        # columns) — force a rebuild.
+        incremental_safe = since >= 0 and incremental_fold_safe(
+            self.base.history(), since, upto,
+            set(self.keys) | set(self.sum_cols),
         )
         # Crash-idempotency: the fold lands in one commit, the watermark in a
         # second. Every fold commit carries (txn_app, txn_version=upto);

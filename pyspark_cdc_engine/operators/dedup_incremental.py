@@ -91,16 +91,12 @@ class IncrementalLshIndex:
         since = self.last_refreshed_version()
         if since >= upto:
             return since
-        # log-only commits (schema evolution, analyze, refresh markers) and
-        # physical reorganizations change no rows — only genuine history
-        # rewrites (overwrite/merge/restore/delete/update) force a rebuild
-        incremental_safe = since >= 0 and all(
-            c["operation"] in (
-                "append", "compact", "zorder", "analyze",
-                "rename_column", "drop_column", "add_column", "refresh",
-            )
-            for c in self.base.history()
-            if since < c["version"] <= upto
+        from pyspark_cdc_engine.incremental import incremental_fold_safe
+
+        # Row-preserving commits fold incrementally; history rewrites — and
+        # schema commits touching the columns the index reads — rebuild.
+        incremental_safe = since >= 0 and incremental_fold_safe(
+            self.base.history(), since, upto, {"doc_id", "text"}
         )
         txn_app = self._txn_app
         if not incremental_safe:

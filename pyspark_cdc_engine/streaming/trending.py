@@ -91,7 +91,8 @@ def trending_terms_stream(
         else:
             counters, n_seen = {}, 0
         for pdf in pdfs:
-            vals = pdf[term_col]
+            vals = pdf[term_col].dropna()  # null terms are absent fields, not
+            # items: they must not consume a counter slot or rank in the top-k
             n_seen += len(vals)
             _fold_mg(counters, vals, k)
         state.update((list(counters), [int(v) for v in counters.values()], n_seen))

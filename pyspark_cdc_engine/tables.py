@@ -602,15 +602,18 @@ class DeltaliteTable:
             )
         )
 
-    def read_as_of_timestamp(self, ts: float) -> DataFrame:
-        """TIMESTAMP AS OF analog: last version committed at or before ``ts``."""
+    def _version_at_or_before(self, ts: float) -> int:
         best = None
         for v in self._versions():
             if self._read_commit(v)["timestamp"] <= ts:
                 best = v
         if best is None:
             raise ValueError(f"no version at or before {ts}")
-        return self.read(version=best)
+        return best
+
+    def read_as_of_timestamp(self, ts: float) -> DataFrame:
+        """TIMESTAMP AS OF analog: last version committed at or before ``ts``."""
+        return self.read(version=self._version_at_or_before(ts))
 
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY analog (newest first)."""
@@ -637,7 +640,10 @@ class DeltaliteTable:
         logical names — the current ones — instead of failing to union
         per-commit frames with mismatched columns."""
         end = self.latest_version() if ending_version is None else ending_version
-        end_commit = self._read_commit(end)
+        # an end beyond the latest commit clamps (the pre-r5 iteration did so
+        # implicitly): watermark pollers pass target versions that may not
+        # exist yet
+        end_commit = self._read_commit(min(end, self.latest_version()))
         frames = []
         prev_live: set[str] = set(
             self._read_commit(starting_version)["live"]
@@ -668,16 +674,22 @@ class DeltaliteTable:
             elif commit["operation"] == "delete" and commit.get("delete_where"):
                 replaced = [d for d in prev_live if d not in set(commit["live"])]
                 if replaced:
-                    where = commit["delete_where"]
+                    # the predicate was recorded against THIS commit's logical
+                    # names — evaluate it under them (a later rename would make
+                    # end-schema evaluation unresolvable, or worse, bind a
+                    # reused name to the wrong column), then project to the
+                    # END version's names by stable physical identity
                     pre = self._read_dirs(
                         [str(self._root / d) for d in replaced],
-                        read_schema,
+                        commit.get("schema"),
                         commit.get("partition_by"),
-                        read_mapping,
+                        commit.get("column_mapping"),
+                    ).filter(commit["delete_where"])
+                    pre = self._project_to_schema(
+                        pre, commit, end_commit if end_commit.get("schema") else commit
                     )
                     frames.append(
-                        pre.filter(where)
-                        .withColumn("_change_type", F.lit("delete"))
+                        pre.withColumn("_change_type", F.lit("delete"))
                         .withColumn("_commit_version", F.lit(v))
                     )
             prev_live = set(commit["live"])
@@ -689,6 +701,34 @@ class DeltaliteTable:
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+
+    def _project_to_schema(self, df: DataFrame, from_commit: dict, to_commit: dict) -> DataFrame:
+        """Rename/project a frame read under ``from_commit``'s logical names
+        to ``to_commit``'s, matching columns by their STABLE PHYSICAL names
+        (column mapping): renamed columns carry over, columns added later
+        surface as typed nulls, columns dropped later are projected away."""
+        if not from_commit.get("schema") or not to_commit.get("schema") or (
+            from_commit.get("schema") == to_commit.get("schema")
+            and from_commit.get("column_mapping") == to_commit.get("column_mapping")
+        ):
+            return df
+        from pyspark.sql.types import StructType
+
+        schema_from = StructType.fromJson(json.loads(from_commit["schema"]))
+        schema_to = StructType.fromJson(json.loads(to_commit["schema"]))
+        map_from = self._mapping(from_commit)
+        map_to = self._mapping(to_commit)
+        logical_from_by_phys = {
+            map_from.get(f.name, f.name): f.name for f in schema_from.fields
+        }
+        cols = []
+        for f in schema_to.fields:
+            src = logical_from_by_phys.get(map_to.get(f.name, f.name))
+            if src is not None:
+                cols.append(F.col(src).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
 
     def clone_to(self, dest_path: str) -> "DeltaliteTable":
         """SHALLOW CLONE analog (db/table_maintenance.sql:85-92): the clone's
@@ -1181,6 +1221,8 @@ class DeltaliteTable:
         ``maintenance.table_health`` is the matching probe)."""
         if target_mb is not None and target_partitions is not None:
             raise ValueError("pass target_partitions or target_mb, not both")
+        if target_mb is not None and target_mb <= 0:
+            raise ValueError(f"target_mb must be positive, got {target_mb}")
         base, commit = self._snapshot()
         spec = commit.get("partition_by")
         live = list(commit["live"])
@@ -1313,12 +1355,12 @@ class DeltaliteTable:
                     ).cast("int"),
                 ),
             )
+            bucket64 = bucket.cast("long")  # int shiftleft wraps at bit 31:
+            # 4+ keys put bits at positions >= 31, so shift in 64-bit space
             for i in range(self._Z_BITS):
-                z = z + (
-                    F.shiftleft(
-                        F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
-                        i * len(cols) + j,
-                    ).cast("long")
+                z = z + F.shiftleft(
+                    F.shiftright(bucket64, i).bitwiseAND(F.lit(1).cast("long")),
+                    i * len(cols) + j,
                 )
         return z
 
@@ -1449,6 +1491,59 @@ class DeltaliteTable:
                 shutil.rmtree(self._root / rel, ignore_errors=True)
         return dead
 
+    def _dml_rewrite(
+        self,
+        op: str,
+        transform,
+        op_extra: dict,
+        prune_bounds: dict[str, tuple] | None,
+        txn_app: str | None,
+        txn_version: int | None,
+        validate: bool = False,
+    ) -> int:
+        """Shared DML scaffolding for :meth:`delete` / :meth:`update`: txn
+        replay guard, snapshot, stats-based dir split, read of the rewrite
+        set, ``transform`` over it, staged write + commit with carried stats.
+        Keeping this in ONE place means the replay guard, the all-pruned
+        early return, and the ``stats_cols`` wiring cannot drift between the
+        two operations."""
+        if txn_app is not None and txn_version is not None:
+            last = self.last_txn_version(txn_app)
+            if last is not None and txn_version <= last:
+                return self.latest_version()
+        base, commit = self._snapshot()
+        self._ensure_published(commit["live"])
+        live, kept = self._split_by_bounds(commit, prune_bounds)
+        if not live:  # every dir pruned: nothing can match
+            return base
+        df = self._read_dirs(
+            [str(self._root / d) for d in live],
+            commit.get("schema"),
+            commit.get("partition_by"),
+            commit.get("column_mapping"),
+        )
+        out = transform(df)
+        if validate:
+            self._validate(commit.get("constraints", {}), out)
+        rel = self._write_data_dir(
+            out, base + 1,
+            partition_by=commit.get("partition_by"),
+            mapping=self._mapping(commit),
+        )
+        rels = self._staged_rels(rel, commit.get("partition_by"))
+        extra: dict = {
+            **op_extra,
+            "schema": commit.get("schema") or out.schema.json(),
+        }
+        if kept:
+            extra["pruned_dirs_kept"] = len(kept)
+        if txn_app is not None and txn_version is not None:
+            extra["txn"] = {"app": txn_app, "version": txn_version}
+        return self._commit_staged(
+            op, [*kept, *rels], rels, extra, base, commit,
+            stats_cols=tuple(prune_bounds or ()),
+        )
+
     def delete(
         self,
         where: str,
@@ -1466,40 +1561,18 @@ class DeltaliteTable:
         or rewritten. Sound for ANY ``where`` because kept dirs contain no
         matching rows by the bounds promise, and unmatched rows pass through
         a delete unchanged. Without bounds, every dir is rewritten (the
-        whole-table delete). ``(txn_app, txn_version)`` makes the delete
-        idempotent under replay, like append/merge. Returns the committed
-        version. The rewrite is a non-append commit, so incremental
-        consumers (MV refresh, LSH index) correctly fall back to a rebuild."""
-        if txn_app is not None and txn_version is not None:
-            last = self.last_txn_version(txn_app)
-            if last is not None and txn_version <= last:
-                return self.latest_version()
-        base, commit = self._snapshot()
-        self._ensure_published(commit["live"])
-        live, kept = self._split_by_bounds(commit, prune_bounds)
-        if not live:  # every dir pruned: nothing can match
-            return base
-        remaining = self._read_dirs(
-            [str(self._root / d) for d in live],
-            commit.get("schema"),
-            commit.get("partition_by"),
-            commit.get("column_mapping"),
-        ).filter(f"NOT ({where}) OR ({where}) IS NULL")
-        rel = self._write_data_dir(
-            remaining, base + 1,
-            partition_by=commit.get("partition_by"),
-            mapping=self._mapping(commit),
-        )
-        rels = self._staged_rels(rel, commit.get("partition_by"))
-        extra: dict = {"delete_where": where, "schema": commit.get("schema")
-                       or remaining.schema.json()}
-        if kept:
-            extra["pruned_dirs_kept"] = len(kept)
-        if txn_app is not None and txn_version is not None:
-            extra["txn"] = {"app": txn_app, "version": txn_version}
-        return self._commit_staged(
-            "delete", [*kept, *rels], rels, extra, base, commit,
-            stats_cols=tuple(prune_bounds or ()),
+        whole-table delete). Rows where the predicate is NULL are KEPT (SQL
+        delete semantics). ``(txn_app, txn_version)`` makes the delete
+        idempotent under replay, like append/merge. The rewrite is a
+        non-append commit, so incremental consumers fall back to a rebuild;
+        :meth:`read_changes` reconstructs the removed rows exactly."""
+        return self._dml_rewrite(
+            "delete",
+            lambda df: df.filter(f"NOT ({where}) OR ({where}) IS NULL"),
+            {"delete_where": where},
+            prune_bounds,
+            txn_app,
+            txn_version,
         )
 
     def update(
@@ -1514,52 +1587,34 @@ class DeltaliteTable:
         copy-on-write as :meth:`delete`: only dirs whose logged key ranges
         can hold matching rows are rewritten; in them, rows where ``where``
         is TRUE get the ``set`` expressions (SQL over the row's columns)
-        applied, every other row passes through byte-identical. Replay-
-        idempotent via ``(txn_app, txn_version)``. Completes the Delta DML
-        triad (UPDATE / DELETE / MERGE) on deltalite."""
-        if txn_app is not None and txn_version is not None:
-            last = self.last_txn_version(txn_app)
-            if last is not None and txn_version <= last:
-                return self.latest_version()
-        base, commit = self._snapshot()
-        self._ensure_published(commit["live"])
-        live, kept = self._split_by_bounds(commit, prune_bounds)
-        if not live:
-            return base
-        df = self._read_dirs(
-            [str(self._root / d) for d in live],
-            commit.get("schema"),
-            commit.get("partition_by"),
-            commit.get("column_mapping"),
-        )
-        cond = F.expr(where)
-        updated = df.select(
-            *[
-                F.when(cond, F.expr(set[c])).otherwise(F.col(c)).alias(c)
-                if c in set
-                else F.col(c)
-                for c in df.columns
-            ]
-        )
-        self._validate(commit.get("constraints", {}), updated)
-        rel = self._write_data_dir(
-            updated, base + 1,
-            partition_by=commit.get("partition_by"),
-            mapping=self._mapping(commit),
-        )
-        rels = self._staged_rels(rel, commit.get("partition_by"))
-        extra: dict = {
-            "update_where": where,
-            "update_set": dict(set),
-            "schema": commit.get("schema") or updated.schema.json(),
-        }
-        if kept:
-            extra["pruned_dirs_kept"] = len(kept)
-        if txn_app is not None and txn_version is not None:
-            extra["txn"] = {"app": txn_app, "version": txn_version}
-        return self._commit_staged(
-            "update", [*kept, *rels], rels, extra, base, commit,
-            stats_cols=tuple(prune_bounds or ()),
+        applied — CAST to the column's existing type, Delta semantics, so a
+        widening expression can't write files the logged schema cannot read
+        — and every other row passes through byte-identical. CHECK
+        constraints validate the rewrite. Replay-idempotent via
+        ``(txn_app, txn_version)``. Completes the Delta DML triad
+        (UPDATE / DELETE / MERGE) on deltalite."""
+
+        def _apply(df: DataFrame) -> DataFrame:
+            cond = F.expr(where)
+            return df.select(
+                *[
+                    F.when(cond, F.expr(set[c]).cast(df.schema[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        return self._dml_rewrite(
+            "update",
+            _apply,
+            {"update_where": where, "update_set": dict(set)},
+            prune_bounds,
+            txn_app,
+            txn_version,
+            validate=True,
         )
 
     def _split_by_bounds(
@@ -1589,13 +1644,7 @@ class DeltaliteTable:
     def restore_to_timestamp(self, ts: float) -> int:
         """RESTORE TABLE ... TO TIMESTAMP AS OF analog: restore the last
         version committed at or before ``ts``."""
-        best = None
-        for v in self._versions():
-            if self._read_commit(v)["timestamp"] <= ts:
-                best = v
-        if best is None:
-            raise ValueError(f"no version at or before {ts}")
-        return self.restore(best)
+        return self.restore(self._version_at_or_before(ts))
 
     # ----------------------------------------------------------------- merge
     def _dir_key_bounds(self, rel: str, key: str, commit: dict | None = None):

@@ -258,3 +258,29 @@ def test_incremental_aggregate_survives_rename_of_key(spark, tmp_path):
     fold_ops = [c["operation"] for c in mv.summary.history()
                 if c["operation"] not in ("refresh",)]
     assert "merge" in fold_ops[:2]
+
+
+def test_incremental_rebuilds_when_schema_commit_touches_its_columns(
+    spark, tmp_path
+):
+    """Review r5b: drop-then-re-add of a SUMMED column must force a rebuild —
+    additive folding across the shadowing would mix old and new physical
+    columns and silently diverge from the MV's definition."""
+    from pyspark.sql import functions as F
+
+    from pyspark_cdc_engine.incremental import IncrementalAggregate
+
+    t = DeltaliteTable(spark, str(tmp_path / "base"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["id", "grp", "amt"]))
+    mv = IncrementalAggregate(spark, t, str(tmp_path / "mv"), ["grp"], ["amt"])
+    mv.refresh()
+    t.drop_column("amt")
+    t.add_column("amt", "double")  # fresh physical column: old rows read null
+    t.append(spark.createDataFrame([(3, "a", 5.0)], ["id", "grp", "amt"]))
+    mv.refresh()
+    got = {r.grp: (r.cnt, r.sum_amt) for r in mv.read().collect()}
+    # rebuild semantics: old rows' amt is NULL now, only the new row sums
+    assert got == {"a": (2, 5.0), "b": (1, None)}
+    ops = [c["operation"] for c in mv.summary.history() if c["operation"] != "refresh"]
+    assert ops[0] == "overwrite"  # the fold was a rebuild, not a merge

@@ -1109,3 +1109,74 @@ def test_update_analog_and_cdf_delete_rows(spark, tmp_path):
     dels = feed.filter("_change_type = 'delete'")
     assert sorted(r.id for r in dels.collect()) == [95, 96, 97]
     assert t.read().count() == 97
+
+
+def test_update_widening_set_expression_stays_readable(spark, tmp_path):
+    """Review r5b: a SET expression that would widen the column type (v+0.5 on
+    LONG) must cast back to the column's type — otherwise the logged schema
+    can no longer read the rewritten files."""
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).selectExpr("id", "id AS v"))
+    t.update({"v": "v + 0.5"}, "id = 1")
+    got = t.read()  # would throw on a schema/file type mismatch
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert got.filter("id = 1").first().v == 1  # 1 + 0.5 cast back to long
+    assert got.count() == 10
+
+
+def test_change_feed_delete_rows_survive_later_rename(spark, tmp_path):
+    """Review r5b: the recorded delete predicate binds to the DELETE commit's
+    own column names; a later rename must neither crash the feed nor bind the
+    predicate to the wrong column — and the emitted rows surface under the
+    END version's names."""
+    from pyspark.sql import functions as F
+
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).select("id", (F.col("id") * 1.0).alias("amount")))
+    v_del = t.delete("amount < 3.0")
+    t.rename_column("amount", "amt")
+    feed = t.read_changes(0)
+    assert "amt" in feed.columns and "amount" not in feed.columns
+    dels = feed.filter("_change_type = 'delete'")
+    assert sorted(r.id for r in dels.collect()) == [0, 1, 2]
+    assert sorted(r.amt for r in dels.collect()) == [0.0, 1.0, 2.0]
+    # and an end bound beyond the latest commit clamps instead of crashing
+    assert t.read_changes(0, t.latest_version() + 5).count() == feed.count()
+
+
+def test_zorder_four_keys_no_bit_overflow(spark, tmp_path):
+    """Review r5b: bit positions >= 31 (4+ keys x 8 bits) must shift in
+    64-bit space — pruning on the LAST key still works and no z-value goes
+    negative through an int overflow."""
+    import itertools
+
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "z4"))
+    rows = [
+        (a, b, c, d)
+        for a, b, c, d in itertools.product(range(8), range(8), range(8), range(8))
+    ]
+    t.overwrite(spark.createDataFrame(rows, "a int, b int, c int, d int"))
+    v = t.zorder_by("a", "b", "c", "d", target_partitions=16)
+    n_dirs = len(t._read_commit(v)["live"])
+    for key in ("a", "d"):
+        df = t.scan(key_bounds={key: (0, 1)})
+        dirs = {f.rsplit("/", 1)[0] for f in df.inputFiles()}
+        assert len(dirs) < n_dirs, f"no pruning on {key}"
+        assert df.count() == 2 * 8 * 8 * 8
+
+
+def test_compact_target_mb_zero_rejected(spark, tmp_path):
+    import pytest
+
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(5).toDF("id"))
+    with pytest.raises(ValueError, match="positive"):
+        t.compact(target_mb=0)

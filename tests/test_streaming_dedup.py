@@ -134,3 +134,34 @@ def test_trending_terms_state_survives_micro_batches(spark, tmp_path):
         for r in b:
             per_key.setdefault(r.key, []).append(r.rank)
         assert all(ranks == list(range(1, len(ranks) + 1)) for ranks in per_key.values())
+
+
+def test_trending_terms_ignore_null_terms(spark, tmp_path):
+    """Review r5b: null terms are absent fields, not items — they must not
+    consume a counter slot, inflate n_seen, or appear in the top-k."""
+    import json
+
+    from pyspark_cdc_engine.streaming.trending import trending_terms_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "b0.json", "w") as fh:
+        for t in ["x", "x", None, "y", None]:
+            fh.write(json.dumps({"k": "A", "term": t}) + "\n")
+    stream = spark.readStream.schema("k string, term string").json(str(src))
+    out = trending_terms_stream(stream, "k", "term", k=2, top=3)
+    rows: list = []
+
+    def sink(df, bid):
+        rows.extend(df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r.term for r in rows} == {"x", "y"}
+    assert all(r.n_seen == 3 for r in rows)
