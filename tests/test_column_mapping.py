@@ -284,3 +284,26 @@ def test_incremental_rebuilds_when_schema_commit_touches_its_columns(
     assert got == {"a": (2, 5.0), "b": (1, None)}
     ops = [c["operation"] for c in mv.summary.history() if c["operation"] != "refresh"]
     assert ops[0] == "overwrite"  # the fold was a rebuild, not a merge
+
+
+def test_dml_after_rename_reads_and_writes_physical_names(spark, tmp_path):
+    """DELETE/UPDATE on a renamed column must read physical names and write
+    them back — the full DML x column-mapping matrix."""
+    t = _mk(spark, tmp_path / "t")  # (order_id, total_amount, status)
+    t.rename_column("total_amount", "grand_total")
+    t.update({"grand_total": "grand_total + 1.0"}, "order_id = 0")
+    t.delete("grand_total > 35.0")  # drops order_id 4 (40.5)
+    got = t.read()
+    assert got.columns == ["order_id", "grand_total", "status"]
+    vals = {r.order_id: r.grand_total for r in got.collect()}
+    assert vals == {0: 1.5, 1: 10.5, 2: 20.5, 3: 30.5}
+    # new files still carry the PHYSICAL name
+    import pyarrow.parquet as pq
+
+    latest = t._read_commit(t.latest_version())["live"][-1]
+    f = next((t._root / latest).rglob("*.parquet"))
+    names = pq.ParquetFile(f).schema_arrow.names
+    assert "total_amount" in names and "grand_total" not in names
+    # and the change feed reconstructs the deleted row under current names
+    feed = t.read_changes(0).filter("_change_type = 'delete'")
+    assert [r.order_id for r in feed.collect()] == [4]
