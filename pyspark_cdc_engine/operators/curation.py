@@ -728,3 +728,46 @@ def bm25_odds_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "score"
     )
+
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate")
+
+
+@register(
+    "column_profile_report",
+    survey="A2,U2,beyond-ref",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+               COUNT(*) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct
+        FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def column_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling (the warehouse PROFILE/describe-extended
+    staple): row, null, and exact distinct counts per audited column, one
+    output row per column. All counts integer-exact. Plan: ONE pass over the
+    table computing every column's aggregates together (count_distinct per
+    column in a single hash-aggregate stage — not one scan per column; the
+    oracle's UNION ALL formulation is the semantic spec, not the plan),
+    then a literal-keyed unpivot of the single aggregate row."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    row = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__rows`, `{c}__nulls`, `{c}__distinct`" for c in _PROFILE_COLS
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            f"(column_name, n_rows, n_nulls, n_distinct)"
+        )
+    )
