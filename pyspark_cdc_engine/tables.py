@@ -800,12 +800,19 @@ class DeltaliteTable:
         "float": 10, "double": 11,
     }
 
-    def _evolved_schema(self, df: DataFrame, merge_schema: bool):
+    def _evolved_schema(self, df: DataFrame, merge_schema: bool, commit: dict | None = None):
         """Schema enforcement + evolution (Delta mergeSchema/autoMerge analog,
         db/schema_evolution.sql:115-127): same-name fields must keep their type
         (narrower numerics are safely widened on write); new columns require
         ``merge_schema=True`` and are appended. Returns (log schema, df cast to
-        it) — files on disk always match the log schema exactly."""
+        it, column-mapping update or None) — files on disk always match the
+        log schema exactly.
+
+        A merge-schema column whose name collides with a PHYSICAL name still
+        present in old files (a renamed-away or dropped column) gets a fresh
+        generated physical name — the same guard :meth:`add_column` applies —
+        so old bytes can never resurface under the new logical column and the
+        scan schema never holds duplicate physical fields."""
         current = self.schema() or self.read().schema
         cur_fields = {f.name: f for f in current.fields}
         rank = self._WIDENING_RANK
@@ -847,7 +854,19 @@ class DeltaliteTable:
                     for c in df.columns
                 ]
             )
-        return schema, df
+        cm_update = None
+        if new_fields:
+            mapping = self._mapping(commit)
+            phys_in_use = (
+                {mapping.get(f.name, f.name) for f in current.fields}
+                | set(mapping.values())
+                | set((commit or {}).get("retired_physical") or [])
+            )
+            for f in new_fields:
+                if f.name in phys_in_use:
+                    mapping[f.name] = f"col-{uuid.uuid4().hex[:8]}"
+                    cm_update = mapping
+        return schema, df, cm_update
 
     # ----------------------------------------------------------- constraints
     def constraints(self) -> dict[str, str]:
@@ -940,17 +959,19 @@ class DeltaliteTable:
                 f"spec to {partition_by} — use overwrite(partition_by=...)"
             )
         if base >= 0:
-            schema, df = self._evolved_schema(df, merge_schema)
+            schema, df, cm_update = self._evolved_schema(df, merge_schema, commit)
             self._validate(commit.get("constraints", {}), df)
         else:
-            schema = df.schema
+            schema, cm_update = df.schema, None
         prev = commit.get("live", [])
         rel = self._write_data_dir(
             df, base + 1, partition_by=spec,
-            mapping=self._mapping(commit) if base >= 0 else None,
+            mapping=(cm_update or self._mapping(commit)) if base >= 0 else None,
         )
         rels = self._staged_rels(rel, spec)
         extra: dict = {"schema": schema.json()}
+        if cm_update is not None:
+            extra["column_mapping"] = cm_update
         if spec:
             extra["partition_by"] = list(spec)
         if txn_app is not None and txn_version is not None:
@@ -1030,12 +1051,31 @@ class DeltaliteTable:
             )
         if base >= 0:
             self._validate(commit.get("constraints", {}), df)
+        # Overwrite replaces every live file, so the mapping is PRUNED to the
+        # new schema's logical names (dangling entries for vanished columns
+        # would otherwise collide with a later add_column of the same name —
+        # two logicals on one physical, every read failing) and the retired
+        # set resets — no old file remains whose bytes a name-reuse could
+        # resurrect. An entry is also dropped when its physical name is
+        # claimed by another (identity-named) column of the new frame, which
+        # would write duplicate physical fields into one parquet schema.
+        new_names = set(df.columns)
+        pruned = {
+            logical: phys
+            for logical, phys in mapped.items()
+            if logical in new_names and not (phys in new_names and phys != logical)
+        }
         rel = self._write_data_dir(
             df, base + 1, partition_by=spec,
-            mapping=self._mapping(commit) if base >= 0 else None,
+            mapping=pruned if base >= 0 else None,
         )
         rels = self._staged_rels(rel, spec)
-        extra: dict = {"schema": df.schema.json(), "partition_by": list(spec or [])}
+        extra: dict = {
+            "schema": df.schema.json(),
+            "partition_by": list(spec or []),
+            "column_mapping": pruned,
+            "retired_physical": [],
+        }
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
         return self._commit_staged("overwrite", rels, rels, extra, base, commit)
@@ -1339,7 +1379,14 @@ class DeltaliteTable:
             *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cols)],
             *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cols)],
         ).first()
-        n_b = (1 << self._Z_BITS) - 1
+        # Spark's shiftleft wraps its shift amount mod 64: with many keys a
+        # fixed per-key resolution would fold high-order bits back onto low
+        # positions and quietly degrade the curve. Shrink per-key bits so the
+        # interleaved value always fits 63 bits (sign bit untouched).
+        bits = min(self._Z_BITS, 63 // len(cols))
+        if bits < 1:
+            return None  # >63 keys: lexicographic range path is better anyway
+        n_b = (1 << bits) - 1
         z = F.lit(0).cast("long")
         for j, c in enumerate(cols):
             lo = float(bounds[f"lo_{j}"] or 0)
@@ -1357,7 +1404,7 @@ class DeltaliteTable:
             )
             bucket64 = bucket.cast("long")  # int shiftleft wraps at bit 31:
             # 4+ keys put bits at positions >= 31, so shift in 64-bit space
-            for i in range(self._Z_BITS):
+            for i in range(bits):
                 z = z + F.shiftleft(
                     F.shiftright(bucket64, i).bitwiseAND(F.lit(1).cast("long")),
                     i * len(cols) + j,

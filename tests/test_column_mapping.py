@@ -307,3 +307,103 @@ def test_dml_after_rename_reads_and_writes_physical_names(spark, tmp_path):
     # and the change feed reconstructs the deleted row under current names
     feed = t.read_changes(0).filter("_change_type = 'delete'")
     assert [r.order_id for r in feed.collect()] == [4]
+
+
+def test_merge_schema_append_cannot_resurrect_dropped_bytes(spark, tmp_path):
+    """Schema evolution via append(merge_schema=True) must apply the same
+    retired-physical-name guard as add_column: re-introducing a dropped
+    column through the merge path gets a FRESH physical name, so the old
+    files' bytes read as nulls instead of silently resurrecting."""
+    t = _mk(spark, tmp_path / "t")  # (order_id, total_amount, status)
+    t.drop_column("status")
+    t.append(
+        spark.createDataFrame([(9, 90.5, "new9")],
+                              ["order_id", "total_amount", "status"]),
+        merge_schema=True,
+    )
+    mapping = t._mapping(t._read_commit(t.latest_version()))
+    assert mapping["status"].startswith("col-")
+    vals = {r.order_id: r.status for r in t.read().collect()}
+    assert vals[9] == "new9"
+    assert all(vals[i] is None for i in range(5))  # pre-drop rows: no leak
+    # new file on disk carries the generated physical name, not 'status'
+    import pyarrow.parquet as pq
+
+    latest = t._read_commit(t.latest_version())["live"][-1]
+    f = next((t._root / latest).rglob("*.parquet"))
+    names = pq.ParquetFile(f).schema_arrow.names
+    assert mapping["status"] in names and "status" not in names
+
+
+def test_merge_schema_append_after_rename_no_duplicate_physical(spark, tmp_path):
+    """Re-adding a renamed-AWAY name via merge-schema append must not map two
+    logical columns onto one physical field in the scan schema."""
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("status", "state")  # physical 'status' still in files
+    t.append(
+        spark.createDataFrame([(9, 90.5, "st9", "tag9")],
+                              ["order_id", "total_amount", "state", "status"]),
+        merge_schema=True,
+    )
+    mapping = t._mapping(t._read_commit(t.latest_version()))
+    assert mapping["state"] == "status"          # rename mapping intact
+    assert mapping["status"].startswith("col-")  # fresh physical, no dup
+    got = {r.order_id: (r.state, r.status) for r in t.read().collect()}
+    assert got[9] == ("st9", "tag9")
+    assert got[0] == ("s0", None)  # old rows: renamed col reads, new col null
+
+
+def test_overwrite_prunes_dangling_mapping(spark, tmp_path):
+    """overwrite replaces all files: mapping entries for columns absent from
+    the new schema must be pruned (and retired physicals reset) or a later
+    add_column of the old logical name maps two logicals onto one physical
+    and every read fails."""
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("total_amount", "grand_total")  # grand_total -> total_amount
+    t.overwrite(
+        spark.createDataFrame([(1, 11.0)], ["order_id", "total_amount"])
+    )
+    commit = t._read_commit(t.latest_version())
+    assert commit["column_mapping"] == {}
+    assert commit["retired_physical"] == []
+    t.add_column("grand_total", "double")  # the old logical name, reused
+    got = t.read()
+    assert got.columns == ["order_id", "total_amount", "grand_total"]
+    row = got.first()
+    assert (row.total_amount, row.grand_total) == (11.0, None)
+
+
+def test_overwrite_keeps_mapping_for_surviving_columns(spark, tmp_path):
+    """A renamed column still present in the overwrite frame keeps its stable
+    physical name across the rewrite (streaming readers project by physical
+    name across commits)."""
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("total_amount", "grand_total")
+    t.overwrite(
+        spark.createDataFrame([(1, 11.0, "x")],
+                              ["order_id", "grand_total", "status"])
+    )
+    commit = t._read_commit(t.latest_version())
+    assert commit["column_mapping"] == {"grand_total": "total_amount"}
+    import pyarrow.parquet as pq
+
+    f = next((t._root / commit["live"][0]).rglob("*.parquet"))
+    assert "total_amount" in pq.ParquetFile(f).schema_arrow.names
+    assert t.read().first().grand_total == 11.0
+
+
+def test_overwrite_drops_mapping_on_physical_name_collision(spark, tmp_path):
+    """rename a->b then overwrite with BOTH a and b present: keeping b->a
+    would write two physical 'a' fields into one parquet schema. The entry is
+    dropped; b rebinds to its own name in the rewritten files."""
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("total_amount", "grand_total")
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 11.0, 99.0)], ["order_id", "grand_total", "total_amount"]
+        )
+    )
+    commit = t._read_commit(t.latest_version())
+    assert commit["column_mapping"] == {}
+    row = t.read().first()
+    assert (row.grand_total, row.total_amount) == (11.0, 99.0)

@@ -1180,3 +1180,31 @@ def test_compact_target_mb_zero_rejected(spark, tmp_path):
     t.overwrite(spark.range(5).toDF("id"))
     with pytest.raises(ValueError, match="positive"):
         t.compact(target_mb=0)
+
+
+def test_zvalue_many_keys_stays_in_63_bits(spark, tmp_path):
+    """shiftleft wraps shift amounts mod 64: with 9+ cluster keys the z-curve
+    must shrink per-key bits so no interleaved bit lands past position 62 —
+    high-order bits folding onto low positions silently de-clusters the
+    layout."""
+    from pyspark.sql import functions as F
+
+    t = DeltaliteTable(spark, str(tmp_path / "zbits"))
+    n_keys = 10  # at 8 bits/key this would need 80 bit positions
+    cols = [f"k{i}" for i in range(n_keys)]
+    df = spark.range(256).select(
+        "id", *[(F.col("id") * (i + 1) % 251).alias(c) for i, c in enumerate(cols)]
+    )
+    t.overwrite(df)
+    z = t._zvalue_expr(df, cols)
+    assert z is not None
+    stats = df.select(z.alias("z")).agg(
+        F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).first()
+    assert stats.lo >= 0
+    assert stats.hi < (1 << 63)
+    # 63 // 10 = 6 bits per key -> max position 6*10-1 = 59
+    assert stats.hi < (1 << 60)
+    # the curve still discriminates: a full zorder pass stays correct
+    t.zorder_by(*cols, target_partitions=4)
+    assert t.read().count() == 256
