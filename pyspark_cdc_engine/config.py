@@ -60,6 +60,12 @@ DEFAULTS: dict[str, Any] = {
     "engine.materialize-docs": 50_000,
     "engine.ivf-bucket-cap": 2_000,
     "engine.jaccard-exact-max-docs": 20_000,
+    # Edge source for graph/curation consumers of near-dup pairs
+    # (pagerank3_near_dup, dedup_keep_best, dedup_clusters,
+    # containment_near_dup): "exact" = all-pairs shingle join (raises above
+    # jaccard-exact-max-docs), "lsh" = banded MinHash-LSH candidates, "auto"
+    # (default) = exact below the guard, LSH above it — degrade, don't fail.
+    "engine.pair-source": "auto",
     # Reliable checkpointing for iterative/shared-frame paths: when set to a
     # directory, connected-components rounds and shared-frame materialization
     # use spark.sparkContext.setCheckpointDir + df.checkpoint() (survives
@@ -74,6 +80,7 @@ LEGACY_ENV: dict[str, str] = {
     "engine.materialize-docs": "CDC_MATERIALIZE_DOCS",
     "engine.ivf-bucket-cap": "IVF_BUCKET_CAP",
     "engine.jaccard-exact-max-docs": "JACCARD_EXACT_MAX_DOCS",
+    "engine.pair-source": "CDC_PAIR_SOURCE",
     "engine.checkpoint-dir": "CDC_RELIABLE_CHECKPOINT",
 }
 

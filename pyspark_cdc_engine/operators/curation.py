@@ -20,7 +20,7 @@ from pyspark_cdc_engine.operators.text import (
     _JACCARD_PAIRS_SQL,
     _SHINGLE_W,
     connected_components,
-    jaccard_near_dup_pairs,
+    near_dup_edges,
 )
 
 
@@ -102,17 +102,28 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quoted inside a long one has tiny Jaccard (union is dominated by the long
     doc) but containment 1.0; subset-duplication is the dominant real-world
     near-dup mode in scraped corpora (boilerplate + quoted articles). Same
-    shingle-hash candidate join as the Jaccard baseline (identical guard:
-    exact small-N; swap the join key to LSH bands at scale), different
-    denominator."""
+    shingle-hash candidate join as the Jaccard baseline below the guard,
+    different denominator; governed by ``engine.pair-source``
+    (exact|lsh|auto): above the guard (or with mode=lsh) candidates come
+    from the banded-LSH join and only the verification denominator changes —
+    recall narrows to pairs whose JACCARD also bands (the short-doc-in-long
+    subset case can miss candidacy), the standard trade at scale. mode=exact
+    keeps the loud refusal as an explicit opt-in."""
     d = load_table(spark, sf_dir, "documents")
     limit = get_config().get_int("engine.jaccard-exact-max-docs")
     n_docs = table_row_count(spark, sf_dir, "documents")
+    mode = get_config().get_str("engine.pair-source")
+    if mode == "lsh" or (mode == "auto" and n_docs > limit):
+        from pyspark_cdc_engine.operators.dedup_scale import lsh_verified_pairs
+
+        return lsh_verified_pairs(
+            d, n_docs, metric="containment", tau=_CONTAIN_TAU
+        )
     if n_docs > limit:
         raise ValueError(
             f"containment_near_dup is the exact small-N baseline "
-            f"({n_docs} docs > guard {limit}); use the LSH band join for "
-            f"candidates at this scale"
+            f"({n_docs} docs > guard {limit}); set engine.pair-source=auto "
+            f"(or lsh) to degrade to the LSH band join at this scale"
         )
     w = _SHINGLE_W
     sets = (
@@ -181,12 +192,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest member (``n_chars`` DESC, doc_id ASC tiebreak; a total order, so
     both engines pick the same keeper). Output is one row per cluster with
     the keeper and member count — exactly the table a filtering pass
-    anti-joins against. Pipeline: exact-Jaccard edges (swap in LSH pairs at
-    scale) → pointer-doubling connected components → one window over
-    cluster_id."""
+    anti-joins against. Pipeline: near-dup edges via ``engine.pair-source``
+    (exact-Jaccard below the guard — oracle-matching — banded LSH above it,
+    degrading instead of raising) → pointer-doubling connected components →
+    one window over cluster_id."""
     from pyspark.sql import Window
 
-    pairs = jaccard_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = near_dup_edges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     clusters = connected_components(docs.select("doc_id"), pairs).select(
         "doc_id", "cluster_id"

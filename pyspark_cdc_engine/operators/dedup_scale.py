@@ -244,13 +244,22 @@ def verified_pairs_from_bands(
     bands: DataFrame,
     docs: DataFrame | None = None,
     shingle_sets: DataFrame | None = None,
+    metric: str = "jaccard",
+    tau: float | None = None,
 ) -> DataFrame:
     """Near-dup pairs from a band table: id-only band self-join (bounded
-    ~30 B/row through hot buckets — the 100 TB plan shape), then exact-Jaccard
+    ~30 B/row through hot buckets — the 100 TB plan shape), then exact
     verification via two id-keyed joins against shingle sets built for
     CANDIDATE docs only. Pass ``shingle_sets`` to reuse a (possibly
     materialized) (doc_id, shh) table; else ``docs`` is re-shingled after the
-    candidate semi-join."""
+    candidate semi-join.
+
+    ``metric``: "jaccard" (|∩|/|∪|, default, threshold ``_MH_TAU``) or
+    "containment" (|∩|/min(|A|,|B|) — the asymmetric subset-duplication
+    signal; candidates still come from Jaccard-tuned banding, so a SHORT doc
+    quoted inside a much longer one can miss candidacy: containment-over-LSH
+    trades that recall for the bounded band join, the standard trade at
+    scale). The verification itself is exact on whatever candidates band."""
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -279,22 +288,36 @@ def verified_pairs_from_bands(
         shs_tbl.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb")),
         "doc_b",
     )
-    return (
-        pairs.select(
-            "doc_a",
-            "doc_b",
-            F.expr("size(array_intersect(sa, sb))").alias("i"),
-            F.size("sa").alias("na"),
-            F.size("sb").alias("nb"),
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= _MH_TAU)
+    widths = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.expr("size(array_intersect(sa, sb))").alias("i"),
+        F.size("sa").alias("na"),
+        F.size("sb").alias("nb"),
+    )
+    if metric == "containment":
+        score = F.col("i").cast("double") / F.least("na", "nb")
+    else:
+        score = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    thresh = _MH_TAU if tau is None else tau
+    return widths.select("doc_a", "doc_b", score.alias(metric)).filter(
+        F.col(metric) >= thresh
+    )
+
+
+def lsh_verified_pairs(
+    d: DataFrame, n_docs: int, metric: str = "jaccard", tau: float | None = None
+) -> DataFrame:
+    """The full shingle→signature→band→verify pipeline as one call — the
+    candidate generator graph/curation consumers degrade to when the corpus
+    exceeds the exact-all-pairs guard (``engine.pair-source`` auto/lsh).
+    Always the id-only-band + candidate-re-join plan (bounded row width
+    through hot buckets; at guard-exceeding N that is the right shape by
+    definition)."""
+    sets = _maybe_materialize(minhash_shingle_sets(d), n_docs)
+    sigs = _maybe_materialize(minhash_signatures_from_sets(sets), n_docs)
+    return verified_pairs_from_bands(
+        lsh_band_table(sigs), shingle_sets=sets, metric=metric, tau=tau
     )
 
 

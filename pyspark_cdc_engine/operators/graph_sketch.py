@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from pyspark_cdc_engine.checkpointing import materialize
 from pyspark_cdc_engine.operators.dedup_scale import _SHINGLE_W, _shingle_expr_spark
 from pyspark_cdc_engine.operators.registry import load_table, register
-from pyspark_cdc_engine.operators.text import _JACCARD_PAIRS_SQL, jaccard_near_dup_pairs
+from pyspark_cdc_engine.operators.text import _JACCARD_PAIRS_SQL, near_dup_edges
 
 _MG_K = 64  # Misra-Gries counter budget; error bound = n / (K + 1)
 
@@ -175,11 +175,14 @@ def pagerank3_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.15. Each iteration is one src-keyed join plus one dst-keyed aggregate —
     the exact dataflow GraphX/Pregel runs, expressed as plain DataFrame ops
     so Catalyst pipelines it; the fixed iteration count keeps the whole thing
-    SQL-expressible for the oracle. The edge list here comes from the exact
-    Jaccard baseline (materialized once — iterations must not re-run
-    candidate generation); at 100 TB feed LSH pairs and materialize the rank
-    vector every few iterations too."""
-    pairs = jaccard_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    SQL-expressible for the oracle. The edge list comes from
+    :func:`pyspark_cdc_engine.operators.text.near_dup_edges`
+    (engine.pair-source: exact baseline below the guard — oracle-matching —
+    banded LSH above it, so a 100k-doc corpus degrades to the scale plan
+    instead of raising); it is materialized once — iterations must not re-run
+    candidate generation. At 100 TB also materialize the rank vector every
+    few iterations."""
+    pairs = near_dup_edges(spark, sf_dir)
     nodes = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))

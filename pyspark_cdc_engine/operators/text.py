@@ -281,6 +281,38 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= 0.2)
 
 
+def near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) near-duplicate edges for graph/curation consumers
+    (pagerank, cluster collapse, keep-best), governed by
+    ``engine.pair-source`` (env ``CDC_PAIR_SOURCE``):
+
+    - ``exact``: the all-pairs shingle join — still guarded, raises above
+      ``engine.jaccard-exact-max-docs`` (an explicit opt-in to exactness).
+    - ``lsh``: banded MinHash-LSH candidates + exact-Jaccard verify — the
+      100 TB shape (constant shuffle bytes per doc).
+    - ``auto`` (default): exact below the guard, LSH above — consumers
+      DEGRADE to the scale plan instead of failing. Below the guard the two
+      sources agree wherever the LSH threshold (0.8) is met; above it only
+      LSH can run at all.
+    """
+    mode = get_config().get_str("engine.pair-source")
+    if mode not in ("exact", "lsh", "auto"):
+        raise ValueError(
+            f"engine.pair-source must be exact|lsh|auto, got {mode!r}"
+        )
+    if mode == "auto":
+        limit = get_config().get_int("engine.jaccard-exact-max-docs")
+        n_docs = table_row_count(spark, sf_dir, "documents")
+        mode = "exact" if n_docs <= limit else "lsh"
+    if mode == "exact":
+        return jaccard_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    from pyspark_cdc_engine.operators.dedup_scale import lsh_verified_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = table_row_count(spark, sf_dir, "documents")
+    return lsh_verified_pairs(d, n_docs).select("doc_a", "doc_b")
+
+
 @register(
     "dedup_clusters",
     survey="M5-dedup,beyond-ref",
@@ -316,10 +348,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     this converges in 2-3 rounds. The edge list is materialized once so
     the shingle join isn't re-executed per round.
 
-    Edges here come from the exact jaccard baseline (so the DuckDB oracle can
-    rebuild the identical graph with a recursive CTE); at 100 TB feed it
-    minhash_lsh_near_dup pairs instead — the loop only sees (src, dst)."""
-    pairs = jaccard_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    Edges come from :func:`near_dup_edges` (engine.pair-source): the exact
+    jaccard baseline below the guard — so the DuckDB oracle can rebuild the
+    identical graph with a recursive CTE — and the banded-LSH candidate join
+    above it, where this query now degrades instead of raising."""
+    pairs = near_dup_edges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return connected_components(docs, pairs)
 
