@@ -60,6 +60,11 @@ DEFAULTS: dict[str, Any] = {
     "engine.materialize-docs": 50_000,
     "engine.ivf-bucket-cap": 2_000,
     "engine.jaccard-exact-max-docs": 20_000,
+    # bigram_pmi_top broadcasts its (min-count-filtered) unigram table only
+    # when the corpus is below this many documents; above it the joins go to
+    # the shuffle planner (AQE may still broadcast on runtime stats) — a
+    # forced 100M-term driver broadcast is the failure this gates out.
+    "engine.pmi-broadcast-max-docs": 1_000_000,
     # Edge source for graph/curation consumers of near-dup pairs
     # (pagerank3_near_dup, dedup_keep_best, dedup_clusters,
     # containment_near_dup): "exact" = all-pairs shingle join (raises above
@@ -81,6 +86,7 @@ LEGACY_ENV: dict[str, str] = {
     "engine.ivf-bucket-cap": "IVF_BUCKET_CAP",
     "engine.jaccard-exact-max-docs": "JACCARD_EXACT_MAX_DOCS",
     "engine.pair-source": "CDC_PAIR_SOURCE",
+    "engine.pmi-broadcast-max-docs": "CDC_PMI_BROADCAST_MAX_DOCS",
     "engine.checkpoint-dir": "CDC_RELIABLE_CHECKPOINT",
 }
 

@@ -839,10 +839,19 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked under a total order.
 
     100 TB shape: two hash aggs over exploded tokens (map-side partials carry
-    (token, count) — never text bodies), unigram table joined twice; the
-    unigram side is vocabulary-sized, so both joins broadcast in practice.
-    The global total is a scalar cross join (1 row). Min-count pruning happens
-    before the joins, shrinking the bigram table first."""
+    (token, count) — never text bodies), unigram table joined twice. The
+    unigram side is min-count filtered BEFORE the join — lossless, because a
+    surviving bigram (c_ab >= {_PMI_MIN_CNT}) implies both of its unigrams
+    occur >= c_ab times, so no qualifying join partner is dropped — which
+    cuts the Zipf hapax tail (most of a web corpus's 100M+-term vocabulary)
+    from the join side. The broadcast HINT is then size-gated on the
+    footer-only document count (``engine.pmi-broadcast-max-docs``, env
+    ``CDC_PMI_BROADCAST_MAX_DOCS``): above the gate the joins go through the
+    shuffle planner, where AQE still broadcasts if the filtered vocab turns
+    out small at runtime — a forced driver-side 100M-row broadcast is the
+    failure mode this avoids. The global total is a scalar cross join
+    (1 row). Bigram min-count pruning happens before the joins, shrinking
+    the probe side first."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(F.split("text", " ").alias("w"))
     # Guard size(w) < 2: sequence(1, 0) is the DESCENDING array [1, 0] in
@@ -867,16 +876,21 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.select(F.explode("w").alias("u"))
         .groupBy("u")
         .agg(F.count(F.lit(1)).alias("c"))
+        # lossless vocab prune: a unigram in any surviving bigram has c >= 5
+        .filter(F.col("c") >= _PMI_MIN_CNT)
     )
     tot = bigrams.agg(F.count(F.lit(1)).alias("n"))
     a = ug.select(F.col("u").alias("w1"), F.col("c").alias("c_a"))
     b = ug.select(F.col("u").alias("w2"), F.col("c").alias("c_b"))
+    n_docs = table_row_count(spark, sf_dir, "documents")  # footer-only
+    if n_docs <= get_config().get_int("engine.pmi-broadcast-max-docs"):
+        a, b = F.broadcast(a), F.broadcast(b)
     lift = (F.col("c_ab").cast("double") * F.col("n").cast("double")) / (
         F.col("c_a").cast("double") * F.col("c_b").cast("double")
     )
     scored = (
-        bg.join(F.broadcast(a), "w1")
-        .join(F.broadcast(b), "w2")
+        bg.join(a, "w1")
+        .join(b, "w2")
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "c_ab", lift.alias("lift"))
     )

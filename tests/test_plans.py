@@ -522,3 +522,18 @@ def test_shingle_queries_survive_short_and_empty_documents(spark, tmp_path):
         "doc_id", F.explode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("sh")
     ).collect()
     assert all(r.doc_id == 3 for r in out) and len(out) == 2
+
+
+def test_pmi_unigram_broadcast_is_size_gated(spark, monkeypatch):
+    """bigram_pmi_top: below the gate both unigram joins carry an explicit
+    broadcast hint; above it (a web-scale vocab would kill the driver) they
+    must fall back to the shuffle planner — AQE may still broadcast at
+    runtime from actual size stats, so assert on the OPTIMIZED logical plan's
+    hints, not the physical join choice."""
+    def hint_count():
+        df = REGISTRY["bigram_pmi_top"].spark(spark, SF_DIR)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        return logical.count("broadcast")
+    assert hint_count() >= 2  # default gate (1M docs) is far above 500
+    monkeypatch.setenv("CDC_PMI_BROADCAST_MAX_DOCS", "100")
+    assert hint_count() == 1  # only the 1-row scalar total keeps its hint
