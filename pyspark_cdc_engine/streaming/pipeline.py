@@ -29,6 +29,7 @@ def cdc_to_scd2_stream(
     ttl_minutes: float | None = None,
     impl: str = "v1",
     handle_deletes: bool = False,
+    maintain: list | None = None,
 ):
     """File-source variant of the ingest pipeline (Kafka swaps in via
     sources.read_kafka_stream with no other changes). Returns the started
@@ -44,7 +45,8 @@ def cdc_to_scd2_stream(
     cdc = parse_data_change_events(read_text_stream(spark, cdc_dir))
     meta = parse_transaction_metadata(read_text_stream(spark, meta_dir))
     return _scd2_stream_from_values(
-        cdc, meta, table, checkpoint_dir, ttl_minutes, impl, handle_deletes
+        cdc, meta, table, checkpoint_dir, ttl_minutes, impl, handle_deletes,
+        maintain=maintain,
     )
 
 
@@ -60,6 +62,7 @@ def cdc_to_scd2_stream_kafka(
     handle_deletes: bool = False,
     format_name: str = "kafka",
     extra_options: dict | None = None,
+    maintain: list | None = None,
 ):
     """Kafka-source variant of the ingest pipeline — the reference's actual
     topology (TransactionalCdcProcessingApp.scala:85-101: two topics, one
@@ -82,7 +85,8 @@ def cdc_to_scd2_stream_kafka(
         )
     )
     return _scd2_stream_from_values(
-        cdc, meta, table, checkpoint_dir, ttl_minutes, impl, handle_deletes
+        cdc, meta, table, checkpoint_dir, ttl_minutes, impl, handle_deletes,
+        maintain=maintain,
     )
 
 
@@ -100,6 +104,7 @@ def cdc_to_scd2_stream_kafka_4topics(
     handle_deletes: bool = False,
     format_name: str = "kafka",
     extra_options: dict | None = None,
+    maintain: list | None = None,
 ):
     """The reference's EXACT topology — four topics, one per GG table plus
     transaction metadata (TransactionalCdcProcessingApp.scala:47-62) — with
@@ -126,7 +131,8 @@ def cdc_to_scd2_stream_kafka_4topics(
         )
     )
     return _scd2_stream_from_values(
-        cdc, meta, table, checkpoint_dir, ttl_minutes, impl, handle_deletes
+        cdc, meta, table, checkpoint_dir, ttl_minutes, impl, handle_deletes,
+        maintain=maintain,
     )
 
 
@@ -138,6 +144,7 @@ def _scd2_stream_from_values(
     ttl_minutes: float | None,
     impl: str,
     handle_deletes: bool,
+    maintain: list | None = None,
 ):
     unified = unify_event_streams(cdc, meta)
     if impl == "v2":
@@ -163,9 +170,55 @@ def _scd2_stream_from_values(
         # OPTIMIZE still fails the batch for Structured Streaming to retry).
         if not batch_df.isEmpty():
             table.append(batch_df, txn_app=txn_app, txn_version=batch_id, retries=2)
+            _refresh_all(maintain)
 
     return (
         completed.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _refresh_all(maintain: list | None) -> None:
+    """Post-commit maintenance hook shared by the streaming sinks: each
+    object (IncrementalLshIndex, IncrementalAggregate — anything with a
+    watermark-idempotent ``refresh()``) folds the just-committed version.
+    Crash-safe by construction: refresh carries its OWN txn watermark, so a
+    crash between the table commit and the refresh just means the next
+    batch's refresh folds two commits (read_changes spans them), and a
+    replayed batch's refresh is a no-op."""
+    for m in maintain or []:
+        m.refresh()
+
+
+def documents_ingest_stream(
+    spark: SparkSession,
+    source,
+    table: DeltaliteTable,
+    checkpoint_dir: str,
+    maintain: list | None = None,
+):
+    """Streaming DOCUMENT ingest with index maintenance in the same
+    foreachBatch — the seam between the CDC half and the dedup half closed
+    as a first-class pipeline: every micro-batch lands as one txn-idempotent
+    deltalite append, then every ``maintain`` entry (typically an
+    :class:`~pyspark_cdc_engine.operators.dedup_incremental.IncrementalLshIndex`
+    on ``table``) refreshes, folding exactly that batch's commit (O(delta) —
+    ``read_changes`` reads only the appended dirs, never the corpus).
+
+    ``source``: a streaming DataFrame of documents (``doc_id``, ``text``,
+    ...). Returns the started StreamingQuery (availableNow trigger)."""
+    txn_app = f"docs_ingest:{checkpoint_dir}"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            table.append(batch_df, txn_app=txn_app, txn_version=batch_id, retries=2)
+            _refresh_all(maintain)
+
+    return (
+        source.writeStream.foreachBatch(sink)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -316,3 +316,82 @@ def test_incremental_lsh_driven_by_streaming_appends(spark, tmp_path):
     ops = [c["operation"] for c in idx.index.history()]
     assert "overwrite" not in ops[: ops.index("append") + 1] or ops.count("overwrite") == 1
     assert ops.count("append") >= 2
+
+
+def test_documents_ingest_stream_maintains_lsh_index(spark, tmp_path):
+    """VERDICT r5 #2: the pipeline-level wiring. documents_ingest_stream
+    appends each micro-batch txn-idempotently and refreshes the
+    IncrementalLshIndex POST-COMMIT in the same foreachBatch — after the
+    drain the band table equals a from-scratch rebuild, and every refresh
+    consumed ONLY its batch's commit (spied read_changes spans + dirs)."""
+    import json as _json
+
+    from pyspark_cdc_engine.operators.dedup_incremental import (
+        IncrementalLshIndex,
+        lsh_band_table,
+        minhash_signatures,
+    )
+    from pyspark_cdc_engine.streaming.pipeline import documents_ingest_stream
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    t = DeltaliteTable(spark, str(tmp_path / "docs"))
+    t.overwrite(docs.filter("doc_id % 3 = 0"))
+    idx = IncrementalLshIndex(spark, t, str(tmp_path / "lsh"))
+    idx.refresh()
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    rest = docs.filter("doc_id % 3 != 0").collect()
+    third = len(rest) // 3
+    batches = (rest[:third], rest[third : 2 * third], rest[2 * third :])
+    for i, part in enumerate(batches):
+        with open(src_dir / f"batch{i}.json", "w") as fh:
+            for r in part:
+                fh.write(_json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src_dir))
+    )
+
+    calls = []
+    orig = DeltaliteTable.read_changes
+
+    def spy(self, a, b=None):
+        out = orig(self, a, b)
+        if self.path == t.path:
+            calls.append((a, b, {f.split("/data/")[-1].split("/")[0]
+                                 for f in out.inputFiles()}))
+        return out
+
+    DeltaliteTable.read_changes = spy
+    try:
+        q = documents_ingest_stream(
+            spark, stream, t, str(tmp_path / "ck"), maintain=[idx]
+        )
+        q.awaitTermination(180)
+    finally:
+        DeltaliteTable.read_changes = orig
+
+    assert t.read().count() == 60
+    # one refresh per micro-batch, each spanning exactly one base commit and
+    # reading only that commit's data dirs
+    assert len(calls) == 3
+    spans = [(a, b) for a, b, _ in calls]
+    assert spans == [(v, v + 1) for v, _ in spans]  # (since, since+1) each
+    seen_dirs = [dirs for _, _, dirs in calls]
+    assert all(len(d) == 1 for d in seen_dirs)
+    assert len(set().union(*seen_dirs)) == 3  # three distinct delta dirs
+    # index == from-scratch rebuild, and every fold was an O(delta) append
+    full = lsh_band_table(minhash_signatures(docs))
+    inc = idx.index.read()
+    assert inc.count() == full.count()
+    assert inc.exceptAll(full).count() == 0 and full.exceptAll(inc).count() == 0
+    ops = [c["operation"] for c in idx.index.history()]
+    assert ops.count("append") >= 3 and ops.count("overwrite") == 1  # bootstrap
