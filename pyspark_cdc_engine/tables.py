@@ -629,10 +629,16 @@ class DeltaliteTable:
         their removed rows with ``_change_type='delete'`` — reconstructed
         exactly by replaying the recorded predicate over the pre-delete dirs
         the commit rewrote (the rows filtered out are precisely the deleted
-        set). Other rewriting commits (compact/zorder/restore/merge/update)
-        contribute nothing: physical reorganizations aren't logical changes,
-        and update/merge pre/post images are out of the append-only contract
-        (consumers like the incremental MV treat them as rebuild triggers).
+        set). UPDATE commits emit Delta-CDF-style ``update_preimage`` /
+        ``update_postimage`` row pairs, reconstructed the same way: the
+        recorded predicate replays over the rewritten dirs' PRE-update bytes
+        (matched rows = pre-images), and the recorded SET expressions applied
+        to those rows are, by the determinism of the rewrite itself, exactly
+        the post-images. Other rewriting commits (compact/zorder/restore/
+        merge) contribute nothing: physical reorganizations aren't logical
+        changes, and merge images are out of the append-only contract
+        (incremental consumers treat every non-append as a rebuild trigger
+        regardless — incremental_fold_safe keys on operations, not the feed).
 
         Every slice is read under the END version's schema + column mapping
         (not each commit's own): physical names are stable across renames, so
@@ -692,6 +698,34 @@ class DeltaliteTable:
                         pre.withColumn("_change_type", F.lit("delete"))
                         .withColumn("_commit_version", F.lit(v))
                     )
+            elif commit["operation"] == "update" and commit.get("update_where"):
+                replaced = [d for d in prev_live if d not in set(commit["live"])]
+                if replaced:
+                    # predicate + SET were recorded against THIS commit's
+                    # logical names (same binding rule as delete replay)
+                    matched = self._read_dirs(
+                        [str(self._root / d) for d in replaced],
+                        commit.get("schema"),
+                        commit.get("partition_by"),
+                        commit.get("column_mapping"),
+                    ).filter(commit["update_where"])
+                    upd = commit["update_set"]
+                    post = matched.select(
+                        *[
+                            F.expr(upd[c]).cast(matched.schema[c].dataType).alias(c)
+                            if c in upd
+                            else F.col(c)
+                            for c in matched.columns
+                        ]
+                    )
+                    to = end_commit if end_commit.get("schema") else commit
+                    for img, tag in ((matched, "update_preimage"),
+                                     (post, "update_postimage")):
+                        frames.append(
+                            self._project_to_schema(img, commit, to)
+                            .withColumn("_change_type", F.lit(tag))
+                            .withColumn("_commit_version", F.lit(v))
+                        )
             prev_live = set(commit["live"])
         if not frames:
             raise ValueError(

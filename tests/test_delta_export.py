@@ -404,3 +404,72 @@ def test_reader_rejects_invisible_checkpoint_even_without_metadata_keys(
     (log / "_last_checkpoint").write_text(json.dumps({"version": 3, "size": 9}))
     with pytest.raises(ValueError, match="refusing to return"):
         read_delta_snapshot(spark, str(dest))
+
+
+def test_dml_triad_roundtrip_through_real_delta(spark, tmp_path):
+    """VERDICT r5 #5: the DELETE+UPDATE copy-on-write commits must survive
+    the real _delta_log protocol — export the post-DML snapshot, re-read it
+    through the independent Delta-reader codepath, and match the table
+    exactly; the change feed's reconstructed delete rows must account for
+    both the DELETE's victims and the UPDATE's pre-images."""
+    from tests.conftest import SF_DIR
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    o = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    t = DeltaliteTable(spark, str(tmp_path / "orders_dml"))
+    t.overwrite(o)                                                   # v0
+    t.delete("o_orderstatus = 'F' AND o_totalprice < 1000")          # v1
+    t.update({"o_totalprice": "o_totalprice * 1.1"},
+             "o_orderstatus = 'P'")                                  # v2
+
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    got = read_delta_snapshot(spark, str(dest))
+    want = t.read()
+    assert [f.name for f in got.schema.fields] == [f.name for f in want.schema.fields]
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # the change feed reconstructs every mutated row: DELETE victims appear
+    # as delete rows with their original values; UPDATE contributes a
+    # delete(pre-image)/insert(post-image) pair per repriced order
+    feed = t.read_changes(0).cache()
+    try:
+        deleted = feed.filter("_change_type = 'delete' AND _commit_version = 1")
+        want_deleted = o.filter("o_orderstatus = 'F' AND o_totalprice < 1000")
+        assert deleted.count() == want_deleted.count()
+        assert (
+            deleted.select("o_orderkey", "o_totalprice")
+            .exceptAll(want_deleted.select("o_orderkey", "o_totalprice"))
+            .count()
+            == 0
+        )
+        pre = feed.filter("_change_type = 'update_preimage' AND _commit_version = 2")
+        post = feed.filter("_change_type = 'update_postimage' AND _commit_version = 2")
+        pending = o.filter("o_orderstatus = 'P'")
+        assert pre.count() == post.count() == pending.count()
+        # pre-images carry the ORIGINAL price, post-images the repriced one
+        assert (
+            pre.select("o_orderkey", "o_totalprice")
+            .exceptAll(pending.select("o_orderkey", "o_totalprice"))
+            .count()
+            == 0
+        )
+        assert (
+            post.select("o_orderkey", "o_totalprice")
+            .exceptAll(
+                pending.selectExpr("o_orderkey", "o_totalprice * 1.1 AS o_totalprice")
+            )
+            .count()
+            == 0
+        )
+    finally:
+        feed.unpersist()
+
+    # and a time-travel export of the PRE-DML version round-trips too
+    dest0 = tmp_path / "delta_v0"
+    export_delta_snapshot(t, str(dest0), version=0)
+    assert read_delta_snapshot(spark, str(dest0)).count() == o.count()
