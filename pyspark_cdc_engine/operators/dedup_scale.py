@@ -1248,3 +1248,125 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_val"
         ),
     )
+
+
+@register(
+    "semantic_dedup",
+    survey="M5-dedup,W1,A2,beyond-ref",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))},
+    ranked AS (
+      SELECT a.vec_id, a.centroid_id,
+             {_dot_duck('a.embedding', 'c.cemb')} / SQRT(a.norm2 * c.cn2)
+               AS centroid_sim
+      FROM assigned a JOIN cents c ON c.centroid_id = a.centroid_id
+    ),
+    rn AS (
+      SELECT vec_id, centroid_id, centroid_sim,
+             ROW_NUMBER() OVER (PARTITION BY centroid_id
+                                ORDER BY centroid_sim ASC, vec_id) AS pri
+      FROM ranked
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {_dot_duck('a.embedding', 'b.embedding')}
+              / SQRT(a.norm2 * b.norm2) >= {_COS_TAU}
+    ),
+    drops AS (
+      SELECT DISTINCT CASE WHEN ra.pri < rb.pri THEN p.vec_b
+                           ELSE p.vec_a END AS vec_id
+      FROM pairs p
+      JOIN rn ra ON ra.vec_id = p.vec_a
+      JOIN rn rb ON rb.vec_id = p.vec_b
+    )
+    SELECT r.vec_id, r.centroid_id AS cluster_id, r.centroid_sim,
+           d.vec_id IS NULL AS keep
+    FROM rn r LEFT JOIN drops d ON d.vec_id = r.vec_id
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — the embedding-space
+    dedup capstone MinHash can't see: cluster the corpus (the IVF/k-means
+    assignment kernel), and within each cluster drop every vector that has a
+    cosine-neighbor >= τ={_COS_TAU} EARLIER in the cluster's priority order.
+    Priority follows the paper: ascending similarity to the cluster centroid
+    (keep the diverse/edge examples, drop the redundant core), vec_id
+    tiebreak — a static total order, so which member of a duplicate group
+    survives is deterministic and the drop set needs no sequential sweep
+    (exactly the published implementation's sorted-matrix formulation).
+
+    100 TB shape: assignment and pair generation are the proven bucketed
+    kernels (broadcast centroids; triangle-split hot clusters, see
+    _bucket_candidate_pairs); the priority is one window per cluster over
+    (sim, id) pairs; the drop resolution is two id-keyed joins of the
+    (small) verified-pair list. No stage touches more than one cluster's
+    vectors at a time."""
+    assigned = _ivf_assigned_df(spark, sf_dir)
+    cents = assigned.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cemb"),
+        F.col("norm2").alias("cn2"),
+    )
+    dot_vc = _DOT_DEC_SPARK.format(a="embedding", b="cemb")
+    rn = (
+        assigned.join(F.broadcast(cents), "centroid_id")
+        .withColumn(
+            "centroid_sim", F.expr(dot_vc) / F.sqrt(F.col("norm2") * F.col("cn2"))
+        )
+        .withColumn(
+            "pri",
+            F.row_number().over(
+                Window.partitionBy("centroid_id").orderBy(
+                    F.col("centroid_sim").asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .select("vec_id", F.col("centroid_id").alias("cluster_id"),
+                "centroid_sim", "pri")
+    )
+    # within-cluster verified pairs: bucketed candidates + exact-decimal
+    # cosine (the embedding_cosine_near_dup stage-2 kernel, reusing the
+    # already-computed assignment instead of a second corpus pass)
+    cands = _bucket_candidate_pairs(assigned, _COS_TAU)
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm2").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm2").alias("nb"),
+    )
+    dot_ab = _DOT_DEC_SPARK.format(a="ea", b="eb")
+    pairs = (
+        a.join(F.broadcast(cands), "vec_a")
+        .join(b, "vec_b")
+        .filter(F.expr(dot_ab) / F.sqrt(F.col("na") * F.col("nb")) >= _COS_TAU)
+        .select("vec_a", "vec_b")
+    )
+    ra = rn.select(F.col("vec_id").alias("vec_a"), F.col("pri").alias("pri_a"))
+    rb = rn.select(F.col("vec_id").alias("vec_b"), F.col("pri").alias("pri_b"))
+    drops = (
+        pairs.join(ra, "vec_a")
+        .join(rb, "vec_b")
+        .select(
+            F.when(F.col("pri_a") < F.col("pri_b"), F.col("vec_b"))
+            .otherwise(F.col("vec_a"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        rn.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "centroid_sim",
+            F.col("_dropped").isNull().alias("keep"),
+        )
+    )
