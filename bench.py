@@ -4,7 +4,10 @@
 JSON line: {"metric", "value" (total sec), "unit", "queries" {name: sec}, "sf"}.
 
 Each query is forced end-to-end with the noop sink (full computation, no
-driver collect). Set BENCH_RUNS>1 for median-of-N timing.
+driver collect). Per query the artifact records the COLD first-run wall
+("queries" — BASELINE-comparable) and a warmed median-of-3 ("queries_median3",
+disable the extra runs with BENCH_MEDIAN3=0); BENCH_RUNS>N raises the sample
+count further.
 """
 
 from __future__ import annotations
@@ -95,17 +98,29 @@ def main() -> None:
 
     # Per-query fault isolation: one broken query must never destroy the whole
     # artifact — it gets an "err" entry and the run continues (rc stays 0).
+    # Noise control (BASELINE.md documents ±15-50% box swings on cold single
+    # passes): each query records its COLD first run (the BASELINE-comparable
+    # number — "queries" keeps its historical meaning) AND, unless
+    # BENCH_MEDIAN3=0, a median of 3 further runs with the first run as
+    # warmup ("queries_median3") so round-over-round comparisons don't hinge
+    # on which run landed on an idle box.
+    median3_on = os.environ.get("BENCH_MEDIAN3", "1") != "0"
     timings: dict[str, float] = {}
+    median3: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         q = REGISTRY[name]
-        samples = []
         try:
-            for _ in range(runs):
+            samples = []
+            for _ in range(max(runs, 4 if median3_on else 1)):
                 t0 = time.perf_counter()
                 q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 samples.append(time.perf_counter() - t0)
-            timings[name] = round(statistics.median(samples), 3)
+            timings[name] = round(samples[0], 3)  # cold
+            if len(samples) >= 4:
+                median3[name] = round(statistics.median(samples[1:4]), 3)
+            elif len(samples) > 1:
+                median3[name] = round(statistics.median(samples[1:]), 3)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:500]
 
@@ -128,6 +143,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if median3:
+        out["queries_median3"] = median3
+        out["value_median3"] = round(sum(median3.values()), 3)
     if errors:
         out["errors"] = errors
     if cdc is not None:
@@ -155,6 +173,8 @@ def main() -> None:
         "queries": slowest,
         "full": full_path.name,
     }
+    if median3:
+        compact["value_median3"] = out["value_median3"]
     if cdc is not None:
         compact["cdc_pipeline"] = cdc
     print(json.dumps(compact, separators=(",", ":")))

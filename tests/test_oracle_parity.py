@@ -43,6 +43,7 @@ def assert_frames_match(sp: pd.DataFrame, du: pd.DataFrame, name: str) -> None:
                 assert str(x) == str(y), f"{name}.{c}[{i}]: {x!r} != {y!r}"
 
 
+@pytest.mark.oracle
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_parity(spark, ddb, name):
     q = REGISTRY[name]
@@ -51,6 +52,7 @@ def test_oracle_parity(spark, ddb, name):
     assert_frames_match(sp, du, name)
 
 
+@pytest.mark.oracle
 def test_all_queries_return_rows(spark):
     for name, q in REGISTRY.items():
         n = q.spark(spark, SF_DIR).count()
