@@ -407,3 +407,23 @@ def test_overwrite_drops_mapping_on_physical_name_collision(spark, tmp_path):
     assert commit["column_mapping"] == {}
     row = t.read().first()
     assert (row.grand_total, row.total_amount) == (11.0, 99.0)
+
+
+def test_update_images_in_feed_after_rename(spark, tmp_path):
+    """CDF update_preimage/update_postimage × column mapping: the UPDATE's
+    predicate and SET were recorded under the commit's logical names; a feed
+    read AFTER a later rename must surface both images under the END
+    version's names (stable physical identity), with pre/post values
+    correct."""
+    t = _mk(spark, tmp_path / "t")  # (order_id, total_amount, status), 5 rows
+    t.update({"total_amount": "total_amount + 100.0"}, "order_id <= 1")  # v1
+    t.rename_column("total_amount", "grand_total")                      # v2
+    feed = t.read_changes(0)
+    assert "grand_total" in feed.columns and "total_amount" not in feed.columns
+    pre = {r.order_id: r.grand_total
+           for r in feed.filter("_change_type = 'update_preimage'").collect()}
+    post = {r.order_id: r.grand_total
+            for r in feed.filter("_change_type = 'update_postimage'").collect()}
+    assert pre == {0: 0.5, 1: 10.5}
+    assert post == {0: 100.5, 1: 110.5}
+    assert feed.filter("_change_type LIKE 'update%'").count() == 4
