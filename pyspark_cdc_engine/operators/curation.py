@@ -783,3 +783,86 @@ def column_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(column_name, n_rows, n_nulls, n_distinct)"
         )
     )
+
+
+@register(
+    "temperature_sampling_weights",
+    survey="A2,F18,beyond-ref",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source, doc_id, md5(text) AS h,
+             CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    keepers AS (SELECT h, MIN(doc_id) AS keeper FROM per_doc GROUP BY h),
+    per_src AS (
+      SELECT p.source,
+             CAST(SUM(CASE WHEN p.doc_id = k.keeper THEN p.n_tokens ELSE 0 END)
+                  AS BIGINT) AS dedup_tokens
+      FROM per_doc p JOIN keepers k ON k.h = p.h
+      GROUP BY p.source
+    ),
+    tot AS (
+      SELECT CAST(SUM(dedup_tokens) AS BIGINT) AS t_all,
+             CAST(SUM(CAST(SQRT(CAST(dedup_tokens AS DOUBLE))
+                           AS DECIMAL(28,12))) AS DOUBLE) AS sq_all
+      FROM per_src
+    )
+    SELECT s.source, s.dedup_tokens,
+           CAST(s.dedup_tokens AS DOUBLE) / t_all AS nat_share,
+           SQRT(CAST(s.dedup_tokens AS DOUBLE)) / sq_all AS weight,
+           (SQRT(CAST(s.dedup_tokens AS DOUBLE)) / sq_all)
+             / (CAST(s.dedup_tokens AS DOUBLE) / t_all) AS boost
+    FROM per_src s CROSS JOIN tot
+    """,
+)
+def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (the multilingual-corpus
+    standard, alpha = 1/2): w_i = sqrt(t_i) / sum_j sqrt(t_j) over exact
+    per-source DEDUPLICATED token counts, next to each source's natural
+    share and the resulting up/down-sampling boost — the exact table a
+    pretraining data loader consumes. alpha = 1/2 keeps cross-engine parity
+    trivial (SQRT is one IEEE op; any alpha via POW(t, a) works the same).
+
+    Plan: the source_mix dedup accounting (hash agg + join-back), then a
+    1-row global aggregate broadcast back via the whitelisted scalar
+    crossJoin; sqrt-sum accumulates in DECIMAL so the reduction order can't
+    move the denominator."""
+    from pyspark_cdc_engine.operators.registry import dsum
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("bigint").alias("n_tokens"),
+    )
+    keepers = per_doc.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    per_src = (
+        per_doc.join(keepers, "h")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("doc_id") == F.col("keeper"), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("dedup_tokens")
+        )
+    )
+    tot = per_src.agg(
+        F.sum("dedup_tokens").cast("bigint").alias("t_all"),
+        dsum(F.sqrt(F.col("dedup_tokens").cast("double")), scale=12).alias("sq_all"),
+    )
+    sq = F.sqrt(F.col("dedup_tokens").cast("double"))
+    nat = F.col("dedup_tokens").cast("double") / F.col("t_all")
+    w = sq / F.col("sq_all")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "dedup_tokens",
+        nat.alias("nat_share"),
+        w.alias("weight"),
+        (w / nat).alias("boost"),
+    )

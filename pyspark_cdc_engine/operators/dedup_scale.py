@@ -1370,3 +1370,74 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_dropped").isNull().alias("keep"),
         )
     )
+
+
+_ANN_FILTER = "label < 5"  # the probe-time metadata predicate (half the corpus)
+
+
+@register(
+    "ann_ivf_filtered",
+    survey="M5-ann,W1,O1,beyond-ref",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))},
+    labeled AS (
+      SELECT a.*, e.label FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+          FROM assigned WHERE vec_id < {_IVF_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+             {_dot_duck('q.qemb', 'c.embedding')} / SQRT(q.qn2 * c.norm2) AS cos_sim
+      FROM q JOIN labeled c
+        ON c.centroid_id = q.centroid_id AND c.vec_id <> q.query_id
+      WHERE c.{_ANN_FILTER}
+    )
+    SELECT query_id, neighbor_id, label, rank, cos_sim FROM (
+      SELECT query_id, neighbor_id, label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_IVF_K}
+    """,
+)
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the modern retrieval requirement plain ANN
+    misses: top-k cosine neighbors restricted to a metadata predicate
+    ({_ANN_FILTER!r} here; a language/source/date filter in production). The
+    IVF index stays label-agnostic; the predicate applies at PROBE time
+    (post-filter inside the bucket), the standard engine choice — a
+    pre-filtered index per predicate value explodes index count, and
+    probe-time filtering composes with any predicate. 100 TB shape:
+    identical to ann_ivf_bucketed (broadcast queries against bucketed
+    corpus) with the filter pushed into the bucket scan, so selectivity
+    REDUCES work; ranks then count only qualifying neighbors. Recall caveat
+    as in every post-filter ANN: highly selective predicates warrant probing
+    more buckets (nprobe>1) — the oracle pins the 1-probe contract."""
+    assigned = _ivf_assigned_df(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    corpus = assigned.join(labels, "vec_id").filter(_ANN_FILTER)
+    q = assigned.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("norm2").alias("qn2"),
+        F.col("centroid_id").alias("qcent"),
+    )
+    dot_qc = _DOT_DEC_SPARK.format(a="qemb", b="embedding")
+    scored = (
+        corpus.join(
+            F.broadcast(q),
+            (F.col("centroid_id") == F.col("qcent"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cos_sim", F.expr(dot_qc) / F.sqrt(F.col("qn2") * F.col("norm2")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "label", "cos_sim")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", "neighbor_id", "label", "rank", "cos_sim")
+    )

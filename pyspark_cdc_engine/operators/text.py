@@ -1018,3 +1018,65 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
         F.length(scrubbed).alias("scrubbed_len"),
     )
+
+
+_BPE_TOPK = 20
+
+
+@register(
+    "bpe_merge_step",
+    survey="M5-text,beyond-ref",
+    oracle=f"""
+    WITH words AS (
+      SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    wf AS (SELECT w, COUNT(*) AS cnt FROM words WHERE len(w) >= 2 GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM wf, UNNEST(range(1, len(w))) AS t(i)
+      GROUP BY 1
+    )
+    SELECT pair, pair_count, rank FROM (
+      SELECT pair, pair_count,
+             ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rank
+      FROM pairs
+    ) WHERE rank <= {_BPE_TOPK}
+    """,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge-selection step — the core of tokenizer training
+    (Sennrich et al. 2016): count every adjacent symbol pair weighted by word
+    frequency and rank the merge candidates (the top pair is what BPE would
+    merge next; iterating with a symbol-table rewrite IS BPE training, the
+    same driver-loop shape as kmeans_update_step). Char-level symbols here;
+    the counting plan is the general one.
+
+    100 TB shape: the pair counting runs over the DISTINCT-word frequency
+    table, not the corpus — vocabulary is ~log of corpus size, so the
+    explode-and-aggregate touches millions of short rows instead of
+    billions of documents; all integer arithmetic (exact cross-engine),
+    two hash aggregations (word, then pair), one top-k window over the
+    pair table (tiny)."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = (
+        wf.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+            "cnt",
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+    w_rank = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _BPE_TOPK)
+        .select("pair", "pair_count", "rank")
+    )

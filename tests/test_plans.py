@@ -439,6 +439,7 @@ _SWEEP_CROSS_OK = {
     "heavy_hitters_mg",         # broadcast 1-row token total (bound computation)
     "domain_similarity_score",  # broadcast 1-row target-corpus total
     "bm25_odds_search",         # broadcast 1-row corpus stats (N, avgdl)
+    "temperature_sampling_weights",  # broadcast 1-row (t_all, sq_all) totals
 }
 _SWEEP_PYTHON_OK = {
     "embedding_cosine_near_dup",  # numpy gram scoring via applyInPandas (by design)
