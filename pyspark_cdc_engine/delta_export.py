@@ -74,6 +74,13 @@ def export_delta_snapshot(
     consuming engine too."""
     v = table.latest_version() if version is None else version
     commit = table._read_commit(v)
+    if commit.get("dv_files"):
+        # symmetric with read_delta_snapshot, which rejects DV tables: a
+        # file-copy export of a DV snapshot would resurrect tombstoned rows
+        raise ValueError(
+            "export of a snapshot with active deletion vectors is not "
+            "supported; run compact() to materialize them first"
+        )
     # the EXPORTED version's schema, not the latest — a time-travel export of
     # a schema-evolved table must advertise what its files actually hold
     if commit.get("schema"):

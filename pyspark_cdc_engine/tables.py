@@ -153,8 +153,10 @@ class DeltaliteTable:
             if prev_part and "partition_by" not in extra:
                 extra["partition_by"] = prev_part
             # column-mapping state (logical->physical names + retired physical
-            # names) rides every commit forward, like constraints
-            for cm_key in ("column_mapping", "retired_physical"):
+            # names) and deletion vectors ride every commit forward, like
+            # constraints (a DV row whose file a later commit rewrote simply
+            # never matches — carrying the list is always sound)
+            for cm_key in ("column_mapping", "retired_physical", "dv_files"):
                 prev_cm = base_commit.get(cm_key)
                 if prev_cm and cm_key not in extra:
                     extra[cm_key] = prev_cm
@@ -321,6 +323,8 @@ class DeltaliteTable:
         schema_json: str | None,
         partition_by: list[str] | None,
         mapping: dict[str, str] | None = None,
+        dv_rels: list[str] | None = None,
+        keep_pos: bool = False,
     ) -> DataFrame:
         """Read a set of data dirs under the LOG schema. Partitioned dirs carry
         their partition-column values in ``key=value`` subdir names, so each
@@ -335,7 +339,18 @@ class DeltaliteTable:
         fields renamed to physical, and the result projects back to logical.
         A column dropped from the log schema simply has no field in the scan
         schema — its bytes in old files are never read (column pruning), the
-        Delta DROP COLUMN semantics."""
+        Delta DROP COLUMN semantics.
+
+        ``dv_rels`` — the commit's DELETION VECTORS (merge-on-read deletes,
+        :meth:`delete` with ``mode="dv"``): each is a parquet of
+        (file_path, row_index) tombstones. The scan attaches the parquet
+        metadata position columns and anti-joins the tombstones — rows a DV
+        marks never surface, without any file having been rewritten. DV rows
+        whose file no longer exists (later compact/DML rewrote it) simply
+        never match — carrying a DV list across rewrites is always sound.
+        ``keep_pos`` additionally surfaces ``__fp``/``__ri`` (file path, row
+        index) in the result — the DV WRITE path uses it to tombstone rows."""
+        want_pos = keep_pos or bool(dv_rels)
         schema = None
         if schema_json:
             from pyspark.sql.types import StructType
@@ -353,21 +368,45 @@ class DeltaliteTable:
             )
         read_schema = phys_schema if phys_schema is not None else schema
 
+        pos_cols = ["__fp", "__ri"]
+
+        def _with_pos(df: DataFrame) -> DataFrame:
+            if not want_pos:
+                return df
+            return df.select(
+                "*",
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+
+        def _apply_dv(df: DataFrame) -> DataFrame:
+            if not dv_rels:
+                return df
+            dv = self.spark.read.parquet(*[str(self._root / r) for r in dv_rels])
+            out = df.join(
+                dv,
+                (df["__fp"] == dv["file_path"]) & (df["__ri"] == dv["row_index"]),
+                "left_anti",
+            )
+            return out if keep_pos else out.drop(*pos_cols)
+
         def _to_logical(df: DataFrame) -> DataFrame:
             if phys_schema is None:
                 return df
+            extra_cols = [c for c in pos_cols if c in df.columns]
             return df.select(
                 *[
                     F.col(mapping.get(f.name, f.name)).alias(f.name)
                     for f in schema.fields
-                ]
+                ],
+                *extra_cols,
             )
 
         if not partition_by:
             reader = self.spark.read
             if read_schema is not None:
                 reader = reader.schema(read_schema)
-            return _to_logical(reader.parquet(*dirs))
+            return _to_logical(_apply_dv(_with_pos(reader.parquet(*dirs))))
         # Group dirs by basePath — the prefix above the first `key=value`
         # component (per-partition-dir live entries), or the dir itself
         # (legacy whole-dir entries, which contain the key=value subdirs).
@@ -396,17 +435,20 @@ class DeltaliteTable:
             reader = self.spark.read.option("basePath", base)
             if read_schema is not None:
                 reader = reader.schema(read_schema)
-            df = reader.parquet(*ds)
+            df = _with_pos(reader.parquet(*ds))
             if read_schema is not None:
                 # partition discovery appends physical-only dir columns (e.g.
                 # zorder's __zr range buckets) even with an explicit schema —
                 # the LOG schema is the contract, so project down to it
-                df = df.select(*[f.name for f in read_schema.fields])
+                df = df.select(
+                    *[f.name for f in read_schema.fields],
+                    *(pos_cols if want_pos else []),
+                )
             frames.append(df)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        return _to_logical(out)
+        return _to_logical(_apply_dv(out))
 
     def _publish(self, rel: str) -> None:
         """Atomically move a staged data dir into ``data/`` (post-commit)."""
@@ -516,6 +558,7 @@ class DeltaliteTable:
             commit.get("schema"),
             commit.get("partition_by"),
             commit.get("column_mapping"),
+            dv_rels=commit.get("dv_files"),
         )
         # re-apply the bounds as row filters (dir stats prune dirs, not rows)
         for col, (lo, hi) in (key_bounds or {}).items():
@@ -546,6 +589,7 @@ class DeltaliteTable:
             commit.get("schema"),
             commit.get("partition_by"),
             commit.get("column_mapping"),
+            dv_rels=commit.get("dv_files"),
         )
 
     def live_data_dirs(self, version: int | None = None) -> list[str]:
@@ -574,6 +618,12 @@ class DeltaliteTable:
                 "read_stream is not supported on partitioned tables: the "
                 "data/* file glob cannot recover partition-dir columns. "
                 "Stream the unpartitioned upstream table instead."
+            )
+        if commit.get("dv_files"):
+            raise ValueError(
+                "read_stream on a table with active deletion vectors would "
+                "re-deliver tombstoned rows (the file glob cannot apply "
+                "them); run compact() to materialize the DVs first"
             )
         schema = self.read().schema  # logical
         mapping = self._mapping(commit)
@@ -651,9 +701,12 @@ class DeltaliteTable:
         # exist yet
         end_commit = self._read_commit(min(end, self.latest_version()))
         frames = []
-        prev_live: set[str] = set(
-            self._read_commit(starting_version)["live"]
-        ) if starting_version in self._versions() else set()
+        if starting_version in self._versions():
+            start_commit = self._read_commit(starting_version)
+            prev_live: set[str] = set(start_commit["live"])
+            prev_dv: list[str] = list(start_commit.get("dv_files") or [])
+        else:
+            prev_live, prev_dv = set(), []
         for v in self._versions():
             if v <= starting_version or v > end:
                 continue
@@ -677,6 +730,34 @@ class DeltaliteTable:
                         "_commit_version", F.lit(v)
                     )
                 )
+            elif (
+                commit["operation"] == "delete"
+                and commit.get("delete_where")
+                and commit.get("dv_delete")
+            ):
+                # merge-on-read delete: live dirs unchanged; the newly
+                # tombstoned rows are exactly (predicate-matching rows not
+                # already tombstoned BEFORE this commit) — read the same dirs
+                # under the PRIOR commit's DV set and replay the predicate
+                new_dv = [
+                    r for r in (commit.get("dv_files") or [])
+                    if r not in set(prev_dv)
+                ]
+                if new_dv:
+                    pre = self._read_dirs(
+                        [str(self._root / d) for d in commit["live"]],
+                        commit.get("schema"),
+                        commit.get("partition_by"),
+                        commit.get("column_mapping"),
+                        dv_rels=prev_dv,
+                    ).filter(commit["delete_where"])
+                    pre = self._project_to_schema(
+                        pre, commit, end_commit if end_commit.get("schema") else commit
+                    )
+                    frames.append(
+                        pre.withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_version", F.lit(v))
+                    )
             elif commit["operation"] == "delete" and commit.get("delete_where"):
                 replaced = [d for d in prev_live if d not in set(commit["live"])]
                 if replaced:
@@ -690,6 +771,7 @@ class DeltaliteTable:
                         commit.get("schema"),
                         commit.get("partition_by"),
                         commit.get("column_mapping"),
+                        dv_rels=prev_dv,  # carried DVs: rows already gone
                     ).filter(commit["delete_where"])
                     pre = self._project_to_schema(
                         pre, commit, end_commit if end_commit.get("schema") else commit
@@ -708,6 +790,7 @@ class DeltaliteTable:
                         commit.get("schema"),
                         commit.get("partition_by"),
                         commit.get("column_mapping"),
+                        dv_rels=prev_dv,  # tombstoned rows were never updated
                     ).filter(commit["update_where"])
                     upd = commit["update_set"]
                     post = matched.select(
@@ -727,6 +810,7 @@ class DeltaliteTable:
                             .withColumn("_commit_version", F.lit(v))
                         )
             prev_live = set(commit["live"])
+            prev_dv = list(commit.get("dv_files") or [])
         if not frames:
             raise ValueError(
                 f"no logical changes in ({starting_version}, {end}]"
@@ -773,6 +857,13 @@ class DeltaliteTable:
         if dest.exists():
             raise ValueError(f"clone destination already exists: {dest_path}")
         src_commit = self._read_commit(self.latest_version())
+        if src_commit.get("dv_files"):
+            # DV sidecars are table-relative; a clone referencing them across
+            # roots would silently resolve under the WRONG table root. Loud.
+            raise ValueError(
+                "clone of a table with active deletion vectors is not "
+                "supported; run compact() to materialize them first"
+            )
         live_abs = [str(self._root / d) for d in src_commit["live"]]
         extra = {"cloned_from": self.path}
         if src_commit.get("schema"):
@@ -1250,6 +1341,7 @@ class DeltaliteTable:
             "partition_by": commit.get("partition_by") or [],
             "column_mapping": commit.get("column_mapping") or {},
             "retired_physical": commit.get("retired_physical") or [],
+            "dv_files": commit.get("dv_files") or [],
         }
         if commit.get("schema"):
             extra["schema"] = commit["schema"]
@@ -1311,7 +1403,7 @@ class DeltaliteTable:
                 target_partitions = max(
                     1, -(-self._live_bytes(live) // (target_mb * 1024 * 1024))
                 )
-            df = self.read(version=base)
+            df = self.read(version=base)  # applies DVs: the rewrite MATERIALIZES them
             if target_partitions:
                 df = df.coalesce(target_partitions)
             rel = self._write_data_dir(
@@ -1319,7 +1411,11 @@ class DeltaliteTable:
             )
             rels = self._staged_rels(rel, spec)
             return self._commit_staged(
-                "compact", rels, rels, {"schema": df.schema.json()}, base, commit
+                "compact", rels, rels,
+                # full rewrite: every tombstoned row is gone from the new
+                # files, so the DV list resets (streaming/export re-enabled)
+                {"schema": df.schema.json(), "dv_files": []},
+                base, commit,
             )
 
         # Group live entries by their LOGICAL partition suffix (k=v[/k2=v2...],
@@ -1347,7 +1443,8 @@ class DeltaliteTable:
         rewrite_rels = [r for s in rewrite for r in groups[s]]
         src_dirs = [str(self._root / r) for r in rewrite_rels]
         df = self._read_dirs(
-            src_dirs, commit.get("schema"), spec, commit.get("column_mapping")
+            src_dirs, commit.get("schema"), spec, commit.get("column_mapping"),
+            dv_rels=commit.get("dv_files"),
         )
         if target_mb is not None:
             target_partitions = max(
@@ -1485,6 +1582,7 @@ class DeltaliteTable:
                 commit.get("schema"),
                 spec,
                 commit.get("column_mapping"),
+                dv_rels=commit.get("dv_files"),
             )
             extra["zordered_partitions"] = len(selected)
         zv = self._zvalue_expr(src, list(cols))
@@ -1513,6 +1611,8 @@ class DeltaliteTable:
         rels = self._staged_rels(rel, phys_spec)
         # the log schema omits __zr, so reads never surface it
         extra["schema"] = src.schema.json()
+        if not kept:  # full rewrite materializes every deletion vector
+            extra["dv_files"] = []
         return self._commit_staged(
             "zorder", [*kept, *rels], rels, extra, base, commit, stats_cols=tuple(cols)
         )
@@ -1567,6 +1667,23 @@ class DeltaliteTable:
                 and p.stat().st_mtime < cutoff
                 and p.name not in referenced_tops
             ]
+        # deletion-vector sidecars: referenced by dv_files of retained
+        # commits; anything else (superseded by compact, or an orphan from a
+        # lost commit race) ages out with the same retention window
+        dv_root = self._root / "_dv"
+        if dv_root.exists():
+            referenced_dv: set[str] = set()
+            for v in self._versions():
+                commit = self._read_commit(v)
+                if commit["timestamp"] >= cutoff or v == self.latest_version():
+                    referenced_dv.update(commit.get("dv_files") or [])
+            dead += [
+                f"_dv/{p.name}"
+                for p in sorted(dv_root.iterdir())
+                if p.is_dir()
+                and p.stat().st_mtime < cutoff
+                and f"_dv/{p.name}" not in referenced_dv
+            ]
         if not dry_run:
             for rel in dead:
                 shutil.rmtree(self._root / rel, ignore_errors=True)
@@ -1602,6 +1719,7 @@ class DeltaliteTable:
             commit.get("schema"),
             commit.get("partition_by"),
             commit.get("column_mapping"),
+            dv_rels=commit.get("dv_files"),  # tombstoned rows must not revive
         )
         out = transform(df)
         if validate:
@@ -1631,22 +1749,36 @@ class DeltaliteTable:
         prune_bounds: dict[str, tuple] | None = None,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        mode: str = "cow",
     ) -> int:
-        """DELETE FROM ... WHERE analog (Delta's targeted delete): copy-on-
-        write of only the data dirs that COULD hold matching rows.
+        """DELETE FROM ... WHERE analog (Delta's targeted delete).
+
+        ``mode="cow"`` (default): copy-on-write of only the data dirs that
+        COULD hold matching rows. ``mode="dv"``: DELETION VECTORS — Delta's
+        merge-on-read delete. No data file is rewritten at all: the matched
+        rows' (file, row_index) positions are written as a tombstone sidecar
+        under ``_dv/`` and every reader anti-joins them out. THE 100 TB
+        shape for selective deletes (GDPR erasure, spot corrections): a
+        1-row delete from a 1 GB file costs one tiny parquet write instead
+        of a 1 GB rewrite; ``compact()`` later materializes tombstones away.
 
         ``prune_bounds`` maps column -> (lo, hi) covering every row the
         predicate can match (the caller's promise, same contract as
         ``scan(key_bounds=...)``); any live dir whose logged write-time
         [min, max] cannot intersect is kept verbatim — never listed, read,
-        or rewritten. Sound for ANY ``where`` because kept dirs contain no
-        matching rows by the bounds promise, and unmatched rows pass through
-        a delete unchanged. Without bounds, every dir is rewritten (the
-        whole-table delete). Rows where the predicate is NULL are KEPT (SQL
-        delete semantics). ``(txn_app, txn_version)`` makes the delete
-        idempotent under replay, like append/merge. The rewrite is a
-        non-append commit, so incremental consumers fall back to a rebuild;
-        :meth:`read_changes` reconstructs the removed rows exactly."""
+        or rewritten (cow) / never scanned for tombstones (dv). Sound for
+        ANY ``where`` because kept dirs contain no matching rows by the
+        bounds promise, and unmatched rows pass through a delete unchanged.
+        Without bounds, every dir is processed (the whole-table delete).
+        Rows where the predicate is NULL are KEPT (SQL delete semantics).
+        ``(txn_app, txn_version)`` makes the delete idempotent under replay,
+        like append/merge. Either mode is a non-append commit, so
+        incremental consumers fall back to a rebuild; :meth:`read_changes`
+        reconstructs the removed rows exactly in both modes."""
+        if mode == "dv":
+            return self._dv_delete(where, prune_bounds, txn_app, txn_version)
+        if mode != "cow":
+            raise ValueError(f"delete mode must be cow|dv, got {mode!r}")
         return self._dml_rewrite(
             "delete",
             lambda df: df.filter(f"NOT ({where}) OR ({where}) IS NULL"),
@@ -1655,6 +1787,54 @@ class DeltaliteTable:
             txn_app,
             txn_version,
         )
+
+    def _dv_delete(
+        self,
+        where: str,
+        prune_bounds: dict[str, tuple] | None,
+        txn_app: str | None,
+        txn_version: int | None,
+    ) -> int:
+        """Merge-on-read delete (see :meth:`delete` mode="dv"): tombstone the
+        matched row positions, touch no data file. Already-tombstoned rows
+        are excluded from the scan (prior DVs apply), so a row is tombstoned
+        at most once and the change feed can attribute each deleted row to
+        exactly one commit."""
+        if txn_app is not None and txn_version is not None:
+            last = self.last_txn_version(txn_app)
+            if last is not None and txn_version <= last:
+                return self.latest_version()
+        base, commit = self._snapshot()
+        self._ensure_published(commit["live"])
+        live, _kept = self._split_by_bounds(commit, prune_bounds)
+        prior = list(commit.get("dv_files") or [])
+        extra: dict = {"delete_where": where, "dv_delete": True}
+        if commit.get("schema"):
+            extra["schema"] = commit["schema"]
+        if txn_app is not None and txn_version is not None:
+            extra["txn"] = {"app": txn_app, "version": txn_version}
+        if not live:  # every dir stats-pruned: nothing can match
+            return self._write_commit("delete", commit["live"], extra, base, commit)
+        matched = (
+            self._read_dirs(
+                [str(self._root / d) for d in live],
+                commit.get("schema"),
+                commit.get("partition_by"),
+                commit.get("column_mapping"),
+                dv_rels=prior,
+                keep_pos=True,
+            )
+            .filter(where)
+            .select(
+                F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index")
+            )
+        )
+        rel = f"_dv/{base + 1:010d}-{uuid.uuid4().hex[:8]}"
+        # written directly (not staged): an orphan DV dir from a lost commit
+        # race is never referenced by any commit, so it is inert (and cheap)
+        matched.write.mode("overwrite").parquet(str(self._root / rel))
+        extra["dv_files"] = [*prior, rel]
+        return self._write_commit("delete", commit["live"], extra, base, commit)
 
     def update(
         self,
@@ -1847,6 +2027,7 @@ class DeltaliteTable:
                 commit.get("schema"),
                 commit.get("partition_by"),
                 commit.get("column_mapping"),
+                dv_rels=commit.get("dv_files"),  # tombstoned rows must not revive
             )
         else:  # every dir pruned — merge against an empty target
             target_df = self.read(version=base).limit(0)
