@@ -294,3 +294,34 @@ def dml_orders_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete("o_orderstatus = 'F' AND o_totalprice < 1000")
     t.update({"o_totalprice": "o_totalprice * 1.1"}, "o_orderstatus = 'P'")
     return t.read()
+
+
+@register(
+    "dml_dv_scenario",
+    survey="§2.12,J4,F18,beyond-ref",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 1000)
+      AND NOT (o_orderstatus = 'P' AND o_totalprice > 250000)
+    """,
+)
+def dml_dv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-on-read DELETE under driver certification (companion to
+    dml_orders_scenario's copy-on-write triad): two stacked deletion-vector
+    deletes — no data file rewritten, every reader anti-joining the
+    positional tombstones — must equal the oracle's one-shot filtered
+    SELECT. Exercises DV stacking (the second delete must not re-tombstone
+    the first's rows) and the read path's metadata-column anti-join."""
+    from pyspark_cdc_engine.operators.dedup_incremental import _fresh_scratch_dir
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = _fresh_scratch_dir(f"dml_dv:{sf_dir}")
+    t = DeltaliteTable(spark, f"{tmp}/orders_dv")
+    t.overwrite(o)
+    t.delete("o_orderstatus = 'F' AND o_totalprice < 1000", mode="dv")
+    t.delete("o_orderstatus = 'P' AND o_totalprice > 250000", mode="dv")
+    return t.read()
