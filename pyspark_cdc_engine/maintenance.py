@@ -108,6 +108,8 @@ def table_health(table: DeltaliteTable) -> dict:
         f for d in commit["live"] for f in (root / d).glob("*.parquet")
     ]
     total = sum(f.stat().st_size for f in files)
+    dv_rels = commit.get("dv_files") or []
+    tombstones = table._dv_rows(dv_rels) if dv_rels else 0
     return {
         "version": commit["version"],
         "num_data_dirs": len(commit["live"]),
@@ -115,6 +117,13 @@ def table_health(table: DeltaliteTable) -> dict:
         "size_bytes": total,
         "avg_file_bytes": total // len(files) if files else 0,
         "healthy_128mb": bool(files) and total / len(files) >= 128 * 1024 * 1024,
+        # merge-on-read debt: tombstones every reader pays to anti-join.
+        # compact() materializes them; the flag trips at >16 sidecars (the
+        # anti-join build side grows per DML) so always-on DV writers get a
+        # scheduled OPTIMIZE signal, the Delta operational guidance.
+        "dv_sidecars": len(dv_rels),
+        "dv_tombstones": tombstones,
+        "needs_compact_dvs": len(dv_rels) > 16,
     }
 
 

@@ -780,6 +780,38 @@ class DeltaliteTable:
                         pre.withColumn("_change_type", F.lit("delete"))
                         .withColumn("_commit_version", F.lit(v))
                     )
+            elif (
+                commit["operation"] == "update"
+                and commit.get("update_where")
+                and commit.get("dv_update")
+            ):
+                # merge-on-read update: pre-images = predicate replay over the
+                # PRE-update dirs under the prior DV set; post-images = the
+                # commit's appended dir, verbatim
+                added = [d for d in commit["live"] if d not in prev_live]
+                old = [d for d in commit["live"] if d in prev_live]
+                to = end_commit if end_commit.get("schema") else commit
+                if added and old:
+                    pre = self._read_dirs(
+                        [str(self._root / d) for d in old],
+                        commit.get("schema"),
+                        commit.get("partition_by"),
+                        commit.get("column_mapping"),
+                        dv_rels=prev_dv,
+                    ).filter(commit["update_where"])
+                    post = self._read_dirs(
+                        [str(self._root / d) for d in added],
+                        commit.get("schema"),
+                        commit.get("partition_by"),
+                        commit.get("column_mapping"),
+                    )
+                    for img, tag in ((pre, "update_preimage"),
+                                     (post, "update_postimage")):
+                        frames.append(
+                            self._project_to_schema(img, commit, to)
+                            .withColumn("_change_type", F.lit(tag))
+                            .withColumn("_commit_version", F.lit(v))
+                        )
             elif commit["operation"] == "update" and commit.get("update_where"):
                 replaced = [d for d in prev_live if d not in set(commit["live"])]
                 if replaced:
@@ -1829,12 +1861,101 @@ class DeltaliteTable:
                 F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index")
             )
         )
-        rel = f"_dv/{base + 1:010d}-{uuid.uuid4().hex[:8]}"
-        # written directly (not staged): an orphan DV dir from a lost commit
-        # race is never referenced by any commit, so it is inert (and cheap)
-        matched.write.mode("overwrite").parquet(str(self._root / rel))
+        rel = self._write_dv_sidecar(matched, base + 1)
         extra["dv_files"] = [*prior, rel]
+        extra["dv_rows_added"] = self._dv_rows([rel])
         return self._write_commit("delete", commit["live"], extra, base, commit)
+
+    def _write_dv_sidecar(self, tombstones: DataFrame, version_hint: int) -> str:
+        """Write a (file_path, row_index) tombstone parquet under ``_dv/`` and
+        return its table-relative path. Written directly (not staged): an
+        orphan DV dir from a lost commit race is never referenced by any
+        commit, so it is inert — and vacuum ages it out."""
+        rel = f"_dv/{version_hint:010d}-{uuid.uuid4().hex[:8]}"
+        tombstones.write.mode("overwrite").parquet(str(self._root / rel))
+        return rel
+
+    def _dv_rows(self, dv_rels: list[str]) -> int:
+        """Total tombstones across DV sidecars — parquet FOOTER metadata only,
+        no data read (the health probe and commit stats both use this)."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return -1
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for rel in dv_rels
+            for f in sorted((self._root / rel).rglob("*.parquet"))
+        )
+
+    def _dv_update(
+        self,
+        set: dict[str, str],
+        where: str,
+        prune_bounds: dict[str, tuple] | None,
+        txn_app: str | None,
+        txn_version: int | None,
+    ) -> int:
+        """Merge-on-read UPDATE (see :meth:`update` mode="dv"): tombstone the
+        matched rows' positions AND append their updated images as a new data
+        dir, in one commit — the Delta DV update shape. Unmatched rows in a
+        10 GB file are never rewritten; the cost is proportional to the
+        MATCHED row count, not the touched-file bytes."""
+        if txn_app is not None and txn_version is not None:
+            last = self.last_txn_version(txn_app)
+            if last is not None and txn_version <= last:
+                return self.latest_version()
+        base, commit = self._snapshot()
+        self._ensure_published(commit["live"])
+        live, _kept = self._split_by_bounds(commit, prune_bounds)
+        prior = list(commit.get("dv_files") or [])
+        extra: dict = {
+            "update_where": where,
+            "update_set": dict(set),
+            "dv_update": True,
+        }
+        if commit.get("schema"):
+            extra["schema"] = commit["schema"]
+        if txn_app is not None and txn_version is not None:
+            extra["txn"] = {"app": txn_app, "version": txn_version}
+        if not live:  # every dir stats-pruned: nothing can match
+            return self._write_commit("update", commit["live"], extra, base, commit)
+        matched = self._read_dirs(
+            [str(self._root / d) for d in live],
+            commit.get("schema"),
+            commit.get("partition_by"),
+            commit.get("column_mapping"),
+            dv_rels=prior,
+            keep_pos=True,
+        ).filter(where)
+        dv_rel = self._write_dv_sidecar(
+            matched.select(
+                F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index")
+            ),
+            base + 1,
+        )
+        data_cols = [c for c in matched.columns if c not in ("__fp", "__ri")]
+        post = matched.select(
+            *[
+                F.expr(set[c]).cast(matched.schema[c].dataType).alias(c)
+                if c in set
+                else F.col(c)
+                for c in data_cols
+            ]
+        )
+        self._validate(commit.get("constraints", {}), post)
+        rel = self._write_data_dir(
+            post, base + 1,
+            partition_by=commit.get("partition_by"),
+            mapping=self._mapping(commit),
+        )
+        rels = self._staged_rels(rel, commit.get("partition_by"))
+        extra["dv_files"] = [*prior, dv_rel]
+        extra["dv_rows_added"] = self._dv_rows([dv_rel])
+        return self._commit_staged(
+            "update", [*commit["live"], *rels], rels, extra, base, commit,
+            stats_cols=tuple(prune_bounds or ()),
+        )
 
     def update(
         self,
@@ -1843,8 +1964,9 @@ class DeltaliteTable:
         prune_bounds: dict[str, tuple] | None = None,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        mode: str = "cow",
     ) -> int:
-        """UPDATE ... SET ... WHERE analog — the same stats-pruned
+        """UPDATE ... SET ... WHERE analog — by default the same stats-pruned
         copy-on-write as :meth:`delete`: only dirs whose logged key ranges
         can hold matching rows are rewritten; in them, rows where ``where``
         is TRUE get the ``set`` expressions (SQL over the row's columns)
@@ -1853,7 +1975,15 @@ class DeltaliteTable:
         — and every other row passes through byte-identical. CHECK
         constraints validate the rewrite. Replay-idempotent via
         ``(txn_app, txn_version)``. Completes the Delta DML triad
-        (UPDATE / DELETE / MERGE) on deltalite."""
+        (UPDATE / DELETE / MERGE) on deltalite.
+
+        ``mode="dv"``: merge-on-read — tombstone the matched positions and
+        append only the updated images (one commit); cost scales with the
+        MATCHED rows, not the touched-file bytes (see :meth:`_dv_update`)."""
+        if mode == "dv":
+            return self._dv_update(set, where, prune_bounds, txn_app, txn_version)
+        if mode != "cow":
+            raise ValueError(f"update mode must be cow|dv, got {mode!r}")
 
         def _apply(df: DataFrame) -> DataFrame:
             cond = F.expr(where)

@@ -184,3 +184,54 @@ def test_dv_delete_after_rename_uses_logical_names(spark, tmp_path):
     assert got == [(i, i * 2) for i in range(7)]
     feed = t.read_changes(1).filter("_change_type = 'delete'")
     assert sorted(r.id for r in feed.collect()) == [7, 8, 9]
+
+
+def test_dv_update_appends_images_without_rewrites(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    live_before = t._read_commit(t.latest_version())["live"]
+    v = t.update({"v": "v + 100.0"}, "id IN (2, 3)", mode="dv")
+    commit = t._read_commit(v)
+    assert commit["operation"] == "update" and commit["dv_update"] is True
+    assert set(live_before) < set(commit["live"])     # old dirs UNTOUCHED
+    assert len(commit["dv_files"]) == 1
+    assert commit["dv_rows_added"] == 2
+    got = {r.id: r.v for r in t.read().collect()}
+    assert len(got) == 20
+    assert got[2] == pytest.approx(103.0) and got[3] == pytest.approx(104.5)
+    assert got[4] == pytest.approx(6.0)               # untouched row intact
+    # time travel to pre-update
+    assert {r.id: r.v for r in t.read(version=v - 1).collect()}[2] == pytest.approx(3.0)
+
+
+def test_dv_update_feed_and_stacking_with_dv_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")                         # v0
+    v1 = t.delete("id = 2", mode="dv")                     # v1
+    v2 = t.update({"v": "0.0 - v"}, "id IN (2, 5)", mode="dv")  # v2: id=2 gone
+    got = {r.id: r.v for r in t.read().collect()}
+    assert 2 not in got and got[5] == pytest.approx(-7.5)
+    feed = t.read_changes(0)
+    assert [r.id for r in feed.filter("_change_type = 'delete'").collect()] == [2]
+    pre = feed.filter(f"_change_type = 'update_preimage' AND _commit_version = {v2}")
+    post = feed.filter(f"_change_type = 'update_postimage' AND _commit_version = {v2}")
+    # the tombstoned id=2 was never updated: exactly one pre/post pair (id=5)
+    assert [(r.id, r.v) for r in pre.collect()] == [(5, 7.5)]
+    assert [(r.id, r.v) for r in post.collect()] == [(5, -7.5)]
+
+
+def test_dv_update_respects_constraints_and_health_probe(spark, tmp_path):
+    from pyspark_cdc_engine.maintenance import table_health
+
+    t = _mk(spark, tmp_path / "t")
+    t.add_constraint("v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t.update({"v": "0.0 - v"}, "id = 5", mode="dv")
+    t.delete("id < 2", mode="dv")
+    t.update({"v": "v + 1.0"}, "id = 9", mode="dv")
+    h = table_health(t)
+    assert h["dv_sidecars"] == 2 and h["dv_tombstones"] == 3
+    assert h["needs_compact_dvs"] is False
+    t.compact(target_partitions=1)
+    h = table_health(t)
+    assert h["dv_sidecars"] == 0 and h["dv_tombstones"] == 0
+    got = {r.id: r.v for r in t.read().collect()}
+    assert len(got) == 18 and got[9] == pytest.approx(14.5)
