@@ -17,6 +17,9 @@ source only admits commit types whose change rows are enumerable WITHOUT
 re-evaluating a SQL predicate:
 
 - append / overwrite: insert rows = the commit's added dirs (pyarrow scan);
+  overwrite additionally deletes every pre-overwrite live row (removed dirs,
+  minus positions prior DVs already tombstoned) — Delta's CDF overwrite
+  semantics, so replicas converge to the post-overwrite snapshot;
 - DV delete (``delete(mode="dv")``): deleted rows = the commit's NEW
   tombstone sidecar, positionally ``take``-n from the referenced files —
   exact because deltalite tombstones each row at most once;
@@ -146,6 +149,23 @@ def _dir_files(root: Path, rel: str) -> list[str]:
     return [str(f) for f in sorted(base.rglob("*.parquet"))]
 
 
+def _dv_positions(root: Path, dv_rels: Sequence[str]) -> dict[str, set[int]]:
+    """Tombstoned (file -> row positions) across DV sidecars — a driver-side
+    read of tiny parquets, the same metadata scale as log parsing."""
+    import pyarrow.parquet as pq
+
+    by_file: dict[str, set[int]] = {}
+    for rel in dv_rels:
+        for f in sorted((root / rel).rglob("*.parquet")):
+            t = pq.read_table(f, columns=["file_path", "row_index"])
+            for fp, ri in zip(
+                t.column("file_path").to_pylist(),
+                t.column("row_index").to_pylist(),
+            ):
+                by_file.setdefault(_strip_scheme(fp), set()).add(int(ri))
+    return by_file
+
+
 class DeltaliteCdfStreamReader(DataSourceStreamReader):
     """Offsets are ``{"v": last_delivered_version}`` — one integer, the
     deltalite commit version, checkpointed by Structured Streaming exactly
@@ -194,6 +214,31 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
             added = [d for d in commit["live"] if d not in prev_live]
             new_dvs = [r for r in (commit.get("dv_files") or []) if r not in prev_dv]
             if op in ("append", "overwrite"):
+                if op == "overwrite":
+                    # Delta-CDF overwrite semantics: every pre-overwrite live
+                    # row is a logical delete (rows a prior DV tombstoned were
+                    # already delivered as deletes — emit their complement)
+                    removed = sorted(d for d in prev_live if d not in live)
+                    excluded = (
+                        _dv_positions(root, sorted(prev_dv)) if prev_dv else {}
+                    )
+                    for f in [
+                        f for d in removed for f in _dir_files(root, d)
+                    ]:
+                        if f in excluded:
+                            import pyarrow.parquet as pq
+
+                            n = pq.ParquetFile(f).metadata.num_rows
+                            idx = sorted(set(range(n)) - excluded[f])
+                            if idx:
+                                out.append(_CdfSlice(
+                                    [f], {f: idx}, self._phys_fields(),
+                                    "delete", v,
+                                ))
+                        else:
+                            out.append(_CdfSlice(
+                                [f], None, self._phys_fields(), "delete", v,
+                            ))
                 if added:
                     out.append(_CdfSlice(
                         [f for d in added for f in _dir_files(root, d)],
@@ -231,18 +276,7 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
         """One slice per tombstoned data file (bounded, parallel): positions
         grouped per file from the commit's new sidecars (driver-side read of
         a tiny parquet — the same metadata-scale read as log parsing)."""
-        import pyarrow.parquet as pq
-
-        by_file: dict[str, list[int]] = {}
-        for rel in dv_rels:
-            for f in sorted((root / rel).rglob("*.parquet")):
-                t = pq.read_table(f, columns=["file_path", "row_index"])
-                for fp, ri in zip(
-                    t.column("file_path").to_pylist(),
-                    t.column("row_index").to_pylist(),
-                ):
-                    by_file.setdefault(_strip_scheme(fp), []).append(int(ri))
-        for fp, idx in sorted(by_file.items()):
+        for fp, idx in sorted(_dv_positions(root, dv_rels).items()):
             yield _CdfSlice(
                 [fp], {fp: sorted(idx)}, self._phys_fields(), tag, v
             )

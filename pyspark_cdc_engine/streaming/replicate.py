@@ -1,0 +1,168 @@
+"""CDC table replication — the "APPLY CHANGES INTO" primitive over the
+change feed, plus a streaming replicator that keeps a replica deltalite
+table converged with a source table (Delta's `readChangeFeed` → MERGE
+recipe, DLT's APPLY CHANGES shape).
+
+Two layers:
+
+- :func:`apply_changes` — batch: fold a change-feed frame (insert / delete /
+  update_preimage / update_postimage rows, tagged `_change_type` /
+  `_commit_version`) into a destination table, keyed by a primary key. The
+  per-key NET effect is computed first (last state wins by commit version),
+  so a batch spanning insert→update→delete of one key applies as a single
+  delete — and the whole batch lands as ONE stats-pruned MERGE commit,
+  idempotent under replay via (txn_app, txn_version).
+
+- :func:`replicate_stream` — streaming: wire the `deltalite_cdf` source
+  (:mod:`pyspark_cdc_engine.cdf_source`) into that applier under a
+  Structured Streaming checkpoint. Offsets are source commit versions;
+  micro-batch replay is a MERGE no-op (txn tag = batch id) — exactly-once
+  replication end to end.
+
+Scale shape: the net-effect step shuffles only the CHANGE batch (not the
+replica), and the MERGE prunes untouched replica dirs by the batch's key
+range (file-skipping merge) — a 100 TB replica updated by small CDC batches
+rewrites only the touched fraction of its files.
+
+Requires key uniqueness in the SOURCE table (a primary key): two live source
+rows sharing a key would race nondeterministically for the replica row, so
+the net-effect window's (commit_version, change-priority) order must be a
+total order per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_cdc_engine.tables import DeltaliteTable, MergeClause
+
+_META_COLS = ("_change_type", "_commit_version")
+
+
+def net_changes(changes: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-key net effect of a change-feed frame: the LAST state-carrying row
+    by (_commit_version, change priority), tagged ``__op`` = 'U' (upsert) or
+    'D' (delete).
+
+    update_preimage rows are dropped (the postimage carries the new state).
+    Within one commit version an insert outranks a delete: an overwrite
+    replacing a key emits both at the same version, and the insert is the
+    surviving state."""
+    prio = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), 2)
+        .when(F.col("_change_type") == "delete", 1)
+        .otherwise(0)
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_commit_version").desc(), F.col("__prio").desc()
+    )
+    return (
+        changes.filter(F.col("_change_type") != "update_preimage")
+        .withColumn("__prio", prio)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumn(
+            "__op",
+            F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .drop("__prio", "__rn", *_META_COLS)
+    )
+
+
+def apply_changes(
+    dest: DeltaliteTable,
+    changes: DataFrame,
+    key_cols: list[str],
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+    prune_on: str | None = "auto",
+) -> int:
+    """Fold a change-feed frame into ``dest`` (APPLY CHANGES INTO): compute
+    the per-key net effect, then one MERGE — matched 'D' deletes, matched 'U'
+    updates, unmatched 'U' inserts (an unmatched 'D' — a key inserted and
+    deleted within the batch — correctly applies as nothing).
+
+    A nonexistent ``dest`` bootstraps via overwrite of the net upserts; the
+    txn tag is recorded either way, so a crash between the bootstrap commit
+    and the stream checkpoint replays as a no-op MERGE.
+
+    ``prune_on="auto"`` file-skips the merge on the first key column (only
+    replica dirs whose logged key range can hold batch keys are rewritten);
+    pass ``None`` to disable or a column name to override. Returns the new
+    dest version."""
+    net = net_changes(changes, key_cols)
+    data_cols = [c for c in net.columns if c != "__op"]
+    if not dest.exists():
+        return dest.overwrite(
+            net.filter(F.col("__op") == "U").select(*data_cols),
+            txn_app=txn_app,
+            txn_version=txn_version,
+        )
+    cond = " AND ".join(f"target.{k} <=> source.{k}" for k in key_cols)
+    assign = {c: f"source.{c}" for c in data_cols}
+    clauses = [
+        MergeClause("delete", condition="source.__op = 'D'"),
+        MergeClause("update", condition=None, assignments=assign),
+        MergeClause("insert", condition="source.__op = 'U'", assignments=assign),
+    ]
+    return dest.merge(
+        net,
+        cond,
+        clauses,
+        prune_on=key_cols[0] if prune_on == "auto" else prune_on,
+        txn_app=txn_app,
+        txn_version=txn_version,
+    )
+
+
+def replicate_stream(
+    spark: SparkSession,
+    source_path: str,
+    dest_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    starting_version: int | None = 0,
+    prune_on: str | None = "auto",
+    maintain: list | None = None,
+):
+    """Continuously replicate a deltalite table into another via its change
+    stream. Each micro-batch (a window of source commit versions) folds into
+    the replica as one idempotent MERGE; deletion-vector DML and overwrites
+    replicate exactly (the CDF source emits their delete/update rows), while
+    copy-on-write rewrites fail the stream loudly — restart from a fresh
+    snapshot, the Delta `failOnDataLoss` contract.
+
+    ``maintain`` — post-commit maintenance objects (IncrementalLshIndex,
+    IncrementalAggregate, …) refreshed after each applied batch, same hook
+    as the SCD2 sinks. Returns the StreamingQuery (availableNow trigger:
+    drains everything committed so far, then stops — rerun with the same
+    checkpoint to catch up)."""
+    from pyspark_cdc_engine.cdf_source import read_change_stream
+    from pyspark_cdc_engine.streaming.pipeline import _refresh_all
+
+    dest = DeltaliteTable(spark, dest_path)
+    txn_app = f"cdc_replicate:{checkpoint_dir}"
+    changes = read_change_stream(spark, source_path, starting_version)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_changes(
+            dest,
+            batch_df,
+            key_cols,
+            txn_app=txn_app,
+            txn_version=batch_id,
+            prune_on=prune_on,
+        )
+        _refresh_all(maintain)
+
+    return (
+        changes.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

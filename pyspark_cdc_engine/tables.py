@@ -679,7 +679,12 @@ class DeltaliteTable:
         their removed rows with ``_change_type='delete'`` — reconstructed
         exactly by replaying the recorded predicate over the pre-delete dirs
         the commit rewrote (the rows filtered out are precisely the deleted
-        set). UPDATE commits emit Delta-CDF-style ``update_preimage`` /
+        set). OVERWRITE commits past the feed's start emit every
+        pre-overwrite live row as a ``delete`` alongside the new data's
+        ``insert`` rows — Delta's CDF overwrite semantics — so a replica
+        applying the feed converges to the post-overwrite snapshot instead
+        of silently keeping replaced rows.
+        UPDATE commits emit Delta-CDF-style ``update_preimage`` /
         ``update_postimage`` row pairs, reconstructed the same way: the
         recorded predicate replays over the rewritten dirs' PRE-update bytes
         (matched rows = pre-images), and the recorded SET expressions applied
@@ -703,10 +708,11 @@ class DeltaliteTable:
         frames = []
         if starting_version in self._versions():
             start_commit = self._read_commit(starting_version)
+            prev_commit: dict | None = start_commit
             prev_live: set[str] = set(start_commit["live"])
             prev_dv: list[str] = list(start_commit.get("dv_files") or [])
         else:
-            prev_live, prev_dv = set(), []
+            prev_commit, prev_live, prev_dv = None, set(), []
         for v in self._versions():
             if v <= starting_version or v > end:
                 continue
@@ -730,6 +736,28 @@ class DeltaliteTable:
                         "_commit_version", F.lit(v)
                     )
                 )
+            if commit["operation"] == "overwrite" and prev_commit is not None:
+                # Delta-CDF overwrite semantics: every pre-overwrite live row
+                # is a logical delete (plus the inserts above). Removed dirs
+                # were written under the PREVIOUS commit's schema/mapping —
+                # read them there (prior DVs applied: tombstoned rows were
+                # already reported deleted), then project to the end names by
+                # stable physical identity.
+                removed = [d for d in prev_live if d not in set(commit["live"])]
+                if removed:
+                    pre = self._read_dirs(
+                        [str(self._root / d) for d in removed],
+                        prev_commit.get("schema"),
+                        prev_commit.get("partition_by"),
+                        prev_commit.get("column_mapping"),
+                        dv_rels=prev_dv,
+                    )
+                    to = end_commit if end_commit.get("schema") else prev_commit
+                    frames.append(
+                        self._project_to_schema(pre, prev_commit, to)
+                        .withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_version", F.lit(v))
+                    )
             elif (
                 commit["operation"] == "delete"
                 and commit.get("delete_where")
@@ -841,6 +869,7 @@ class DeltaliteTable:
                             .withColumn("_change_type", F.lit(tag))
                             .withColumn("_commit_version", F.lit(v))
                         )
+            prev_commit = commit
             prev_live = set(commit["live"])
             prev_dv = list(commit.get("dv_files") or [])
         if not frames:
@@ -1232,6 +1261,9 @@ class DeltaliteTable:
             "partition_by": list(spec or []),
             "column_mapping": pruned,
             "retired_physical": [],
+            # no pre-overwrite file survives, so carried deletion vectors are
+            # inert — reset them (like compact) so vacuum can age the sidecars
+            "dv_files": [],
         }
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
