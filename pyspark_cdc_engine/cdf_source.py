@@ -25,6 +25,10 @@ re-evaluating a SQL predicate:
   exact because deltalite tombstones each row at most once;
 - DV update: pre-images = the new sidecar positions, post-images = the
   commit's appended image dir;
+- DV merge (``merge(mode="dv")``): deletes / pre-images from the commit's
+  per-kind sidecars, inserts / post-images from its per-kind image dirs —
+  the commit keeps all four outputs' identities, so a MERGE is fully
+  streamable (and hence replicable) in merge-on-read mode;
 - compact / zorder / restore / analyze / schema commits: no logical change,
   skipped.
 
@@ -257,6 +261,23 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
                         [f for d in added for f in _dir_files(root, d)],
                         None, self._phys_fields(), "update_postimage", v,
                     ))
+            elif op == "merge" and commit.get("dv_merge"):
+                # merge-on-read MERGE keeps its four outputs' identities in
+                # the commit — every change row is enumerable executor-side
+                for key, tag in (("dv_merge_delete_dvs", "delete"),
+                                 ("dv_merge_update_dvs", "update_preimage")):
+                    for sl in self._tombstone_slices(
+                        root, commit.get(key) or [], tag, v
+                    ):
+                        out.append(sl)
+                for key, tag in (("dv_merge_insert_dirs", "insert"),
+                                 ("dv_merge_update_dirs", "update_postimage")):
+                    rels = commit.get(key) or []
+                    if rels:
+                        out.append(_CdfSlice(
+                            [f for d in rels for f in _dir_files(root, d)],
+                            None, self._phys_fields(), tag, v,
+                        ))
             elif op in _SKIP_OPS:
                 pass  # physical reorganization / metadata: no logical change
             else:

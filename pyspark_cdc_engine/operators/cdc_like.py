@@ -325,3 +325,91 @@ def dml_dv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete("o_orderstatus = 'F' AND o_totalprice < 1000", mode="dv")
     t.delete("o_orderstatus = 'P' AND o_totalprice > 250000", mode="dv")
     return t.read()
+
+
+@register(
+    "dml_dv_merge_scenario",
+    survey="§2.12,J4,§2.9,beyond-ref",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    src AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_totalprice < 50000 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderstatus = 'P'
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, 'U'
+      FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 1000 = 0
+    )
+    SELECT t.o_orderkey,
+           CASE WHEN s.op = 'U' THEN 'R' ELSE t.o_orderstatus END
+             AS o_orderstatus,
+           CASE WHEN s.op = 'U' THEN t.o_totalprice * 0.9
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+    WHERE s.op IS NULL OR s.op <> 'D'
+    UNION ALL
+    SELECT s.o_orderkey, 'N' AS o_orderstatus, s.o_totalprice
+    FROM src s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+    WHERE t.o_orderkey IS NULL AND s.op = 'U'
+    """,
+)
+def dml_dv_merge_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE under driver certification — the third leg of the
+    DV DML triad (with dml_dv_scenario's deletes and the DV update golden
+    suite): one merge commit whose delete clause drops cheap pending orders,
+    update clause reprices the rest (images appended, matched positions
+    tombstoned — no pre-existing file rewritten), and insert clause adds
+    synthetic follow-up orders. The final table state must equal the
+    oracle's one-shot relational statement of the same clause cascade."""
+    from pyspark_cdc_engine.operators.dedup_incremental import _fresh_scratch_dir
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = _fresh_scratch_dir(f"dml_dv_merge:{sf_dir}")
+    t = DeltaliteTable(spark, f"{tmp}/orders_dvm")
+    t.overwrite(o)
+    src = (
+        o.filter("o_orderstatus = 'P'")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("o_totalprice") < 50000, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        .unionByName(
+            o.filter("o_orderstatus = 'O' AND o_orderkey % 1000 = 0").select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_totalprice",
+                F.lit("U").alias("op"),
+            )
+        )
+    )
+    t.merge(
+        src,
+        "target.o_orderkey = source.o_orderkey",
+        [
+            MergeClause("delete", condition="source.op = 'D'"),
+            MergeClause(
+                "update",
+                condition=None,
+                assignments={
+                    "o_totalprice": "target.o_totalprice * 0.9",
+                    "o_orderstatus": "'R'",
+                },
+            ),
+            MergeClause(
+                "insert",
+                condition="source.op = 'U'",
+                assignments={
+                    "o_orderkey": "source.o_orderkey",
+                    "o_orderstatus": "'N'",
+                    "o_totalprice": "source.o_totalprice",
+                },
+            ),
+        ],
+        mode="dv",
+    )
+    return t.read()

@@ -689,11 +689,16 @@ class DeltaliteTable:
         recorded predicate replays over the rewritten dirs' PRE-update bytes
         (matched rows = pre-images), and the recorded SET expressions applied
         to those rows are, by the determinism of the rewrite itself, exactly
-        the post-images. Other rewriting commits (compact/zorder/restore/
-        merge) contribute nothing: physical reorganizations aren't logical
-        changes, and merge images are out of the append-only contract
-        (incremental consumers treat every non-append as a rebuild trigger
-        regardless — incremental_fold_safe keys on operations, not the feed).
+        the post-images. Merge-on-read MERGE commits (``mode="dv"``) emit
+        all four image kinds exactly — the commit keeps its delete/update
+        sidecars and update/insert image dirs separate, so deletes and
+        pre-images are position-joins against the pre-merge bytes and
+        post-images/inserts are the appended dirs verbatim. Other rewriting
+        commits (compact/zorder/restore/copy-on-write merge) contribute
+        nothing: physical reorganizations aren't logical changes, and cow
+        merge images dissolve into the rewrite (incremental consumers treat
+        every non-append as a rebuild trigger regardless —
+        incremental_fold_safe keys on operations, not the feed).
 
         Every slice is read under the END version's schema + column mapping
         (not each commit's own): physical names are stable across renames, so
@@ -869,6 +874,59 @@ class DeltaliteTable:
                             .withColumn("_change_type", F.lit(tag))
                             .withColumn("_commit_version", F.lit(v))
                         )
+            elif commit["operation"] == "merge" and commit.get("dv_merge"):
+                # merge-on-read MERGE: the commit kept its four outputs'
+                # identities — deletes/pre-images are the rows at the new
+                # sidecars' positions (read the PRE-merge dirs under the
+                # prior DV set and position-join), post-images/inserts are
+                # the appended image dirs verbatim
+                to = end_commit if end_commit.get("schema") else commit
+                old = [d for d in commit["live"] if d in prev_live]
+                base_rows = None
+                for key, tag in (("dv_merge_delete_dvs", "delete"),
+                                 ("dv_merge_update_dvs", "update_preimage")):
+                    rels = commit.get(key) or []
+                    if not rels or not old:
+                        continue
+                    if base_rows is None:
+                        base_rows = self._read_dirs(
+                            [str(self._root / d) for d in old],
+                            commit.get("schema"),
+                            commit.get("partition_by"),
+                            commit.get("column_mapping"),
+                            dv_rels=prev_dv,
+                            keep_pos=True,
+                        )
+                    sc = self.spark.read.parquet(
+                        *[str(self._root / r) for r in rels]
+                    )
+                    rows = base_rows.join(
+                        sc,
+                        (base_rows["__fp"] == sc["file_path"])
+                        & (base_rows["__ri"] == sc["row_index"]),
+                        "inner",
+                    ).drop("file_path", "row_index", "__fp", "__ri")
+                    frames.append(
+                        self._project_to_schema(rows, commit, to)
+                        .withColumn("_change_type", F.lit(tag))
+                        .withColumn("_commit_version", F.lit(v))
+                    )
+                for key, tag in (("dv_merge_insert_dirs", "insert"),
+                                 ("dv_merge_update_dirs", "update_postimage")):
+                    rels = commit.get(key) or []
+                    if not rels:
+                        continue
+                    img = self._read_dirs(
+                        [str(self._root / d) for d in rels],
+                        commit.get("schema"),
+                        commit.get("partition_by"),
+                        commit.get("column_mapping"),
+                    )
+                    frames.append(
+                        self._project_to_schema(img, commit, to)
+                        .withColumn("_change_type", F.lit(tag))
+                        .withColumn("_commit_version", F.lit(v))
+                    )
             prev_commit = commit
             prev_live = set(commit["live"])
             prev_dv = list(commit.get("dv_files") or [])
@@ -2137,6 +2195,7 @@ class DeltaliteTable:
         prune_on: str | None = None,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        mode: str = "cow",
     ) -> int:
         """MERGE INTO with Delta semantics for the subset the reference uses
         (ScdType1MergeApp.scala:95-132): clauses evaluated in declaration order,
@@ -2155,7 +2214,19 @@ class DeltaliteTable:
         rewrites only the touched fraction of its files.
 
         ``txn_app``/``txn_version`` make the merge idempotent under micro-batch
-        replay (same pattern as :meth:`append`)."""
+        replay (same pattern as :meth:`append`).
+
+        ``mode="dv"``: merge-on-read — matched rows an update/delete clause
+        fires on are TOMBSTONED in place (deletion-vector sidecars) and only
+        the update/insert images are appended; no pre-existing file is
+        rewritten, completing the DV DML triad (see :meth:`_dv_merge`)."""
+        if mode == "dv":
+            return self._dv_merge(
+                source, condition, clauses, broadcast_source, prune_on,
+                txn_app, txn_version,
+            )
+        if mode != "cow":
+            raise ValueError(f"merge mode must be cow|dv, got {mode!r}")
         if txn_app is not None and txn_version is not None:
             last = self.last_txn_version(txn_app)
             if last is not None and txn_version <= last:
@@ -2210,6 +2281,241 @@ class DeltaliteTable:
             extra["txn"] = {"app": txn_app, "version": txn_version}
         return self._commit_staged(
             "merge", [*kept, *rels], rels, extra, base, commit,
+            stats_cols=(prune_on,) if prune_on else (),
+        )
+
+    def _dv_merge(
+        self,
+        source: DataFrame,
+        condition: str,
+        clauses: list[MergeClause],
+        broadcast_source: bool,
+        prune_on: str | None,
+        txn_app: str | None,
+        txn_version: int | None,
+    ) -> int:
+        """Merge-on-read MERGE (see :meth:`merge` mode="dv"): the Delta
+        DV-merge shape. One commit records
+
+        - a DELETE sidecar tombstoning matched rows whose first-satisfied
+          clause is a delete,
+        - an UPDATE sidecar + an appended update-image dir for matched rows
+          whose first-satisfied clause is an update,
+        - an appended insert-image dir for unmatched source rows an insert
+          clause accepts,
+
+        and nothing else — unmatched target rows in a 10 GB file are never
+        rewritten; cost scales with the AFFECTED row count. The four outputs
+        keep their identities in the commit (``dv_merge_{delete,update}_dvs``,
+        ``dv_merge_{update,insert}_dirs``) so the change feed and the
+        streaming CDF source emit exact delete / update_preimage /
+        update_postimage / insert rows for the commit — a DV merge is fully
+        replicable, unlike the copy-on-write merge whose images dissolve into
+        the rewrite.
+
+        ``prune_on`` only narrows the SCAN here (which dirs can hold matched
+        rows) — no dir is ever rewritten either way. Clause semantics are
+        identical to the cow path: one declaration-order cascade over matched
+        clauses, first satisfied wins; images are cast to the LOG schema's
+        column types (a widening assignment cannot brick the table — DML
+        type safety, same rule as :meth:`update`)."""
+        if txn_app is not None and txn_version is not None:
+            last = self.last_txn_version(txn_app)
+            if last is not None and txn_version <= last:
+                return self.latest_version()
+        base, commit = self._snapshot()
+        self._ensure_published(commit["live"])
+        prior = list(commit.get("dv_files") or [])
+        live = list(commit["live"])
+        scan = live
+        if prune_on is not None and len(live) > 1:
+            b = source.agg(
+                F.min(prune_on).alias("lo"), F.max(prune_on).alias("hi")
+            ).first()
+            if b.lo is not None:
+                scan = []
+                for d in live:
+                    bounds = self._dir_key_bounds(d, prune_on, commit)
+                    try:
+                        disjoint = bounds is not None and (
+                            bounds[1] < b.lo or bounds[0] > b.hi
+                        )
+                    except TypeError:
+                        disjoint = False
+                    if not disjoint:
+                        scan.append(d)
+        if scan:
+            target_df = self._read_dirs(
+                [str(self._root / d) for d in scan],
+                commit.get("schema"),
+                commit.get("partition_by"),
+                commit.get("column_mapping"),
+                dv_rels=prior,
+                keep_pos=True,
+            )
+        else:  # every dir stats-pruned: only inserts can result
+            target_df = (
+                self.read(version=base)
+                .limit(0)
+                .withColumn("__fp", F.lit(None).cast("string"))
+                .withColumn("__ri", F.lit(None).cast("long"))
+            )
+        data_cols = [c for c in target_df.columns if c not in ("__fp", "__ri")]
+        t = target_df.select(
+            F.struct(*data_cols).alias("target"), "__fp", "__ri"
+        ).withColumn("__t", F.lit(True))
+        s = source.select(F.struct(*source.columns).alias("source")).withColumn(
+            "__s", F.lit(True)
+        )
+        if broadcast_source:
+            s = F.broadcast(s)
+        # full-outer then drop unmatched target: same join shape as the cow
+        # path (clause expressions resolve identically), but unmatched target
+        # rows — the overwhelming majority at scale — exit the plan before
+        # any downstream work
+        j = t.join(s, F.expr(condition), "full_outer").filter(
+            F.col("__s").isNotNull()
+        )
+
+        matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+        unmatched_source = F.col("__t").isNull() & F.col("__s").isNotNull()
+        matched_clauses = [c for c in clauses if c.kind in ("update", "delete")]
+        insert_clauses = [c for c in clauses if c.kind == "insert"]
+
+        def clause_cond(c: MergeClause) -> Column:
+            if c.condition is None:
+                return F.lit(True)
+            return F.coalesce(F.expr(c.condition), F.lit(False))
+
+        update_fires = F.lit(False)
+        delete_fires = F.lit(False)
+        prior_neg = F.lit(True)
+        for c in matched_clauses:
+            fires = matched & prior_neg & clause_cond(c)
+            if c.kind == "delete":
+                delete_fires = delete_fires | fires
+            else:
+                update_fires = update_fires | fires
+            prior_neg = prior_neg & ~clause_cond(c)
+        insert_fires = F.lit(False)
+        for c in insert_clauses:
+            insert_fires = insert_fires | (unmatched_source & clause_cond(c))
+
+        src_cols = set(source.columns)
+
+        def default_insert(col: str) -> str:
+            return f"source.{col}" if col in src_cols else "NULL"
+
+        def update_image_cols() -> list[Column]:
+            out = []
+            for col in data_cols:
+                cascade = None
+                prior_neg = F.lit(True)
+                for c in matched_clauses:
+                    if c.kind == "update":
+                        cond = prior_neg & clause_cond(c)
+                        set_expr = (c.assignments or {}).get(col, f"target.{col}")
+                        cascade = (
+                            F.when(cond, F.expr(set_expr))
+                            if cascade is None
+                            else cascade.when(cond, F.expr(set_expr))
+                        )
+                    prior_neg = prior_neg & ~clause_cond(c)
+                expr = (
+                    cascade.otherwise(F.expr(f"target.{col}"))
+                    if cascade is not None
+                    else F.expr(f"target.{col}")
+                )
+                out.append(
+                    expr.cast(target_df.schema[col].dataType).alias(col)
+                )
+            return out
+
+        def insert_image_cols() -> list[Column]:
+            out = []
+            for col in data_cols:
+                cascade = None
+                prior_neg = F.lit(True)
+                for c in insert_clauses:
+                    cond = prior_neg & clause_cond(c)
+                    ins_expr = (
+                        (c.assignments or {}).get(col, default_insert(col))
+                        if c.assignments
+                        else default_insert(col)
+                    )
+                    cascade = (
+                        F.when(cond, F.expr(ins_expr))
+                        if cascade is None
+                        else cascade.when(cond, F.expr(ins_expr))
+                    )
+                    prior_neg = prior_neg & ~clause_cond(c)
+                expr = cascade if cascade is not None else F.lit(None)
+                out.append(
+                    expr.cast(target_df.schema[col].dataType).alias(col)
+                )
+            return out
+
+        extra: dict = {"condition": condition, "dv_merge": True}
+        if commit.get("schema"):
+            extra["schema"] = commit["schema"]
+        if txn_app is not None and txn_version is not None:
+            extra["txn"] = {"app": txn_app, "version": txn_version}
+
+        j = j.persist()
+        try:
+            pos = lambda df: df.select(  # noqa: E731
+                F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index")
+            ).distinct()
+            new_dvs: list[str] = []
+            del_pos = pos(j.filter(delete_fires))
+            if not del_pos.isEmpty():
+                rel = self._write_dv_sidecar(del_pos, base + 1)
+                new_dvs.append(rel)
+                extra["dv_merge_delete_dvs"] = [rel]
+            upd_rows = j.filter(update_fires).persist()
+            try:
+                if not upd_rows.isEmpty():
+                    rel = self._write_dv_sidecar(pos(upd_rows), base + 1)
+                    new_dvs.append(rel)
+                    extra["dv_merge_update_dvs"] = [rel]
+                    images = upd_rows.select(*update_image_cols())
+                    self._validate(commit.get("constraints", {}), images)
+                    drel = self._write_data_dir(
+                        images, base + 1,
+                        partition_by=commit.get("partition_by"),
+                        mapping=self._mapping(commit),
+                    )
+                    upd_rels = self._staged_rels(drel, commit.get("partition_by"))
+                else:
+                    upd_rels = []
+            finally:
+                upd_rows.unpersist()
+            ins_rows = j.filter(insert_fires)
+            if not ins_rows.isEmpty():
+                images = ins_rows.select(*insert_image_cols())
+                self._validate(commit.get("constraints", {}), images)
+                drel = self._write_data_dir(
+                    images, base + 1,
+                    partition_by=commit.get("partition_by"),
+                    mapping=self._mapping(commit),
+                )
+                ins_rels = self._staged_rels(drel, commit.get("partition_by"))
+            else:
+                ins_rels = []
+        finally:
+            j.unpersist()
+        if upd_rels:
+            extra["dv_merge_update_dirs"] = upd_rels
+        if ins_rels:
+            extra["dv_merge_insert_dirs"] = ins_rels
+        extra["dv_files"] = [*prior, *new_dvs]
+        if new_dvs:
+            extra["dv_rows_added"] = self._dv_rows(new_dvs)
+        new_rels = [*upd_rels, *ins_rels]
+        if not new_rels:
+            return self._write_commit("merge", commit["live"], extra, base, commit)
+        return self._commit_staged(
+            "merge", [*commit["live"], *new_rels], new_rels, extra, base, commit,
             stats_cols=(prune_on,) if prune_on else (),
         )
 
