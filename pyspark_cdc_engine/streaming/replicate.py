@@ -118,6 +118,133 @@ def apply_changes(
     )
 
 
+_SCD2_COLS = ("__start_version", "__end_version", "__is_current")
+
+
+def apply_changes_scd2(
+    dest: DeltaliteTable,
+    changes: DataFrame,
+    key_cols: list[str],
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> int:
+    """APPLY CHANGES ... STORED AS SCD TYPE 2 (the DLT shape): fold a
+    change-feed frame into a HISTORY table that keeps every state a key
+    passed through, versioned by source commit:
+
+    - each state-carrying change row (insert / update_postimage) becomes a
+      history row ``(__start_version=its commit, __end_version=next change's
+      commit or NULL, __is_current=no later change)``;
+    - a delete closes the key's chain without opening a row;
+    - the key's pre-batch current row is closed at the batch's FIRST change
+      version.
+
+    Everything lands as ONE MERGE commit (the close-update and all history
+    inserts share a single clause cascade keyed by a ``__kind`` discriminator
+    in the source), idempotent via (txn_app, txn_version). Unlike
+    :func:`apply_changes`, intermediate states within a batch are KEPT, not
+    netted — that is the point of type 2.
+
+    ``SELECT * WHERE __is_current`` equals the type-1 replica / the source
+    snapshot at the applied version (asserted in tests)."""
+    ev = changes.filter(F.col("_change_type") != "update_preimage")
+    data_cols = [c for c in ev.columns if c not in _META_COLS]
+    # ascending event order per key; within one commit version a delete
+    # precedes an insert (overwrite emits both: delete of the old row, insert
+    # of the new — the insert is the later state)
+    prio = F.when(F.col("_change_type") == "delete", 1).otherwise(2)
+    w = Window.partitionBy(*key_cols).orderBy("_commit_version", "__prio")
+    ev = (
+        ev.withColumn("__prio", prio)
+        .withColumn("__next_v", F.lead("_commit_version").over(w))
+        .withColumn(
+            "__first_v", F.min("_commit_version").over(Window.partitionBy(*key_cols))
+        )
+    )
+    rows = ev.filter(F.col("_change_type") != "delete").select(
+        *data_cols,
+        F.col("_commit_version").cast("long").alias("__start_version"),
+        F.col("__next_v").cast("long").alias("__end_version"),
+        F.col("__next_v").isNull().alias("__is_current"),
+        F.lit("row").alias("__kind"),
+        F.col("__first_v").cast("long").alias("__first_v"),
+    )
+    if not dest.exists():
+        return dest.overwrite(
+            rows.drop("__kind", "__first_v"),
+            txn_app=txn_app,
+            txn_version=txn_version,
+        )
+    closes = (  # one close row per key (data cols only align the union schema)
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *data_cols,
+            F.lit(None).cast("long").alias("__start_version"),
+            F.lit(None).cast("long").alias("__end_version"),
+            F.lit(False).alias("__is_current"),
+            F.lit("close").alias("__kind"),
+            F.col("__first_v").cast("long").alias("__first_v"),
+        )
+    )
+    source = rows.unionByName(closes)
+    keys = " AND ".join(f"target.{k} <=> source.{k}" for k in key_cols)
+    cond = f"({keys}) AND target.__is_current AND source.__kind = 'close'"
+    out_cols = [*data_cols, *_SCD2_COLS]
+    clauses = [
+        MergeClause(
+            "update",
+            condition=None,
+            assignments={
+                "__end_version": "source.__first_v",
+                "__is_current": "false",
+            },
+        ),
+        MergeClause(
+            "insert",
+            condition="source.__kind = 'row'",
+            assignments={c: f"source.{c}" for c in out_cols},
+        ),
+    ]
+    return dest.merge(source, cond, clauses, txn_app=txn_app,
+                      txn_version=txn_version)
+
+
+def replicate_scd2_stream(
+    spark: SparkSession,
+    source_path: str,
+    dest_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    starting_version: int | None = 0,
+    maintain: list | None = None,
+):
+    """Streaming SCD Type 2 over the change stream: like
+    :func:`replicate_stream`, but the destination keeps full key history
+    (see :func:`apply_changes_scd2`)."""
+    from pyspark_cdc_engine.cdf_source import read_change_stream
+    from pyspark_cdc_engine.streaming.pipeline import _refresh_all
+
+    dest = DeltaliteTable(spark, dest_path)
+    txn_app = f"cdc_replicate_scd2:{checkpoint_dir}"
+    changes = read_change_stream(spark, source_path, starting_version)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_changes_scd2(
+            dest, batch_df, key_cols, txn_app=txn_app, txn_version=batch_id
+        )
+        _refresh_all(maintain)
+
+    return (
+        changes.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def replicate_stream(
     spark: SparkSession,
     source_path: str,

@@ -167,6 +167,60 @@ def test_replicate_random_program_matches_snapshot(spark, tmp_path):
     assert _snap(dest) == _snap(src)
 
 
+def test_apply_changes_scd2_keeps_full_history(spark, tmp_path):
+    from pyspark_cdc_engine.streaming.replicate import apply_changes_scd2
+
+    src = _mk(spark, tmp_path / "src", n=4)                      # v0: 0..3
+    src.append(spark.createDataFrame([(4, 4.0)], ["id", "v"]))   # v1
+    v2 = src.update({"v": "v + 100.0"}, "id = 0", mode="dv")     # v2
+    v3 = src.delete("id = 1", mode="dv")                         # v3
+    v4 = src.update({"v": "v + 1000.0"}, "id = 0", mode="dv")    # v4
+    dest = DeltaliteTable(spark, str(tmp_path / "scd2"))
+    apply_changes_scd2(dest, src.read_changes(-1), ["id"])
+    hist = dest.read().collect()
+    cur = sorted(
+        (r.id, r.v) for r in hist if r["__is_current"]
+    )
+    assert cur == _snap(src)
+    chain0 = sorted(
+        (r["__start_version"], r["__end_version"], r.v)
+        for r in hist if r.id == 0
+    )
+    assert chain0 == [(0, v2, 0.0), (v2, v4, 100.0), (v4, None, 1100.0)]
+    chain1 = [(r["__start_version"], r["__end_version"], r["__is_current"])
+              for r in hist if r.id == 1]
+    assert chain1 == [(0, v3, False)]  # deleted: chain closed, no current row
+
+
+def test_replicate_scd2_stream_chains_across_batches(spark, tmp_path):
+    from pyspark_cdc_engine.streaming.replicate import replicate_scd2_stream
+
+    src = _mk(spark, tmp_path / "src", n=3)                      # v0
+    q = replicate_scd2_stream(spark, src.path, str(tmp_path / "scd2"),
+                              ["id"], str(tmp_path / "ck"))
+    q.awaitTermination(240)
+    v1 = src.update({"v": "v * 10.0"}, "id = 2", mode="dv")      # v1
+    v2 = src.delete("id = 0", mode="dv")                         # v2
+    q = replicate_scd2_stream(spark, src.path, str(tmp_path / "scd2"),
+                              ["id"], str(tmp_path / "ck"))
+    q.awaitTermination(240)
+    dest = DeltaliteTable(spark, str(tmp_path / "scd2"))
+    hist = dest.read().collect()
+    assert sorted((r.id, r.v) for r in hist if r["__is_current"]) == _snap(src)
+    # the cross-batch close: id=2's bootstrap row ends at v1, not NULL
+    chain2 = sorted((r["__start_version"], r["__end_version"], r.v)
+                    for r in hist if r.id == 2)
+    assert chain2 == [(0, v1, 3.0), (v1, None, 30.0)]
+    chain0 = [(r["__start_version"], r["__end_version"]) for r in hist if r.id == 0]
+    assert chain0 == [(0, v2)]
+    # idempotent: re-draining with no new commits commits nothing
+    v_dest = dest.latest_version()
+    q = replicate_scd2_stream(spark, src.path, str(tmp_path / "scd2"),
+                              ["id"], str(tmp_path / "ck"))
+    q.awaitTermination(240)
+    assert dest.latest_version() == v_dest
+
+
 def test_replicate_merge_is_file_skipping(spark, tmp_path):
     """The applied MERGE prunes replica dirs disjoint from the batch's key
     range — the 100 TB shape: small CDC batches rewrite only touched files."""
