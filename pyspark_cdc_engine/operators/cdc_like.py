@@ -328,6 +328,55 @@ def dml_dv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_replication_scenario",
+    survey="§2.5,§2.12,J4,beyond-ref",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(0 AS BIGINT) AS __start_version,
+           CAST(CASE WHEN o_orderstatus = 'P' THEN 1
+                     WHEN o_orderstatus = 'F' AND o_totalprice < 1000 THEN 2
+                END AS BIGINT) AS __end_version,
+           (o_orderstatus <> 'P'
+            AND NOT (o_orderstatus = 'F' AND o_totalprice < 1000))
+             AS __is_current
+    FROM t
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice * 1.05,
+           CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+    FROM t WHERE o_orderstatus = 'P'
+    """,
+)
+def scd2_replication_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC replication machinery under driver certification: a source
+    table runs a DV UPDATE (reprice pending orders, v1) then a DV DELETE
+    (drop cheap finished orders, v2); the full change feed — insert rows
+    from the bootstrap, reconstructed update pre/post images, reconstructed
+    delete rows — folds through ``apply_changes_scd2`` into a Type-2
+    history table whose rows (state × version interval × currency flag)
+    must equal the oracle's closed-form statement of that program. Covers
+    read_changes' DV reconstruction AND the SCD2 clause cascade in one
+    certified query; ``WHERE __is_current`` is by construction the type-1
+    replica."""
+    from pyspark_cdc_engine.operators.dedup_incremental import _fresh_scratch_dir
+    from pyspark_cdc_engine.streaming.replicate import apply_changes_scd2
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = _fresh_scratch_dir(f"scd2_rep:{sf_dir}")
+    t = DeltaliteTable(spark, f"{tmp}/orders_src")
+    t.overwrite(o)                                                     # v0
+    t.update({"o_totalprice": "o_totalprice * 1.05"},
+             "o_orderstatus = 'P'", mode="dv")                         # v1
+    t.delete("o_orderstatus = 'F' AND o_totalprice < 1000", mode="dv")  # v2
+    dest = DeltaliteTable(spark, f"{tmp}/orders_scd2")
+    apply_changes_scd2(dest, t.read_changes(-1), ["o_orderkey"])
+    return dest.read()
+
+
+@register(
     "dml_dv_merge_scenario",
     survey="§2.12,J4,§2.9,beyond-ref",
     oracle="""
