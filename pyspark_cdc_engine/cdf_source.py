@@ -186,18 +186,42 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
         # default: only commits after stream start (Kafka 'latest' semantics);
         # startingVersion=N delivers N and everything after it
         self._initial = int(sv) - 1 if sv is not None else latest
+        # maxVersionsPerBatch (Delta's maxFilesPerTrigger analog): cap how
+        # many commits one micro-batch spans, bounding batch state/memory on
+        # a long backlog — the planner still enumerates each commit exactly
+        # once, just across more batches
+        mv = options.get("maxVersionsPerBatch")
+        self._max_versions = int(mv) if mv is not None else None
+        if self._max_versions is not None and self._max_versions < 1:
+            raise ValueError("maxVersionsPerBatch must be >= 1")
+        self._last_planned = self._initial
         self._fields = schema_fields  # [(logical, physical, simpleString)]
 
     def initialOffset(self) -> dict:
         return {"v": self._initial}
 
     def latestOffset(self) -> dict:
-        return {"v": (_versions(self._path) or [self._initial])[-1]}
+        latest = (_versions(self._path) or [self._initial])[-1]
+        if self._max_versions is None:
+            return {"v": latest}
+        # rate-limited: advance at most N commits past the last batch's end.
+        # Spark may probe latestOffset before the restored start is known
+        # (the checkpointed offset replays through partitions(start, end)),
+        # so track our own high-water mark; availableNow reruns drain the
+        # backlog N commits per batch.
+        vs = [v for v in _versions(self._path) if v > self._last_planned]
+        end = vs[self._max_versions - 1] if len(vs) >= self._max_versions else latest
+        end = max(end, self._last_planned)
+        self._last_planned = end
+        return {"v": end}
 
     def _phys_fields(self) -> list[tuple[str, str]]:
         return [(p, t) for (_l, p, t) in self._fields]
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # sync the rate-limit mark with the (possibly checkpoint-restored)
+        # window so a restarted stream never plans an end behind its start
+        self._last_planned = max(self._last_planned, int(end["v"]))
         root = Path(self._path)
         out: list[InputPartition] = []
         prev_live: set[str] | None = None
@@ -357,12 +381,23 @@ def register_cdf_source(spark) -> None:
     spark.dataSource.register(DeltaliteCdfDataSource)
 
 
-def read_change_stream(spark, table_path: str, starting_version: int | None = None):
+def read_change_stream(
+    spark,
+    table_path: str,
+    starting_version: int | None = None,
+    max_versions_per_batch: int | None = None,
+):
     """Convenience: ``spark.readStream.format("deltalite_cdf")`` with the
     options wired. ``starting_version=None`` streams only commits made after
-    the stream starts; ``starting_version=N`` replays from commit N."""
+    the stream starts; ``starting_version=N`` replays from commit N.
+    ``max_versions_per_batch`` bounds how many commits one micro-batch spans
+    (Delta's ``maxFilesPerTrigger`` analog) — a consumer bootstrapping
+    against a long history processes it in bounded slices instead of one
+    giant batch."""
     register_cdf_source(spark)
     reader = spark.readStream.format(FORMAT_NAME).option("path", table_path)
     if starting_version is not None:
         reader = reader.option("startingVersion", str(starting_version))
+    if max_versions_per_batch is not None:
+        reader = reader.option("maxVersionsPerBatch", str(max_versions_per_batch))
     return reader.load()

@@ -122,6 +122,26 @@ def test_cdf_stream_skips_physical_and_metadata_commits(spark, tmp_path):
     assert rows[0].tag is None  # new column surfaces as null in the stream schema
 
 
+def test_cdf_stream_rate_limit_bounds_batch_span(spark, tmp_path):
+    """maxVersionsPerBatch (the maxFilesPerTrigger analog): a 4-commit
+    backlog drains two commits per run (availableNow plans one batch per
+    run here), resuming exactly from the checkpoint — bounded bootstrap
+    over a long history."""
+    t = _mk(spark, tmp_path / "t", n=3)                              # v0
+    for i in range(3):
+        t.append(spark.createDataFrame([(10 + i, float(i))], ["id", "v"]))
+
+    def drain():
+        return _drain(
+            read_change_stream(spark, t.path, 0, max_versions_per_batch=2),
+            tmp_path,
+        )
+
+    assert sorted({r._commit_version for r in drain()}) == [0, 1]
+    assert sorted({r._commit_version for r in drain()}) == [2, 3]
+    assert drain() == []  # backlog drained; no replay, no deadlock
+
+
 def test_cdf_stream_after_rename_reads_stable_physical_names(spark, tmp_path):
     t = _mk(spark, tmp_path / "t", n=3)
     t.rename_column("v", "amount")
