@@ -177,6 +177,72 @@ def test_dv_merge_validates_constraints(spark, tmp_path):
     assert {r[0]: r[1] for r in _snap(t)}[2] == 2.0  # nothing applied
 
 
+def test_dv_merge_on_partitioned_table(spark, tmp_path):
+    """Images land under the partition spec; tombstones reference files in
+    partition dirs; the feed reconstructs all four kinds."""
+    t = DeltaliteTable(spark, str(tmp_path / "p"))
+    t.overwrite(
+        spark.range(10).select(
+            "id", (F.col("id") % 3).alias("part"), (F.col("id") * 1.0).alias("v")
+        ),
+        partition_by=["part"],
+    )
+    src = spark.createDataFrame(
+        [(1, 99.0, "U"), (2, 0.0, "D"), (20, 2.0, "U")], ["id", "v", "op"]
+    )
+    v = t.merge(
+        src,
+        "target.id = source.id",
+        [
+            MergeClause("delete", "source.op = 'D'"),
+            MergeClause("update", None, {"v": "source.v"}),
+            MergeClause("insert", "source.op != 'D'",
+                        {"id": "source.id", "part": "source.id % 3",
+                         "v": "source.v"}),
+        ],
+        mode="dv",
+    )
+    got = sorted((r.id, r.part, r.v) for r in t.read().collect())
+    assert (1, 1, 99.0) in got and (20, 2, 2.0) in got
+    assert not any(r[0] == 2 for r in got)
+    feed = t.read_changes(v - 1, v)
+    assert sorted((r._change_type, r.id) for r in feed.collect()) == [
+        ("delete", 2), ("insert", 20),
+        ("update_postimage", 1), ("update_preimage", 1),
+    ]
+
+
+def test_dv_merge_after_rename_uses_stable_physical_names(spark, tmp_path):
+    """Clause expressions bind to the renamed LOGICAL names; images write
+    the stable PHYSICAL names; the feed surfaces end-version names."""
+    t = DeltaliteTable(spark, str(tmp_path / "r"))
+    t.overwrite(spark.range(5).select("id", (F.col("id") * 1.0).alias("amount")))
+    t.rename_column("amount", "total")
+    src = spark.createDataFrame(
+        [(1, 11.0, "U"), (2, 0.0, "D"), (9, 9.0, "U")], ["id", "total", "op"]
+    )
+    t.merge(
+        src,
+        "target.id = source.id",
+        [
+            MergeClause("delete", "source.op = 'D'"),
+            MergeClause("update", None, {"total": "source.total"}),
+            MergeClause("insert", "source.op != 'D'"),
+        ],
+        mode="dv",
+    )
+    assert sorted((r.id, r.total) for r in t.read().collect()) == [
+        (0, 0.0), (1, 11.0), (3, 3.0), (4, 4.0), (9, 9.0)
+    ]
+    feed = t.read_changes(0)
+    assert sorted(
+        (r._change_type, r.id, r.total) for r in feed.collect()
+    ) == [
+        ("delete", 2, 2.0), ("insert", 9, 9.0),
+        ("update_postimage", 1, 11.0), ("update_preimage", 1, 1.0),
+    ]
+
+
 def test_dv_merge_bad_mode_rejected(spark, tmp_path):
     t = _mk(spark, tmp_path / "t", _ROWS)
     with pytest.raises(ValueError, match="cow|dv"):
