@@ -79,6 +79,7 @@ def apply_changes(
     txn_app: str | None = None,
     txn_version: int | None = None,
     prune_on: str | None = "auto",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Fold a change-feed frame into ``dest`` (APPLY CHANGES INTO): compute
     the per-key net effect, then one MERGE — matched 'D' deletes, matched 'U'
@@ -91,8 +92,10 @@ def apply_changes(
 
     ``prune_on="auto"`` file-skips the merge on the first key column (only
     replica dirs whose logged key range can hold batch keys are rewritten);
-    pass ``None`` to disable or a column name to override. Returns the new
-    dest version."""
+    pass ``None`` to disable or a column name to override. ``partition_by``
+    declares the replica's partition spec at bootstrap (the replica's
+    physical layout is a local choice — it need not mirror the source's).
+    Returns the new dest version."""
     net = net_changes(changes, key_cols)
     data_cols = [c for c in net.columns if c != "__op"]
     if not dest.exists():
@@ -100,6 +103,7 @@ def apply_changes(
             net.filter(F.col("__op") == "U").select(*data_cols),
             txn_app=txn_app,
             txn_version=txn_version,
+            partition_by=partition_by,
         )
     cond = " AND ".join(f"target.{k} <=> source.{k}" for k in key_cols)
     assign = {c: f"source.{c}" for c in data_cols}
@@ -253,6 +257,7 @@ def replicate_stream(
     checkpoint_dir: str,
     starting_version: int | None = 0,
     prune_on: str | None = "auto",
+    partition_by: list[str] | None = None,
     maintain: list | None = None,
 ):
     """Continuously replicate a deltalite table into another via its change
@@ -284,6 +289,7 @@ def replicate_stream(
             txn_app=txn_app,
             txn_version=batch_id,
             prune_on=prune_on,
+            partition_by=partition_by,
         )
         _refresh_all(maintain)
 

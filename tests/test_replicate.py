@@ -221,6 +221,27 @@ def test_replicate_scd2_stream_chains_across_batches(spark, tmp_path):
     assert dest.latest_version() == v_dest
 
 
+def test_apply_changes_scd2_through_overwrite(spark, tmp_path):
+    """An overwrite emits delete+insert at ONE version: a surviving key's
+    old state must close at that version and its new state open there —
+    the within-version delete<insert ordering."""
+    from pyspark_cdc_engine.streaming.replicate import apply_changes_scd2
+
+    t = _mk(spark, tmp_path / "t", n=0)
+    t.overwrite(spark.createDataFrame([(1, 1.0), (2, 2.0)], ["id", "v"]))   # v1
+    t.overwrite(spark.createDataFrame([(2, 22.0), (3, 3.0)], ["id", "v"]))  # v2
+    dest = DeltaliteTable(spark, str(tmp_path / "d"))
+    apply_changes_scd2(dest, t.read_changes(0), ["id"])
+    hist = sorted(
+        (r.id, r.v, r["__start_version"], r["__end_version"], r["__is_current"])
+        for r in dest.read().collect()
+    )
+    assert hist == [
+        (1, 1.0, 1, 2, False), (2, 2.0, 1, 2, False),
+        (2, 22.0, 2, None, True), (3, 3.0, 2, None, True),
+    ]
+
+
 def test_replicate_merge_is_file_skipping(spark, tmp_path):
     """The applied MERGE prunes replica dirs disjoint from the batch's key
     range — the 100 TB shape: small CDC batches rewrite only touched files."""
