@@ -127,6 +127,53 @@ def table_health(table: DeltaliteTable) -> dict:
     }
 
 
+class AutoCompactor:
+    """Auto-OPTIMIZE for the streaming sinks' ``maintain=`` hook (the
+    Databricks auto-compaction analog): ``refresh()`` probes
+    :func:`table_health` and runs ``compact()`` only when fragmentation or
+    merge-on-read debt crosses a threshold — so a replica fed by small CDC
+    batches stops accumulating files and tombstone sidecars without a
+    separate scheduled OPTIMIZE job.
+
+    Composes with txn-idempotent sinks by construction: compaction is a
+    PHYSICAL reorganization (no logical change — the change feed skips it,
+    incremental consumers' watermarks are untouched), and a replayed batch's
+    refresh sees a healthy table and no-ops. Thresholds are deliberately lazy
+    (compact amortizes over many batches); ``target_mb`` sizes output files
+    from actual bytes, the >=128 MB health heuristic's actuator."""
+
+    def __init__(
+        self,
+        table: DeltaliteTable,
+        max_dirs: int = 16,
+        max_dv_sidecars: int = 16,
+        target_mb: int | None = None,
+        target_partitions: int | None = None,
+    ) -> None:
+        if max_dirs < 2:
+            raise ValueError("max_dirs must be >= 2 (1 dir is always compact)")
+        self.table = table
+        self.max_dirs = max_dirs
+        self.max_dv_sidecars = max_dv_sidecars
+        self.target_mb = target_mb
+        self.target_partitions = target_partitions
+        self.compactions = 0  # observability: how often the threshold tripped
+
+    def refresh(self) -> None:
+        if not self.table.exists():
+            return  # replica not bootstrapped yet
+        h = table_health(self.table)
+        if (
+            h["num_data_dirs"] < self.max_dirs
+            and h["dv_sidecars"] < self.max_dv_sidecars
+        ):
+            return
+        self.table.compact(
+            target_partitions=self.target_partitions, target_mb=self.target_mb
+        )
+        self.compactions += 1
+
+
 def register_sql_maintenance_functions(spark: SparkSession) -> None:
     """Make the DESCRIBE HISTORY analog reachable from plain ``spark.sql``
     (closing part of the deltalite/Delta SQL-surface gap the README

@@ -167,6 +167,39 @@ def test_replicate_random_program_matches_snapshot(spark, tmp_path):
     assert _snap(dest) == _snap(src)
 
 
+def test_auto_compactor_bounds_append_fragmentation(spark, tmp_path):
+    """Every appended micro-batch leaves one more dir (the SCD2/ingest sink
+    shape); the AutoCompactor in the maintain= hook folds them back whenever
+    the threshold trips — content unchanged (compaction is physical only),
+    file count bounded however long the stream runs."""
+    from pyspark_cdc_engine.maintenance import AutoCompactor, table_health
+
+    t = _mk(spark, tmp_path / "t", n=5)
+    ac = AutoCompactor(t, max_dirs=4, target_partitions=1)
+    for i in range(10):
+        t.append(spark.createDataFrame([(100 + i, float(i))], ["id", "v"]))
+        ac.refresh()  # exactly what _refresh_all does per micro-batch
+    assert table_health(t)["num_data_dirs"] <= 4
+    assert ac.compactions >= 2
+    assert sorted(r[0] for r in _snap(t)) == list(range(5)) + list(range(100, 110))
+
+
+def test_auto_compactor_pays_down_dv_debt(spark, tmp_path):
+    """Merge-on-read DML accumulates tombstone sidecars every reader pays to
+    anti-join; the compactor materializes them once the sidecar count
+    trips."""
+    from pyspark_cdc_engine.maintenance import AutoCompactor, table_health
+
+    t = _mk(spark, tmp_path / "t", n=40)
+    ac = AutoCompactor(t, max_dirs=1000, max_dv_sidecars=5)
+    for i in range(6):
+        t.delete(f"id = {i}", mode="dv")
+        ac.refresh()
+    assert table_health(t)["dv_sidecars"] < 5
+    assert ac.compactions >= 1
+    assert sorted(r[0] for r in _snap(t)) == list(range(6, 40))
+
+
 def test_apply_changes_scd2_keeps_full_history(spark, tmp_path):
     from pyspark_cdc_engine.streaming.replicate import apply_changes_scd2
 
