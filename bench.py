@@ -86,6 +86,51 @@ def bench_cdc_pipeline(spark, n_tx: int, impl: str = "v1") -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_replication(spark, n_rows: int) -> dict:
+    """End-to-end CDC replication throughput: a source table with a
+    CDC-shaped commit history (bootstrap + appends + DV updates/deletes)
+    drains through the deltalite_cdf stream into a type-1 replica (one
+    net-effect MERGE per batch); reports wall + replica rows/s and verifies
+    convergence."""
+    import shutil
+    import tempfile
+
+    from pyspark_cdc_engine.streaming.replicate import replicate_stream
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    base = Path(tempfile.mkdtemp(prefix="repl_bench_"))
+    try:
+        src = DeltaliteTable(spark, str(base / "src"))
+        shape = ("id", "CAST(id AS DOUBLE) AS v", "CAST(id % 100 AS INT) AS k")
+        src.overwrite(spark.range(n_rows).selectExpr(*shape))
+        for i in range(4):
+            src.append(
+                spark.range(n_rows + i * 1000, n_rows + (i + 1) * 1000)
+                .selectExpr(*shape)
+            )
+        src.update({"v": "v + 1.0"}, "k = 7", mode="dv")
+        src.delete("k = 13", mode="dv")
+        src.update({"v": "v * 2.0"}, "k = 21", mode="dv")
+        src.delete("k = 34", mode="dv")
+        t0 = time.perf_counter()
+        q = replicate_stream(
+            spark, src.path, str(base / "dest"), ["id"], str(base / "ck")
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        dest = DeltaliteTable(spark, str(base / "dest"))
+        n_dest = dest.read().count()
+        assert n_dest == src.read().count()
+        return {
+            "n_commits": src.latest_version() + 1,
+            "replica_rows": n_dest,
+            "replicate_wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_dest / wall, 1),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "1"))
@@ -135,6 +180,15 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             cdc = {"err": f"{type(e).__name__}: {e}"[:500]}
 
+    repl = None
+    if os.environ.get("BENCH_REPL", "1") != "0" and not only:
+        try:
+            repl = bench_replication(
+                spark, n_rows=int(os.environ.get("BENCH_REPL_ROWS", "100000"))
+            )
+        except Exception as e:  # noqa: BLE001
+            repl = {"err": f"{type(e).__name__}: {e}"[:500]}
+
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     out = {
         "metric": "total_query_wall_sec",
@@ -150,6 +204,8 @@ def main() -> None:
         out["errors"] = errors
     if cdc is not None:
         out["cdc_pipeline"] = cdc
+    if repl is not None:
+        out["replication_pipeline"] = repl
 
     # The driver keeps only the last ~2000 chars of stdout, and the full
     # result line (86 queries) is longer than that — so (a) persist the full
@@ -177,6 +233,8 @@ def main() -> None:
         compact["value_median3"] = out["value_median3"]
     if cdc is not None:
         compact["cdc_pipeline"] = cdc
+    if repl is not None:
+        compact["replication_pipeline"] = repl
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
