@@ -2466,33 +2466,36 @@ class DeltaliteTable:
             pos = lambda df: df.select(  # noqa: E731
                 F.col("__fp").alias("file_path"), F.col("__ri").alias("row_index")
             ).distinct()
+            # one aggregate decides which of the four outputs exist (instead
+            # of three isEmpty actions); the writes below each reuse the
+            # persisted join
+            flags = j.select(
+                F.max(F.when(delete_fires, 1).otherwise(0)).alias("d"),
+                F.max(F.when(update_fires, 1).otherwise(0)).alias("u"),
+                F.max(F.when(insert_fires, 1).otherwise(0)).alias("i"),
+            ).first()
             new_dvs: list[str] = []
-            del_pos = pos(j.filter(delete_fires))
-            if not del_pos.isEmpty():
-                rel = self._write_dv_sidecar(del_pos, base + 1)
+            if flags.d:
+                rel = self._write_dv_sidecar(pos(j.filter(delete_fires)), base + 1)
                 new_dvs.append(rel)
                 extra["dv_merge_delete_dvs"] = [rel]
-            upd_rows = j.filter(update_fires).persist()
-            try:
-                if not upd_rows.isEmpty():
-                    rel = self._write_dv_sidecar(pos(upd_rows), base + 1)
-                    new_dvs.append(rel)
-                    extra["dv_merge_update_dvs"] = [rel]
-                    images = upd_rows.select(*update_image_cols())
-                    self._validate(commit.get("constraints", {}), images)
-                    drel = self._write_data_dir(
-                        images, base + 1,
-                        partition_by=commit.get("partition_by"),
-                        mapping=self._mapping(commit),
-                    )
-                    upd_rels = self._staged_rels(drel, commit.get("partition_by"))
-                else:
-                    upd_rels = []
-            finally:
-                upd_rows.unpersist()
-            ins_rows = j.filter(insert_fires)
-            if not ins_rows.isEmpty():
-                images = ins_rows.select(*insert_image_cols())
+            upd_rels: list[str] = []
+            if flags.u:
+                upd_rows = j.filter(update_fires)
+                rel = self._write_dv_sidecar(pos(upd_rows), base + 1)
+                new_dvs.append(rel)
+                extra["dv_merge_update_dvs"] = [rel]
+                images = upd_rows.select(*update_image_cols())
+                self._validate(commit.get("constraints", {}), images)
+                drel = self._write_data_dir(
+                    images, base + 1,
+                    partition_by=commit.get("partition_by"),
+                    mapping=self._mapping(commit),
+                )
+                upd_rels = self._staged_rels(drel, commit.get("partition_by"))
+            ins_rels: list[str] = []
+            if flags.i:
+                images = j.filter(insert_fires).select(*insert_image_cols())
                 self._validate(commit.get("constraints", {}), images)
                 drel = self._write_data_dir(
                     images, base + 1,
@@ -2500,8 +2503,6 @@ class DeltaliteTable:
                     mapping=self._mapping(commit),
                 )
                 ins_rels = self._staged_rels(drel, commit.get("partition_by"))
-            else:
-                ins_rels = []
         finally:
             j.unpersist()
         if upd_rels:
