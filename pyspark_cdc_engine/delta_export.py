@@ -71,16 +71,24 @@ def export_delta_snapshot(
     Partition layout is preserved: a deltalite table partitioned by ``k``
     exports with the same ``k=v/`` dirs, and each add action carries the
     matching ``partitionValues`` map — so partition pruning works in the
-    consuming engine too."""
+    consuming engine too.
+
+    Merge-on-read state exports clean: files referenced by active deletion
+    vectors are materialized (tombstoned positions dropped) during the copy;
+    unaffected files zero-copy. The destination is always plain Delta."""
     v = table.latest_version() if version is None else version
     commit = table._read_commit(v)
+    # Active deletion vectors: the export MATERIALIZES them per affected
+    # file — tombstoned rows are filtered out of exactly the files a sidecar
+    # references (a driver-side pyarrow positional take, preserving the
+    # file's physical schema byte-for-byte otherwise) while every untouched
+    # file still zero-copies. The exported snapshot is plain Delta — no DV
+    # reader feature needed on the consuming engine.
+    dv_pos: dict[str, set[int]] = {}
     if commit.get("dv_files"):
-        # symmetric with read_delta_snapshot, which rejects DV tables: a
-        # file-copy export of a DV snapshot would resurrect tombstoned rows
-        raise ValueError(
-            "export of a snapshot with active deletion vectors is not "
-            "supported; run compact() to materialize them first"
-        )
+        from pyspark_cdc_engine.cdf_source import _dv_positions
+
+        dv_pos = _dv_positions(table._root, commit["dv_files"])
     # the EXPORTED version's schema, not the latest — a time-travel export of
     # a schema-evolved table must advertise what its files actually hold
     if commit.get("schema"):
@@ -140,7 +148,18 @@ def export_delta_snapshot(
             rel = rel_dir / f.relative_to(src_dir)
             target = dest_path / rel
             target.parent.mkdir(parents=True, exist_ok=True)
-            shutil.copy2(f, target)
+            if str(f) in dv_pos:
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(f)
+                keep = [
+                    i for i in range(tbl.num_rows) if i not in dv_pos[str(f)]
+                ]
+                if not keep:
+                    continue  # fully tombstoned: the file exports as nothing
+                pq.write_table(tbl.take(keep), target)
+            else:
+                shutil.copy2(f, target)
             size = target.stat().st_size
             total += size
             adds.append(

@@ -121,10 +121,19 @@ def test_dv_guards_and_restore(spark, tmp_path):
         t.read_stream()
     with pytest.raises(ValueError, match="deletion vectors"):
         t.clone_to(str(tmp_path / "clone"))
-    from pyspark_cdc_engine.delta_export import export_delta_snapshot
+    # export MATERIALIZES active DVs per affected file (tombstoned positions
+    # dropped during the copy): the destination is plain Delta, equal to the
+    # logical snapshot
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_snapshot,
+        read_delta_snapshot,
+    )
 
-    with pytest.raises(ValueError, match="deletion vectors"):
-        export_delta_snapshot(t, str(tmp_path / "delta"))
+    export_delta_snapshot(t, str(tmp_path / "delta"))
+    back = read_delta_snapshot(spark, str(tmp_path / "delta"))
+    assert sorted(r.id for r in back.collect()) == sorted(
+        r.id for r in t.read().collect()
+    )
     # restore to the pre-DV version clears the tombstones...
     t.restore(v_pre)
     assert t.read().count() == 20

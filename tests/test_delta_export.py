@@ -473,3 +473,49 @@ def test_dml_triad_roundtrip_through_real_delta(spark, tmp_path):
     dest0 = tmp_path / "delta_v0"
     export_delta_snapshot(t, str(dest0), version=0)
     assert read_delta_snapshot(spark, str(dest0)).count() == o.count()
+
+
+def test_export_materializes_deletion_vectors_per_file(spark, tmp_path):
+    """A DV snapshot exports as plain Delta: files a sidecar references are
+    rewritten without their tombstoned rows; files no sidecar touches
+    zero-copy byte-identically. The full DV DML triad (delete + update +
+    merge, all mode='dv') round-trips through the real _delta_log."""
+    from pyspark.sql import functions as F
+
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_snapshot,
+        read_delta_snapshot,
+    )
+    from pyspark_cdc_engine.tables import DeltaliteTable, MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).select("id", (F.col("id") * 1.0).alias("v")))
+    t.append(spark.range(100, 110).select("id", (F.col("id") * 1.0).alias("v")))
+    t.delete("id IN (1, 3)", mode="dv")
+    t.update({"v": "v + 0.5"}, "id = 5", mode="dv")
+    t.merge(
+        spark.createDataFrame([(7, 0.0, "D"), (9, 99.0, "U")], ["id", "v", "op"]),
+        "target.id = source.id",
+        [
+            MergeClause("delete", "source.op = 'D'"),
+            MergeClause("update", None, {"v": "source.v"}),
+        ],
+        mode="dv",
+    )
+    info = export_delta_snapshot(t, str(tmp_path / "delta"))
+    back = read_delta_snapshot(spark, str(tmp_path / "delta"))
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in t.read().collect()
+    )
+    assert info["n_files"] >= 2
+    # the untouched second append (ids 100..109, never tombstoned) must have
+    # zero-copied: some exported file is byte-identical to a source file
+    src_bytes = {
+        f.read_bytes()
+        for d in t.live_data_dirs()
+        for f in __import__("pathlib").Path(d).rglob("*.parquet")
+    }
+    exported = list((tmp_path / "delta").rglob("*.parquet"))
+    assert any(f.read_bytes() in src_bytes for f in exported)
+    # and at least one file was REWRITTEN (the tombstoned ones differ)
+    assert not all(f.read_bytes() in src_bytes for f in exported)
