@@ -976,15 +976,19 @@ class DeltaliteTable:
         if dest.exists():
             raise ValueError(f"clone destination already exists: {dest_path}")
         src_commit = self._read_commit(self.latest_version())
-        if src_commit.get("dv_files"):
-            # DV sidecars are table-relative; a clone referencing them across
-            # roots would silently resolve under the WRONG table root. Loud.
-            raise ValueError(
-                "clone of a table with active deletion vectors is not "
-                "supported; run compact() to materialize them first"
-            )
         live_abs = [str(self._root / d) for d in src_commit["live"]]
         extra = {"cloned_from": self.path}
+        if src_commit.get("dv_files"):
+            # like Delta, a shallow clone carries the source's deletion
+            # vectors: sidecars are referenced by ABSOLUTE path (the same
+            # scheme as the cloned data dirs — `root / abs` resolves to abs),
+            # and the tombstones' recorded file_paths already point into the
+            # source's files, which are exactly what the clone reads. Later
+            # DML on the clone appends its own (relative) sidecars; compact
+            # materializes and cuts the dependence on the source's _dv.
+            extra["dv_files"] = [
+                str(self._root / r) for r in src_commit["dv_files"]
+            ]
         if src_commit.get("schema"):
             extra["schema"] = src_commit["schema"]
         if src_commit.get("partition_by"):

@@ -119,8 +119,21 @@ def test_dv_guards_and_restore(spark, tmp_path):
     v_dv = t.delete("id < 5", mode="dv")
     with pytest.raises(ValueError, match="deletion vectors"):
         t.read_stream()
-    with pytest.raises(ValueError, match="deletion vectors"):
-        t.clone_to(str(tmp_path / "clone"))
+    # shallow clone carries the DVs (absolute sidecar refs, like the cloned
+    # data dirs): the clone sees the logical snapshot, and DML on the clone
+    # never touches the source
+    clone = t.clone_to(str(tmp_path / "clone"))
+    assert sorted(r.id for r in clone.read().collect()) == sorted(
+        r.id for r in t.read().collect()
+    )
+    clone.delete("id = 7", mode="dv")
+    assert clone.read().filter("id = 7").count() == 0
+    assert t.read().filter("id = 7").count() == 1
+    clone.compact(target_partitions=1)  # materializes: no source _dv refs left
+    assert clone._read_commit(clone.latest_version())["dv_files"] == []
+    assert sorted(r.id for r in clone.read().collect()) == sorted(
+        r.id for r in t.read().filter("id != 7").collect()
+    )
     # export MATERIALIZES active DVs per affected file (tombstoned positions
     # dropped during the copy): the destination is plain Delta, equal to the
     # logical snapshot
