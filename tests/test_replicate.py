@@ -139,7 +139,9 @@ def test_replicate_random_program_matches_snapshot(spark, tmp_path):
 
     def step():
         nonlocal next_id
-        op = rng.choice(["append", "dv_delete", "dv_update", "overwrite"])
+        op = rng.choice(
+            ["append", "dv_delete", "dv_update", "overwrite", "dv_merge"]
+        )
         if op == "append":
             rows = [(next_id + i, float(next_id + i)) for i in range(3)]
             next_id += 3
@@ -150,6 +152,25 @@ def test_replicate_random_program_matches_snapshot(spark, tmp_path):
             src.update(
                 {"v": f"v + {rng.randrange(1, 9)}.0"},
                 f"id % 5 = {rng.randrange(5)}",
+                mode="dv",
+            )
+        elif op == "dv_merge":
+            from pyspark_cdc_engine.tables import MergeClause
+
+            batch = [
+                (k, float(k * 10), "D" if k % 2 == 0 else "U")
+                for k in rng.sample(range(next_id + 4), 4)
+            ]
+            next_id += 4
+            src.merge(
+                spark.createDataFrame(batch, ["id", "v", "op"]),
+                "target.id = source.id",
+                [
+                    MergeClause("delete", "source.op = 'D'"),
+                    MergeClause("update", None, {"v": "source.v"}),
+                    MergeClause("insert", "source.op = 'U'",
+                                {"id": "source.id", "v": "source.v"}),
+                ],
                 mode="dv",
             )
         else:
