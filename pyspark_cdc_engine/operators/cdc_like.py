@@ -328,6 +328,53 @@ def dml_dv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_apply_changes_scenario",
+    survey="§2.5,§2.12,J4,beyond-ref",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.05
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 1000)
+    UNION ALL
+    SELECT o_orderkey + 20000000, 'N' AS o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 1500 = 0
+    """,
+)
+def cdc_apply_changes_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 replication under driver certification (the SCD2 companion is
+    scd2_replication_scenario): a source table runs a DV UPDATE, a DV
+    DELETE, and an append; the full change feed folds through
+    ``apply_changes`` — per-key NET effect, one file-skipping MERGE — into a
+    replica whose final state must equal the oracle's closed form (which is
+    by definition the source snapshot: replication is certified as exactly
+    the identity it claims)."""
+    from pyspark_cdc_engine.operators.dedup_incremental import _fresh_scratch_dir
+    from pyspark_cdc_engine.streaming.replicate import apply_changes
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = _fresh_scratch_dir(f"t1_rep:{sf_dir}")
+    t = DeltaliteTable(spark, f"{tmp}/orders_src")
+    t.overwrite(o)                                                     # v0
+    t.update({"o_totalprice": "o_totalprice * 1.05"},
+             "o_orderstatus = 'P'", mode="dv")                         # v1
+    t.delete("o_orderstatus = 'F' AND o_totalprice < 1000", mode="dv")  # v2
+    t.append(
+        o.filter("o_orderkey % 1500 = 0").select(
+            (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )                                                                  # v3
+    dest = DeltaliteTable(spark, f"{tmp}/orders_replica")
+    apply_changes(dest, t.read_changes(-1), ["o_orderkey"])
+    return dest.read()
+
+
+@register(
     "scd2_replication_scenario",
     survey="§2.5,§2.12,J4,beyond-ref",
     oracle="""
