@@ -222,6 +222,7 @@ def replicate_scd2_stream(
     checkpoint_dir: str,
     starting_version: int | None = 0,
     maintain: list | None = None,
+    max_versions_per_batch: int | None = None,
 ):
     """Streaming SCD Type 2 over the change stream: like
     :func:`replicate_stream`, but the destination keeps full key history
@@ -231,7 +232,10 @@ def replicate_scd2_stream(
 
     dest = DeltaliteTable(spark, dest_path)
     txn_app = f"cdc_replicate_scd2:{checkpoint_dir}"
-    changes = read_change_stream(spark, source_path, starting_version)
+    changes = read_change_stream(
+        spark, source_path, starting_version,
+        max_versions_per_batch=max_versions_per_batch,
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -259,6 +263,7 @@ def replicate_stream(
     prune_on: str | None = "auto",
     partition_by: list[str] | None = None,
     maintain: list | None = None,
+    max_versions_per_batch: int | None = None,
 ):
     """Continuously replicate a deltalite table into another via its change
     stream. Each micro-batch (a window of source commit versions) folds into
@@ -277,7 +282,10 @@ def replicate_stream(
 
     dest = DeltaliteTable(spark, dest_path)
     txn_app = f"cdc_replicate:{checkpoint_dir}"
-    changes = read_change_stream(spark, source_path, starting_version)
+    changes = read_change_stream(
+        spark, source_path, starting_version,
+        max_versions_per_batch=max_versions_per_batch,
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -188,6 +188,24 @@ def test_replicate_random_program_matches_snapshot(spark, tmp_path):
     assert _snap(dest) == _snap(src)
 
 
+def test_replicate_rate_limited_bootstrap(spark, tmp_path):
+    """max_versions_per_batch=1 pages a 3-commit history one commit per
+    batch (one run each under the availableNow fallback); the replica still
+    converges exactly, each batch an independently idempotent apply."""
+    src = _mk(spark, tmp_path / "src", n=4)                      # v0
+    src.update({"v": "v + 10.0"}, "id = 1", mode="dv")           # v1
+    src.delete("id = 3", mode="dv")                              # v2
+    for _ in range(3):
+        q = replicate_stream(
+            spark, src.path, str(tmp_path / "dest"), ["id"],
+            str(tmp_path / "ck"), max_versions_per_batch=1,
+        )
+        q.awaitTermination(240)
+    dest = DeltaliteTable(spark, str(tmp_path / "dest"))
+    assert _snap(dest) == _snap(src)
+    assert dest.latest_version() == 2  # bootstrap + two single-commit applies
+
+
 def test_auto_compactor_bounds_append_fragmentation(spark, tmp_path):
     """Every appended micro-batch leaves one more dir (the SCD2/ingest sink
     shape); the AutoCompactor in the maintain= hook folds them back whenever
