@@ -90,15 +90,19 @@ class _CdfSlice(InputPartition):
         self,
         files: list[str],
         take: dict[str, list[int]] | None,
-        phys_fields: list[tuple[str, str]],  # (physical name, out type simpleString)
+        fields: list[tuple[str, str, str]],  # (logical, physical, simpleString)
         change_type: str,
         version: int,
     ) -> None:
         self.files = files
         self.take = take
-        self.phys_fields = phys_fields
+        self.fields = fields
         self.change_type = change_type
         self.version = version
+
+    @property
+    def phys_fields(self) -> list[tuple[str, str]]:
+        return [(p, t) for (_l, p, t) in self.fields]
 
 
 def _partition_values(path: str) -> dict[str, str]:
@@ -119,7 +123,29 @@ def _coerce(v: str | None, type_str: str):
     return v
 
 
-def _read_slice(sl: _CdfSlice) -> Iterator[tuple]:
+def _arrow_type(type_str: str):
+    """Arrow dtype for a Spark simpleString — None if outside the mapped
+    scalar set (those slices fall back to the tuple path)."""
+    import pyarrow as pa
+
+    return {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+    }.get(type_str)
+
+
+def _slice_tables(sl: _CdfSlice):
+    """Yield one pyarrow Table per file of the slice: wanted physical
+    columns (positionally ``take``-n for tombstone slices), partition-dir
+    values rehydrated, absent columns null-padded."""
     import pyarrow.parquet as pq
 
     for f in sl.files:
@@ -132,6 +158,15 @@ def _read_slice(sl: _CdfSlice) -> Iterator[tuple]:
             if not idx:
                 continue
             tbl = tbl.take(idx)
+        if tbl.num_rows:
+            yield f, tbl, names
+
+
+def _read_slice(sl: _CdfSlice) -> Iterator[tuple]:
+    """Row-tuple path — only for slices whose schema contains a type outside
+    :func:`_arrow_type`'s map (arrays/structs/timestamps); scalar-typed
+    tables stream through :func:`_read_slice_arrow` instead."""
+    for f, tbl, names in _slice_tables(sl):
         parts = _partition_values(f)
         cols = {}
         for n, t in sl.phys_fields:
@@ -146,6 +181,35 @@ def _read_slice(sl: _CdfSlice) -> Iterator[tuple]:
                 sl.change_type,
                 sl.version,
             )
+
+
+def _read_slice_arrow(sl: _CdfSlice):
+    """Arrow-batch path: the whole slice moves as columnar RecordBatches —
+    no per-row Python objects between the parquet bytes and the JVM (the
+    100 TB shape for a Python data source)."""
+    import pyarrow as pa
+
+    for f, tbl, names in _slice_tables(sl):
+        n = tbl.num_rows
+        parts = _partition_values(f)
+        arrays, fields = [], []
+        for logical, name, t in sl.fields:
+            at = _arrow_type(t)
+            if name in names:
+                col = tbl.column(name)
+                arrays.append(col.cast(at) if col.type != at else col)
+            elif name in parts:
+                arrays.append(pa.array([_coerce(parts[name], t)] * n, type=at))
+            else:
+                arrays.append(pa.nulls(n, type=at))
+            fields.append(pa.field(logical, at))
+        arrays.append(pa.array([sl.change_type] * n, type=pa.string()))
+        fields.append(pa.field("_change_type", pa.string()))
+        arrays.append(pa.array([sl.version] * n, type=pa.int32()))
+        fields.append(pa.field("_commit_version", pa.int32()))
+        out = pa.table(arrays, schema=pa.schema(fields))
+        for b in out.to_batches():
+            yield b
 
 
 def _dir_files(root: Path, rel: str) -> list[str]:
@@ -215,8 +279,8 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
         self._last_planned = end
         return {"v": end}
 
-    def _phys_fields(self) -> list[tuple[str, str]]:
-        return [(p, t) for (_l, p, t) in self._fields]
+    def _phys_fields(self) -> list[tuple[str, str, str]]:
+        return list(self._fields)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         # sync the rate-limit mark with the (possibly checkpoint-restored)
@@ -326,7 +390,13 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
                 [fp], {fp: sorted(idx)}, self._phys_fields(), tag, v
             )
 
-    def read(self, partition: _CdfSlice) -> Iterator[tuple]:
+    def read(self, partition: _CdfSlice):
+        # Arrow batches whenever every output type maps (the fast path —
+        # columnar end to end); tuple rows only for exotic types. The choice
+        # is a pure function of the slice's field types, so it is consistent
+        # across every partition and batch of the stream.
+        if all(_arrow_type(t) is not None for _, t in partition.phys_fields):
+            return _read_slice_arrow(partition)
         return _read_slice(partition)
 
     def commit(self, end: dict) -> None:
@@ -367,8 +437,11 @@ class DeltaliteCdfDataSource(DataSource):
         return StructType(
             list(schema.fields)
             + [
-                StructField("_change_type", StringType(), False),
-                StructField("_commit_version", IntegerType(), False),
+                # nullable=True: the Arrow batches the executor yields carry
+                # nullable fields (pa.field default), and the values are
+                # never null anyway
+                StructField("_change_type", StringType(), True),
+                StructField("_commit_version", IntegerType(), True),
             ]
         )
 
