@@ -66,6 +66,40 @@ def incremental_fold_safe(
     return True
 
 
+def signed_fold_safe(
+    history: list[dict], since: int, upto: int, referenced: set[str]
+) -> bool:
+    """The weaker gate for consumers that fold SIGNED deltas (insert /
+    update_postimage = +1, delete / update_preimage = -1, the classic IVM
+    multiplicity): every commit whose exact change rows the feed
+    reconstructs AND whose delta is smaller than the post-state is foldable
+    — appends, physical reorganizations, predicate-recorded DELETE/UPDATE
+    (cow and DV), and DV MERGE. OVERWRITE is deliberately excluded even
+    though its feed rows are exact: the fold would read every removed AND
+    added row (2×|table|) where a rebuild reads only the new table (1×) —
+    rebuild strictly wins. Copy-on-write MERGE (images dissolve into the
+    rewrite) and RESTORE (history rewind) force a rebuild for
+    expressibility, as do schema commits touching a referenced column.
+    Append-only consumers that cannot subtract (e.g. the LSH band index)
+    must keep using :func:`incremental_fold_safe`."""
+    for c in history:
+        if not (since < c["version"] <= upto):
+            continue
+        op = c["operation"]
+        if op in _ROW_PRESERVING_OPS:
+            if op in _SCHEMA_OPS and _schema_commit_touches(c, referenced):
+                return False
+            continue
+        if op == "delete" and c.get("delete_where"):
+            continue
+        if op == "update" and c.get("update_where"):
+            continue
+        if op == "merge" and c.get("dv_merge"):
+            continue
+        return False
+    return True
+
+
 class IncrementalAggregate:
     """Maintains ``SELECT keys, COUNT(*), SUM(cols)... GROUP BY keys`` over a
     deltalite base table, incrementally.
@@ -94,6 +128,31 @@ class IncrementalAggregate:
         for c in self.sum_cols:
             aggs.append(
                 F.sum(F.col(c).cast("decimal(28,6)")).cast("double").alias(f"sum_{c}")
+            )
+        return rows.groupBy(*self.keys).agg(*aggs)
+
+    def _delta_agg_signed(self, changes: DataFrame) -> DataFrame:
+        """Signed per-group delta from a change-feed frame: +1 multiplicity
+        for state-carrying rows, -1 for removed state — the IVM fold that
+        makes DELETE/UPDATE/OVERWRITE commits O(delta) instead of a
+        rebuild. Within one delta the ± terms accumulate in the same
+        DECIMAL(28,6) as the + path, so a remove cancels exactly what its
+        insert added; across folds the summary's DOUBLE addition carries
+        the same rounding contract as the append-only path."""
+        w = (
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+        )
+        rows = changes.withColumn("__w", w)
+        aggs = [F.sum("__w").cast("long").alias("cnt")]
+        for c in self.sum_cols:
+            aggs.append(
+                F.sum(F.col(c).cast("decimal(28,6)") * F.col("__w"))
+                .cast("double")
+                .alias(f"sum_{c}")
             )
         return rows.groupBy(*self.keys).agg(*aggs)
 
@@ -137,20 +196,18 @@ class IncrementalAggregate:
         """Fold all base commits newer than the recorded watermark into the
         summary. Returns the new watermark (base version folded up to).
 
-        Incremental folding is only sound when every new base commit is an
-        append (or a physical-only rewrite): a merge/overwrite/restore changes
-        existing rows, which additive deltas cannot express — those force a
-        full rebuild of the summary (still one aggregate scan, and the common
-        steady state of an append-only fact table never hits it)."""
+        COUNT/SUM are abelian, so the fold is SIGNED (classic IVM):
+        inserts/update-postimages add, deletes/update-preimages subtract —
+        DELETE, UPDATE, OVERWRITE, and DV MERGE commits all fold in O(delta)
+        from the change feed's exact reconstruction. Only commits whose
+        change rows the feed cannot express (copy-on-write MERGE, RESTORE)
+        — or schema commits touching a referenced column — force a full
+        rebuild of the summary (still one aggregate scan)."""
         upto = self.base.latest_version()
         since = self.last_refreshed_version()
         if since >= upto:
             return since  # nothing new
-        # Row-preserving commits fold incrementally; genuine history rewrites
-        # — and schema commits touching a column THIS aggregate references
-        # (a dropped-then-re-added sum column would mix old and new physical
-        # columns) — force a rebuild.
-        incremental_safe = since >= 0 and incremental_fold_safe(
+        incremental_safe = since >= 0 and signed_fold_safe(
             self.base.history(), since, upto,
             set(self.keys) | set(self.sum_cols),
         )
@@ -171,7 +228,7 @@ class IncrementalAggregate:
         except ValueError:  # physical-only commits: nothing logical to fold
             self._record_watermark(upto)
             return upto
-        delta = self._delta_agg(changed)
+        delta = self._delta_agg_signed(changed)
         assigns = {"cnt": "target.cnt + source.cnt"}
         for c in self.sum_cols:
             assigns[f"sum_{c}"] = f"target.sum_{c} + source.sum_{c}"
@@ -179,7 +236,15 @@ class IncrementalAggregate:
         self.summary.merge(
             delta,
             cond,
-            [MergeClause("update", None, assigns), MergeClause("insert", None, None)],
+            [
+                # a group whose last row was deleted leaves the summary —
+                # exactly what a rebuild would produce
+                MergeClause("delete", "target.cnt + source.cnt = 0"),
+                MergeClause("update", None, assigns),
+                # a delta that nets to zero for an unseen group (insert and
+                # delete of its only rows inside one window) inserts nothing
+                MergeClause("insert", "source.cnt <> 0", None),
+            ],
             broadcast_source=True,
             txn_app=txn_app,
             txn_version=upto,

@@ -73,6 +73,62 @@ def test_incremental_refresh_matches_full_recompute(spark, tmp_path):
     assert ops.count("overwrite") == 2  # rebuild happened
 
 
+def test_mv_signed_fold_through_dml_and_overwrite(spark, tmp_path):
+    """DELETE/UPDATE (cow and DV), OVERWRITE, and DV MERGE fold as SIGNED
+    deltas (IVM multiplicities) — O(delta) merges, no rebuild; a group whose
+    last row is deleted leaves the summary like a rebuild would."""
+    base = DeltaliteTable(spark, str(tmp_path / "base"))
+    base.append(_rows(spark, 0, 100))
+    mv = IncrementalAggregate(
+        spark, base, str(tmp_path / "mv"), keys=["grp"], sum_cols=["v"]
+    )
+    mv.refresh()
+
+    base.delete("id % 4 = 3 AND id < 50", mode="dv")             # v1 (DV)
+    base.update({"v": "v + 100.0"}, "id = 8", mode="dv")         # v2 (DV)
+    base.delete("id = 9")                                        # v3 (cow)
+    base.update({"v": "v * 2.0"}, "id = 12")                     # v4 (cow)
+    assert mv.refresh() == 4
+    assert _got(mv) == _expected(base)
+
+    from pyspark_cdc_engine.tables import MergeClause
+
+    base.merge(                                                  # v5 (DV merge)
+        spark.createDataFrame([(4, 1, 0.0, "D"), (200, 2, 7.5, "U")],
+                              ["id", "grp", "v", "op"]),
+        "target.id = source.id",
+        [
+            MergeClause("delete", "source.op = 'D'"),
+            MergeClause("update", None, {"v": "source.v"}),
+            MergeClause("insert", "source.op = 'U'",
+                        {"id": "source.id", "grp": "source.grp",
+                         "v": "source.v"}),
+        ],
+        mode="dv",
+    )
+    assert mv.refresh() == 5
+    assert _got(mv) == _expected(base)
+    # every fold above was a MERGE — the only overwrite is the bootstrap
+    ops = [h["operation"] for h in mv.summary.history()]
+    assert ops.count("overwrite") == 1
+    assert ops.count("merge") >= 2
+
+    # DV-delete the last rows of a group: it LEAVES the summary via the
+    # fold's zero-count delete clause, exactly as a rebuild would drop it
+    base.delete("grp = 3", mode="dv")                            # v6
+    assert mv.refresh() == 6
+    assert _got(mv) == _expected(base)
+    assert not any(g == 3 for (g, _c, _s) in _got(mv))
+    ops = [h["operation"] for h in mv.summary.history()]
+    assert ops.count("overwrite") == 1  # still no rebuild
+
+    # OVERWRITE rebuilds by choice (fold reads 2x|table|, rebuild 1x)
+    base.overwrite(base.read().filter("grp <> 2"))               # v7
+    assert mv.refresh() == 7
+    assert _got(mv) == _expected(base)
+    assert [h["operation"] for h in mv.summary.history()].count("overwrite") == 2
+
+
 def test_streaming_refresh_via_foreachbatch(spark, tmp_path):
     """The MV refresh in its natural habitat: a file stream appends to the
     base table inside foreachBatch and refreshes the summary in the same
