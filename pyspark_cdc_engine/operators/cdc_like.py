@@ -328,6 +328,53 @@ def dml_dv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mv_incremental_scenario",
+    survey="§2.12,A2,beyond-ref",
+    oracle="""
+    WITH post AS (
+      SELECT l_returnflag,
+             CASE WHEN l_linenumber = 1 THEN l_quantity + 1
+                  ELSE l_quantity END AS q
+      FROM lineitem WHERE NOT (l_quantity < 5)
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) AS sum_l_quantity
+    FROM post GROUP BY l_returnflag
+    """,
+)
+def mv_incremental_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-MV maintenance under driver certification: a COUNT/SUM
+    summary over lineitem bootstraps, then the base runs a DV DELETE and a
+    DV UPDATE; the refresh folds the change feed as SIGNED deltas (one
+    O(delta) merge — the zero-count/group-drop IVM path, never a rebuild),
+    and the folded summary must equal the oracle's one-shot aggregate over
+    the post-DML closed form. l_quantity is integral-valued, so every
+    fold step is exact double arithmetic — fold == rebuild bitwise."""
+    from pyspark_cdc_engine.incremental import IncrementalAggregate
+    from pyspark_cdc_engine.operators.dedup_incremental import _fresh_scratch_dir
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    tmp = _fresh_scratch_dir(f"mv_inc:{sf_dir}")
+    t = DeltaliteTable(spark, f"{tmp}/lineitem_base")
+    t.overwrite(li)
+    mv = IncrementalAggregate(
+        spark, t, f"{tmp}/li_summary", keys=["l_returnflag"],
+        sum_cols=["l_quantity"],
+    )
+    mv.refresh()                                                 # bootstrap
+    t.delete("l_quantity < 5", mode="dv")
+    t.update({"l_quantity": "l_quantity + 1"}, "l_linenumber = 1", mode="dv")
+    mv.refresh()                                                 # signed fold
+    ops = [h["operation"] for h in mv.summary.history()]
+    assert ops.count("overwrite") == 1, "fold must not have rebuilt"
+    return mv.read()
+
+
+@register(
     "cdc_apply_changes_scenario",
     survey="§2.5,§2.12,J4,beyond-ref",
     oracle="""
