@@ -504,3 +504,115 @@ def ts_window_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(dist_sql.replace("__m", f"(({mean_sql}))")).alias("dist"),
     )
     return d.orderBy("dist", "user_id", "start_event_id").limit(20)
+
+
+# ------------------------------------------------------ gap-fill interpolation
+@register(
+    "gap_fill_interpolate",
+    survey="W1,F6,J3,beyond-ref",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+    tys AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT event_type, h FROM tys CROSS JOIN spine),
+    obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT g.event_type, g.h, obs.v,
+             CAST(epoch(g.h) AS BIGINT) // 3600 AS i
+      FROM grid g LEFT JOIN obs ON obs.event_type = g.event_type AND obs.h = g.h
+    ),
+    w AS (
+      SELECT event_type, h, v, i,
+        last_value(v IGNORE NULLS) OVER pw AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER pw AS pi,
+        first_value(v IGNORE NULLS) OVER nw AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER nw AS ni
+      FROM j
+      WINDOW pw AS (PARTITION BY event_type ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             nw AS (PARTITION BY event_type ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           CAST(CAST(h AS TIMESTAMP) AS VARCHAR) AS hour,
+           CAST(CASE WHEN v IS NOT NULL THEN v
+                     WHEN pv IS NULL THEN nv
+                     WHEN nv IS NULL THEN pv
+                     ELSE pv + CAST(floor((nv - pv) * (i - pi) * 1.0 / (ni - pi))
+                                    AS BIGINT)
+                END AS BIGINT) AS filled_cents,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap
+    FROM w
+    """,
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with LINEAR INTERPOLATION (TimescaleDB
+    ``interpolate()`` / Pandas ``interpolate(method='time')`` analog): the
+    hourly per-event-type value series is densified onto a data-driven hour
+    spine; empty hours take the straight line between the nearest observed
+    neighbors, edges fall back to nearest-observation carry (LOCF/NOCB).
+
+    Distributed shape: the spine is O(types x hours) rows built from a 1-row
+    bounds aggregate (broadcast) — no driver loop; the only data shuffle is
+    the hourly pre-aggregation, after which each series interpolates inside
+    ONE window pass per direction, partitioned by event_type (embarrassingly
+    parallel across series; at 100 TB you repartition by series key and each
+    window sorts hours-per-series rows, thousands, not data rows).
+
+    Exactness: values aggregate as integer cents (DECIMAL-cast per row), and
+    the interpolated point is floor((nv-pv)*step/gap) in integers — bit-equal
+    between engines, no float accumulation anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    types = e.select("event_type").distinct()
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    obs = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("v")
+    )
+    j = grid.join(obs, ["event_type", "h"], "left").withColumn(
+        "i", F.expr("unix_seconds(h) div 3600")
+    )
+    pw = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nw = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pv = F.last("v", ignorenulls=True).over(pw)
+    pi = F.last(F.when(F.col("v").isNotNull(), F.col("i")), ignorenulls=True).over(pw)
+    nv = F.first("v", ignorenulls=True).over(nw)
+    ni = F.first(F.when(F.col("v").isNotNull(), F.col("i")), ignorenulls=True).over(nw)
+    interp = pv + F.floor(
+        (nv - pv) * (F.col("i") - pi) * F.lit(1.0) / (ni - pi)
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(interp)
+    ).cast("bigint")
+    return j.select(
+        "event_type",
+        F.col("h").cast("string").alias("hour"),
+        filled.alias("filled_cents"),
+        F.col("v").isNull().cast("int").alias("was_gap"),
+    )

@@ -310,3 +310,167 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("fp_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented, the MapReduce-classic formulation)
+# ---------------------------------------------------------------------------
+
+_TRI_BASKET_CAP = 32  # drop orders with more distinct parts (hot-basket guard)
+# DOULION edge-sampling rate p = _TRI_KEEP/16, selected by the first hex digit
+# of the edge's md5 — deterministic, so the oracle reproduces the sample.
+_TRI_KEEP = 4
+_TRI_SCALE = (16 // _TRI_KEEP) ** 3  # estimate multiplier 1/p^3
+
+_TRI_DIGITS = ", ".join(f"'{d:x}'" for d in range(_TRI_KEEP))
+
+_TRIANGLE_ORACLE = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (
+      SELECT l_orderkey FROM li GROUP BY l_orderkey
+      HAVING COUNT(*) <= {_TRI_BASKET_CAP}
+    ),
+    li2 AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN ok USING (l_orderkey)),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li2 a JOIN li2 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE substr(md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)), 1, 1)
+              IN ({_TRI_DIGITS})
+    ),
+    deg AS (
+      SELECT x, COUNT(*) AS d
+      FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+      GROUP BY x
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1
+      JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS edges_sampled,
+           CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS wedges_sampled,
+           CAST((SELECT t FROM tri) AS BIGINT) AS triangles_sampled,
+           CAST((SELECT t * {_TRI_SCALE} FROM tri) AS BIGINT) AS triangles_est
+"""
+
+
+@register(
+    "copurchase_triangles",
+    survey="J2,A2,A3,beyond-ref",
+    oracle=_TRIANGLE_ORACLE,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts are adjacent iff
+    some order contains both) — the graph-cohesion statistic behind the
+    global clustering coefficient (3*triangles/wedges).
+
+    100 TB shape, two published techniques composed:
+
+    - **DOULION edge sparsification** (Tsourakakis et al., KDD'09): each
+      distinct edge survives with p = 1/4, selected by the first hex digit of
+      its md5 — a coin the DuckDB oracle can flip identically, so the sample
+      (and therefore every output number) is bit-reproducible. Wedge work
+      falls by p^2 and the unbiased estimate is t/p^3, reported alongside the
+      exact sampled count. The co-purchase graph is dense by construction
+      (every k-item basket is a clique), so counting on the full graph is a
+      quadratic-wedge plan no orientation can save at scale.
+    - **Degree orientation** (Suri & Vassilvitskii, WWW'11): each sampled
+      edge points from its lower-(degree, id) endpoint to the higher, so
+      every triangle is counted exactly once at its minimum-degree vertex and
+      the wedge self-join fans out on out-degree, which orientation caps at
+      O(sqrt(m)) even for power-law hubs. Candidate wedges then hash-join the
+      edge set on the closing pair.
+
+    Edge generation is guarded: orders with > {cap} distinct parts are
+    dropped before the within-order pair join, bounding per-row fanout the
+    same way the dedup family guards hot shingles. All outputs are integers —
+    exact parity with the relational oracle.""".format(cap=_TRI_BASKET_CAP)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    li2 = li.join(
+        sizes.filter(F.col("n_items") <= _TRI_BASKET_CAP).select("l_orderkey"),
+        "l_orderkey",
+    )
+    a = li2.alias("a")
+    b = li2.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .filter(
+            F.expr(
+                "substr(md5(CAST(concat(CAST(u AS STRING), '_', CAST(v AS STRING))"
+                f" AS BINARY)), 1, 1) IN ({_TRI_DIGITS})"
+            )
+        )
+    )
+    # edges feeds degree calc, orientation, and the closing-edge probe —
+    # materialize once so the order-pair join doesn't rerun per consumer
+    edges = materialize(edges)
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        edges.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    # orient: src = endpoint ranked lower by (degree, id); total order => DAG
+    src_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(src_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(src_is_u, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    cand = o1.join(
+        o2,
+        (F.col("o1.s") == F.col("o2.s")) & (F.col("o1.t") < F.col("o2.t")),
+    ).select(
+        # o1.t < o2.t is an id comparison, so the candidate closing pair is
+        # already normalized the way `edges` is (u < v)
+        F.col("o1.t").alias("cu"),
+        F.col("o2.t").alias("cv"),
+    )
+    closed = cand.join(
+        edges, (F.col("cu") == F.col("u")) & (F.col("cv") == F.col("v"))
+    )
+    tri = closed.agg(F.count(F.lit(1)).cast("bigint").alias("triangles_sampled"))
+    nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("edges_sampled"))
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("wedges_sampled")
+    )
+    return (
+        F.broadcast(nodes)
+        .crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(tri)
+        .select(
+            "nodes",
+            "edges_sampled",
+            "wedges_sampled",
+            "triangles_sampled",
+            (F.col("triangles_sampled") * _TRI_SCALE)
+            .cast("bigint")
+            .alias("triangles_est"),
+        )
+    )

@@ -1080,3 +1080,130 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BPE_TOPK)
         .select("pair", "pair_count", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (bounded-broadcast benchmark membership)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 20  # filter bits (a 128 KiB bitset when packed)
+_BLOOM_K = 4        # hash functions = disjoint 7-hex-digit md5 slices
+_BLOOM_T = 2        # flag a doc with >= T bloom-positive shingles
+
+
+def _hex_slice_int(col: str, start: int) -> str:
+    """Engine-portable integer value of a 7-hex-digit substring of ``col``.
+
+    ``instr``/``substr`` evaluate identically in Spark SQL and DuckDB, so the
+    same expression text serves the query and its oracle (the digit-surgery
+    trick the winnowing/simhash oracles already rely on). 7 hex digits keep
+    every term < 16^7 = 2^28, inside 32-bit arithmetic in both engines."""
+    terms = [
+        f"(instr('0123456789abcdef', substr({col}, {start + i}, 1)) - 1) * {16 ** (6 - i)}"
+        for i in range(7)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bloom_pos_expr(slot: int) -> str:
+    return f"({_hex_slice_int('h', 1 + slot * 7)}) % {_BLOOM_M}"
+
+
+_BLOOM_ORACLE = f"""
+    WITH shingled AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), UNNEST(range(1, len(w) - {_SHINGLE_W} + 2)) AS t(i),
+      LATERAL (SELECT array_to_string(list_slice(w, i, i + {_SHINGLE_W} - 1), ' ') AS sh)
+    ),
+    hashed AS (SELECT DISTINCT doc_id, md5(sh) AS h FROM shingled),
+    pos AS (
+      SELECT doc_id, h, slot,
+             CASE slot
+               WHEN 0 THEN {_bloom_pos_expr(0)}
+               WHEN 1 THEN {_bloom_pos_expr(1)}
+               WHEN 2 THEN {_bloom_pos_expr(2)}
+               ELSE {_bloom_pos_expr(3)}
+             END AS p
+      FROM hashed, (VALUES (0), (1), (2), (3)) AS s(slot)
+    ),
+    bench AS (SELECT DISTINCT p FROM pos WHERE doc_id % {_DECON_MOD} = 0),
+    probe AS (
+      SELECT pos.doc_id, pos.h, COUNT(bench.p) AS k_hit
+      FROM pos LEFT JOIN bench ON pos.p = bench.p
+      WHERE pos.doc_id % {_DECON_MOD} <> 0
+      GROUP BY pos.doc_id, pos.h
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN k_hit = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS bloom_hits,
+           CAST(CASE WHEN SUM(CASE WHEN k_hit = {_BLOOM_K} THEN 1 ELSE 0 END)
+                          >= {_BLOOM_T} THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM probe GROUP BY doc_id
+"""
+
+
+@register(
+    "bloom_decontaminate",
+    survey="M5-dedup,J3,A2,beyond-ref",
+    oracle=_BLOOM_ORACLE,
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter instead of an
+    inverted-index join: each 8-word shingle hashes to ``k=4`` bit positions
+    (disjoint 7-hex-digit slices of its md5, mod ``m=2^20``); a training
+    shingle is bloom-positive iff ALL four positions were set by some
+    benchmark shingle, and a doc with >= 2 positive shingles is flagged.
+
+    Why this exists next to ``decontaminate_against_benchmark``: the
+    inverted-index join shuffles (hash, doc_id) rows for BOTH corpora, which
+    is exact but pays a full shuffle of the training side. The Bloom probe's
+    build side is AT MOST ``m`` distinct int positions — bounded by the
+    filter's constant size no matter how many benchmark docs exist — so it is
+    broadcastable BY CONSTRUCTION at any corpus scale, and the probe is a
+    map-side broadcast join followed by a partial-agg-friendly per-doc count:
+    the 100 TB training corpus is never shuffled. The price is the documented
+    false-positive rate ((1 - e^{-kn/m})^k); the hashing is deterministic md5
+    slicing, so the DuckDB oracle reproduces membership bit-for-bit (false
+    positives included).
+
+    Ref parity anchor: the reference has no decontamination surface; this is
+    the beyond-reference training-pipeline family (SURVEY §7 M5)."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = (
+        d.select(
+            "doc_id", F.explode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("sh")
+        )
+        .select("doc_id", F.expr("md5(CAST(sh AS BINARY))").alias("h"))
+        .distinct()
+    )
+    stack_args = ", ".join(f"{s}, {_bloom_pos_expr(s)}" for s in range(_BLOOM_K))
+    pos = hashed.selectExpr(
+        "doc_id", "h", f"stack({_BLOOM_K}, {stack_args}) AS (slot, p)"
+    )
+    bench_bits = (
+        pos.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.col("p").alias("bp"))
+        .distinct()
+    )
+    probe = (
+        pos.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(bench_bits), F.col("p") == F.col("bp"), "left")
+        .groupBy("doc_id", "h")
+        .agg(F.count("bp").alias("k_hit"))
+    )
+    positive = F.sum(F.when(F.col("k_hit") == _BLOOM_K, 1).otherwise(0))
+    return (
+        probe.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            positive.cast("bigint").alias("bloom_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "bloom_hits",
+            (F.col("bloom_hits") >= _BLOOM_T).cast("int").alias("contaminated"),
+        )
+    )

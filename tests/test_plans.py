@@ -440,6 +440,8 @@ _SWEEP_CROSS_OK = {
     "domain_similarity_score",  # broadcast 1-row target-corpus total
     "bm25_odds_search",         # broadcast 1-row corpus stats (N, avgdl)
     "temperature_sampling_weights",  # broadcast 1-row (t_all, sq_all) totals
+    "copurchase_triangles",     # broadcast 1-row scalar aggregates assembled into one row
+    "gap_fill_interpolate",     # broadcast 1-row (lo, hi) bounds against the 5-row type dim
 }
 _SWEEP_PYTHON_OK = {
     "embedding_cosine_near_dup",  # numpy gram scoring via applyInPandas (by design)
