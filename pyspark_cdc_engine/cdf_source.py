@@ -32,12 +32,17 @@ re-evaluating a SQL predicate:
 - compact / zorder / restore / analyze / schema commits: no logical change,
   skipped.
 
-Copy-on-write DELETE/UPDATE/MERGE commits rewrite files with the change set
-defined only by a recorded SQL predicate — not enumerable executor-side —
-so the planner REFUSES the window with a clear error (run those as
-``mode="dv"``, or restart the consumer from a fresh snapshot), the same
-contract as Delta streams hitting a non-CDC rewrite with
-``failOnDataLoss=true``.
+Copy-on-write DELETE/UPDATE/MERGE commits on a CDF-ENABLED table
+(``DeltaliteTable.enable_cdf``, the ``delta.enableChangeDataFeed`` analog)
+carry materialized change-data files (``cdc_dirs`` → ``_change_data/``,
+per-row ``__change_type``) written atomically with the rewrite — those
+stream as ordinary parquet slices, so ALL DML modes are streamable on such
+tables (cow merge included). Without CDF materialization, a cow rewrite's
+change set is defined only by a recorded SQL predicate — not enumerable
+executor-side — so the planner REFUSES the window with a clear error (run
+those as ``mode="dv"``, enable CDF first, or restart the consumer from a
+fresh snapshot), the same contract as Delta streams hitting a non-CDC
+rewrite with ``failOnDataLoss=true``.
 
 Column-mapping stability makes slices schema-drift-proof: files always carry
 PHYSICAL names, which are never reused, so every slice reads the physical
@@ -65,7 +70,7 @@ FORMAT_NAME = "deltalite_cdf"
 _SKIP_OPS = {
     "compact", "zorder", "restore", "analyze", "add_constraint",
     "drop_constraint", "add_column", "rename_column", "drop_column",
-    "refresh", "shallow_clone",
+    "refresh", "shallow_clone", "set_cdf",
 }
 
 
@@ -84,14 +89,17 @@ def _versions(table_path: str) -> list[int]:
 class _CdfSlice(InputPartition):
     """One unit of change enumeration: a set of parquet files, optionally
     with per-file row positions to ``take`` (tombstone slices), projected to
-    the source's physical field names and tagged with the change type."""
+    the source's physical field names and tagged with the change type.
+    ``change_type=None`` means the files are MATERIALIZED change-data files
+    (CDF-enabled cow DML) carrying their own per-row ``__change_type``
+    column — read it instead of tagging a constant."""
 
     def __init__(
         self,
         files: list[str],
         take: dict[str, list[int]] | None,
         fields: list[tuple[str, str, str]],  # (logical, physical, simpleString)
-        change_type: str,
+        change_type: str | None,
         version: int,
     ) -> None:
         self.files = files
@@ -152,6 +160,8 @@ def _slice_tables(sl: _CdfSlice):
         pf = pq.ParquetFile(f)
         names = set(pf.schema_arrow.names)
         want = [n for n, _ in sl.phys_fields if n in names]
+        if sl.change_type is None and "__change_type" in names:
+            want = want + ["__change_type"]
         tbl = pq.read_table(f, columns=want)
         if sl.take is not None:
             idx = sl.take.get(f)
@@ -176,9 +186,13 @@ def _read_slice(sl: _CdfSlice) -> Iterator[tuple]:
                 cols[n] = [_coerce(parts[n], t)] * tbl.num_rows
             else:
                 cols[n] = [None] * tbl.num_rows
+        if sl.change_type is None:
+            ct = tbl.column("__change_type").to_pylist()
+        else:
+            ct = [sl.change_type] * tbl.num_rows
         for i in range(tbl.num_rows):
             yield tuple(cols[n][i] for n, _ in sl.phys_fields) + (
-                sl.change_type,
+                ct[i],
                 sl.version,
             )
 
@@ -203,7 +217,10 @@ def _read_slice_arrow(sl: _CdfSlice):
             else:
                 arrays.append(pa.nulls(n, type=at))
             fields.append(pa.field(logical, at))
-        arrays.append(pa.array([sl.change_type] * n, type=pa.string()))
+        if sl.change_type is None:
+            arrays.append(tbl.column("__change_type").cast(pa.string()))
+        else:
+            arrays.append(pa.array([sl.change_type] * n, type=pa.string()))
         fields.append(pa.field("_change_type", pa.string()))
         arrays.append(pa.array([sl.version] * n, type=pa.int32()))
         fields.append(pa.field("_commit_version", pa.int32()))
@@ -366,6 +383,19 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
                             [f for d in rels for f in _dir_files(root, d)],
                             None, self._phys_fields(), tag, v,
                         ))
+            elif commit.get("cdc_dirs"):
+                # CDF-materialized cow DML (DeltaliteTable.enable_cdf): the
+                # commit's change rows are ordinary parquet files carrying
+                # their own per-row __change_type — enumerable executor-side
+                # like any data file, which is exactly why Delta's
+                # enableChangeDataFeed writes them
+                files = [
+                    f for d in commit["cdc_dirs"] for f in _dir_files(root, d)
+                ]
+                if files:
+                    out.append(_CdfSlice(
+                        files, None, self._phys_fields(), None, v,
+                    ))
             elif op in _SKIP_OPS:
                 pass  # physical reorganization / metadata: no logical change
             else:
@@ -373,8 +403,10 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
                     f"deltalite_cdf: commit {v} is a copy-on-write {op!r} — "
                     f"its change set is defined by a SQL predicate and cannot "
                     f"be enumerated executor-side. Run DELETE/UPDATE with "
-                    f"mode='dv' for streamable changes, or restart the "
-                    f"consumer from a fresh snapshot past this version."
+                    f"mode='dv' for streamable changes, enable CDF "
+                    f"materialization (enable_cdf) before cow DML, or "
+                    f"restart the consumer from a fresh snapshot past this "
+                    f"version."
                 )
             prev_live, prev_dv = live, dvs
         return out

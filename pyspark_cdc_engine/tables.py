@@ -153,10 +153,11 @@ class DeltaliteTable:
             if prev_part and "partition_by" not in extra:
                 extra["partition_by"] = prev_part
             # column-mapping state (logical->physical names + retired physical
-            # names) and deletion vectors ride every commit forward, like
-            # constraints (a DV row whose file a later commit rewrote simply
-            # never matches — carrying the list is always sound)
-            for cm_key in ("column_mapping", "retired_physical", "dv_files"):
+            # names), deletion vectors, and the change-data-feed flag ride
+            # every commit forward, like constraints (a DV row whose file a
+            # later commit rewrote simply never matches — carrying the list is
+            # always sound)
+            for cm_key in ("column_mapping", "retired_physical", "dv_files", "cdf"):
                 prev_cm = base_commit.get(cm_key)
                 if prev_cm and cm_key not in extra:
                     extra[cm_key] = prev_cm
@@ -493,8 +494,11 @@ class DeltaliteTable:
             staged_rels = [staged_rels]
         extra = dict(extra or {})
         cm = self._mapping(base_commit)
+        # footer stats only for data dirs — change-data files (cdc_dirs) are
+        # feed payload, never a prune target, so they carry no dir_stats
         stats = self._staged_stats(
-            staged_rels, force_cols=tuple(cm.get(c, c) for c in stats_cols)
+            [r for r in staged_rels if r.startswith("data/")],
+            force_cols=tuple(cm.get(c, c) for c in stats_cols),
         )
         if stats:
             extra["dir_stats"] = {**extra.get("dir_stats", {}), **stats}
@@ -763,6 +767,17 @@ class DeltaliteTable:
                         .withColumn("_change_type", F.lit("delete"))
                         .withColumn("_commit_version", F.lit(v))
                     )
+            elif commit.get("cdc_dirs"):
+                # CDF-materialized cow DML (enable_cdf): the commit's change
+                # rows were written as change-data files atomically with the
+                # rewrite — read them verbatim, no predicate replay. This is
+                # the ONLY enumeration of cow MERGE changes (without CDF its
+                # images dissolve into the rewrite).
+                frames.append(
+                    self._read_cdc(commit, end_commit).withColumn(
+                        "_commit_version", F.lit(v)
+                    )
+                )
             elif (
                 commit["operation"] == "delete"
                 and commit.get("delete_where")
@@ -943,7 +958,9 @@ class DeltaliteTable:
         """Rename/project a frame read under ``from_commit``'s logical names
         to ``to_commit``'s, matching columns by their STABLE PHYSICAL names
         (column mapping): renamed columns carry over, columns added later
-        surface as typed nulls, columns dropped later are projected away."""
+        surface as typed nulls, columns dropped later are projected away.
+        A ``_change_type`` column (materialized change-data reads, where the
+        type varies per row) passes through untouched."""
         if not from_commit.get("schema") or not to_commit.get("schema") or (
             from_commit.get("schema") == to_commit.get("schema")
             and from_commit.get("column_mapping") == to_commit.get("column_mapping")
@@ -965,7 +982,70 @@ class DeltaliteTable:
                 cols.append(F.col(src).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        return df.select(*cols)
+        passthrough = [c for c in ("_change_type",) if c in df.columns]
+        return df.select(*cols, *passthrough)
+
+    # ------------------------------------------------------- change data feed
+    def cdf_enabled(self, commit: dict | None = None) -> bool:
+        """Whether Delta-style CDF materialization is on for this table."""
+        if commit is None:
+            _, commit = self._snapshot()
+        return bool(commit.get("cdf"))
+
+    def enable_cdf(self) -> int:
+        """``ALTER TABLE ... SET TBLPROPERTIES (delta.enableChangeDataFeed =
+        true)`` analog. From this commit on, every COPY-ON-WRITE DML
+        (delete/update/merge with ``mode="cow"``) additionally writes its
+        change rows as Delta-style change-data files (``_change_data/``,
+        physical column names + a ``__change_type`` discriminator), committed
+        atomically with the rewrite under the commit's ``cdc_dirs`` key.
+        :meth:`read_changes` and the streaming ``deltalite_cdf`` source then
+        read those files VERBATIM — no predicate replay — which is what makes
+        cow DML streamable/replicable (previously only merge-on-read DML
+        was). Write cost ∝ changed rows, the same trade Delta's
+        enableChangeDataFeed makes. DV-mode DML needs no change files (its
+        commits already enumerate their change set positionally) and is
+        unaffected."""
+        base, commit = self._snapshot()
+        if commit.get("cdf"):
+            return base
+        extra: dict = {"cdf": True}
+        if commit.get("schema"):
+            extra["schema"] = commit["schema"]
+        return self._write_commit("set_cdf", commit["live"], extra, base, commit)
+
+    def _stage_cdc_dir(
+        self, changes: DataFrame, version_hint: int, mapping: dict[str, str] | None
+    ) -> str:
+        """Stage a change-data file set (table columns under PHYSICAL names +
+        ``__change_type``) for a cow DML commit; published with the rewrite
+        by :meth:`_commit_staged` so the change rows are atomic with the
+        commit that caused them."""
+        rel = f"_change_data/{version_hint:010d}-{uuid.uuid4().hex[:8]}"
+        self._to_physical(changes, mapping).write.mode("overwrite").parquet(
+            str(self._staged_path(rel))
+        )
+        return rel
+
+    def _read_cdc(self, commit: dict, end_commit: dict) -> DataFrame:
+        """Read a commit's materialized change-data files back under the END
+        version's logical names, ``_change_type`` attached per row."""
+        raw = self.spark.read.parquet(
+            *[str(self._root / r) for r in commit["cdc_dirs"]]
+        )
+        from pyspark.sql.types import StructType
+
+        mapping = self._mapping(commit)
+        schema = StructType.fromJson(json.loads(commit["schema"]))
+        df = raw.select(
+            *[
+                F.col(mapping.get(f.name, f.name)).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ],
+            F.col("__change_type").alias("_change_type"),
+        )
+        to = end_commit if end_commit.get("schema") else commit
+        return self._project_to_schema(df, commit, to)
 
     def clone_to(self, dest_path: str) -> "DeltaliteTable":
         """SHALLOW CLONE analog (db/table_maintenance.sql:85-92): the clone's
@@ -1810,6 +1890,23 @@ class DeltaliteTable:
                 and p.stat().st_mtime < cutoff
                 and f"_dv/{p.name}" not in referenced_dv
             ]
+        # change-data files (CDF materialization): referenced by cdc_dirs of
+        # retained commits; older feed windows age out with the same retention
+        # — Delta's vacuum treats _change_data the same way
+        cdc_root = self._root / "_change_data"
+        if cdc_root.exists():
+            referenced_cdc: set[str] = set()
+            for v in self._versions():
+                commit = self._read_commit(v)
+                if commit["timestamp"] >= cutoff or v == self.latest_version():
+                    referenced_cdc.update(commit.get("cdc_dirs") or [])
+            dead += [
+                f"_change_data/{p.name}"
+                for p in sorted(cdc_root.iterdir())
+                if p.is_dir()
+                and p.stat().st_mtime < cutoff
+                and f"_change_data/{p.name}" not in referenced_cdc
+            ]
         if not dry_run:
             for rel in dead:
                 shutil.rmtree(self._root / rel, ignore_errors=True)
@@ -1824,13 +1921,16 @@ class DeltaliteTable:
         txn_app: str | None,
         txn_version: int | None,
         validate: bool = False,
+        change_rows=None,
     ) -> int:
         """Shared DML scaffolding for :meth:`delete` / :meth:`update`: txn
         replay guard, snapshot, stats-based dir split, read of the rewrite
         set, ``transform`` over it, staged write + commit with carried stats.
         Keeping this in ONE place means the replay guard, the all-pruned
         early return, and the ``stats_cols`` wiring cannot drift between the
-        two operations."""
+        two operations. ``change_rows`` (df -> change frame with a
+        ``__change_type`` column) materializes the commit's change-data files
+        when the table has CDF enabled (:meth:`enable_cdf`)."""
         if txn_app is not None and txn_version is not None:
             last = self.last_txn_version(txn_app)
             if last is not None and txn_version <= last:
@@ -1860,12 +1960,19 @@ class DeltaliteTable:
             **op_extra,
             "schema": commit.get("schema") or out.schema.json(),
         }
+        staged = list(rels)
+        if change_rows is not None and commit.get("cdf"):
+            cdc_rel = self._stage_cdc_dir(
+                change_rows(df), base + 1, self._mapping(commit)
+            )
+            extra["cdc_dirs"] = [cdc_rel]
+            staged.append(cdc_rel)
         if kept:
             extra["pruned_dirs_kept"] = len(kept)
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
         return self._commit_staged(
-            op, [*kept, *rels], rels, extra, base, commit,
+            op, [*kept, *rels], staged, extra, base, commit,
             stats_cols=tuple(prune_bounds or ()),
         )
 
@@ -1912,6 +2019,9 @@ class DeltaliteTable:
             prune_bounds,
             txn_app,
             txn_version,
+            change_rows=lambda df: df.filter(where).withColumn(
+                "__change_type", F.lit("delete")
+            ),
         )
 
     def _dv_delete(
@@ -2092,6 +2202,19 @@ class DeltaliteTable:
                 ]
             )
 
+        def _changes(df: DataFrame) -> DataFrame:
+            matched = df.filter(where)
+            pre = matched.withColumn("__change_type", F.lit("update_preimage"))
+            post = matched.select(
+                *[
+                    F.expr(set[c]).cast(matched.schema[c].dataType).alias(c)
+                    if c in set
+                    else F.col(c)
+                    for c in matched.columns
+                ]
+            ).withColumn("__change_type", F.lit("update_postimage"))
+            return pre.unionByName(post)
+
         return self._dml_rewrite(
             "update",
             _apply,
@@ -2100,6 +2223,7 @@ class DeltaliteTable:
             txn_app,
             txn_version,
             validate=True,
+            change_rows=_changes,
         )
 
     def _split_by_bounds(
@@ -2279,12 +2403,21 @@ class DeltaliteTable:
         )
         rels = self._staged_rels(rel, commit.get("partition_by"))
         extra = {"condition": condition, "schema": merged.schema.json()}
+        staged = list(rels)
+        if commit.get("cdf"):
+            changes = merge_dataframes(
+                target_df, source, condition, clauses, out_cols,
+                broadcast_source=broadcast_source, emit="changes",
+            )
+            cdc_rel = self._stage_cdc_dir(changes, base + 1, self._mapping(commit))
+            extra["cdc_dirs"] = [cdc_rel]
+            staged.append(cdc_rel)
         if kept:
             extra["pruned_dirs_kept"] = len(kept)
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
         return self._commit_staged(
-            "merge", [*kept, *rels], rels, extra, base, commit,
+            "merge", [*kept, *rels], staged, extra, base, commit,
             stats_cols=(prune_on,) if prune_on else (),
         )
 
@@ -2532,6 +2665,7 @@ def merge_dataframes(
     clauses: list[MergeClause],
     out_cols: list[str],
     broadcast_source: bool = False,
+    emit: str = "rows",
 ) -> DataFrame:
     """Pure-DataFrame MERGE: full-outer join target/source as structs, then apply the
     ordered clause cascade per output column. Usable standalone (tested against a SQL
@@ -2540,6 +2674,16 @@ def merge_dataframes(
     The struct aliasing trick keeps ``target.x`` / ``source.x`` resolvable as plain
     Catalyst field accesses, so Delta-style string expressions work verbatim and the
     whole cascade stays inside whole-stage codegen (no UDFs).
+
+    ``emit="rows"`` (default) returns the merged table contents.
+    ``emit="changes"`` returns the merge's CHANGE rows instead — the same
+    join + clause cascade classifying every joined row into Delta-CDF kinds
+    (first-fired delete clause → ``delete`` pre-image; first-fired update
+    clause → ``update_preimage`` + ``update_postimage`` pair; accepted
+    unmatched-source row → ``insert``; untouched rows → nothing), tagged in a
+    ``__change_type`` column. Sharing one cascade construction is what keeps
+    the change rows consistent with the committed rewrite by construction —
+    CDF materialization (:meth:`DeltaliteTable.enable_cdf`) depends on it.
     """
     t = target_df.select(F.struct(*target_df.columns).alias("target")).withColumn(
         "__t", F.lit(True)
@@ -2594,7 +2738,7 @@ def merge_dataframes(
     def default_insert(col: str) -> str:
         return f"source.{col}" if col in src_cols else "NULL"
 
-    projections = []
+    cascades = []
     for col in out_cols:
         expr = F.expr(f"target.{col}")  # default: unmatched target passes through
         cascade = F.when(unmatched_target, expr)
@@ -2619,6 +2763,50 @@ def merge_dataframes(
             )
             cascade = cascade.when(cond, F.expr(ins_expr))
             prior_neg2 = prior_neg2 & ~clause_cond(c)
-        projections.append(cascade.alias(col))
+        cascades.append(cascade)
 
-    return j.filter(keep).select(*projections)
+    if emit == "rows":
+        return j.filter(keep).select(
+            *[c.alias(n) for c, n in zip(cascades, out_cols)]
+        )
+    if emit != "changes":
+        raise ValueError(f"emit must be rows|changes, got {emit!r}")
+
+    # First-fired matched clause is an UPDATE (mirror of delete_fires).
+    update_fires = F.lit(False)
+    prior_neg = F.lit(True)
+    for c in matched_clauses:
+        if c.kind == "update":
+            update_fires = update_fires | (matched & prior_neg & clause_cond(c))
+        prior_neg = prior_neg & ~clause_cond(c)
+    insert_fires = F.lit(False)
+    for c in insert_clauses:
+        insert_fires = insert_fires | (unmatched_source & clause_cond(c))
+
+    # Pre/post images as structs cast to the TARGET's column types so the two
+    # struct shapes union exactly inside one array-of-struct generator; one
+    # pass over the join, explode, drop the nulls.
+    tmap = {f.name: f.dataType for f in target_df.schema.fields}
+    pre = F.struct(
+        *[F.expr(f"target.{n}").cast(tmap[n]).alias(n) for n in out_cols]
+    )
+    post = F.struct(
+        *[c.cast(tmap[n]).alias(n) for c, n in zip(cascades, out_cols)]
+    )
+
+    def tagged(img, fires, tag):
+        return F.when(
+            fires, F.struct(img.alias("r"), F.lit(tag).alias("t"))
+        )
+
+    change = F.array(
+        tagged(pre, delete_fires, "delete"),
+        tagged(pre, update_fires, "update_preimage"),
+        tagged(post, update_fires, "update_postimage"),
+        tagged(post, insert_fires, "insert"),
+    )
+    return (
+        j.select(F.explode(change).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select("c.r.*", F.col("c.t").alias("__change_type"))
+    )
