@@ -556,3 +556,89 @@ def dml_dv_merge_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="dv",
     )
     return t.read()
+
+
+@register(
+    "cdf_cow_replication_scenario",
+    survey="§2.5,§2.12,J4,beyond-ref",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.05
+                  ELSE o_totalprice END AS p
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 1000)
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 998 = 2 THEN p + 100 ELSE p END
+             AS o_totalprice
+    FROM base WHERE o_orderkey % 997 <> 1
+    UNION ALL
+    SELECT o_orderkey + 30000000, 'N' AS o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 1500 = 0
+    """,
+)
+def cdf_cow_replication_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF materialization under driver certification: the source table
+    enables CDF (``enable_cdf``, the delta.enableChangeDataFeed analog) and
+    then runs an all-COPY-ON-WRITE DML program — cow UPDATE (reprice pending
+    orders), cow DELETE (drop cheap finished orders), and a three-clause cow
+    MERGE (delete keys ≡1 mod 997, reprice keys ≡2 mod 998 from the
+    TARGET's value — residues chosen so no key satisfies both (CRT: the
+    joint solution exceeds the key range), keeping the merge single-match,
+    insert fresh 'N' orders) — every change row coming from the commits'
+    materialized ``_change_data`` files, NOT predicate replay (cow merge has
+    no replay path at all: without CDF its images dissolve into the
+    rewrite). The feed folds through ``apply_changes`` into a replica whose
+    final state must equal the oracle's closed form of the program — the
+    replication identity, now certified for the copy-on-write half of the
+    DML surface (``cdc_apply_changes_scenario`` certifies the
+    merge-on-read half)."""
+    from pyspark_cdc_engine.operators.dedup_incremental import _fresh_scratch_dir
+    from pyspark_cdc_engine.streaming.replicate import apply_changes
+    from pyspark_cdc_engine.tables import DeltaliteTable, MergeClause
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = _fresh_scratch_dir(f"cdf_cow:{sf_dir}")
+    t = DeltaliteTable(spark, f"{tmp}/orders_src")
+    t.overwrite(o)                                                      # v0
+    t.enable_cdf()                                                      # v1
+    t.update({"o_totalprice": "o_totalprice * 1.05"},
+             "o_orderstatus = 'P'")                                     # v2 cow
+    t.delete("o_orderstatus = 'F' AND o_totalprice < 1000")             # v3 cow
+    src = (
+        o.filter("o_orderkey % 997 = 1")
+        .select("o_orderkey", F.lit("D").alias("act"),
+                F.lit(None).cast("double").alias("price"))
+        .unionByName(
+            o.filter("o_orderkey % 998 = 2").select(
+                "o_orderkey", F.lit("U").alias("act"),
+                F.lit(None).cast("double").alias("price"),
+            )
+        )
+        .unionByName(
+            o.filter("o_orderkey % 1500 = 0").select(
+                (F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+                F.lit("I").alias("act"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    t.merge(                                                            # v4 cow
+        src,
+        "target.o_orderkey = source.o_orderkey",
+        [
+            MergeClause("delete", "source.act = 'D'"),
+            MergeClause("update", "source.act = 'U'",
+                        {"o_totalprice": "target.o_totalprice + 100"}),
+            MergeClause("insert", "source.act = 'I'",
+                        {"o_orderkey": "source.o_orderkey",
+                         "o_orderstatus": "'N'",
+                         "o_totalprice": "source.price"}),
+        ],
+    )
+    dest = DeltaliteTable(spark, f"{tmp}/orders_replica")
+    apply_changes(dest, t.read_changes(-1), ["o_orderkey"])
+    return dest.read()
