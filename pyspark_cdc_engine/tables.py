@@ -157,7 +157,10 @@ class DeltaliteTable:
             # every commit forward, like constraints (a DV row whose file a
             # later commit rewrote simply never matches — carrying the list is
             # always sound)
-            for cm_key in ("column_mapping", "retired_physical", "dv_files", "cdf"):
+            for cm_key in (
+                "column_mapping", "retired_physical", "dv_files", "cdf",
+                "generated", "identity",
+            ):
                 prev_cm = base_commit.get(cm_key)
                 if prev_cm and cm_key not in extra:
                     extra[cm_key] = prev_cm
@@ -1227,6 +1230,88 @@ class DeltaliteTable:
             extra["schema"] = commit["schema"]
         return self._write_commit("drop_constraint", commit["live"], extra, base, commit)
 
+    # ------------------------------------------------------ generated columns
+    def generated_columns(self) -> dict[str, str]:
+        """Declared generated columns (name -> SQL expression) at latest
+        version (Delta's GENERATED ALWAYS AS (...) analog)."""
+        if not self.exists():
+            return {}
+        return self._read_commit(self.latest_version()).get("generated", {})
+
+    def _apply_generated(self, df: DataFrame, gen: dict[str, str]) -> DataFrame:
+        """Compute any ABSENT generated column from its expression (writes
+        may omit them, Delta semantics); provided columns pass through and
+        are enforced by the auto-registered ``gen_<name>`` CHECK constraint
+        instead (a provided value that disagrees with the expression fails
+        the write — Delta's generation-expression check)."""
+        for name, expr in (gen or {}).items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+        return df
+
+    @staticmethod
+    def _gen_constraints(gen: dict[str, str]) -> dict[str, str]:
+        # null-safe equality: a generated value of NULL (null inputs) is
+        # consistent with a provided NULL
+        return {f"gen_{n}": f"{n} <=> ({e})" for n, e in (gen or {}).items()}
+
+    # ------------------------------------------------------- identity columns
+    def identity_columns(self) -> dict[str, dict]:
+        """Declared identity columns (name -> {start, step, high}) at latest
+        version — Delta's GENERATED ALWAYS AS IDENTITY analog. ``high`` is
+        the allocation watermark: the largest value any committed write has
+        assigned."""
+        if not self.exists():
+            return {}
+        return self._read_commit(self.latest_version()).get("identity", {})
+
+    def _assign_identity(self, df: DataFrame, ident: dict[str, dict]) -> DataFrame:
+        """Assign identity values to a write frame. GENERATED ALWAYS
+        semantics: a write PROVIDING the column is refused (Delta's
+        contract); omitted columns get ``high + step * (mono_id + 1)`` —
+        monotonically increasing and unique, with GAPS allowed (the same
+        guarantee Delta gives: mono ids are sparse across partitions, and
+        the committed watermark advances to the max actually written, read
+        from the staged parquet footers)."""
+        for name, spec in (ident or {}).items():
+            if name in df.columns:
+                raise ValueError(
+                    f"identity column {name} is GENERATED ALWAYS — explicit "
+                    f"values are not accepted; remove it from the write"
+                )
+            base = spec.get("high", spec.get("start", 1) - spec.get("step", 1))
+            step = spec.get("step", 1)
+            df = df.withColumn(
+                name,
+                (
+                    F.lit(int(base)).cast("long")
+                    + (F.monotonically_increasing_id() + 1) * F.lit(int(step))
+                ),
+            )
+        return df
+
+    def _advance_identity(
+        self, ident: dict[str, dict], staged_rels: list[str],
+        mapping: dict[str, str] | None,
+    ) -> dict[str, dict]:
+        """New identity spec with watermarks advanced to the max value the
+        staged files actually contain (footer stats — no data read). An
+        empty write leaves the watermark unchanged."""
+        if not ident:
+            return ident
+        phys = {
+            (mapping or {}).get(n, n): n for n in ident
+        }
+        stats = self._staged_stats(staged_rels, force_cols=tuple(phys))
+        out = {n: dict(s) for n, s in ident.items()}
+        for rel_stats in stats.values():
+            for p, (lo, hi) in rel_stats.items():
+                n = phys.get(p)
+                if n is not None:
+                    cur = out[n].get("high")
+                    out[n]["high"] = hi if cur is None else max(cur, hi)
+        return out
+
     def _validate(self, constraints: dict[str, str], df: DataFrame) -> None:
         """One scan validates all predicates (aggregated violation counts)."""
         if not constraints:
@@ -1286,7 +1371,10 @@ class DeltaliteTable:
                 f"table is partitioned by {spec}; append cannot change the "
                 f"spec to {partition_by} — use overwrite(partition_by=...)"
             )
+        ident = commit.get("identity") or {}
         if base >= 0:
+            df = self._apply_generated(df, commit.get("generated") or {})
+            df = self._assign_identity(df, ident)
             schema, df, cm_update = self._evolved_schema(df, merge_schema, commit)
             self._validate(commit.get("constraints", {}), df)
         else:
@@ -1298,6 +1386,10 @@ class DeltaliteTable:
         )
         rels = self._staged_rels(rel, spec)
         extra: dict = {"schema": schema.json()}
+        if ident:
+            extra["identity"] = self._advance_identity(
+                ident, rels, cm_update or self._mapping(commit)
+            )
         if cm_update is not None:
             extra["column_mapping"] = cm_update
         if spec:
@@ -1324,6 +1416,13 @@ class DeltaliteTable:
                         f"append retry abandoned at version {new_base}: {reason}"
                     )
 
+                if ident:
+                    # rival appends allocated from the same watermark — the
+                    # staged values may collide; blind re-linking is unsound
+                    raise _conflict(
+                        "identity allocation raced another writer — re-run "
+                        "the append to allocate from the new watermark"
+                    )
                 for v in range(base + 1, new_base + 1):
                     if self._read_commit(v).get("operation") != "append":
                         raise _conflict(
@@ -1350,6 +1449,8 @@ class DeltaliteTable:
         txn_app: str | None = None,
         txn_version: int | None = None,
         partition_by: list[str] | None = None,
+        generated: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> int:
         """Replace the table contents. ``(txn_app, txn_version)`` makes the
         overwrite idempotent exactly like :meth:`append` — a replayed bootstrap
@@ -1359,7 +1460,30 @@ class DeltaliteTable:
 
         ``partition_by`` (re)declares the partition spec — overwrite is the
         partition-evolution path. ``None`` inherits the current spec; ``[]``
-        explicitly de-partitions."""
+        explicitly de-partitions.
+
+        ``generated`` declares GENERATED ALWAYS AS columns (Delta's generated
+        columns): ``{name: sql_expr}``. A write that omits the column gets it
+        COMPUTED from the expression; a write that provides it is checked
+        against the expression by an auto-registered ``gen_<name>`` CHECK
+        constraint (null-safe equality), so inconsistent values fail loudly —
+        exactly Delta's contract. The spec rides the log forward: later
+        appends compute/validate without restating it; a generated column in
+        ``partition_by`` gives derived-partition pruning (the
+        date-from-timestamp pattern). ``None`` keeps the current spec, ``{}``
+        explicitly drops generation (the constraints remain until dropped).
+
+        ``identity`` declares GENERATED ALWAYS AS IDENTITY columns:
+        ``{name: {"start": s, "step": k}}`` (k >= 1). Writes must OMIT the
+        column (ALWAYS semantics — explicit values are refused); each write
+        is assigned monotonically increasing unique values, gaps allowed,
+        and the commit records the advanced allocation watermark (Delta's
+        identity high-water-mark protocol). The counter survives later
+        overwrites — identity counters never reset. Concurrent appends to an
+        identity table abort their blind-relink retry (allocation races are
+        unsound to replay); re-run to allocate from the new watermark.
+        UPDATE of an identity column and MERGE insert clauses on identity
+        tables are refused, Delta's restrictions."""
         base, commit = self._snapshot()
         if txn_app is not None and txn_version is not None and base >= 0:
             last = self.last_txn_version(txn_app)
@@ -1377,8 +1501,27 @@ class DeltaliteTable:
                 f"directory names bound to physical columns — rename back "
                 f"first, or rewrite under the physical name"
             )
-        if base >= 0:
-            self._validate(commit.get("constraints", {}), df)
+        gen = (
+            dict(generated)
+            if generated is not None
+            else dict(commit.get("generated") or {})
+        )
+        ident = (
+            {n: dict(s) for n, s in identity.items()}
+            if identity is not None
+            else {n: dict(s) for n, s in (commit.get("identity") or {}).items()}
+        )
+        for n, s in ident.items():
+            if int(s.get("step", 1)) < 1:
+                raise ValueError(f"identity column {n}: step must be >= 1")
+        merged_constraints = dict(commit.get("constraints", {}))
+        if gen:
+            df = self._apply_generated(df, gen)
+            merged_constraints.update(self._gen_constraints(gen))
+        if ident:
+            df = self._assign_identity(df, ident)
+        if base >= 0 or (gen and merged_constraints):
+            self._validate(merged_constraints, df)
         # Overwrite replaces every live file, so the mapping is PRUNED to the
         # new schema's logical names (dangling entries for vanished columns
         # would otherwise collide with a later add_column of the same name —
@@ -1407,6 +1550,13 @@ class DeltaliteTable:
             # inert — reset them (like compact) so vacuum can age the sidecars
             "dv_files": [],
         }
+        if gen or generated is not None:
+            extra["generated"] = gen
+            extra["constraints"] = merged_constraints
+        if ident or identity is not None:
+            extra["identity"] = self._advance_identity(
+                ident, rels, pruned if base >= 0 else None
+            )
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
         return self._commit_staged("overwrite", rels, rels, extra, base, commit)
@@ -2184,6 +2334,13 @@ class DeltaliteTable:
         ``mode="dv"``: merge-on-read — tombstone the matched positions and
         append only the updated images (one commit); cost scales with the
         MATCHED rows, not the touched-file bytes (see :meth:`_dv_update`)."""
+        if self.exists():
+            clash = sorted(set.keys() & self.identity_columns().keys())
+            if clash:
+                raise ValueError(
+                    f"cannot UPDATE identity column(s) {clash} (GENERATED "
+                    f"ALWAYS AS IDENTITY — Delta's restriction)"
+                )
         if mode == "dv":
             return self._dv_update(set, where, prune_bounds, txn_app, txn_version)
         if mode != "cow":
@@ -2348,6 +2505,14 @@ class DeltaliteTable:
         fires on are TOMBSTONED in place (deletion-vector sidecars) and only
         the update/insert images are appended; no pre-existing file is
         rewritten, completing the DV DML triad (see :meth:`_dv_merge`)."""
+        if self.exists() and self.identity_columns() and any(
+            c.kind == "insert" for c in clauses
+        ):
+            raise ValueError(
+                "MERGE insert clauses are not supported on a table with "
+                "GENERATED ALWAYS AS IDENTITY columns (no allocation path "
+                "inside the merge cascade) — append the new rows instead"
+            )
         if mode == "dv":
             return self._dv_merge(
                 source, condition, clauses, broadcast_source, prune_on,

@@ -224,3 +224,25 @@ def test_merge_change_rows_consistent_with_committed_merge(spark, tmp_path):
         elif r["_change_type"] in ("insert", "update_postimage"):
             replayed[r["id"]] = r["v"]
     assert replayed == post
+
+
+def test_scd2_fold_over_cow_feed(spark, tmp_path):
+    """The SCD2 applier consumes the materialized cow feed like any other:
+    the history's current slice equals the source snapshot, and the repriced
+    key keeps its superseded state as a closed row."""
+    from pyspark_cdc_engine.streaming.replicate import apply_changes_scd2
+
+    t = _mk(spark, tmp_path / "src", n=10)
+    t.delete("id >= 8")                               # v2 cow
+    t.update({"v": "v + 1"}, "id = 0")                # v3 cow
+    t.merge(_merge_src(spark), "target.id = source.id", _MERGE_CLAUSES)  # v4
+    dest = DeltaliteTable(spark, str(tmp_path / "scd2"))
+    apply_changes_scd2(dest, t.read_changes(-1), ["id"])
+    hist = dest.read()
+    cur = sorted(
+        (r.id, r.v) for r in hist.filter("__is_current").collect()
+    )
+    snap = sorted((r.id, r.v) for r in t.read().collect())
+    assert cur == snap
+    closed_0 = hist.filter("id = 0 AND NOT __is_current").collect()
+    assert [(r.id, r.v, r["__end_version"]) for r in closed_0] == [(0, 0, 3)]

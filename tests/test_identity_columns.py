@@ -1,0 +1,87 @@
+"""Identity columns (GENERATED ALWAYS AS IDENTITY): declared at overwrite,
+assigned at write from a commit-recorded allocation watermark — unique and
+monotonically increasing across commits, gaps allowed (Delta's exact
+guarantee). Explicit values, UPDATEs of the column, and MERGE inserts are
+refused, mirroring Delta's restrictions."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_cdc_engine.tables import DeltaliteTable, MergeClause
+
+
+def _mk(spark, path, n=6):
+    t = DeltaliteTable(spark, str(path))
+    t.overwrite(
+        spark.range(n).selectExpr("id AS payload"),
+        identity={"sk": {"start": 100, "step": 1}},
+    )
+    return t
+
+
+def test_assignment_is_unique_and_monotonic_across_appends(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    first = [r.sk for r in t.read().collect()]
+    assert len(set(first)) == len(first) and min(first) >= 100
+    hi1 = t.identity_columns()["sk"]["high"]
+    assert hi1 == max(first)
+    t.append(spark.range(6, 9).selectExpr("id AS payload"))
+    rows = [(r.payload, r.sk) for r in t.read().collect()]
+    sks = [sk for _, sk in rows]
+    assert len(set(sks)) == len(sks)          # unique across both writes
+    second = [sk for p, sk in rows if p >= 6]
+    assert min(second) > hi1                  # strictly after the watermark
+    assert t.identity_columns()["sk"]["high"] == max(sks)
+
+
+def test_watermark_survives_overwrite(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    hi1 = t.identity_columns()["sk"]["high"]
+    t.overwrite(spark.range(3).selectExpr("id AS payload"))  # spec carried
+    sks = [r.sk for r in t.read().collect()]
+    assert min(sks) > hi1                     # counters never reset
+    assert t.identity_columns()["sk"]["start"] == 100
+
+
+def test_explicit_values_update_and_merge_insert_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(spark.range(2).selectExpr("id AS payload", "id AS sk"))
+    with pytest.raises(ValueError, match="identity column"):
+        t.update({"sk": "sk + 1"}, "payload = 0")
+    with pytest.raises(ValueError, match="insert clauses"):
+        t.merge(
+            spark.range(1).selectExpr("id AS payload"),
+            "target.payload = source.payload",
+            [MergeClause("insert", None, None)],
+        )
+    # update of a NON-identity column stays allowed
+    t.update({"payload": "payload + 100"}, "payload = 0")
+    assert t.read().filter("payload = 100").count() == 1
+
+
+def test_concurrent_append_retry_aborts_instead_of_reusing_values(spark, tmp_path):
+    from pyspark_cdc_engine.tables import ConcurrentWriteError
+
+    t = _mk(spark, tmp_path / "t")
+    rival = DeltaliteTable(spark, t.path)
+    real = t._write_commit
+    fired = {"n": 0}
+
+    def race(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            rival.append(spark.range(50, 53).selectExpr("id AS payload"))
+        return real(*a, **kw)
+
+    t._write_commit = race
+    try:
+        with pytest.raises(ConcurrentWriteError, match="identity allocation"):
+            t.append(spark.range(60, 62).selectExpr("id AS payload"), retries=3)
+    finally:
+        t._write_commit = real
+    # rival landed; uniqueness intact; re-running allocates past it
+    t.append(spark.range(60, 62).selectExpr("id AS payload"))
+    sks = [r.sk for r in t.read().collect()]
+    assert len(set(sks)) == len(sks)
