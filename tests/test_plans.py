@@ -540,3 +540,55 @@ def test_pmi_unigram_broadcast_is_size_gated(spark, monkeypatch):
     assert hint_count() >= 2  # default gate (1M docs) is far above 500
     monkeypatch.setenv("CDC_PMI_BROADCAST_MAX_DOCS", "100")
     assert hint_count() == 1  # only the 1-row scalar total keeps its hint
+
+
+# --------------------------------------------------- round-6 session additions
+
+
+def test_bloom_probe_join_is_broadcast(spark):
+    """bloom_decontaminate: the bench-bits build side is bounded by the
+    filter's constant size (<= 2^20 int rows), so the probe join must be a
+    BroadcastHashJoin — a sort-merge here would shuffle the training-corpus
+    positions, defeating the whole design."""
+    c = node_counts(plan_of(spark, "bloom_decontaminate"))
+    assert c["BroadcastHashJoin"] >= 1
+    assert c["SortMergeJoin"] == 0
+
+
+def test_gap_fill_windows_partition_by_series(spark):
+    """gap_fill_interpolate: both direction passes window over event_type —
+    never a SinglePartition global sort (each series interpolates
+    independently; that is what scales the operator across series)."""
+    plan = plan_of(spark, "gap_fill_interpolate")
+    wins = re.findall(r"Window \[.*?\], \[([^\]]*)\]", plan)
+    assert wins, plan[:800]  # window nodes present
+    # every Window's partition spec names the series key (the 1-row bounds
+    # aggregate legitimately uses SinglePartition — windows must not)
+    for spec in wins:
+        assert "event_type" in spec, spec
+
+
+def test_triangle_wedge_join_sees_sampled_edges(spark):
+    """copurchase_triangles: the DOULION md5-coin filter must land BEFORE the
+    wedge self-join (candidate generation runs on the sampled graph, p^2 of
+    the work). The edge list is materialized once, so the filter shows up in
+    the materialization scan, not replayed per consumer."""
+    from pyspark_cdc_engine.operators.graph_sketch import _TRI_KEEP
+
+    df = REGISTRY["copurchase_triangles"].spark(spark, SF_DIR)
+    row = df.collect()[0]
+    # the sample is ~KEEP/16 of the full distinct edge set: loose sanity band
+    # (binomial concentration makes 0.15..0.35 astronomically safe at 100k+)
+    from pyspark_cdc_engine.operators.registry import load_table
+
+    full_pairs = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_orderkey").count().selectExpr("sum(count * (count - 1) / 2)")
+        .collect()[0][0]
+    )
+    # sampled edges must be a strict subset of the possible pairs, and well
+    # under half of them (p = 1/4; full_pairs over-counts distinct edges, so
+    # the bound is loose but a missing filter would blow straight past it)
+    assert 0 < row.edges_sampled < 0.5 * full_pairs
+    assert row.triangles_est == row.triangles_sampled * (16 // _TRI_KEEP) ** 3
