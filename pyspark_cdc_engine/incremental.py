@@ -32,6 +32,7 @@ from pyspark_cdc_engine.tables import DeltaliteTable, MergeClause
 _ROW_PRESERVING_OPS = (
     "append", "compact", "zorder", "analyze",
     "rename_column", "drop_column", "add_column", "refresh",
+    "set_cdf", "add_constraint", "drop_constraint",
 )
 _SCHEMA_OPS = ("rename_column", "drop_column", "add_column")
 
@@ -74,14 +75,17 @@ def signed_fold_safe(
     multiplicity): every commit whose exact change rows the feed
     reconstructs AND whose delta is smaller than the post-state is foldable
     — appends, physical reorganizations, predicate-recorded DELETE/UPDATE
-    (cow and DV), and DV MERGE. OVERWRITE is deliberately excluded even
+    (cow and DV), DV MERGE, and — on a CDF-enabled table — ANY cow DML
+    carrying materialized change files (``cdc_dirs``), including cow MERGE,
+    whose change rows the feed otherwise cannot reconstruct (its images
+    dissolve into the rewrite). OVERWRITE is deliberately excluded even
     though its feed rows are exact: the fold would read every removed AND
     added row (2×|table|) where a rebuild reads only the new table (1×) —
-    rebuild strictly wins. Copy-on-write MERGE (images dissolve into the
-    rewrite) and RESTORE (history rewind) force a rebuild for
-    expressibility, as do schema commits touching a referenced column.
-    Append-only consumers that cannot subtract (e.g. the LSH band index)
-    must keep using :func:`incremental_fold_safe`."""
+    rebuild strictly wins. Cow MERGE without CDF and RESTORE (history
+    rewind) force a rebuild for expressibility, as do schema commits
+    touching a referenced column. Append-only consumers that cannot
+    subtract (e.g. the LSH band index) must keep using
+    :func:`incremental_fold_safe`."""
     for c in history:
         if not (since < c["version"] <= upto):
             continue
@@ -90,6 +94,8 @@ def signed_fold_safe(
             if op in _SCHEMA_OPS and _schema_commit_touches(c, referenced):
                 return False
             continue
+        if c.get("cdc_dirs"):
+            continue  # materialized change files: exact signed rows, O(delta)
         if op == "delete" and c.get("delete_where"):
             continue
         if op == "update" and c.get("update_where"):

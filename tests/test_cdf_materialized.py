@@ -246,3 +246,41 @@ def test_scd2_fold_over_cow_feed(spark, tmp_path):
     assert cur == snap
     closed_0 = hist.filter("id = 0 AND NOT __is_current").collect()
     assert [(r.id, r.v, r["__end_version"]) for r in closed_0] == [(0, 0, 3)]
+
+
+def test_incremental_mv_folds_cow_merge_via_cdc(spark, tmp_path):
+    """A cow MERGE on a CDF-enabled base is now a signed-FOLDABLE commit:
+    the IncrementalAggregate maintains its COUNT/SUM summary through the
+    merge without a rebuild, and the folded summary equals a fresh one."""
+    from pyspark_cdc_engine.incremental import IncrementalAggregate
+
+    t = DeltaliteTable(spark, str(tmp_path / "base"))
+    t.overwrite(
+        spark.range(30).selectExpr("id", "id % 3 AS k", "id * 1.0 AS v")
+    )
+    t.enable_cdf()
+    mv = IncrementalAggregate(
+        spark, t, str(tmp_path / "mv"), keys=["k"], sum_cols=["v"],
+    )
+    mv.refresh()  # bootstrap
+    src = spark.createDataFrame(
+        [(1, 100.0), (2, 0.0), (90, 900.0)], "id long, v double"
+    )
+    t.merge(src, "target.id = source.id", [
+        MergeClause("delete", "source.v = 0"),
+        MergeClause("update", None, {"v": "source.v", "k": "target.k"}),
+        MergeClause("insert", None, {"id": "source.id", "k": "source.id % 3",
+                                      "v": "source.v"}),
+    ])
+    mv.refresh()  # must FOLD, not rebuild
+    ops = [h["operation"] for h in mv.summary.history()]
+    assert ops.count("overwrite") == 1, ops
+    expect = {
+        (r.k, r.cnt, r.sum_v)
+        for r in t.read().groupBy("k").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("v").cast("decimal(28,6)")).cast("double").alias("sum_v"),
+        ).collect()
+    }
+    got = {(r.k, r.cnt, r.sum_v) for r in mv.read().collect()}
+    assert got == expect
