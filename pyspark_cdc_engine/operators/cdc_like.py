@@ -642,3 +642,52 @@ def cdf_cow_replication_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = DeltaliteTable(spark, f"{tmp}/orders_replica")
     apply_changes(dest, t.read_changes(-1), ["o_orderkey"])
     return dest.read()
+
+
+@register(
+    "generated_partition_scenario",
+    survey="§2.12,A2,beyond-ref",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def generated_partition_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns under driver certification: orders load
+    into a deltalite table that DERIVES ``o_year = year(o_orderdate)`` as a
+    generated PARTITION column (the canonical date-derived-partition
+    pattern) — the first half of the corpus at bootstrap, the second half
+    via an append that OMITS the column (computed from the recorded
+    expression; a provided-but-wrong value would fail the auto-registered
+    gen_ CHECK). The per-year rollup over the partitioned table must equal
+    the oracle's direct aggregate — certifying that generation, the spec's
+    ride through the log, and partitioned write/read round-trip without
+    altering a single row. The year predicate pushdown onto the derived
+    partition dirs is the scale payoff (test_plans gates partition
+    pruning)."""
+    from pyspark_cdc_engine.operators.dedup_incremental import _fresh_scratch_dir
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    tmp = _fresh_scratch_dir(f"genpart:{sf_dir}")
+    t = DeltaliteTable(spark, f"{tmp}/orders_by_year")
+    t.overwrite(
+        o.filter("o_orderkey % 2 = 0"),
+        generated={"o_year": "CAST(year(o_orderdate) AS INT)"},
+        partition_by=["o_year"],
+    )
+    t.append(o.filter("o_orderkey % 2 = 1"))  # o_year computed, not provided
+    return (
+        t.read()
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
