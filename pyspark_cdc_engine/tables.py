@@ -1076,7 +1076,14 @@ class DeltaliteTable:
             extra["schema"] = src_commit["schema"]
         if src_commit.get("partition_by"):
             extra["partition_by"] = src_commit["partition_by"]
-        for cm_key in ("column_mapping", "retired_physical"):
+        # table metadata travels with the clone (Delta clones copy table
+        # properties/constraints): column mapping, CHECK constraints, the CDF
+        # flag, generated-column specs, and identity watermarks (the clone
+        # keeps allocating after the source's high — uniqueness per table)
+        for cm_key in (
+            "column_mapping", "retired_physical", "constraints",
+            "cdf", "generated", "identity",
+        ):
             if src_commit.get(cm_key):
                 extra[cm_key] = src_commit[cm_key]
         dest._write_commit("shallow_clone", live_abs, extra, base_version=-1)

@@ -284,3 +284,29 @@ def test_incremental_mv_folds_cow_merge_via_cdc(spark, tmp_path):
     }
     got = {(r.k, r.cnt, r.sum_v) for r in mv.read().collect()}
     assert got == expect
+
+
+def test_clone_carries_table_properties(spark, tmp_path):
+    """A shallow clone keeps the CDF flag, generated spec, constraints, and
+    identity watermark — Delta clones copy table metadata, so ours does."""
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(
+        spark.range(6).selectExpr("id", "id * 100 AS cents"),
+        generated={"dollars": "cents div 100"},
+        identity={"sk": {"start": 1, "step": 1}},
+    )
+    t.enable_cdf()
+    c = t.clone_to(str(tmp_path / "dst"))
+    assert c.cdf_enabled()
+    assert c.generated_columns() == {"dollars": "cents div 100"}
+    assert "gen_dollars" in c.constraints()
+    hi = t.identity_columns()["sk"]["high"]
+    assert c.identity_columns()["sk"]["high"] == hi
+    # clone-side append: dollars computed, sk allocated past the watermark
+    c.append(spark.range(6, 8).selectExpr("id", "id * 100 AS cents"))
+    rows = {r.id: (r.dollars, r.sk) for r in c.read().collect()}
+    assert rows[6][0] == 6 and rows[7][0] == 7
+    assert min(rows[6][1], rows[7][1]) > hi
+    # clone cow delete materializes change files (CDF flag worked)
+    v = c.delete("id = 0")
+    assert c._read_commit(v).get("cdc_dirs")
