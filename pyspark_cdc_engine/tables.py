@@ -462,7 +462,15 @@ class DeltaliteTable:
         os.replace(staged, dest)
 
     def _discard_staged(self, rel: str) -> None:
-        """Drop a staged dir after a failed/lost commit (nothing published)."""
+        """Drop a staged dir after a failed/lost commit (nothing published).
+
+        ``data/`` rels share a per-write ``<version>-<uuid>`` top, so removing
+        the top is safe. Non-data rels (``_change_data/...``) live under a
+        SHARED top — remove only the exact staged dir, never the parent, or a
+        losing writer would wipe a concurrent writer's in-flight staging."""
+        if not rel.startswith("data/"):
+            shutil.rmtree(self._staged_path(rel), ignore_errors=True)
+            return
         top = rel.removeprefix("data/").split("/", 1)[0]
         shutil.rmtree(self._root / "_staging" / top, ignore_errors=True)
 
@@ -516,8 +524,15 @@ class DeltaliteTable:
             self._publish(rel)
         # after per-partition publishes the staged parent only holds _SUCCESS;
         # never remove a dir that still has data files (interrupted publish —
-        # _ensure_published finishes the move on the next read)
-        for top in {r.removeprefix("data/").split("/", 1)[0] for r in staged_rels}:
+        # _ensure_published finishes the move on the next read). Only data/
+        # tops are swept: they are per-write unique, while non-data rels
+        # (_change_data/) share their top with concurrent writers' staging —
+        # publishing already moved OUR dir out, and vacuum ages the rest.
+        for top in {
+            r.removeprefix("data/").split("/", 1)[0]
+            for r in staged_rels
+            if r.startswith("data/")
+        }:
             leftover = self._root / "_staging" / top
             if leftover.exists() and not any(leftover.rglob("*.parquet")):
                 shutil.rmtree(leftover, ignore_errors=True)

@@ -310,3 +310,22 @@ def test_clone_carries_table_properties(spark, tmp_path):
     # clone cow delete materializes change files (CDF flag worked)
     v = c.delete("id = 0")
     assert c._read_commit(v).get("cdc_dirs")
+
+
+def test_discard_staged_cdc_spares_concurrent_writers_staging(spark, tmp_path):
+    """_change_data staging shares a parent across writers (unlike data/
+    whose tops are per-write unique): a losing writer's discard must remove
+    ONLY its own staged change dir, and the publish-side sweep must not
+    rmtree the shared parent while a rival's files sit in it."""
+    t = _mk(spark, tmp_path / "t", n=4)
+    df = spark.range(2).selectExpr("id", "id AS v").withColumn(
+        "__change_type", F.lit("delete")
+    )
+    mine = t._stage_cdc_dir(df, 99, None)
+    rival = t._stage_cdc_dir(df, 99, None)
+    t._discard_staged(mine)
+    assert not t._staged_path(mine).exists()
+    assert t._staged_path(rival).exists()          # rival staging untouched
+    # a full commit cycle (publishes its own cdc dir) also leaves it alone
+    t.delete("id = 1")
+    assert t._staged_path(rival).exists()
