@@ -1536,6 +1536,14 @@ class DeltaliteTable:
         for n, s in ident.items():
             if int(s.get("step", 1)) < 1:
                 raise ValueError(f"identity column {n}: step must be >= 1")
+            if spec and n in spec:
+                # partition values live in dir NAMES, not parquet columns —
+                # footer stats would never see them and the allocation
+                # watermark would silently freeze, reusing values next append
+                raise ValueError(
+                    f"identity column {n} cannot be a partition column "
+                    f"(no footer stats to advance the allocation watermark)"
+                )
         merged_constraints = dict(commit.get("constraints", {}))
         if gen:
             df = self._apply_generated(df, gen)

@@ -85,3 +85,15 @@ def test_concurrent_append_retry_aborts_instead_of_reusing_values(spark, tmp_pat
     t.append(spark.range(60, 62).selectExpr("id AS payload"))
     sks = [r.sk for r in t.read().collect()]
     assert len(set(sks)) == len(sks)
+
+
+def test_identity_partition_column_refused(spark, tmp_path):
+    """Partition values live in dir names, not parquet columns — the
+    watermark could never advance, so declaring one is refused loudly."""
+    t = DeltaliteTable(spark, str(tmp_path / "p"))
+    with pytest.raises(ValueError, match="partition column"):
+        t.overwrite(
+            spark.range(4).selectExpr("id AS payload"),
+            identity={"sk": {"start": 1, "step": 1}},
+            partition_by=["sk"],
+        )
