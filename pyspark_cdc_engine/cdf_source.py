@@ -63,7 +63,13 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 FORMAT_NAME = "deltalite_cdf"
 
@@ -101,12 +107,14 @@ class _CdfSlice(InputPartition):
         fields: list[tuple[str, str, str]],  # (logical, physical, simpleString)
         change_type: str | None,
         version: int,
+        commit_ts: float = 0.0,
     ) -> None:
         self.files = files
         self.take = take
         self.fields = fields
         self.change_type = change_type
         self.version = version
+        self.commit_ts = commit_ts
 
     @property
     def phys_fields(self) -> list[tuple[str, str]]:
@@ -190,10 +198,16 @@ def _read_slice(sl: _CdfSlice) -> Iterator[tuple]:
             ct = tbl.column("__change_type").to_pylist()
         else:
             ct = [sl.change_type] * tbl.num_rows
+        from datetime import datetime, timezone
+
+        cts = datetime.fromtimestamp(sl.commit_ts, tz=timezone.utc).replace(
+            tzinfo=None
+        )
         for i in range(tbl.num_rows):
             yield tuple(cols[n][i] for n, _ in sl.phys_fields) + (
                 ct[i],
                 sl.version,
+                cts,
             )
 
 
@@ -224,6 +238,10 @@ def _read_slice_arrow(sl: _CdfSlice):
         fields.append(pa.field("_change_type", pa.string()))
         arrays.append(pa.array([sl.version] * n, type=pa.int32()))
         fields.append(pa.field("_commit_version", pa.int32()))
+        arrays.append(
+            pa.array([int(sl.commit_ts * 1_000_000)] * n, type=pa.timestamp("us"))
+        )
+        fields.append(pa.field("_commit_timestamp", pa.timestamp("us")))
         out = pa.table(arrays, schema=pa.schema(fields))
         for b in out.to_batches():
             yield b
@@ -318,6 +336,7 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
             if prev_live is None:  # window starts before the first commit
                 prev_live, prev_dv = set(), set()
             op = commit["operation"]
+            cts = float(commit.get("timestamp") or 0.0)
             live = set(commit["live"])
             dvs = set(commit.get("dv_files") or [])
             added = [d for d in commit["live"] if d not in prev_live]
@@ -342,29 +361,31 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
                             if idx:
                                 out.append(_CdfSlice(
                                     [f], {f: idx}, self._phys_fields(),
-                                    "delete", v,
+                                    "delete", v, commit_ts=cts,
                                 ))
                         else:
                             out.append(_CdfSlice(
                                 [f], None, self._phys_fields(), "delete", v,
+                                commit_ts=cts,
                             ))
                 if added:
                     out.append(_CdfSlice(
                         [f for d in added for f in _dir_files(root, d)],
-                        None, self._phys_fields(), "insert", v,
+                        None, self._phys_fields(), "insert", v, commit_ts=cts,
                     ))
             elif op == "delete" and commit.get("dv_delete"):
-                for sl in self._tombstone_slices(root, new_dvs, "delete", v):
+                for sl in self._tombstone_slices(root, new_dvs, "delete", v, cts):
                     out.append(sl)
             elif op == "update" and commit.get("dv_update"):
                 for sl in self._tombstone_slices(
-                    root, new_dvs, "update_preimage", v
+                    root, new_dvs, "update_preimage", v, cts
                 ):
                     out.append(sl)
                 if added:
                     out.append(_CdfSlice(
                         [f for d in added for f in _dir_files(root, d)],
                         None, self._phys_fields(), "update_postimage", v,
+                        commit_ts=cts,
                     ))
             elif op == "merge" and commit.get("dv_merge"):
                 # merge-on-read MERGE keeps its four outputs' identities in
@@ -372,7 +393,7 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
                 for key, tag in (("dv_merge_delete_dvs", "delete"),
                                  ("dv_merge_update_dvs", "update_preimage")):
                     for sl in self._tombstone_slices(
-                        root, commit.get(key) or [], tag, v
+                        root, commit.get(key) or [], tag, v, cts
                     ):
                         out.append(sl)
                 for key, tag in (("dv_merge_insert_dirs", "insert"),
@@ -381,7 +402,7 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
                     if rels:
                         out.append(_CdfSlice(
                             [f for d in rels for f in _dir_files(root, d)],
-                            None, self._phys_fields(), tag, v,
+                            None, self._phys_fields(), tag, v, commit_ts=cts,
                         ))
             elif commit.get("cdc_dirs"):
                 # CDF-materialized cow DML (DeltaliteTable.enable_cdf): the
@@ -395,6 +416,7 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
                 if files:
                     out.append(_CdfSlice(
                         files, None, self._phys_fields(), None, v,
+                        commit_ts=cts,
                     ))
             elif op in _SKIP_OPS:
                 pass  # physical reorganization / metadata: no logical change
@@ -412,14 +434,16 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
         return out
 
     def _tombstone_slices(
-        self, root: Path, dv_rels: list[str], tag: str, v: int
+        self, root: Path, dv_rels: list[str], tag: str, v: int,
+        commit_ts: float = 0.0,
     ) -> Iterator[_CdfSlice]:
         """One slice per tombstoned data file (bounded, parallel): positions
         grouped per file from the commit's new sidecars (driver-side read of
         a tiny parquet — the same metadata-scale read as log parsing)."""
         for fp, idx in sorted(_dv_positions(root, dv_rels).items()):
             yield _CdfSlice(
-                [fp], {fp: sorted(idx)}, self._phys_fields(), tag, v
+                [fp], {fp: sorted(idx)}, self._phys_fields(), tag, v,
+                commit_ts=commit_ts,
             )
 
     def read(self, partition: _CdfSlice):
@@ -474,6 +498,7 @@ class DeltaliteCdfDataSource(DataSource):
                 # never null anyway
                 StructField("_change_type", StringType(), True),
                 StructField("_commit_version", IntegerType(), True),
+                StructField("_commit_timestamp", TimestampType(), True),
             ]
         )
 

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from pyspark_cdc_engine.tables import DeltaliteTable, MergeClause
 
-_META_COLS = ("_change_type", "_commit_version")
+_META_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
 
 
 def net_changes(changes: DataFrame, key_cols: list[str]) -> DataFrame:

@@ -970,7 +970,21 @@ class DeltaliteTable:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        return out
+        # Delta CDF's third metadata column: the commit's wall-clock time.
+        # _commit_timestamp is a pure function of _commit_version, so one map
+        # literal over the final union tags every row — no per-frame edits.
+        ts_by_v = {
+            v: float(self._read_commit(v)["timestamp"])
+            for v in self._versions()
+            if starting_version < v <= end
+        }
+        ts_map = F.create_map(
+            *[F.lit(x) for v, t in sorted(ts_by_v.items()) for x in (v, t)]
+        )
+        return out.withColumn(
+            "_commit_timestamp",
+            F.timestamp_seconds(ts_map[F.col("_commit_version")]),
+        )
 
     def _project_to_schema(self, df: DataFrame, from_commit: dict, to_commit: dict) -> DataFrame:
         """Rename/project a frame read under ``from_commit``'s logical names
