@@ -715,12 +715,13 @@ class DeltaliteTable:
         all four image kinds exactly — the commit keeps its delete/update
         sidecars and update/insert image dirs separate, so deletes and
         pre-images are position-joins against the pre-merge bytes and
-        post-images/inserts are the appended dirs verbatim. Other rewriting
-        commits (compact/zorder/restore/copy-on-write merge) contribute
-        nothing: physical reorganizations aren't logical changes, and cow
-        merge images dissolve into the rewrite (incremental consumers treat
-        every non-append as a rebuild trigger regardless —
-        incremental_fold_safe keys on operations, not the feed).
+        post-images/inserts are the appended dirs verbatim. On a
+        CDF-ENABLED table (:meth:`enable_cdf`) every cow DML commit instead
+        carries MATERIALIZED change-data files (``cdc_dirs``), read verbatim
+        — including cow MERGE, which otherwise contributes nothing (its
+        images dissolve into the rewrite). Remaining rewriting commits
+        (compact/zorder/restore, cow merge without CDF) contribute nothing:
+        physical reorganizations aren't logical changes.
 
         Every slice is read under the END version's schema + column mapping
         (not each commit's own): physical names are stable across renames, so
