@@ -232,7 +232,8 @@ def test_change_feed_spans_rename_under_latest_names(spark, tmp_path):
         [(11, 2.0, "s11")], ["order_id", "grand_total", "status"]))   # v3
     feed = t.read_changes(0)
     assert set(feed.columns) == {
-        "order_id", "grand_total", "status", "_change_type", "_commit_version"
+        "order_id", "grand_total", "status", "_change_type", "_commit_version",
+        "_commit_timestamp",
     }
     got = {(r.order_id, r.grand_total) for r in feed.collect()}
     assert got == {(10, 1.0), (11, 2.0)}
