@@ -12,9 +12,14 @@ schemaString, partitionColumns) and one `add` action per data file
 (relative path, partitionValues, size, modificationTime, dataChange=true).
 
 Any Delta reader — delta-rs / `deltalake`, Spark with delta jars, DuckDB's
-delta extension, Trino — can then read the export directly. It is a SNAPSHOT
-export (one commit, no history): deltalite history/CDF stay analog-only,
-which the README documents.
+delta extension, Trino — can then read the export directly.
+`export_delta_snapshot` is a SNAPSHOT export (one commit, no history);
+`export_delta_history` additionally replays the WHOLE deltalite log as a
+real multi-commit `_delta_log` (add/remove per version, metaData re-emits on
+schema/property changes, `cdc` actions for CDF-materialized change files) —
+a Delta reader can time travel to any exported version and consume
+`table_changes()` from a CDF-enabled history. Deletion-vector commits stay
+snapshot-only (the real DV protocol is not emitted).
 
 No Delta library is needed to WRITE this format (it's JSON-lines over a
 directory contract), which is exactly why the export can live here while the
@@ -435,3 +440,267 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
         df = df.select(*[f.name for f in full_schema.fields])
         out = df if out is None else out.unionByName(df)
     return out
+
+
+# ------------------------------------------------------------- history export
+
+
+_DELTA_OP_NAMES = {
+    "overwrite": "WRITE",
+    "append": "WRITE",
+    "delete": "DELETE",
+    "update": "UPDATE",
+    "merge": "MERGE",
+    "compact": "OPTIMIZE",
+    "zorder": "OPTIMIZE",
+    "restore": "RESTORE",
+    "set_cdf": "SET TBLPROPERTIES",
+    "add_constraint": "ADD CONSTRAINT",
+    "drop_constraint": "DROP CONSTRAINT",
+    "add_column": "ADD COLUMNS",
+    "rename_column": "RENAME COLUMN",
+    "drop_column": "DROP COLUMNS",
+    "analyze": "COMPUTE STATISTICS",
+}
+
+
+def _commit_schema_meta(commit, table, v):
+    """(schema StructType with mapping metadata, configuration dict) for one
+    deltalite commit — the metaData payload a Delta reader needs to resolve
+    that commit's files."""
+    from pyspark.sql.types import StructField, StructType
+
+    if commit.get("schema"):
+        schema = StructType.fromJson(json.loads(commit["schema"]))
+    else:
+        schema = table.read(version=v).schema
+    mapping = dict(commit.get("column_mapping") or {})
+    configuration: dict[str, str] = {}
+    if mapping:
+        schema = StructType(
+            [
+                StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": mapping.get(
+                            f.name, f.name
+                        ),
+                    },
+                )
+                for i, f in enumerate(schema.fields)
+            ]
+        )
+        configuration = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(len(schema.fields)),
+        }
+    if commit.get("cdf"):
+        configuration["delta.enableChangeDataFeed"] = "true"
+    return schema, configuration
+
+
+def export_delta_history(
+    table: DeltaliteTable, dest: str, upto: int | None = None
+) -> dict:
+    """Replay the deltalite log into a REAL multi-commit ``_delta_log`` —
+    the history export that :func:`export_delta_snapshot` (one commit, no
+    history) deliberately is not. Commit N of the export corresponds 1:1 to
+    deltalite version N: appends/overwrites/cow DML become add/remove
+    actions (files zero-copied once, re-adds after RESTORE reuse them),
+    OPTIMIZE-class reorganizations carry ``dataChange=false``, schema and
+    table-property commits re-emit ``metaData`` (same table id throughout),
+    and a CDF-enabled table's materialized change files export as Delta
+    ``cdc`` actions — the change-data parquet is rewritten with the spec's
+    ``_change_type`` column name, so a Delta-native
+    ``table_changes()``/``readChangeFeed`` consumer sees exactly deltalite's
+    feed. A Delta reader can then time travel to ANY exported version
+    (verified by replaying every version through
+    :func:`read_delta_snapshot` in tests).
+
+    Unsupported (refused loudly, use the snapshot export): histories with
+    deletion-vector commits (the real DV protocol — descriptor-bearing add
+    actions — is not emitted here) and shallow clones (their live entries
+    reference another table's files)."""
+    versions = [v for v in table._versions() if upto is None or v <= upto]
+    if not versions or versions[0] != 0:
+        raise ValueError("history export needs a contiguous log from version 0")
+    commits = {v: table._read_commit(v) for v in versions}
+    for v, c in commits.items():
+        if (
+            c.get("dv_files")
+            or c.get("dv_delete")
+            or c.get("dv_update")
+            or c.get("dv_merge")
+        ):
+            raise ValueError(
+                f"version {v} is a deletion-vector commit — the real DV "
+                f"protocol is not emitted by the history export; use "
+                f"export_delta_snapshot (which materializes DVs), or "
+                f"compact() first"
+            )
+        if c["operation"] == "shallow_clone" or any(
+            not r.startswith("data/") for r in c["live"]
+        ):
+            raise ValueError(
+                f"version {v} references files outside this table "
+                f"(shallow clone) — history export is per-table; use "
+                f"export_delta_snapshot"
+            )
+
+    any_mapping = any(c.get("column_mapping") for c in commits.values())
+    any_cdc = any(c.get("cdc_dirs") for c in commits.values())
+    min_reader = 2 if any_mapping else 1
+    min_writer = 5 if any_mapping else (4 if any_cdc else 2)
+
+    dest_path = Path(dest)
+    log_dir = dest_path / "_delta_log"
+    log_dir.mkdir(parents=True, exist_ok=False)
+    table_id = str(uuid.uuid4())
+
+    def delta_rel(dl_rel: str, f: Path, src_dir: Path) -> Path:
+        rel_dir = Path(dl_rel).relative_to("data")
+        return rel_dir / f.relative_to(src_dir)
+
+    def quote_path(rel: Path) -> str:
+        return "/".join(
+            urllib.parse.quote(c, safe="$&+,;=:@!*'()-_.~") for c in rel.parts
+        )
+
+    # deltalite dir rel -> [(delta path str, size)] — file identities survive
+    # remove/re-add cycles (RESTORE) without recopying bytes
+    dir_files: dict[str, list[tuple[str, int]]] = {}
+    prev_live: list[str] = []
+    last_meta: tuple | None = None
+    n_files = total = n_cdc = 0
+
+    for v in versions:
+        commit = commits[v]
+        op = commit["operation"]
+        ts_ms = int(float(commit["timestamp"]) * 1000)
+        partition_cols = list(commit.get("partition_by") or [])
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": ts_ms,
+                    "operation": _DELTA_OP_NAMES.get(op, op.upper()),
+                    "operationParameters": {},
+                    "engineInfo": "pyspark-cdc-engine deltalite history export",
+                }
+            }
+        ]
+        if v == 0:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": min_reader,
+                        "minWriterVersion": min_writer,
+                    }
+                }
+            )
+        schema, configuration = _commit_schema_meta(commit, table, v)
+        meta_key = (json.dumps(schema.jsonValue()), tuple(partition_cols),
+                    tuple(sorted(configuration.items())))
+        if last_meta != meta_key:
+            actions.append(
+                {
+                    "metaData": {
+                        "id": table_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": meta_key[0],
+                        "partitionColumns": partition_cols,
+                        "configuration": configuration,
+                        "createdTime": ts_ms,
+                    }
+                }
+            )
+            last_meta = meta_key
+        live = list(commit["live"])
+        data_change = op not in ("compact", "zorder")
+        for dl_rel in prev_live:
+            if dl_rel not in set(live):
+                for p, _sz in dir_files.get(dl_rel, []):
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": p,
+                                "deletionTimestamp": ts_ms,
+                                "dataChange": data_change,
+                            }
+                        }
+                    )
+        for dl_rel in live:
+            if dl_rel in set(prev_live):
+                continue
+            if dl_rel not in dir_files:  # first appearance: copy bytes once
+                src_dir = table._root / dl_rel
+                entries = []
+                for f in sorted(Path(src_dir).rglob("*.parquet")):
+                    rel = delta_rel(dl_rel, f, Path(src_dir))
+                    target = dest_path / rel
+                    target.parent.mkdir(parents=True, exist_ok=True)
+                    shutil.copy2(f, target)
+                    entries.append((quote_path(rel), target.stat().st_size))
+                dir_files[dl_rel] = entries
+                n_files += len(entries)
+                total += sum(sz for _p, sz in entries)
+            for p, sz in dir_files[dl_rel]:
+                actions.append(
+                    {
+                        "add": {
+                            "path": p,
+                            "partitionValues": _partition_values(
+                                urllib.parse.unquote(p), partition_cols
+                            ),
+                            "size": sz,
+                            "modificationTime": ts_ms,
+                            "dataChange": data_change,
+                        }
+                    }
+                )
+        for cdc_rel in commit.get("cdc_dirs") or []:
+            import pyarrow.parquet as pq
+
+            src = table._root / cdc_rel
+            for i, f in enumerate(sorted(Path(src).rglob("*.parquet"))):
+                tbl = pq.read_table(f)
+                if "__change_type" in tbl.column_names:
+                    # the Delta CDF spec's column name
+                    tbl = tbl.rename_columns(
+                        [
+                            "_change_type" if c == "__change_type" else c
+                            for c in tbl.column_names
+                        ]
+                    )
+                if not tbl.num_rows:
+                    continue
+                rel = Path(cdc_rel) / f"part-{i:05d}.parquet"
+                target = dest_path / rel
+                target.parent.mkdir(parents=True, exist_ok=True)
+                pq.write_table(tbl, target)
+                n_cdc += 1
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": quote_path(rel),
+                            "partitionValues": {},
+                            "size": target.stat().st_size,
+                            "dataChange": False,
+                        }
+                    }
+                )
+        (log_dir / f"{v:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+        prev_live = live
+
+    return {
+        "versions_exported": len(versions),
+        "latest_version": versions[-1],
+        "n_files": n_files,
+        "n_cdc_files": n_cdc,
+        "total_bytes": total,
+        "dest": str(dest_path),
+    }

@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+import pytest
+
 from pyspark.sql.types import StructType
 
 from pyspark_cdc_engine.delta_export import export_delta_snapshot
@@ -519,3 +521,116 @@ def test_export_materializes_deletion_vectors_per_file(spark, tmp_path):
     assert any(f.read_bytes() in src_bytes for f in exported)
     # and at least one file was REWRITTEN (the tombstoned ones differ)
     assert not all(f.read_bytes() in src_bytes for f in exported)
+
+
+# ----------------------------------------------------------- history export
+
+
+def test_history_export_every_version_time_travels(spark, tmp_path):
+    """export_delta_history replays the deltalite log as a real multi-commit
+    _delta_log; a Delta reader's VERSION AS OF at every commit equals
+    deltalite's own time travel — across append, cow DML (incl. merge),
+    OPTIMIZE, and a rename under column mapping."""
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_snapshot,
+    )
+    from pyspark_cdc_engine.tables import MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).selectExpr("id", "id * 10 AS v"))      # v0
+    t.enable_cdf()                                                     # v1
+    t.append(spark.range(10, 14).selectExpr("id", "id AS v"))          # v2
+    t.delete("id >= 12")                                               # v3
+    t.update({"v": "v + 1"}, "id < 2")                                 # v4
+    t.merge(
+        spark.createDataFrame([(5, 555), (100, 1000)], "id long, v long"),
+        "target.id = source.id",
+        [MergeClause("update", None, {"v": "source.v"}),
+         MergeClause("insert", None, None)],
+    )                                                                  # v5
+    t.compact()                                                        # v6
+    t.rename_column("v", "val")                                        # v7
+    s = export_delta_history(t, str(tmp_path / "delta"))
+    assert s["versions_exported"] == 8 and s["n_cdc_files"] >= 3
+    for v in range(0, t.latest_version() + 1):
+        a = sorted(tuple(r) for r in t.read(version=v).collect())
+        b = sorted(
+            tuple(r)
+            for r in read_delta_snapshot(
+                spark, str(tmp_path / "delta"), version=v
+            ).collect()
+        )
+        assert a == b, v
+
+
+def test_history_export_cdc_actions_follow_the_spec(spark, tmp_path):
+    """CDF commits export as `cdc` actions whose parquet carries the spec's
+    `_change_type` column, OPTIMIZE commits carry dataChange=false, and the
+    metaData of a CDF-enabled table records delta.enableChangeDataFeed."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from pyspark_cdc_engine.delta_export import export_delta_history
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(8).selectExpr("id", "id * 10 AS v"))
+    t.enable_cdf()
+    t.delete("id >= 6")
+    t.compact()
+    export_delta_history(t, str(tmp_path / "delta"))
+    log = sorted((tmp_path / "delta" / "_delta_log").glob("*.json"))
+    acts = {
+        int(p.stem): [_json.loads(ln) for ln in p.read_text().splitlines()]
+        for p in log
+    }
+    cdc = [a["cdc"] for a in acts[2] if "cdc" in a]
+    assert cdc, acts[2]
+    f = tmp_path / "delta" / cdc[0]["path"]
+    assert "_change_type" in pq.ParquetFile(f).schema_arrow.names
+    # set_cdf re-emitted metaData with the table property
+    meta = [a["metaData"] for a in acts[1] if "metaData" in a]
+    assert meta and meta[0]["configuration"].get("delta.enableChangeDataFeed") == "true"
+    # compact: adds/removes with dataChange=false
+    adds = [a["add"] for a in acts[3] if "add" in a]
+    rems = [a["remove"] for a in acts[3] if "remove" in a]
+    assert adds and rems
+    assert all(a["dataChange"] is False for a in adds + rems)
+
+
+def test_history_export_restore_reuses_files(spark, tmp_path):
+    """RESTORE re-adds previously removed dirs: the export must re-emit add
+    actions for the SAME exported files instead of copying bytes twice."""
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_snapshot,
+    )
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(6).selectExpr("id"))     # v0
+    t.overwrite(spark.range(100, 103).selectExpr("id"))  # v1 replaces
+    t.restore(0)                                     # v2 brings v0's dir back
+    s = export_delta_history(t, str(tmp_path / "delta"))
+    # v0's files counted once even though added at v0 AND v2
+    parquet_on_disk = len(list((tmp_path / "delta").rglob("*.parquet")))
+    assert s["n_files"] == parquet_on_disk
+    got = sorted(
+        r.id for r in read_delta_snapshot(
+            spark, str(tmp_path / "delta")
+        ).collect()
+    )
+    assert got == [0, 1, 2, 3, 4, 5]
+
+
+def test_history_export_refuses_dv_and_clone_histories(spark, tmp_path):
+    from pyspark_cdc_engine.delta_export import export_delta_history
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).selectExpr("id"))
+    c = t.clone_to(str(tmp_path / "clone"))  # clone BEFORE any DV commit
+    t.delete("id >= 8", mode="dv")
+    with pytest.raises(ValueError, match="deletion-vector"):
+        export_delta_history(t, str(tmp_path / "d1"))
+    with pytest.raises(ValueError, match="clone"):
+        export_delta_history(c, str(tmp_path / "d2"))
