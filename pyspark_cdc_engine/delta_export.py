@@ -18,7 +18,9 @@ delta extension, Trino — can then read the export directly.
 real multi-commit `_delta_log` (add/remove per version, metaData re-emits on
 schema/property changes, `cdc` actions for CDF-materialized change files) —
 a Delta reader can time travel to any exported version and consume
-`table_changes()` from a CDF-enabled history. Deletion-vector commits stay
+`table_changes()` from a CDF-enabled history; `read_delta_changes` is the
+matching importer (cdc actions verbatim, insert/delete derivation from
+dataChange file actions otherwise). Deletion-vector commits stay
 snapshot-only (the real DV protocol is not emitted).
 
 No Delta library is needed to WRITE this format (it's JSON-lines over a
@@ -704,3 +706,119 @@ def export_delta_history(
         "total_bytes": total,
         "dest": str(dest_path),
     }
+
+
+def read_delta_changes(
+    spark, path: str, starting_version: int, ending_version: int | None = None
+):
+    """``table_changes(t, from, to)`` against a REAL Delta log, no delta
+    jars — the import-side complement of :func:`export_delta_history`'s cdc
+    actions. Per the Delta CDF contract, a commit's change rows are:
+
+    - its ``cdc`` actions' files VERBATIM when any exist (they carry the
+      spec's ``_change_type`` column), else
+    - derived from the data-changing file actions: ``add`` with
+      ``dataChange=true`` → ``insert`` rows, ``remove`` with
+      ``dataChange=true`` → ``delete`` rows (the file's content at its last
+      add — valid while the removed file still exists, i.e. pre-VACUUM);
+      ``dataChange=false`` reorganizations contribute nothing.
+
+    Rows are tagged ``_change_type`` / ``_commit_version`` /
+    ``_commit_timestamp`` exactly like :meth:`DeltaliteTable.read_changes`.
+    Column mapping (mode=name) resolves physical file columns to logical
+    names via the LATEST metaData at or before ``ending_version``."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
+    root = Path(path)
+    log_dir = root / "_delta_log"
+    versions = sorted(
+        int(p.stem) for p in log_dir.glob("*.json") if p.stem.isdigit()
+    )
+    if not versions:
+        raise FileNotFoundError(f"no Delta commits in {log_dir}")
+    end = versions[-1] if ending_version is None else ending_version
+
+    # latest metaData at or before `end` drives logical-name resolution
+    schema_json = None
+    configuration: dict = {}
+    for v in versions:
+        if v > end:
+            break
+        for ln in (log_dir / f"{v:020d}.json").read_text().splitlines():
+            a = json.loads(ln)
+            if a.get("metaData") and a["metaData"].get("schemaString"):
+                schema_json = a["metaData"]["schemaString"]
+                configuration = dict(a["metaData"].get("configuration") or {})
+    if schema_json is None:
+        raise ValueError(f"no metaData action found in {log_dir}")
+    schema = StructType.fromJson(json.loads(schema_json))
+    mapped = configuration.get("delta.columnMapping.mode") == "name"
+
+    def phys(f) -> str:
+        if mapped and f.metadata and "delta.columnMapping.physicalName" in f.metadata:
+            return f.metadata["delta.columnMapping.physicalName"]
+        return f.name
+
+    def project(df, extra_cols):
+        cols = []
+        for f in schema.fields:
+            p = phys(f)
+            if p in df.columns:
+                cols.append(F.col(p).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols, *extra_cols)
+
+    frames = []
+    for v in versions:
+        if v <= starting_version or v > end:
+            continue
+        cdc_paths, ins_paths, del_paths = [], [], []
+        ts_ms = None
+        for ln in (log_dir / f"{v:020d}.json").read_text().splitlines():
+            a = json.loads(ln)
+            if a.get("commitInfo"):
+                ts_ms = a["commitInfo"].get("timestamp")
+            elif a.get("cdc"):
+                cdc_paths.append(
+                    str(root / urllib.parse.unquote(a["cdc"]["path"]))
+                )
+            elif a.get("add") and a["add"].get("dataChange"):
+                ins_paths.append(
+                    str(root / urllib.parse.unquote(a["add"]["path"]))
+                )
+            elif a.get("remove") and a["remove"].get("dataChange"):
+                del_paths.append(
+                    str(root / urllib.parse.unquote(a["remove"]["path"]))
+                )
+        ts = F.timestamp_seconds(F.lit((ts_ms or 0) / 1000.0))
+        if cdc_paths:
+            raw = spark.read.parquet(*cdc_paths)
+            frames.append(
+                project(raw, [F.col("_change_type")])
+                .withColumn("_commit_version", F.lit(v))
+                .withColumn("_commit_timestamp", ts)
+            )
+            continue
+        for paths, tag in ((ins_paths, "insert"), (del_paths, "delete")):
+            live = [p for p in paths if Path(p).exists()]
+            if len(live) != len(paths):
+                raise ValueError(
+                    f"commit {v}: removed file(s) already vacuumed — the "
+                    f"derived delete rows cannot be reconstructed"
+                )
+            if live:
+                raw = spark.read.parquet(*live)
+                frames.append(
+                    project(raw, [])
+                    .withColumn("_change_type", F.lit(tag))
+                    .withColumn("_commit_version", F.lit(v))
+                    .withColumn("_commit_timestamp", ts)
+                )
+    if not frames:
+        raise ValueError(f"no changes in ({starting_version}, {end}]")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

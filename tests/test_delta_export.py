@@ -634,3 +634,70 @@ def test_history_export_refuses_dv_and_clone_histories(spark, tmp_path):
         export_delta_history(t, str(tmp_path / "d1"))
     with pytest.raises(ValueError, match="clone"):
         export_delta_history(c, str(tmp_path / "d2"))
+
+
+def test_read_delta_changes_round_trips_the_feed(spark, tmp_path):
+    """Bidirectional CDF interop: export a CDF-enabled cow history, then
+    consume table_changes() from the REAL log — rows equal deltalite's own
+    read_changes (cdc actions verbatim; the bootstrap commit derives inserts
+    from dataChange adds)."""
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_changes,
+    )
+    from pyspark_cdc_engine.tables import MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).selectExpr("id", "id * 10 AS v"))      # v0
+    t.enable_cdf()                                                     # v1
+    t.delete("id >= 8")                                                # v2
+    t.update({"v": "v + 1"}, "id < 2")                                 # v3
+    t.merge(
+        spark.createDataFrame([(5, 555), (100, 1000)], "id long, v long"),
+        "target.id = source.id",
+        [MergeClause("update", None, {"v": "source.v"}),
+         MergeClause("insert", None, None)],
+    )                                                                  # v4
+    export_delta_history(t, str(tmp_path / "delta"))
+    key = ["_commit_version", "_change_type", "id", "v"]
+    a = sorted(
+        tuple(r[k] for k in key) for r in t.read_changes(-1).collect()
+    )
+    got = read_delta_changes(spark, str(tmp_path / "delta"), -1)
+    b = sorted(tuple(r[k] for k in key) for r in got.collect())
+    assert a == b
+    # timestamps agree at millisecond precision (the log stores ms)
+    import datetime
+
+    hist = {h["version"]: float(h["timestamp"]) for h in t.history()}
+    for r in got.select("_commit_version", "_commit_timestamp").distinct().collect():
+        ts = r["_commit_timestamp"].replace(
+            tzinfo=datetime.timezone.utc
+        ).timestamp()
+        assert abs(ts - hist[r["_commit_version"]]) < 0.002
+
+
+def test_read_delta_changes_derives_deletes_and_respects_window(spark, tmp_path):
+    """Without cdc actions, dataChange add/remove derive insert/delete rows
+    (overwrite = delete-all + insert-all), OPTIMIZE contributes nothing, and
+    the (start, end] window selects commits exactly."""
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_changes,
+    )
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(4).selectExpr("id"))          # v0
+    t.append(spark.range(4, 6).selectExpr("id"))          # v1
+    t.compact()                                           # v2 (no changes)
+    t.overwrite(spark.range(100, 102).selectExpr("id"))   # v3
+    export_delta_history(t, str(tmp_path / "delta"))
+    got = read_delta_changes(spark, str(tmp_path / "delta"), 0, 3)
+    rows = sorted((r["_commit_version"], r["_change_type"], r["id"])
+                  for r in got.collect())
+    assert rows == [
+        (1, "insert", 4), (1, "insert", 5),
+        (3, "delete", 0), (3, "delete", 1), (3, "delete", 2), (3, "delete", 3),
+        (3, "delete", 4), (3, "delete", 5),
+        (3, "insert", 100), (3, "insert", 101),
+    ]
