@@ -701,3 +701,37 @@ def test_read_delta_changes_derives_deletes_and_respects_window(spark, tmp_path)
         (3, "delete", 4), (3, "delete", 5),
         (3, "insert", 100), (3, "insert", 101),
     ]
+
+
+def test_apply_changes_replicates_from_a_real_delta_log(spark, tmp_path):
+    """Composition closure: a REAL Delta table's change feed (cdc actions +
+    derived inserts) folds through apply_changes into a deltalite replica
+    equal to the source snapshot — replication FROM the real format."""
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_changes,
+        read_delta_snapshot,
+    )
+    from pyspark_cdc_engine.streaming.replicate import apply_changes
+    from pyspark_cdc_engine.tables import MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(12).selectExpr("id", "id * 10 AS v"))
+    t.enable_cdf()
+    t.delete("id % 5 = 0")
+    t.update({"v": "v + 3"}, "id < 4")
+    t.merge(
+        spark.createDataFrame([(7, 777), (200, 2000)], "id long, v long"),
+        "target.id = source.id",
+        [MergeClause("update", None, {"v": "source.v"}),
+         MergeClause("insert", None, None)],
+    )
+    export_delta_history(t, str(tmp_path / "delta"))
+    feed = read_delta_changes(spark, str(tmp_path / "delta"), -1)
+    dest = DeltaliteTable(spark, str(tmp_path / "replica"))
+    apply_changes(dest, feed, ["id"])
+    a = sorted(
+        tuple(r) for r in read_delta_snapshot(spark, str(tmp_path / "delta")).collect()
+    )
+    b = sorted(tuple(r) for r in dest.read().collect())
+    assert a == b and a
