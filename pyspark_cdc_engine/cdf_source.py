@@ -81,15 +81,17 @@ _SKIP_OPS = {
 
 
 def _read_commit(table_path: str, version: int) -> dict:
-    p = Path(table_path) / "_log" / f"{version:020d}.json"
-    return json.loads(p.read_text())
+    """Reconstructed snapshot at ``version`` (shared delta-encoded log
+    protocol, :mod:`pyspark_cdc_engine.log`)."""
+    from pyspark_cdc_engine import log as txlog
+
+    return txlog.state_at(Path(table_path) / "_log", version)
 
 
 def _versions(table_path: str) -> list[int]:
-    log = Path(table_path) / "_log"
-    if not log.is_dir():
-        return []
-    return sorted(int(p.stem) for p in log.glob("*.json"))
+    from pyspark_cdc_engine import log as txlog
+
+    return txlog.versions(Path(table_path) / "_log")
 
 
 class _CdfSlice(InputPartition):
@@ -200,9 +202,10 @@ def _read_slice(sl: _CdfSlice) -> Iterator[tuple]:
             ct = [sl.change_type] * tbl.num_rows
         from datetime import datetime, timezone
 
-        cts = datetime.fromtimestamp(sl.commit_ts, tz=timezone.utc).replace(
-            tzinfo=None
-        )
+        # tz-AWARE: a naive datetime would be re-interpreted in the session
+        # timezone, shifting streamed _commit_timestamp away from the batch
+        # feed's timestamp_seconds(epoch) under a non-UTC session tz
+        cts = datetime.fromtimestamp(sl.commit_ts, tz=timezone.utc)
         for i in range(tbl.num_rows):
             yield tuple(cols[n][i] for n, _ in sl.phys_fields) + (
                 ct[i],
@@ -238,10 +241,13 @@ def _read_slice_arrow(sl: _CdfSlice):
         fields.append(pa.field("_change_type", pa.string()))
         arrays.append(pa.array([sl.version] * n, type=pa.int32()))
         fields.append(pa.field("_commit_version", pa.int32()))
+        # tz-aware arrow type: the value is an epoch INSTANT; a naive
+        # timestamp would shift under a non-UTC spark.sql.session.timeZone
+        ts_type = pa.timestamp("us", tz="UTC")
         arrays.append(
-            pa.array([int(sl.commit_ts * 1_000_000)] * n, type=pa.timestamp("us"))
+            pa.array([int(sl.commit_ts * 1_000_000)] * n, type=ts_type)
         )
-        fields.append(pa.field("_commit_timestamp", pa.timestamp("us")))
+        fields.append(pa.field("_commit_timestamp", ts_type))
         out = pa.table(arrays, schema=pa.schema(fields))
         for b in out.to_batches():
             yield b
@@ -321,20 +327,32 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
         # sync the rate-limit mark with the (possibly checkpoint-restored)
         # window so a restarted stream never plans an end behind its start
         self._last_planned = max(self._last_planned, int(end["v"]))
+        from pyspark_cdc_engine import log as txlog
+
         root = Path(self._path)
+        log_dir = root / "_log"
         out: list[InputPartition] = []
-        prev_live: set[str] | None = None
-        prev_dv: set[str] | None = None
-        for v in _versions(self._path):
-            if v > int(end["v"]):
-                break
-            commit = _read_commit(self._path, v)
-            if v <= int(start["v"]):
-                prev_live = set(commit["live"])
-                prev_dv = set(commit.get("dv_files") or [])
+        start_v, end_v = int(start["v"]), int(end["v"])
+        vs = txlog.versions(log_dir)
+        # Seed the replay at the window start: one checkpoint-backed snapshot
+        # read (at most `interval` doc replays) instead of walking the whole
+        # log on EVERY micro-batch — the planner's cost is O(window), not
+        # O(history).
+        seed = max((u for u in vs if u <= start_v), default=None)
+        carry = (
+            txlog.carry_of(txlog.state_at(log_dir, seed))
+            if seed is not None
+            else {}
+        )
+        prev_live = set(carry.get("live") or [])
+        prev_dv = set(carry.get("dv_files") or [])
+        for v in vs:
+            if v <= start_v:
                 continue
-            if prev_live is None:  # window starts before the first commit
-                prev_live, prev_dv = set(), set()
+            if v > end_v:
+                break
+            commit = txlog.apply_doc(carry, txlog.raw_doc(log_dir, v))
+            carry = txlog.carry_of(commit)
             op = commit["operation"]
             cts = float(commit.get("timestamp") or 0.0)
             live = set(commit["live"])
@@ -410,14 +428,35 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
                 # their own per-row __change_type — enumerable executor-side
                 # like any data file, which is exactly why Delta's
                 # enableChangeDataFeed writes them
+                for d in commit["cdc_dirs"]:
+                    # finish a crashed writer's publish (commit linked, move
+                    # from _staging pending) so the feed stays atomic with
+                    # the rewrite
+                    dest = root / d
+                    staged = root / "_staging" / d
+                    if not dest.exists() and staged.exists():
+                        dest.parent.mkdir(parents=True, exist_ok=True)
+                        import os as _os
+
+                        _os.replace(staged, dest)
                 files = [
                     f for d in commit["cdc_dirs"] for f in _dir_files(root, d)
                 ]
-                if files:
-                    out.append(_CdfSlice(
-                        files, None, self._phys_fields(), None, v,
-                        commit_ts=cts,
-                    ))
+                if not files:
+                    # silently skipping would LOSE this commit's changes from
+                    # every replica downstream — fail like Delta's
+                    # failOnDataLoss does
+                    raise RuntimeError(
+                        f"deltalite_cdf: commit {v} references change-data "
+                        f"dirs {commit['cdc_dirs']} with no parquet files on "
+                        f"disk — change rows for this commit are gone "
+                        f"(vacuumed or partially copied); refusing to "
+                        f"silently drop them"
+                    )
+                out.append(_CdfSlice(
+                    files, None, self._phys_fields(), None, v,
+                    commit_ts=cts,
+                ))
             elif op in _SKIP_OPS:
                 pass  # physical reorganization / metadata: no logical change
             else:

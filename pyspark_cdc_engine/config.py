@@ -76,6 +76,9 @@ DEFAULTS: dict[str, Any] = {
     # use spark.sparkContext.setCheckpointDir + df.checkpoint() (survives
     # executor loss); empty = localCheckpoint (fast, single-job local mode).
     "engine.checkpoint-dir": "",
+    # deltalite log: commits between parquet state checkpoints (Delta's
+    # checkpointInterval analog; 0 disables — full replay from version 0).
+    "engine.log-checkpoint-interval": 20,
 }
 
 # Pre-module env names kept as first-class aliases (highest layer, probed
@@ -88,6 +91,7 @@ LEGACY_ENV: dict[str, str] = {
     "engine.pair-source": "CDC_PAIR_SOURCE",
     "engine.pmi-broadcast-max-docs": "CDC_PMI_BROADCAST_MAX_DOCS",
     "engine.checkpoint-dir": "CDC_RELIABLE_CHECKPOINT",
+    "engine.log-checkpoint-interval": "CDC_LOG_CHECKPOINT_INTERVAL",
 }
 
 _MISSING = object()

@@ -194,23 +194,30 @@ def register_sql_maintenance_functions(spark: SparkSession) -> None:
     )
     class History:
         def eval(self, path: str):
-            import json as _json
             from pathlib import Path as _Path
 
+            from pyspark_cdc_engine import log as _txlog
+
             log = _Path(path) / "_log"
-            std = {"version", "timestamp", "operation", "live", "schema",
-                   "constraints", "partition_by", "dir_stats", "txn"}
-            for p in sorted(log.glob("*.json"), reverse=True):
-                doc = _json.loads(p.read_text())
+            # extra_keys reflects what THIS commit itself recorded (the raw
+            # delta-encoded doc), not carried state replayed onto it —
+            # num_live_dirs needs the reconstructed snapshot, so one linear
+            # replay yields both
+            std = {"version", "timestamp", "operation", "live", "add",
+                   "remove", "schema", "constraints", "partition_by",
+                   "dir_stats", "txn"}
+            rows = []
+            for v, state, doc in _txlog.replay_states(log):
                 txn = doc.get("txn") or {}
-                yield (
-                    int(doc["version"]),
+                rows.append((
+                    int(v),
                     float(doc["timestamp"]),
                     doc.get("operation"),
-                    len(doc.get("live", [])),
+                    len(state.get("live") or []),
                     txn.get("app"),
                     txn.get("version"),
                     ",".join(sorted(k for k in doc if k not in std)),
-                )
+                ))
+            yield from reversed(rows)
 
     spark.udtf.register("deltalite_history", History)

@@ -49,13 +49,23 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-class ConcurrentWriteError(RuntimeError):
-    """Another writer committed the same version first (optimistic concurrency)."""
+from pyspark_cdc_engine import log as txlog
+from pyspark_cdc_engine.log import ConcurrentWriteError
 
 
 def _commit_path(log_dir: Path, version: int) -> Path:
-    return log_dir / f"{version:020d}.json"
+    return txlog.commit_path(log_dir, version)
+
+
+def _log_checkpoint_interval() -> int:
+    """Commits between parquet log checkpoints (0 disables). Delta's default
+    is 10; 20 keeps small streaming tables lean while still bounding replay."""
+    try:
+        from pyspark_cdc_engine.config import get_config
+
+        return get_config().get_int("engine.log-checkpoint-interval", 20)
+    except Exception:  # config layer unavailable (bare protocol tests)
+        return 20
 
 
 # Shape of a data dir component: `<version:010d>-<uuid8>` (see _write_data_dir).
@@ -95,9 +105,7 @@ class DeltaliteTable:
 
     # ---------------------------------------------------------------- log I/O
     def _versions(self) -> list[int]:
-        if not self._log_dir.exists():
-            return []
-        return sorted(int(p.stem) for p in self._log_dir.glob("*.json"))
+        return txlog.versions(self._log_dir)
 
     def latest_version(self) -> int:
         vs = self._versions()
@@ -109,7 +117,17 @@ class DeltaliteTable:
         return bool(self._versions())
 
     def _read_commit(self, version: int) -> dict:
-        return json.loads(_commit_path(self._log_dir, version).read_text())
+        """Full reconstructed SNAPSHOT at ``version`` — live dirs, carried
+        metadata (schema, constraints, column mapping, DVs, ...), per-dir
+        stats, plus the commit's own per-commit fields. On disk each commit
+        is delta-encoded (add/remove + changed metadata only, Delta-style);
+        reconstruction reads the nearest parquet checkpoint plus at most
+        ``engine.log-checkpoint-interval`` tiny JSON docs (:mod:`..log`)."""
+        return txlog.state_at(self._log_dir, version)
+
+    def _raw_commit(self, version: int) -> dict:
+        """The on-disk delta-encoded doc: this commit's own actions only."""
+        return txlog.raw_doc(self._log_dir, version)
 
     def _snapshot(self) -> tuple[int, dict]:
         """(version, commit doc) of the latest commit, read ONCE.
@@ -138,67 +156,33 @@ class DeltaliteTable:
         ``base_version`` is the snapshot the caller's reads were based on
         (``-1`` for a fresh table). ``None`` re-lists the log at link time —
         legacy behavior kept only for direct protocol tests; real mutators all
-        pin their snapshot."""
-        self._log_dir.mkdir(parents=True, exist_ok=True)
+        pin their snapshot.
+
+        The on-disk doc is DELTA-ENCODED (:func:`..log.encode_commit`): only
+        this commit's add/remove dirs, stats for the added dirs, carried
+        metadata that changed, and per-commit fields — commit size is
+        independent of table size. Carried metadata a caller omits from
+        ``extra`` (constraints, column mapping, DVs, CDF flag, generated /
+        identity specs, partition spec, schema) rides forward automatically
+        through replay. A parquet checkpoint of the full state is cut every
+        ``engine.log-checkpoint-interval`` commits so snapshot reads never
+        replay more than one interval."""
         if base_version is None:
             base_version = (self._versions() or [-1])[-1]
-        extra = dict(extra or {})
-        if base_version >= 0:
-            if base_commit is None:
-                base_commit = self._read_commit(base_version)
-            prev = base_commit.get("constraints")
-            if prev and "constraints" not in extra:
-                extra["constraints"] = prev
-            prev_part = base_commit.get("partition_by")
-            if prev_part and "partition_by" not in extra:
-                extra["partition_by"] = prev_part
-            # column-mapping state (logical->physical names + retired physical
-            # names), deletion vectors, and the change-data-feed flag ride
-            # every commit forward, like constraints (a DV row whose file a
-            # later commit rewrote simply never matches — carrying the list is
-            # always sound)
-            for cm_key in (
-                "column_mapping", "retired_physical", "dv_files", "cdf",
-                "generated", "identity",
-            ):
-                prev_cm = base_commit.get(cm_key)
-                if prev_cm and cm_key not in extra:
-                    extra[cm_key] = prev_cm
-            # Per-dir min/max stats ride the log forward (Delta's add-file
-            # stats analog): stats for dirs still live after this commit are
-            # copied from the base commit, new dirs' stats come in via
-            # ``extra["stats"]`` — so pruning reads ONE json file, never
-            # parquet footers.
-            prev_stats = base_commit.get("dir_stats") or {}
-            live_set = set(live_dirs)
-            merged_stats = {r: s for r, s in prev_stats.items() if r in live_set}
-            merged_stats.update(extra.get("dir_stats") or {})
-            if merged_stats:
-                extra["dir_stats"] = merged_stats
-            elif "dir_stats" in extra:
-                del extra["dir_stats"]
+        if base_version >= 0 and base_commit is None:
+            base_commit = self._read_commit(base_version)
         version = base_version + 1
-        doc = {
-            "version": version,
-            "timestamp": time.time(),
-            "operation": operation,
-            "live": sorted(live_dirs),
-            **(extra or {}),
-        }
-        tmp = self._log_dir / f"{uuid.uuid4().hex}.tmp"
-        tmp.write_text(json.dumps(doc, default=str))
-        target = _commit_path(self._log_dir, version)
-        try:
-            # link(2) fails with EEXIST if the version was committed concurrently
-            # — atomic optimistic concurrency, the same protocol Delta uses via
-            # exclusive log-file creation (rename() would silently overwrite).
-            os.link(tmp, target)
-        except FileExistsError:
-            raise ConcurrentWriteError(
-                f"version {version} was committed by another writer: {target}"
-            ) from None
-        finally:
-            tmp.unlink(missing_ok=True)
+        doc, new_state = txlog.encode_commit(
+            base_commit or {}, operation, list(live_dirs), extra, version,
+            timestamp=time.time(),
+        )
+        # link(2) fails with EEXIST if the version was committed concurrently
+        # — atomic optimistic concurrency, the same protocol Delta uses via
+        # exclusive log-file creation (rename() would silently overwrite).
+        txlog.link_commit(self._log_dir, version, doc)
+        txlog.after_commit(
+            self._log_dir, version, new_state, _log_checkpoint_interval()
+        )
         return version
 
     @staticmethod
@@ -474,14 +458,28 @@ class DeltaliteTable:
         top = rel.removeprefix("data/").split("/", 1)[0]
         shutil.rmtree(self._root / "_staging" / top, ignore_errors=True)
 
-    def _ensure_published(self, live: list[str]) -> None:
+    def _ensure_published(self, commit: dict | list[str]) -> None:
         """Crash recovery: a writer that died between link(2) and publish left a
         committed version whose dir still sits in ``_staging/`` — finish the
-        move. Best-effort, idempotent, only touches table-relative data dirs."""
-        for rel in live:
-            if rel.startswith("data/") and not (self._root / rel).exists():
-                if self._staged_path(rel).exists():
-                    self._publish(rel)
+        move. Best-effort, idempotent, only touches table-relative dirs.
+
+        Accepts the commit dict (repairs live data dirs AND the commit's
+        ``cdc_dirs`` change-data rels, keeping the 'change rows atomic with
+        the rewrite' invariant across that crash window) or a bare live list
+        (legacy callers)."""
+        if isinstance(commit, dict):
+            rels = list(commit.get("live") or []) + list(
+                commit.get("cdc_dirs") or []
+            )
+        else:
+            rels = list(commit)
+        for rel in rels:
+            if (
+                rel.startswith(("data/", "_change_data/"))
+                and not (self._root / rel).exists()
+                and self._staged_path(rel).exists()
+            ):
+                self._publish(rel)
 
     def _commit_staged(
         self,
@@ -557,7 +555,7 @@ class DeltaliteTable:
         analog of the pruned merge."""
         v = self.latest_version() if version is None else version
         commit = self._read_commit(v)
-        self._ensure_published(commit["live"])
+        self._ensure_published(commit)
         live = list(commit["live"])
         for col, (lo, hi) in (key_bounds or {}).items():
             keep = []
@@ -602,7 +600,7 @@ class DeltaliteTable:
         in 100k parquet footers)."""
         v = self.latest_version() if version is None else version
         commit = self._read_commit(v)
-        self._ensure_published(commit["live"])
+        self._ensure_published(commit)
         dirs = [str(self._root / d) for d in commit["live"]]
         if not dirs:
             raise ValueError(f"empty table at version {v}")
@@ -623,7 +621,7 @@ class DeltaliteTable:
         (which may contain superseded or vacuum-pending dirs)."""
         v = self.latest_version() if version is None else version
         commit = self._read_commit(v)
-        self._ensure_published(commit["live"])
+        self._ensure_published(commit)
         return [str(self._root / d) for d in commit["live"]]
 
     def read_stream(self) -> DataFrame:
@@ -677,7 +675,8 @@ class DeltaliteTable:
     def _version_at_or_before(self, ts: float) -> int:
         best = None
         for v in self._versions():
-            if self._read_commit(v)["timestamp"] <= ts:
+            # timestamps are per-commit: the raw doc suffices, no replay
+            if self._raw_commit(v)["timestamp"] <= ts:
                 best = v
         if best is None:
             raise ValueError(f"no version at or before {ts}")
@@ -975,7 +974,7 @@ class DeltaliteTable:
         # _commit_timestamp is a pure function of _commit_version, so one map
         # literal over the final union tags every row — no per-frame edits.
         ts_by_v = {
-            v: float(self._read_commit(v)["timestamp"])
+            v: float(self._raw_commit(v)["timestamp"])
             for v in self._versions()
             if starting_version < v <= end
         }
@@ -1063,6 +1062,17 @@ class DeltaliteTable:
     def _read_cdc(self, commit: dict, end_commit: dict) -> DataFrame:
         """Read a commit's materialized change-data files back under the END
         version's logical names, ``_change_type`` attached per row."""
+        self._ensure_published(commit)  # finish a crashed writer's cdc publish
+        missing = [
+            r for r in commit["cdc_dirs"] if not (self._root / r).exists()
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"commit {commit.get('version')} references change-data dirs "
+                f"that do not exist on disk: {missing} — the feed would "
+                f"silently lose this commit's changes (vacuumed too "
+                f"aggressively, or a partial copy of the table)"
+            )
         raw = self.spark.read.parquet(
             *[str(self._root / r) for r in commit["cdc_dirs"]]
         )
@@ -1367,7 +1377,8 @@ class DeltaliteTable:
         """Highest txn version committed under ``txn_app``, or None."""
         best = None
         for v in self._versions():
-            txn = self._read_commit(v).get("txn")
+            # txn markers are per-commit: raw docs, no state reconstruction
+            txn = self._raw_commit(v).get("txn")
             if txn and txn.get("app") == txn_app:
                 best = txn["version"] if best is None else max(best, txn["version"])
         return best
@@ -1461,7 +1472,7 @@ class DeltaliteTable:
                         "the append to allocate from the new watermark"
                     )
                 for v in range(base + 1, new_base + 1):
-                    if self._read_commit(v).get("operation") != "append":
+                    if self._raw_commit(v).get("operation") != "append":
                         raise _conflict(
                             f"interleaved non-append commit at version {v}"
                         )
@@ -2022,11 +2033,18 @@ class DeltaliteTable:
         """Delete data dirs not referenced by any commit within the retention window
         nor by the latest snapshot (VACUUM ... RETAIN n HOURS [DRY RUN] analog)."""
         cutoff = time.time() - retain_hours * 3600
+        # ONE linear replay collects every retained version's live dirs, DV
+        # sidecars, and change-data dirs — per-version reconstruction here
+        # would be quadratic in history length
+        latest = self.latest_version()
         referenced: set[str] = set()
-        for v in self._versions():
-            commit = self._read_commit(v)
-            if commit["timestamp"] >= cutoff or v == self.latest_version():
-                referenced.update(commit["live"])
+        referenced_dv: set[str] = set()
+        referenced_cdc: set[str] = set()
+        for v, state, _doc in txlog.replay_states(self._log_dir):
+            if state["timestamp"] >= cutoff or v == latest:
+                referenced.update(state["live"])
+                referenced_dv.update(state.get("dv_files") or [])
+                referenced_cdc.update(state.get("cdc_dirs") or [])
         data_root = self._root / "data"
         dead: list[str] = []
         if data_root.exists():
@@ -2073,11 +2091,6 @@ class DeltaliteTable:
         # lost commit race) ages out with the same retention window
         dv_root = self._root / "_dv"
         if dv_root.exists():
-            referenced_dv: set[str] = set()
-            for v in self._versions():
-                commit = self._read_commit(v)
-                if commit["timestamp"] >= cutoff or v == self.latest_version():
-                    referenced_dv.update(commit.get("dv_files") or [])
             dead += [
                 f"_dv/{p.name}"
                 for p in sorted(dv_root.iterdir())
@@ -2090,11 +2103,6 @@ class DeltaliteTable:
         # — Delta's vacuum treats _change_data the same way
         cdc_root = self._root / "_change_data"
         if cdc_root.exists():
-            referenced_cdc: set[str] = set()
-            for v in self._versions():
-                commit = self._read_commit(v)
-                if commit["timestamp"] >= cutoff or v == self.latest_version():
-                    referenced_cdc.update(commit.get("cdc_dirs") or [])
             dead += [
                 f"_change_data/{p.name}"
                 for p in sorted(cdc_root.iterdir())
@@ -2131,7 +2139,7 @@ class DeltaliteTable:
             if last is not None and txn_version <= last:
                 return self.latest_version()
         base, commit = self._snapshot()
-        self._ensure_published(commit["live"])
+        self._ensure_published(commit)
         live, kept = self._split_by_bounds(commit, prune_bounds)
         if not live:  # every dir pruned: nothing can match
             return base
@@ -2236,7 +2244,7 @@ class DeltaliteTable:
             if last is not None and txn_version <= last:
                 return self.latest_version()
         base, commit = self._snapshot()
-        self._ensure_published(commit["live"])
+        self._ensure_published(commit)
         live, _kept = self._split_by_bounds(commit, prune_bounds)
         prior = list(commit.get("dv_files") or [])
         extra: dict = {"delete_where": where, "dv_delete": True}
@@ -2305,7 +2313,7 @@ class DeltaliteTable:
             if last is not None and txn_version <= last:
                 return self.latest_version()
         base, commit = self._snapshot()
-        self._ensure_published(commit["live"])
+        self._ensure_published(commit)
         live, _kept = self._split_by_bounds(commit, prune_bounds)
         prior = list(commit.get("dv_files") or [])
         extra: dict = {
@@ -2570,7 +2578,7 @@ class DeltaliteTable:
             if last is not None and txn_version <= last:
                 return self.latest_version()  # replayed batch: no-op
         base, commit = self._snapshot()
-        self._ensure_published(commit["live"])
+        self._ensure_published(commit)
         live = list(commit["live"])
         kept: list[str] = []
         if prune_on is not None and len(live) > 1:
@@ -2671,7 +2679,7 @@ class DeltaliteTable:
             if last is not None and txn_version <= last:
                 return self.latest_version()
         base, commit = self._snapshot()
-        self._ensure_published(commit["live"])
+        self._ensure_published(commit)
         prior = list(commit.get("dv_files") or [])
         live = list(commit["live"])
         scan = live
