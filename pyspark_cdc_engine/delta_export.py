@@ -346,8 +346,34 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
             live.pop(a["remove"]["path"], None)
 
     if ckpt_path is not None:
-        for row in spark.read.parquet(str(ckpt_path)).collect():
-            _apply(row.asDict(recursive=True))
+        # batched pyarrow iteration, NOT spark.read...collect(): a checkpoint
+        # of a large table holds millions of add rows, and collect() would
+        # materialize every one as a driver Row object at once. Batches keep
+        # the transient footprint bounded; the accumulated `live` dict is the
+        # snapshot itself (unavoidable, and far smaller than Row objects).
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(str(ckpt_path))
+        action_cols = [
+            c
+            for c in ("metaData", "protocol", "add", "remove")
+            if c in pf.schema_arrow.names
+        ]
+        for batch in pf.iter_batches(columns=action_cols, batch_size=4096):
+            for row in batch.to_pylist():
+                a = {k: v for k, v in row.items() if v is not None}
+                # parquet MAP columns surface as [(k, v), ...] in pyarrow
+                # (Row.asDict gave dicts) — normalize before applying
+                for act in a.values():
+                    if isinstance(act, dict):
+                        for mk, mv in act.items():
+                            if (
+                                isinstance(mv, list)
+                                and mv
+                                and isinstance(mv[0], tuple)
+                            ):
+                                act[mk] = dict(mv)
+                _apply(a)
     for jp in jsons:
         for ln in jp.read_text().splitlines():
             if ln.strip():
@@ -662,6 +688,8 @@ def export_delta_history(
                         }
                     }
                 )
+        empty_cdc = None  # (rel, zero-row table) fallback, see below
+        wrote_cdc = False
         for cdc_rel in commit.get("cdc_dirs") or []:
             import pyarrow.parquet as pq
 
@@ -676,13 +704,15 @@ def export_delta_history(
                             for c in tbl.column_names
                         ]
                     )
-                if not tbl.num_rows:
-                    continue
                 rel = Path(cdc_rel) / f"part-{i:05d}.parquet"
+                if not tbl.num_rows:
+                    empty_cdc = (rel, tbl)
+                    continue
                 target = dest_path / rel
                 target.parent.mkdir(parents=True, exist_ok=True)
                 pq.write_table(tbl, target)
                 n_cdc += 1
+                wrote_cdc = True
                 actions.append(
                     {
                         "cdc": {
@@ -693,6 +723,30 @@ def export_delta_history(
                         }
                     }
                 )
+        if empty_cdc is not None and not wrote_cdc:
+            # A CDF DML commit that matched NO rows still needs a cdc action:
+            # without one, Delta CDF readers (and read_delta_changes) fall
+            # back to deriving changes from the commit's dataChange
+            # add/remove file actions — spurious insert+delete rows for an
+            # unchanged rewrite. An empty cdc file says "this commit's
+            # change set is exactly nothing".
+            import pyarrow.parquet as pq
+
+            rel, tbl = empty_cdc
+            target = dest_path / rel
+            target.parent.mkdir(parents=True, exist_ok=True)
+            pq.write_table(tbl, target)
+            n_cdc += 1
+            actions.append(
+                {
+                    "cdc": {
+                        "path": quote_path(rel),
+                        "partitionValues": {},
+                        "size": target.stat().st_size,
+                        "dataChange": False,
+                    }
+                }
+            )
         (log_dir / f"{v:020d}.json").write_text(
             "\n".join(json.dumps(a) for a in actions) + "\n"
         )

@@ -2399,29 +2399,60 @@ class DeltaliteTable:
         if mode != "cow":
             raise ValueError(f"update mode must be cow|dv, got {mode!r}")
 
-        def _apply(df: DataFrame) -> DataFrame:
-            cond = F.expr(where)
+        # GENERATED ALWAYS AS columns absent from SET are RECOMPUTED from the
+        # updated row (Delta's UPDATE semantics) — without this, updating an
+        # input of a generated column leaves a stale value that then fails
+        # the auto-registered gen_ CHECK and refuses the whole update. Safe
+        # to apply over unmatched rows too: their inputs are unchanged, so
+        # the expression reproduces the existing value (the gen_ CHECK
+        # guarantees it holds).
+        regen = {
+            c: expr
+            for c, expr in (
+                self.generated_columns() if self.exists() else {}
+            ).items()
+            if c not in set
+        }
+
+        def _regen(df: DataFrame) -> DataFrame:
+            if not regen:
+                return df
             return df.select(
                 *[
-                    F.when(cond, F.expr(set[c]).cast(df.schema[c].dataType))
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    if c in set
+                    F.expr(regen[c]).cast(df.schema[c].dataType).alias(c)
+                    if c in regen
                     else F.col(c)
                     for c in df.columns
                 ]
             )
 
+        def _apply(df: DataFrame) -> DataFrame:
+            cond = F.expr(where)
+            return _regen(
+                df.select(
+                    *[
+                        F.when(cond, F.expr(set[c]).cast(df.schema[c].dataType))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in set
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+            )
+
         def _changes(df: DataFrame) -> DataFrame:
             matched = df.filter(where)
             pre = matched.withColumn("__change_type", F.lit("update_preimage"))
-            post = matched.select(
-                *[
-                    F.expr(set[c]).cast(matched.schema[c].dataType).alias(c)
-                    if c in set
-                    else F.col(c)
-                    for c in matched.columns
-                ]
+            post = _regen(
+                matched.select(
+                    *[
+                        F.expr(set[c]).cast(matched.schema[c].dataType).alias(c)
+                        if c in set
+                        else F.col(c)
+                        for c in matched.columns
+                    ]
+                )
             ).withColumn("__change_type", F.lit("update_postimage"))
             return pre.unionByName(post)
 
@@ -2558,14 +2589,30 @@ class DeltaliteTable:
         fires on are TOMBSTONED in place (deletion-vector sidecars) and only
         the update/insert images are appended; no pre-existing file is
         rewritten, completing the DV DML triad (see :meth:`_dv_merge`)."""
-        if self.exists() and self.identity_columns() and any(
-            c.kind == "insert" for c in clauses
-        ):
-            raise ValueError(
-                "MERGE insert clauses are not supported on a table with "
-                "GENERATED ALWAYS AS IDENTITY columns (no allocation path "
-                "inside the merge cascade) — append the new rows instead"
+        if self.exists() and self.identity_columns():
+            ident_cols = self.identity_columns().keys()
+            if any(c.kind == "insert" for c in clauses):
+                raise ValueError(
+                    "MERGE insert clauses are not supported on a table with "
+                    "GENERATED ALWAYS AS IDENTITY columns (no allocation path "
+                    "inside the merge cascade) — append the new rows instead"
+                )
+            # mirror the update() guard: an update-clause assignment must not
+            # overwrite a GENERATED ALWAYS AS IDENTITY column either
+            clash = sorted(
+                {
+                    k
+                    for c in clauses
+                    if c.kind == "update" and c.assignments
+                    for k in c.assignments
+                }
+                & set(ident_cols)
             )
+            if clash:
+                raise ValueError(
+                    f"cannot MERGE-update identity column(s) {clash} "
+                    f"(GENERATED ALWAYS — values are system-assigned)"
+                )
         if mode == "dv":
             return self._dv_merge(
                 source, condition, clauses, broadcast_source, prune_on,

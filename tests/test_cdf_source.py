@@ -153,3 +153,77 @@ def test_cdf_stream_after_rename_reads_stable_physical_names(spark, tmp_path):
     assert ins == [(0, 0.0), (1, 1.5), (2, 3.0)]
     dels = [(r.id, r.amount) for r in rows if r._change_type == "delete"]
     assert dels == [(2, 3.0)]
+
+
+def test_commit_timestamp_agrees_with_batch_feed_under_non_utc_tz(spark, tmp_path):
+    """Streamed _commit_timestamp is an epoch INSTANT (tz-aware Arrow type);
+    under a non-UTC session timezone it must equal the batch feed's
+    timestamp_seconds(epoch) value instead of shifting by the UTC offset
+    (r6 advice)."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        t = _mk(spark, tmp_path / "t")
+        t.append(spark.range(10, 12).select("id", (F.col("id") * 1.5).alias("v")))
+        stream_rows = _drain(
+            read_change_stream(spark, t.path, starting_version=1), tmp_path
+        )
+        batch_rows = t.read_changes(0).collect()
+        s_ts = {r["_commit_timestamp"] for r in stream_rows}
+        b_ts = {r["_commit_timestamp"] for r in batch_rows}
+        assert s_ts and s_ts == b_ts, (s_ts, b_ts)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_stream_raises_on_missing_committed_cdc_dir(spark, tmp_path):
+    """A committed CDF commit whose change-data dir is gone must FAIL the
+    stream, not silently emit zero change rows (r6 advice: silent
+    replication data loss)."""
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    t = _mk(spark, tmp_path / "t")
+    t.enable_cdf()
+    t.delete("id >= 8")  # cow delete on a CDF table -> cdc_dirs commit
+    commit = t._read_commit(t.latest_version())
+    assert commit.get("cdc_dirs")
+    for rel in commit["cdc_dirs"]:
+        _shutil.rmtree(t._root / rel)
+    rows = []
+    q = (
+        read_change_stream(spark, t.path, starting_version=0)
+        .writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="change-data"):
+        q.awaitTermination(180)
+    # the batch feed refuses identically
+    with _pytest.raises(Exception, match="change-data"):
+        t.read_changes(0).collect()
+
+
+def test_crashed_writer_cdc_publish_is_repaired(spark, tmp_path):
+    """A writer that died between link(2) and publish leaves the commit's
+    cdc dir in _staging; both read paths must finish the move so the feed
+    stays atomic with the rewrite (r6 advice, medium)."""
+    import os as _os
+
+    t = _mk(spark, tmp_path / "t")
+    t.enable_cdf()
+    v0 = t.latest_version()
+    t.delete("id >= 8")
+    commit = t._read_commit(t.latest_version())
+    rel = commit["cdc_dirs"][0]
+    # simulate the crash window: move the published dir back into _staging
+    staged = t._root / "_staging" / rel
+    staged.parent.mkdir(parents=True, exist_ok=True)
+    _os.replace(t._root / rel, staged)
+    rows = _drain(read_change_stream(spark, t.path, starting_version=v0),
+                  tmp_path, name="ck3")
+    deletes = [r for r in rows if r["_change_type"] == "delete"]
+    assert {r["id"] for r in deletes} == {8, 9}
+    assert (t._root / rel).exists()  # the move was finished on disk

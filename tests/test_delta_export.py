@@ -735,3 +735,37 @@ def test_apply_changes_replicates_from_a_real_delta_log(spark, tmp_path):
     )
     b = sorted(tuple(r) for r in dest.read().collect())
     assert a == b and a
+
+
+def test_history_export_empty_cdc_commit_suppresses_derivation(spark, tmp_path):
+    """A CDF cow-DML commit that matched NO rows must export a (zero-row)
+    cdc action: without one, Delta CDF readers fall back to deriving
+    insert+delete rows from the rewrite's dataChange add/remove actions —
+    spurious changes for a no-op (r6 advice)."""
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_changes,
+    )
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(10).selectExpr("id", "id * 2 AS v"))
+    t.enable_cdf()
+    t.delete("id > 100")  # matches nothing: cow rewrite, empty change set
+    v_noop = t.latest_version()
+    t.delete("id >= 8")  # a real change after it
+    dest = tmp_path / "delta"
+    export_delta_history(t, str(dest))
+    actions = [
+        json.loads(ln)
+        for ln in (dest / "_delta_log" / f"{v_noop:020d}.json")
+        .read_text()
+        .splitlines()
+    ]
+    assert any(a.get("cdc") for a in actions)
+    feed = read_delta_changes(spark, str(dest), starting_version=v_noop - 1)
+    by_v = {}
+    for r in feed.collect():
+        by_v.setdefault(r["_commit_version"], []).append(r)
+    # the no-op commit contributes NOTHING; the real delete contributes its rows
+    assert v_noop not in by_v
+    assert {r["id"] for r in by_v[v_noop + 1]} == {8, 9}

@@ -76,3 +76,31 @@ def test_spec_survives_overwrite_and_dml(spark, tmp_path):
     t.drop_constraint("gen_dollars")
     t.append(spark.range(3, 4).selectExpr("id", "id AS cents", "id * 7 AS dollars"))
     assert t.read().count() == 4
+
+
+def test_update_recomputes_generated_columns(spark, tmp_path):
+    """Delta recomputes GENERATED ALWAYS AS columns whose inputs a cow
+    UPDATE modifies; a stale value would otherwise fail the gen_ CHECK and
+    refuse the whole update (r6 advice)."""
+    t = _mk(spark, tmp_path / "t")
+    t.update({"cents": "cents + 100"}, "id < 3")
+    got = {r.id: (r.cents, r.dollars) for r in t.read().collect()}
+    for i in range(10):
+        expect_cents = i * 100 + (100 if i < 3 else 0)
+        assert got[i] == (expect_cents, expect_cents // 100), i
+
+
+def test_update_recompute_keeps_cdf_postimages_consistent(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.enable_cdf()
+    v0 = t.latest_version()
+    t.update({"cents": "cents + 100"}, "id = 1")
+    feed = t.read_changes(v0).collect()
+    post = [r for r in feed if r["_change_type"] == "update_postimage"]
+    assert len(post) == 1 and post[0]["dollars"] == post[0]["cents"] // 100
+
+
+def test_update_explicit_generated_value_still_checked(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="gen_dollars"):
+        t.update({"dollars": "dollars + 5"}, "id = 0")

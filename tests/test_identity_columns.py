@@ -97,3 +97,31 @@ def test_identity_partition_column_refused(spark, tmp_path):
             identity={"sk": {"start": 1, "step": 1}},
             partition_by=["sk"],
         )
+
+
+def test_merge_update_clause_cannot_assign_identity(spark, tmp_path):
+    """merge() refuses UPDATE-clause assignments targeting a GENERATED
+    ALWAYS AS IDENTITY column, mirroring the update() guard (r6 advice:
+    previously only insert clauses were rejected)."""
+    from pyspark_cdc_engine.tables import DeltaliteTable, MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(5).selectExpr("id AS k", "id * 2 AS v"),
+        identity={"rid": {"start": 1, "step": 1}},
+    )
+    src = spark.range(2).selectExpr("id AS k", "id * 10 AS v")
+    with pytest.raises(ValueError, match="MERGE-update identity"):
+        t.merge(
+            src,
+            "target.k = source.k",
+            [MergeClause("update", None, {"v": "source.v", "rid": "0"})],
+        )
+    # assignments NOT touching the identity column still merge fine
+    t.merge(
+        src,
+        "target.k = source.k",
+        [MergeClause("update", None, {"v": "source.v"})],
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[0] == 0 and got[1] == 10 and got[4] == 8
