@@ -548,27 +548,25 @@ def export_delta_history(
     (verified by replaying every version through
     :func:`read_delta_snapshot` in tests).
 
-    Unsupported (refused loudly, use the snapshot export): histories with
-    deletion-vector commits (the real DV protocol — descriptor-bearing add
-    actions — is not emitted here) and shallow clones (their live entries
-    reference another table's files)."""
+    DELETION-VECTOR histories export too (r6 verdict ask #3): the real DV
+    protocol (descriptor-bearing add actions) is still not emitted — instead
+    each DV commit is exported as the equivalent COPY-ON-WRITE rewrite, with
+    every affected file's export re-materialized minus its cumulative
+    tombstones (remove old variant + add new variant), plus exact ``cdc``
+    actions carrying the commit's change rows (the positions a DV commit
+    tombstones are enumerable, which is the whole point of merge-on-read) —
+    so :func:`read_delta_snapshot` is byte-equal to ``read(version=v)`` at
+    every version and :func:`read_delta_changes` returns the same feed
+    ``read_changes`` gives. RESTORE across DV states re-uses previously
+    materialized variants (cached per (file, tombstone-set)).
+
+    Unsupported (refused loudly, use the snapshot export): shallow clones
+    (their live entries reference another table's files)."""
     versions = [v for v in table._versions() if upto is None or v <= upto]
     if not versions or versions[0] != 0:
         raise ValueError("history export needs a contiguous log from version 0")
     commits = {v: table._read_commit(v) for v in versions}
     for v, c in commits.items():
-        if (
-            c.get("dv_files")
-            or c.get("dv_delete")
-            or c.get("dv_update")
-            or c.get("dv_merge")
-        ):
-            raise ValueError(
-                f"version {v} is a deletion-vector commit — the real DV "
-                f"protocol is not emitted by the history export; use "
-                f"export_delta_snapshot (which materializes DVs), or "
-                f"compact() first"
-            )
         if c["operation"] == "shallow_clone" or any(
             not r.startswith("data/") for r in c["live"]
         ):
@@ -580,8 +578,13 @@ def export_delta_history(
 
     any_mapping = any(c.get("column_mapping") for c in commits.values())
     any_cdc = any(c.get("cdc_dirs") for c in commits.values())
+    any_dv = any(
+        c.get("dv_files") or c.get("dv_delete") or c.get("dv_update")
+        or c.get("dv_merge")
+        for c in commits.values()
+    )
     min_reader = 2 if any_mapping else 1
-    min_writer = 5 if any_mapping else (4 if any_cdc else 2)
+    min_writer = 5 if any_mapping else (4 if (any_cdc or any_dv) else 2)
 
     dest_path = Path(dest)
     log_dir = dest_path / "_delta_log"
@@ -597,12 +600,96 @@ def export_delta_history(
             urllib.parse.quote(c, safe="$&+,;=:@!*'()-_.~") for c in rel.parts
         )
 
-    # deltalite dir rel -> [(delta path str, size)] — file identities survive
-    # remove/re-add cycles (RESTORE) without recopying bytes
-    dir_files: dict[str, list[tuple[str, int]]] = {}
-    prev_live: list[str] = []
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_cdc_engine.cdf_source import _strip_scheme
+
+    # Per-FILE export variants: a source file's export at any version is its
+    # bytes minus the cumulative tombstones the version's dv_files hold for
+    # it. (src file, tombstone-set) -> (delta path | None, size); None =
+    # fully tombstoned, exports as nothing. File identities survive
+    # remove/re-add cycles (RESTORE, across DV states too) without
+    # recopying bytes.
+    variants: dict[tuple[str, frozenset], tuple[str | None, int]] = {}
+    # src file -> (tombstone-set, delta path | None, size) currently exported
+    exported: dict[str, tuple[frozenset, str | None, int]] = {}
+    sidecar_memo: dict[str, dict[str, list[int]]] = {}  # dv rel -> file -> pos
+    ct = {"n_files": 0, "total": 0}
     last_meta: tuple | None = None
-    n_files = total = n_cdc = 0
+    n_cdc = 0
+
+    def _sidecar_positions(rels) -> dict[str, set[int]]:
+        """Tombstoned (src file -> positions) across sidecars, memoized per
+        sidecar rel (each is read once for the whole export)."""
+        out: dict[str, set[int]] = {}
+        for rel in rels:
+            if rel not in sidecar_memo:
+                by_file: dict[str, list[int]] = {}
+                for f in sorted((table._root / rel).rglob("*.parquet")):
+                    t2 = pq.read_table(f, columns=["file_path", "row_index"])
+                    for fp, ri in zip(
+                        t2.column("file_path").to_pylist(),
+                        t2.column("row_index").to_pylist(),
+                    ):
+                        by_file.setdefault(_strip_scheme(fp), []).append(int(ri))
+                sidecar_memo[rel] = by_file
+            for fp, idx in sidecar_memo[rel].items():
+                out.setdefault(fp, set()).update(idx)
+        return out
+
+    def _variant(src_file: str, dl_rel: str, tombs: frozenset):
+        key = (src_file, tombs)
+        if key in variants:
+            return variants[key]
+        src_dir = table._root / dl_rel
+        rel = delta_rel(dl_rel, Path(src_file), Path(src_dir))
+        if tombs:
+            # materialized-minus-tombstones variant, named by the tombstone
+            # set so RESTORE back to this DV state reuses the bytes
+            sig = hashlib.sha1(
+                ",".join(map(str, sorted(tombs))).encode()
+            ).hexdigest()[:8]
+            rel = rel.with_name(f"{rel.stem}-m{sig}.parquet")
+            tbl = pq.read_table(src_file)
+            keep = [i for i in range(tbl.num_rows) if i not in tombs]
+            if not keep:
+                variants[key] = (None, 0)
+                return variants[key]
+            target = dest_path / rel
+            target.parent.mkdir(parents=True, exist_ok=True)
+            pq.write_table(tbl.take(keep), target)
+        else:
+            target = dest_path / rel
+            target.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(src_file, target)
+        entry = (quote_path(rel), target.stat().st_size)
+        variants[key] = entry
+        ct["n_files"] += 1
+        ct["total"] += entry[1]
+        return entry
+
+    def _hydrate_partitions(tbl, src_file: str, partition_cols: list[str]):
+        """Change rows must carry partition-column values (stored in dir
+        names, not file bytes) like materialized cow change files do."""
+        if not partition_cols:
+            return tbl
+        vals = {
+            comp.split("=", 1)[0]: comp.split("=", 1)[1]
+            for comp in Path(src_file).parts
+            if "=" in comp and not comp.startswith("__zr=")
+        }
+        for c in partition_cols:
+            if c not in tbl.column_names and c in vals:
+                tbl = tbl.append_column(
+                    c, pa.array([vals[c]] * tbl.num_rows, type=pa.string())
+                )
+        return tbl
+
+    prev_dv_rels: set[str] = set()
+    prev_live_set: set[str] = set()
 
     for v in versions:
         commit = commits[v]
@@ -647,40 +734,42 @@ def export_delta_history(
             last_meta = meta_key
         live = list(commit["live"])
         data_change = op not in ("compact", "zorder")
-        for dl_rel in prev_live:
-            if dl_rel not in set(live):
-                for p, _sz in dir_files.get(dl_rel, []):
-                    actions.append(
-                        {
-                            "remove": {
-                                "path": p,
-                                "deletionTimestamp": ts_ms,
-                                "dataChange": data_change,
-                            }
-                        }
-                    )
+        dv_rels = list(commit.get("dv_files") or [])
+        dv_pos = _sidecar_positions(dv_rels) if dv_rels else {}
+        # desired export at this version: every live file minus its
+        # cumulative tombstones
+        desired: dict[str, tuple[str, frozenset]] = {}
         for dl_rel in live:
-            if dl_rel in set(prev_live):
+            for f in sorted((table._root / dl_rel).rglob("*.parquet")):
+                sf = str(f)
+                desired[sf] = (dl_rel, frozenset(dv_pos.get(sf, ())))
+        for sf, (tombs, pth, _sz) in sorted(exported.items()):
+            nd = desired.get(sf)
+            if (nd is None or nd[1] != tombs) and pth is not None:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": pth,
+                            "deletionTimestamp": ts_ms,
+                            "dataChange": data_change,
+                        }
+                    }
+                )
+        new_exported: dict[str, tuple[frozenset, str | None, int]] = {}
+        for sf, (dl_rel, tombs) in sorted(desired.items()):
+            cur = exported.get(sf)
+            if cur is not None and cur[0] == tombs:
+                new_exported[sf] = cur
                 continue
-            if dl_rel not in dir_files:  # first appearance: copy bytes once
-                src_dir = table._root / dl_rel
-                entries = []
-                for f in sorted(Path(src_dir).rglob("*.parquet")):
-                    rel = delta_rel(dl_rel, f, Path(src_dir))
-                    target = dest_path / rel
-                    target.parent.mkdir(parents=True, exist_ok=True)
-                    shutil.copy2(f, target)
-                    entries.append((quote_path(rel), target.stat().st_size))
-                dir_files[dl_rel] = entries
-                n_files += len(entries)
-                total += sum(sz for _p, sz in entries)
-            for p, sz in dir_files[dl_rel]:
+            pth, sz = _variant(sf, dl_rel, tombs)
+            new_exported[sf] = (tombs, pth, sz)
+            if pth is not None:
                 actions.append(
                     {
                         "add": {
-                            "path": p,
+                            "path": pth,
                             "partitionValues": _partition_values(
-                                urllib.parse.unquote(p), partition_cols
+                                urllib.parse.unquote(pth), partition_cols
                             ),
                             "size": sz,
                             "modificationTime": ts_ms,
@@ -688,6 +777,7 @@ def export_delta_history(
                         }
                     }
                 )
+        exported = new_exported
         empty_cdc = None  # (rel, zero-row table) fallback, see below
         wrote_cdc = False
         for cdc_rel in commit.get("cdc_dirs") or []:
@@ -747,17 +837,93 @@ def export_delta_history(
                     }
                 }
             )
+        # DV commits: the commit's exact change rows are enumerable from its
+        # new sidecars (tombstoned positions) and appended image dirs —
+        # export them as cdc actions so read_delta_changes returns the same
+        # feed deltalite's read_changes gives (derivation from the
+        # materializing add/remove rewrite would report whole files).
+        change_tables: list = []
+
+        def _rows_at(pos_by_file: dict[str, list[int] | set[int]], tag: str):
+            for sf, idx in sorted(pos_by_file.items()):
+                tbl = pq.read_table(sf).take(sorted(idx))
+                if tbl.num_rows:
+                    tbl = _hydrate_partitions(tbl, sf, partition_cols)
+                    change_tables.append(
+                        tbl.append_column(
+                            "_change_type",
+                            pa.array([tag] * tbl.num_rows, type=pa.string()),
+                        )
+                    )
+
+        def _rows_of_dirs(rels: list[str], tag: str):
+            for rel in rels:
+                for f in sorted((table._root / rel).rglob("*.parquet")):
+                    tbl = pq.read_table(str(f))
+                    if tbl.num_rows:
+                        tbl = _hydrate_partitions(tbl, str(f), partition_cols)
+                        change_tables.append(
+                            tbl.append_column(
+                                "_change_type",
+                                pa.array([tag] * tbl.num_rows, type=pa.string()),
+                            )
+                        )
+
+        new_dv = [r for r in dv_rels if r not in prev_dv_rels]
+        if op == "delete" and commit.get("dv_delete") and new_dv:
+            _rows_at(_sidecar_positions(new_dv), "delete")
+        elif op == "update" and commit.get("dv_update"):
+            if new_dv:
+                _rows_at(_sidecar_positions(new_dv), "update_preimage")
+            _rows_of_dirs(
+                [d for d in live if d not in prev_live_set], "update_postimage"
+            )
+        elif op == "merge" and commit.get("dv_merge"):
+            for key, tag in (
+                ("dv_merge_delete_dvs", "delete"),
+                ("dv_merge_update_dvs", "update_preimage"),
+            ):
+                rels = commit.get(key) or []
+                if rels:
+                    _rows_at(_sidecar_positions(rels), tag)
+            for key, tag in (
+                ("dv_merge_insert_dirs", "insert"),
+                ("dv_merge_update_dirs", "update_postimage"),
+            ):
+                _rows_of_dirs(commit.get(key) or [], tag)
+        for i, tbl in enumerate(change_tables):
+            rel = Path("_change_data") / f"dv-{v:010d}" / f"part-{i:05d}.parquet"
+            target = dest_path / rel
+            target.parent.mkdir(parents=True, exist_ok=True)
+            # drop the source file's embedded Spark schema metadata: it
+            # predates the appended _change_type column, and Spark trusts
+            # footer metadata over the physical schema — the column would
+            # be silently invisible to every Spark reader
+            pq.write_table(tbl.replace_schema_metadata(None), target)
+            n_cdc += 1
+            actions.append(
+                {
+                    "cdc": {
+                        "path": quote_path(rel),
+                        "partitionValues": {},
+                        "size": target.stat().st_size,
+                        "dataChange": False,
+                    }
+                }
+            )
+
         (log_dir / f"{v:020d}.json").write_text(
             "\n".join(json.dumps(a) for a in actions) + "\n"
         )
-        prev_live = live
+        prev_dv_rels = set(dv_rels)
+        prev_live_set = set(live)
 
     return {
         "versions_exported": len(versions),
         "latest_version": versions[-1],
-        "n_files": n_files,
+        "n_files": ct["n_files"],
         "n_cdc_files": n_cdc,
-        "total_bytes": total,
+        "total_bytes": ct["total"],
         "dest": str(dest_path),
     }
 

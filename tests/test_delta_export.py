@@ -623,15 +623,20 @@ def test_history_export_restore_reuses_files(spark, tmp_path):
     assert got == [0, 1, 2, 3, 4, 5]
 
 
-def test_history_export_refuses_dv_and_clone_histories(spark, tmp_path):
-    from pyspark_cdc_engine.delta_export import export_delta_history
+def test_history_export_refuses_clone_histories_but_exports_dv(spark, tmp_path):
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_snapshot,
+    )
 
     t = DeltaliteTable(spark, str(tmp_path / "t"))
     t.overwrite(spark.range(10).selectExpr("id"))
     c = t.clone_to(str(tmp_path / "clone"))  # clone BEFORE any DV commit
     t.delete("id >= 8", mode="dv")
-    with pytest.raises(ValueError, match="deletion-vector"):
-        export_delta_history(t, str(tmp_path / "d1"))
+    # DV histories export since r7 (materialized as cow rewrites + cdc)
+    export_delta_history(t, str(tmp_path / "d1"))
+    got = {r["id"] for r in read_delta_snapshot(spark, str(tmp_path / "d1")).collect()}
+    assert got == set(range(8))
     with pytest.raises(ValueError, match="clone"):
         export_delta_history(c, str(tmp_path / "d2"))
 
@@ -769,3 +774,70 @@ def test_history_export_empty_cdc_commit_suppresses_derivation(spark, tmp_path):
     # the no-op commit contributes NOTHING; the real delete contributes its rows
     assert v_noop not in by_v
     assert {r["id"] for r in by_v[v_noop + 1]} == {8, 9}
+
+
+def _rowset(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_dv_history_export_time_travels_every_version(spark, tmp_path):
+    """r7: a deletion-vector history exports as the equivalent cow rewrite —
+    read_delta_snapshot equals deltalite read(version=v) at EVERY version."""
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_snapshot,
+    )
+    from pyspark_cdc_engine.tables import MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(20).selectExpr("id", "id * 10 AS v"))       # v0
+    t.delete("id >= 16", mode="dv")                                     # v1
+    t.update({"v": "v + 1"}, "id < 3", mode="dv")                       # v2
+    t.merge(
+        spark.createDataFrame([(5, 555), (100, 1000)], "id long, v long"),
+        "target.id = source.id",
+        [MergeClause("delete", "source.v = 555", None),
+         MergeClause("insert", None, None)],
+        mode="dv",
+    )                                                                   # v3
+    t.restore(1)                                                        # v4
+    export_delta_history(t, str(tmp_path / "delta"))
+    for v in range(t.latest_version() + 1):
+        got = _rowset(
+            read_delta_snapshot(spark, str(tmp_path / "delta"), version=v),
+            ["id", "v"],
+        )
+        want = _rowset(t.read(version=v), ["id", "v"])
+        assert got == want, f"version {v}"
+
+
+def test_dv_history_export_feed_matches_read_changes(spark, tmp_path):
+    """r7: read_delta_changes on a DV-history export returns the same feed
+    deltalite's read_changes gives (cdc actions carry the exact change
+    rows; derivation from the materializing rewrite would report whole
+    files)."""
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_changes,
+    )
+    from pyspark_cdc_engine.tables import MergeClause
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(12).selectExpr("id", "id * 10 AS v"))       # v0
+    t.delete("id >= 10", mode="dv")                                     # v1
+    t.update({"v": "v + 5"}, "id < 2", mode="dv")                       # v2
+    t.merge(
+        spark.createDataFrame([(4, 444), (200, 2000)], "id long, v long"),
+        "target.id = source.id",
+        [MergeClause("update", None, {"v": "source.v"}),
+         MergeClause("insert", None, None)],
+        mode="dv",
+    )                                                                   # v3
+    export_delta_history(t, str(tmp_path / "delta"))
+    cols = ["id", "v", "_change_type", "_commit_version"]
+    got = _rowset(
+        read_delta_changes(spark, str(tmp_path / "delta"), starting_version=0),
+        cols,
+    )
+    want = _rowset(t.read_changes(0), cols)
+    assert got == want
