@@ -224,28 +224,32 @@ def _read_slice_arrow(sl: _CdfSlice):
         n = tbl.num_rows
         parts = _partition_values(f)
         arrays, fields = [], []
+        # constant columns via pa.repeat (C-level), never a Python list of n
+        # elements — the insert slice of a bootstrap batch is the whole table
         for logical, name, t in sl.fields:
             at = _arrow_type(t)
             if name in names:
                 col = tbl.column(name)
                 arrays.append(col.cast(at) if col.type != at else col)
             elif name in parts:
-                arrays.append(pa.array([_coerce(parts[name], t)] * n, type=at))
+                arrays.append(
+                    pa.repeat(pa.scalar(_coerce(parts[name], t), type=at), n)
+                )
             else:
                 arrays.append(pa.nulls(n, type=at))
             fields.append(pa.field(logical, at))
         if sl.change_type is None:
             arrays.append(tbl.column("__change_type").cast(pa.string()))
         else:
-            arrays.append(pa.array([sl.change_type] * n, type=pa.string()))
+            arrays.append(pa.repeat(pa.scalar(sl.change_type), n))
         fields.append(pa.field("_change_type", pa.string()))
-        arrays.append(pa.array([sl.version] * n, type=pa.int32()))
+        arrays.append(pa.repeat(pa.scalar(sl.version, type=pa.int32()), n))
         fields.append(pa.field("_commit_version", pa.int32()))
         # tz-aware arrow type: the value is an epoch INSTANT; a naive
         # timestamp would shift under a non-UTC spark.sql.session.timeZone
         ts_type = pa.timestamp("us", tz="UTC")
         arrays.append(
-            pa.array([int(sl.commit_ts * 1_000_000)] * n, type=ts_type)
+            pa.repeat(pa.scalar(int(sl.commit_ts * 1_000_000), type=ts_type), n)
         )
         fields.append(pa.field("_commit_timestamp", ts_type))
         out = pa.table(arrays, schema=pa.schema(fields))
@@ -472,16 +476,31 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
             prev_live, prev_dv = live, dvs
         return out
 
+    # one micro-batch never needs more tombstone tasks than this per commit;
+    # a slice carries MANY files (take dict is per-file), so packing trades
+    # nothing but task-scheduling overhead
+    _MAX_TOMBSTONE_SLICES = 8
+
     def _tombstone_slices(
         self, root: Path, dv_rels: list[str], tag: str, v: int,
         commit_ts: float = 0.0,
     ) -> Iterator[_CdfSlice]:
-        """One slice per tombstoned data file (bounded, parallel): positions
-        grouped per file from the commit's new sidecars (driver-side read of
-        a tiny parquet — the same metadata-scale read as log parsing)."""
-        for fp, idx in sorted(_dv_positions(root, dv_rels).items()):
+        """Tombstoned positions grouped per file from the commit's new
+        sidecars (driver-side read of a tiny parquet — the same
+        metadata-scale read as log parsing), PACKED into at most
+        ``_MAX_TOMBSTONE_SLICES`` slices: one Python task per file made
+        micro-batches over wide tables pay hundreds of worker spin-ups for
+        a few thousand rows."""
+        by_file = sorted(_dv_positions(root, dv_rels).items())
+        if not by_file:
+            return
+        per = -(-len(by_file) // self._MAX_TOMBSTONE_SLICES)
+        for i in range(0, len(by_file), per):
+            chunk = by_file[i:i + per]
             yield _CdfSlice(
-                [fp], {fp: sorted(idx)}, self._phys_fields(), tag, v,
+                [fp for fp, _ in chunk],
+                {fp: sorted(idx) for fp, idx in chunk},
+                self._phys_fields(), tag, v,
                 commit_ts=commit_ts,
             )
 
@@ -500,6 +519,40 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
 
 def _strip_scheme(p: str) -> str:
     return p[len("file:"):] if p.startswith("file:") else p
+
+
+class _MetaSlice(InputPartition):
+    """Metadata-only mode: ONE slice per micro-batch carrying the window's
+    commit versions — a single executor task, minimal Python roundtrips."""
+
+    def __init__(self, versions: list[int]) -> None:
+        self.versions = versions
+
+
+class DeltaliteCdfMetaStreamReader(DeltaliteCdfStreamReader):
+    """``metadataOnly`` mode: offsets/rate-limiting identical to the full
+    reader, but a micro-batch carries ONE ROW PER COMMIT VERSION instead of
+    the change rows. The consumer (``replicate_stream(data_path="jvm")``)
+    derives its version window from the batch and reads the actual change
+    data JVM-side via ``DeltaliteTable.read_changes`` — the 100 TB shape:
+    Structured Streaming keeps the checkpoint/exactly-once bookkeeping while
+    the data plane stays in Spark's vectorized parquet reader instead of
+    crossing Python per row. Planning never enumerates data files, and
+    commit-type refusal is deferred to the batch-side reader (which can also
+    replay cow predicates — something the executor-side reader cannot)."""
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._last_planned = max(self._last_planned, int(end["v"]))
+        window = [
+            v
+            for v in _versions(self._path)
+            if int(start["v"]) < v <= int(end["v"])
+        ]
+        return [_MetaSlice(window)] if window else []
+
+    def read(self, partition: _MetaSlice):
+        for v in partition.versions:
+            yield (v,)
 
 
 class DeltaliteCdfDataSource(DataSource):
@@ -527,7 +580,14 @@ class DeltaliteCdfDataSource(DataSource):
             for f in schema.fields
         ]
 
+    def _metadata_only(self) -> bool:
+        return str(self.options.get("metadataOnly", "")).lower() in ("1", "true")
+
     def schema(self) -> StructType:
+        if self._metadata_only():
+            return StructType(
+                [StructField("_commit_version", IntegerType(), True)]
+            )
         schema, _ = self._table_fields()
         return StructType(
             list(schema.fields)
@@ -542,6 +602,8 @@ class DeltaliteCdfDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> DeltaliteCdfStreamReader:
+        if self._metadata_only():
+            return DeltaliteCdfMetaStreamReader(self.options, [])
         _, fields = self._table_fields()
         return DeltaliteCdfStreamReader(self.options, fields)
 
@@ -555,6 +617,7 @@ def read_change_stream(
     table_path: str,
     starting_version: int | None = None,
     max_versions_per_batch: int | None = None,
+    metadata_only: bool = False,
 ):
     """Convenience: ``spark.readStream.format("deltalite_cdf")`` with the
     options wired. ``starting_version=None`` streams only commits made after
@@ -562,11 +625,15 @@ def read_change_stream(
     ``max_versions_per_batch`` bounds how many commits one micro-batch spans
     (Delta's ``maxFilesPerTrigger`` analog) — a consumer bootstrapping
     against a long history processes it in bounded slices instead of one
-    giant batch."""
+    giant batch. ``metadata_only=True`` streams one ``_commit_version`` row
+    per commit instead of change rows — the JVM-data-plane replication shape
+    (see :class:`DeltaliteCdfMetaStreamReader`)."""
     register_cdf_source(spark)
     reader = spark.readStream.format(FORMAT_NAME).option("path", table_path)
     if starting_version is not None:
         reader = reader.option("startingVersion", str(starting_version))
     if max_versions_per_batch is not None:
         reader = reader.option("maxVersionsPerBatch", str(max_versions_per_batch))
+    if metadata_only:
+        reader = reader.option("metadataOnly", "true")
     return reader.load()

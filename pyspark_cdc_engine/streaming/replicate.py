@@ -96,30 +96,36 @@ def apply_changes(
     declares the replica's partition spec at bootstrap (the replica's
     physical layout is a local choice — it need not mirror the source's).
     Returns the new dest version."""
-    net = net_changes(changes, key_cols)
-    data_cols = [c for c in net.columns if c != "__op"]
-    if not dest.exists():
-        return dest.overwrite(
-            net.filter(F.col("__op") == "U").select(*data_cols),
+    # persist the net frame: the MERGE underneath runs several jobs over it
+    # (prune-bounds aggregate, the rewrite join, image scans) and each would
+    # otherwise re-run the net window — and, streaming, re-read the source
+    net = net_changes(changes, key_cols).persist()
+    try:
+        data_cols = [c for c in net.columns if c != "__op"]
+        if not dest.exists():
+            return dest.overwrite(
+                net.filter(F.col("__op") == "U").select(*data_cols),
+                txn_app=txn_app,
+                txn_version=txn_version,
+                partition_by=partition_by,
+            )
+        cond = " AND ".join(f"target.{k} <=> source.{k}" for k in key_cols)
+        assign = {c: f"source.{c}" for c in data_cols}
+        clauses = [
+            MergeClause("delete", condition="source.__op = 'D'"),
+            MergeClause("update", condition=None, assignments=assign),
+            MergeClause("insert", condition="source.__op = 'U'", assignments=assign),
+        ]
+        return dest.merge(
+            net,
+            cond,
+            clauses,
+            prune_on=key_cols[0] if prune_on == "auto" else prune_on,
             txn_app=txn_app,
             txn_version=txn_version,
-            partition_by=partition_by,
         )
-    cond = " AND ".join(f"target.{k} <=> source.{k}" for k in key_cols)
-    assign = {c: f"source.{c}" for c in data_cols}
-    clauses = [
-        MergeClause("delete", condition="source.__op = 'D'"),
-        MergeClause("update", condition=None, assignments=assign),
-        MergeClause("insert", condition="source.__op = 'U'", assignments=assign),
-    ]
-    return dest.merge(
-        net,
-        cond,
-        clauses,
-        prune_on=key_cols[0] if prune_on == "auto" else prune_on,
-        txn_app=txn_app,
-        txn_version=txn_version,
-    )
+    finally:
+        net.unpersist()
 
 
 _SCD2_COLS = ("__start_version", "__end_version", "__is_current")
@@ -223,27 +229,48 @@ def replicate_scd2_stream(
     starting_version: int | None = 0,
     maintain: list | None = None,
     max_versions_per_batch: int | None = None,
+    data_path: str = "jvm",
 ):
     """Streaming SCD Type 2 over the change stream: like
-    :func:`replicate_stream`, but the destination keeps full key history
-    (see :func:`apply_changes_scd2`)."""
+    :func:`replicate_stream` (same ``data_path`` contract), but the
+    destination keeps full key history (see :func:`apply_changes_scd2`)."""
     from pyspark_cdc_engine.cdf_source import read_change_stream
     from pyspark_cdc_engine.streaming.pipeline import _refresh_all
 
+    if data_path not in ("jvm", "python"):
+        raise ValueError(f"data_path must be jvm|python, got {data_path!r}")
     dest = DeltaliteTable(spark, dest_path)
+    src = DeltaliteTable(spark, source_path)
     txn_app = f"cdc_replicate_scd2:{checkpoint_dir}"
     changes = read_change_stream(
         spark, source_path, starting_version,
         max_versions_per_batch=max_versions_per_batch,
+        metadata_only=data_path == "jvm",
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        apply_changes_scd2(
-            dest, batch_df, key_cols, txn_app=txn_app, txn_version=batch_id
-        )
-        _refresh_all(maintain)
+        if data_path == "jvm":
+            vs = [r["_commit_version"] for r in batch_df.collect()]  # tiny
+            if not vs:
+                return
+            try:
+                batch = src.read_changes(min(vs) - 1, max(vs))
+            except ValueError:
+                return  # only no-change commits in the window
+        else:
+            batch = batch_df
+        # Persist the batch: the SCD2 applier's MERGE runs several jobs and
+        # each would otherwise re-execute the full change enumeration.
+        batch.persist()
+        try:
+            if batch.isEmpty():
+                return
+            apply_changes_scd2(
+                dest, batch, key_cols, txn_app=txn_app, txn_version=batch_id
+            )
+            _refresh_all(maintain)
+        finally:
+            batch.unpersist()
 
     return (
         changes.writeStream.foreachBatch(sink)
@@ -264,13 +291,26 @@ def replicate_stream(
     partition_by: list[str] | None = None,
     maintain: list | None = None,
     max_versions_per_batch: int | None = None,
+    data_path: str = "jvm",
 ):
     """Continuously replicate a deltalite table into another via its change
     stream. Each micro-batch (a window of source commit versions) folds into
-    the replica as one idempotent MERGE; deletion-vector DML and overwrites
-    replicate exactly (the CDF source emits their delete/update rows), while
-    copy-on-write rewrites fail the stream loudly — restart from a fresh
-    snapshot, the Delta `failOnDataLoss` contract.
+    the replica as one idempotent MERGE.
+
+    ``data_path`` picks where the change ROWS travel:
+
+    - ``"jvm"`` (default): the stream carries only commit-version metadata
+      (one tiny row per commit — ``metadata_only`` CDF source); the sink
+      reads the window's change rows batch-side with
+      ``DeltaliteTable.read_changes`` — Spark's vectorized JVM parquet
+      reader, no per-row Python transfer. Structured Streaming still owns
+      offsets/checkpointing, so delivery stays exactly-once; and because
+      the batch-side reader can replay SQL predicates, copy-on-write DML
+      WITHOUT materialized CDF replicates here too.
+    - ``"python"``: change rows flow through the executor-side Python CDF
+      source (the fully stream-native path). DV DML and overwrites
+      replicate exactly; cow rewrites without CDF fail the stream loudly —
+      restart from a fresh snapshot, the Delta `failOnDataLoss` contract.
 
     ``maintain`` — post-commit maintenance objects (IncrementalLshIndex,
     IncrementalAggregate, …) refreshed after each applied batch, same hook
@@ -280,26 +320,54 @@ def replicate_stream(
     from pyspark_cdc_engine.cdf_source import read_change_stream
     from pyspark_cdc_engine.streaming.pipeline import _refresh_all
 
+    if data_path not in ("jvm", "python"):
+        raise ValueError(f"data_path must be jvm|python, got {data_path!r}")
     dest = DeltaliteTable(spark, dest_path)
+    src = DeltaliteTable(spark, source_path)
     txn_app = f"cdc_replicate:{checkpoint_dir}"
     changes = read_change_stream(
         spark, source_path, starting_version,
         max_versions_per_batch=max_versions_per_batch,
+        metadata_only=data_path == "jvm",
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if data_path == "jvm":
+            vs = [r["_commit_version"] for r in batch_df.collect()]  # tiny
+            if not vs:
+                return
+            try:
+                batch = src.read_changes(min(vs) - 1, max(vs))
+            except ValueError:
+                return  # only no-change commits (compact/schema/...) in window
+            # no extra persist/isEmpty pass: the applier persists the net
+            # frame itself, which is what the MERGE's several jobs reuse
+            apply_changes(
+                dest, batch, key_cols,
+                txn_app=txn_app, txn_version=batch_id,
+                prune_on=prune_on, partition_by=partition_by,
+            )
+            _refresh_all(maintain)
             return
-        apply_changes(
-            dest,
-            batch_df,
-            key_cols,
-            txn_app=txn_app,
-            txn_version=batch_id,
-            prune_on=prune_on,
-            partition_by=partition_by,
-        )
-        _refresh_all(maintain)
+        # python data path: persist the batch — the applier's MERGE runs
+        # several jobs and each would otherwise re-execute the Python CDF
+        # source end to end
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            apply_changes(
+                dest,
+                batch_df,
+                key_cols,
+                txn_app=txn_app,
+                txn_version=batch_id,
+                prune_on=prune_on,
+                partition_by=partition_by,
+            )
+            _refresh_all(maintain)
+        finally:
+            batch_df.unpersist()
 
     return (
         changes.writeStream.foreachBatch(sink)

@@ -342,3 +342,64 @@ def test_replicate_merge_is_file_skipping(spark, tmp_path):
     assert hist.get("pruned_dirs_kept", 0) >= 3  # untouched dirs kept as-is
     # replica converged even though src has extra history
     assert _snap(dest) == _snap(src)
+
+
+# ------------------------------------------------------- jvm data-path (r7)
+
+
+def test_jvm_data_path_replicates_cow_without_cdf(spark, tmp_path):
+    """data_path='jvm' (the default) reads change rows batch-side via
+    read_changes, which CAN replay cow predicates — so a cow DELETE/UPDATE
+    history without materialized CDF replicates, where the python
+    executor-side path must refuse."""
+    src = _mk(spark, tmp_path / "src", n=10)          # v0
+    src.delete("id >= 8")                             # v1 cow, no CDF
+    src.update({"v": "v + 100.0"}, "id < 2")          # v2 cow, no CDF
+    _run(spark, src, tmp_path / "dest", tmp_path / "ck")
+    dest = DeltaliteTable(spark, str(tmp_path / "dest"))
+    assert _snap(dest) == _snap(src)
+
+
+def test_python_data_path_still_refuses_cow_without_cdf(spark, tmp_path):
+    src = _mk(spark, tmp_path / "src", n=6)
+    src.delete("id >= 4")  # cow, no CDF
+    q = replicate_stream(
+        spark, src.path, str(tmp_path / "dest"), ["id"], str(tmp_path / "ck"),
+        data_path="python",
+    )
+    with pytest.raises(Exception, match="copy-on-write"):
+        q.awaitTermination(240)
+
+
+def test_metadata_only_stream_emits_one_row_per_commit(spark, tmp_path):
+    from pyspark_cdc_engine.cdf_source import read_change_stream
+
+    src = _mk(spark, tmp_path / "src", n=5)
+    src.append(spark.range(5, 8).select("id", (F.col("id") * 1.5).alias("v")))
+    src.delete("id = 0", mode="dv")
+    rows = []
+    q = (
+        read_change_stream(spark, src.path, starting_version=0,
+                           metadata_only=True)
+        .writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert sorted(r["_commit_version"] for r in rows) == [0, 1, 2]
+
+
+def test_jvm_data_path_rate_limited_and_idempotent(spark, tmp_path):
+    src = _mk(spark, tmp_path / "src", n=4)                      # v0
+    src.update({"v": "v + 10.0"}, "id = 1", mode="dv")           # v1
+    src.delete("id = 3", mode="dv")                              # v2
+    for _ in range(3):
+        _run(spark, src, tmp_path / "dest", tmp_path / "ck",
+             max_versions_per_batch=1)
+    dest = DeltaliteTable(spark, str(tmp_path / "dest"))
+    assert _snap(dest) == _snap(src)
+    assert dest.latest_version() == 2  # bootstrap + two single-commit applies
+    # replaying a fully-drained checkpoint applies nothing
+    _run(spark, src, tmp_path / "dest", tmp_path / "ck")
+    assert dest.latest_version() == 2
