@@ -76,7 +76,7 @@ FORMAT_NAME = "deltalite_cdf"
 _SKIP_OPS = {
     "compact", "zorder", "restore", "analyze", "add_constraint",
     "drop_constraint", "add_column", "rename_column", "drop_column",
-    "refresh", "shallow_clone", "set_cdf",
+    "refresh", "shallow_clone", "set_cdf", "identity_reserve",
 }
 
 

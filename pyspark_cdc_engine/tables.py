@@ -1337,6 +1337,87 @@ class DeltaliteTable:
             )
         return df
 
+    def _reserve_identity_range(
+        self, df: DataFrame, retries: int
+    ) -> tuple[dict[str, int] | None, DataFrame]:
+        """Reserved-range identity allocation (Delta's high-water-mark
+        protocol, the shape that lets two CONCURRENT appenders both succeed
+        with disjoint ids): before any data is staged, advance the
+        watermark by the batch's row count in a tiny metadata-only
+        ``identity_reserve`` commit (OCC-retried — nothing staged yet, a
+        lost race costs one snapshot re-read). The batch then assigns
+        DENSELY from the reserved base, so its values are fully determined
+        and a later blind re-link of the data commit cannot collide with a
+        rival's allocation. A writer that crashes after reserving leaves a
+        GAP — exactly Delta's allowance. Returns ``(bases, persisted_df)``;
+        bases is None for an empty batch (nothing to reserve)."""
+        df = df.persist()
+        n = df.count()
+        if n == 0:
+            return None, df
+        for _ in range(retries + 3):
+            rb, rcommit = self._snapshot()
+            rident = rcommit.get("identity") or {}
+            bases: dict[str, int] = {}
+            reserved: dict[str, dict] = {}
+            for name, spec in rident.items():
+                step = int(spec.get("step", 1))
+                base = int(
+                    spec.get("high", int(spec.get("start", 1)) - step)
+                )
+                bases[name] = base
+                reserved[name] = {**spec, "high": base + n * step}
+            extra: dict = {"identity": reserved}
+            if rcommit.get("schema"):
+                extra["schema"] = rcommit["schema"]
+            try:
+                self._write_commit(
+                    "identity_reserve", rcommit["live"], extra, rb, rcommit
+                )
+                return bases, df
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(
+            "identity reservation kept losing the commit race — retry the "
+            "append under lower write concurrency"
+        )
+
+    def _assign_identity_dense(
+        self, df: DataFrame, ident: dict[str, dict], bases: dict[str, int]
+    ) -> DataFrame:
+        """Dense 1..n assignment from a RESERVED base: per-partition row
+        index (monotonically_increasing_id's low 33 bits) plus broadcast
+        cumulative partition offsets — values stay inside the reserved
+        range, unlike the sparse fast path. ``df`` must be persisted (the
+        offset count and the write must see identical partitioning)."""
+        for name in ident:
+            if name in df.columns:
+                raise ValueError(
+                    f"identity column {name} is GENERATED ALWAYS — explicit "
+                    f"values are not accepted; remove it from the write"
+                )
+        counts = (
+            df.groupBy(F.spark_partition_id().alias("__pid"))
+            .count()
+            .collect()
+        )
+        offs: list = []
+        acc = 0
+        for r in sorted(counts, key=lambda r: r["__pid"]):
+            offs += [F.lit(int(r["__pid"])), F.lit(acc)]
+            acc += r["count"]
+        off_map = F.create_map(*offs)
+        pid = F.spark_partition_id().cast("long")
+        idx = F.monotonically_increasing_id() - F.shiftleft(pid, 33)
+        pos = off_map[F.spark_partition_id()].cast("long") + idx + 1  # 1..n
+        for name, spec in ident.items():
+            step = int(spec.get("step", 1))
+            df = df.withColumn(
+                name,
+                F.lit(int(bases[name])).cast("long") + pos * F.lit(step),
+            )
+        return df
+
     def _advance_identity(
         self, ident: dict[str, dict], staged_rels: list[str],
         mapping: dict[str, str] | None,
@@ -1420,18 +1501,38 @@ class DeltaliteTable:
                 f"spec to {partition_by} — use overwrite(partition_by=...)"
             )
         ident = commit.get("identity") or {}
+        dense_bases: dict[str, int] | None = None
+        reserved_mode = False
+        persisted: DataFrame | None = None
+        if ident and retries > 0 and base >= 0:
+            # concurrent-append mode: reserve the id range FIRST (its own
+            # tiny OCC commit), then allocate densely inside it — the data
+            # commit below can then blind-relink past rival appends without
+            # any possibility of id collision
+            dense_bases, df = self._reserve_identity_range(df, retries)
+            reserved_mode = True  # empty batch: nothing allocated, relink safe
+            persisted = df
+            base, commit = self._snapshot()
+            ident = commit.get("identity") or {}
         if base >= 0:
             df = self._apply_generated(df, commit.get("generated") or {})
-            df = self._assign_identity(df, ident)
+            if dense_bases is not None:
+                df = self._assign_identity_dense(df, ident, dense_bases)
+            else:
+                df = self._assign_identity(df, ident)
             schema, df, cm_update = self._evolved_schema(df, merge_schema, commit)
             self._validate(commit.get("constraints", {}), df)
         else:
             schema, cm_update = df.schema, None
         prev = commit.get("live", [])
-        rel = self._write_data_dir(
-            df, base + 1, partition_by=spec,
-            mapping=(cm_update or self._mapping(commit)) if base >= 0 else None,
-        )
+        try:
+            rel = self._write_data_dir(
+                df, base + 1, partition_by=spec,
+                mapping=(cm_update or self._mapping(commit)) if base >= 0 else None,
+            )
+        finally:
+            if persisted is not None:
+                persisted.unpersist()  # staged to disk; reservation cache done
         rels = self._staged_rels(rel, spec)
         extra: dict = {"schema": schema.json()}
         if ident:
@@ -1464,15 +1565,20 @@ class DeltaliteTable:
                         f"append retry abandoned at version {new_base}: {reason}"
                     )
 
-                if ident:
-                    # rival appends allocated from the same watermark — the
-                    # staged values may collide; blind re-linking is unsound
+                if ident and not reserved_mode:
+                    # sparse fast-path appends allocate from the shared
+                    # watermark — staged values may collide; blind
+                    # re-linking is unsound. (The reserved-range mode above
+                    # never lands here un-reserved: retries > 0 implies a
+                    # reservation.)
                     raise _conflict(
                         "identity allocation raced another writer — re-run "
                         "the append to allocate from the new watermark"
                     )
                 for v in range(base + 1, new_base + 1):
-                    if self._raw_commit(v).get("operation") != "append":
+                    if self._raw_commit(v).get("operation") not in (
+                        "append", "identity_reserve",
+                    ):
                         raise _conflict(
                             f"interleaved non-append commit at version {v}"
                         )
@@ -1482,6 +1588,27 @@ class DeltaliteTable:
                     raise _conflict("constraints changed concurrently")
                 if list(new_commit.get("partition_by") or []) != list(spec or []):
                     raise _conflict("partition spec changed concurrently")
+                if ident:
+                    # our ids are safe (reserved range), but the WATERMARK we
+                    # are about to commit must not regress below a rival's
+                    # later reservation/append — merge to the max per column
+                    new_ident = new_commit.get("identity") or {}
+                    if set(new_ident) != set(ident) or any(
+                        int(new_ident[n].get("step", 1))
+                        != int(ident[n].get("step", 1))
+                        for n in ident
+                    ):
+                        raise _conflict("identity spec changed concurrently")
+                    extra["identity"] = {
+                        n: {
+                            **s,
+                            "high": max(
+                                int(s.get("high", 0)),
+                                int(new_ident[n].get("high", 0)),
+                            ),
+                        }
+                        for n, s in extra["identity"].items()
+                    }
                 if txn_app is not None and txn_version is not None:
                     last = self.last_txn_version(txn_app)
                     if last is not None and txn_version <= last:

@@ -62,6 +62,9 @@ def test_explicit_values_update_and_merge_insert_refused(spark, tmp_path):
 
 
 def test_concurrent_append_retry_aborts_instead_of_reusing_values(spark, tmp_path):
+    """retries=0 (no reservation): a lost race surfaces as a plain
+    ConcurrentWriteError and nothing lands — the caller re-runs to allocate
+    from the new watermark."""
     from pyspark_cdc_engine.tables import ConcurrentWriteError
 
     t = _mk(spark, tmp_path / "t")
@@ -77,14 +80,63 @@ def test_concurrent_append_retry_aborts_instead_of_reusing_values(spark, tmp_pat
 
     t._write_commit = race
     try:
-        with pytest.raises(ConcurrentWriteError, match="identity allocation"):
-            t.append(spark.range(60, 62).selectExpr("id AS payload"), retries=3)
+        with pytest.raises(ConcurrentWriteError):
+            t.append(spark.range(60, 62).selectExpr("id AS payload"))
     finally:
         t._write_commit = real
     # rival landed; uniqueness intact; re-running allocates past it
     t.append(spark.range(60, 62).selectExpr("id AS payload"))
     sks = [r.sk for r in t.read().collect()]
     assert len(set(sks)) == len(sks)
+
+
+def test_concurrent_appends_with_retries_both_succeed_disjoint_ids(spark, tmp_path):
+    """r7 (reserved-range allocation, Delta's identity semantics): with
+    retries > 0 a writer RESERVES its id range in a metadata commit before
+    staging, then allocates densely inside it — so a rival append landing
+    mid-flight no longer aborts the write, and both writers' ids are
+    disjoint (gaps allowed)."""
+    t = _mk(spark, tmp_path / "t")
+    rival = DeltaliteTable(spark, t.path)
+    real = t._write_commit
+    fired = {"n": 0}
+
+    def race(*a, **kw):
+        # fire the rival between our reservation and our data commit: the
+        # first _write_commit call is the reservation — let it link, then
+        # have the rival append (itself reserved-range) land in between
+        out = real(*a, **kw)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            rival.append(
+                spark.range(50, 53).selectExpr("id AS payload"), retries=2
+            )
+        return out
+
+    t._write_commit = race
+    try:
+        t.append(spark.range(60, 62).selectExpr("id AS payload"), retries=3)
+    finally:
+        t._write_commit = real
+    rows = [(r.payload, r.sk) for r in t.read().collect()]
+    sks = [sk for _p, sk in rows]
+    assert len(set(sks)) == len(sks), rows  # no collisions
+    assert {p for p, _s in rows} == set(range(6)) | {50, 51, 52, 60, 61}
+    # watermark covers every assigned id (no future collision either)
+    assert t.identity_columns()["sk"]["high"] >= max(sks)
+    # dense allocation: our 2-row batch consumed exactly its reserved range
+    ours = sorted(sk for p, sk in rows if p in (60, 61))
+    assert ours[1] == ours[0] + 1
+
+
+def test_reserved_range_allocation_is_dense_within_batch(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    hi0 = t.identity_columns()["sk"]["high"]
+    t.append(spark.range(10, 30).selectExpr("id AS payload"), retries=1)
+    rows = sorted(r.sk for r in t.read().filter("payload >= 10").collect())
+    # exactly the reserved range [hi0+1, hi0+20], no sparse jumps
+    assert rows == list(range(hi0 + 1, hi0 + 21))
+    assert t.identity_columns()["sk"]["high"] == hi0 + 20
 
 
 def test_identity_partition_column_refused(spark, tmp_path):
