@@ -24,7 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["region_revenue"].spark(spark, "/root/testdata/sf0.001")
 
 
-def _certification_order() -> list[str]:
+def _certification_order(
+    artifact_dir: "Path | None" = None,
+    registry_names: "list[str] | None" = None,
+) -> list[str]:
     """Registry names sorted least-recently-certified first.
 
     The driver's correctness gate samples a prefix of ``queries()`` in dict
@@ -35,12 +38,17 @@ def _certification_order() -> list[str]:
     sort first.  Ties keep registry (registration) order.  Reading the
     committed ``CORRECTNESS_r*.json`` artifacts makes this self-maintaining —
     no per-round hand edits.
+
+    ``artifact_dir``/``registry_names`` exist for the contract unit test
+    (tests/test_certification_order.py) — production callers pass nothing.
     """
     import json
     import re
 
+    reg_names = registry_names if registry_names is not None else list(REGISTRY)
+    reg_set = set(reg_names)
     last_green: dict[str, int] = {}
-    here = Path(__file__).resolve().parent
+    here = artifact_dir if artifact_dir is not None else Path(__file__).resolve().parent
     for p in sorted(here.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", p.name)
         if not m:
@@ -51,14 +59,13 @@ def _certification_order() -> list[str]:
         except (OSError, ValueError):
             continue
         for name, row in results.items():
-            if not isinstance(row, dict) or name not in REGISTRY:
+            if not isinstance(row, dict) or name not in reg_set:
                 continue
             if row.get("rows_match") and row.get("hash_match") in (True, None):
                 last_green[name] = max(last_green.get(name, 0), rnd)
 
-    names = list(REGISTRY)
-    idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (last_green.get(n, 0), idx[n]))
+    idx = {n: i for i, n in enumerate(reg_names)}
+    return sorted(reg_names, key=lambda n: (last_green.get(n, 0), idx[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

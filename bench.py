@@ -131,6 +131,138 @@ def bench_replication(spark, n_rows: int) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+# The heaviest registry family (r6 bench tail): the queries whose 100x-scale
+# behavior the design arguments are about — dedup/ANN/graph plus the
+# heaviest join/agg.
+HEAVY_QUERIES = [
+    "dedup_clusters", "dedup_keep_best", "dedup_clusters_lsh",
+    "copurchase_triangles", "containment_near_dup", "pagerank3_near_dup",
+    "above_avg_orders", "bloom_decontaminate", "simhash_near_dup",
+]
+
+
+def build_scaled_dir(spark, sf_dir: str, factor: int, dest: str) -> None:
+    """Derive a ``factor``x copy of the benchmark tables with keys remapped
+    per replica and content DECORRELATED across replicas — word-tagging for
+    document text (within-replica shingle/Jaccard structure preserved
+    exactly, zero cross-replica near-dups) and Hadamard sign flips for
+    embeddings (an orthogonal transform: within-replica cosines exact,
+    cross-replica cosines scrambled) — so the scaled workload keeps the
+    original's duplicate rates and join fanout instead of exploding them.
+    Dimension tables (region/nation/supplier/part) copy through unscaled."""
+    import functools
+    import shutil as _sh
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    OFF = 100_000_000
+
+    def docs(df, i):
+        if i == 0:
+            return df
+        return df.select(
+            (F.col("doc_id") + i * OFF).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split("text", " "),
+                    lambda w: F.concat(w, F.lit(f"_{i}")),
+                ),
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+
+    def embs(df, i):
+        if i == 0:
+            return df
+        return df.select(
+            (F.col("vec_id") + i * OFF).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, j: x * (1 - 2 * (F.bit_count(j.bitwiseAND(F.lit(i))) % 2)).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+
+    def orders(df, i):
+        return df.withColumn("o_orderkey", F.col("o_orderkey") + i * OFF) \
+                 .withColumn("o_custkey", F.col("o_custkey") + i * OFF)
+
+    def lineitem(df, i):
+        return df.withColumn("l_orderkey", F.col("l_orderkey") + i * OFF)
+
+    def events(df, i):
+        return df.withColumn("event_id", F.col("event_id") + i * OFF) \
+                 .withColumn("user_id", F.col("user_id") + i * OFF)
+
+    def customer(df, i):
+        return df.withColumn("c_custkey", F.col("c_custkey") + i * OFF)
+
+    scaled = {
+        "documents": docs, "embeddings": embs, "orders": orders,
+        "lineitem": lineitem, "events": events, "customer": customer,
+    }
+    os.makedirs(dest, exist_ok=True)
+    for name, fn in scaled.items():
+        base = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        out = functools.reduce(
+            DataFrame.unionByName, [fn(base, i) for i in range(factor)]
+        )
+        out.write.mode("overwrite").parquet(f"{dest}/{name}.parquet")
+    for name in ("region", "nation", "supplier", "part"):
+        src = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(src):
+            _sh.copy2(src, f"{dest}/{name}.parquet")
+
+
+def bench_heavy_scaling(spark, sf_dir: str, factor: int) -> dict:
+    """Opt-in (BENCH_HEAVY_SCALE=1) stress lane (r6 verdict ask #6): run the
+    heavy query family at sf and at factor x sf (derived data, see
+    build_scaled_dir) and record each query's empirical scaling EXPONENT
+    log(t_fx/t_1x)/log(factor) — ~1.0 = linear (the design claim), ~2.0 =
+    quadratic (a blowup the small-sf lanes can't see)."""
+    import math
+    import shutil as _sh
+    import tempfile
+
+    dest = tempfile.mkdtemp(prefix="bench_scale_")
+    try:
+        t0 = time.perf_counter()
+        build_scaled_dir(spark, sf_dir, factor, dest)
+        build_sec = round(time.perf_counter() - t0, 1)
+        out: dict = {"factor": factor, "build_sec": build_sec, "queries": {}}
+        for name in HEAVY_QUERIES:
+            if name not in REGISTRY:
+                continue
+            q = REGISTRY[name]
+            try:
+                # warm once at base sf, then time base and scaled
+                q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                t0 = time.perf_counter()
+                q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                t1 = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                q.spark(spark, dest).write.mode("overwrite").format("noop").save()
+                tn = time.perf_counter() - t0
+                out["queries"][name] = {
+                    "t_base": round(t1, 2),
+                    "t_scaled": round(tn, 2),
+                    "exponent": round(math.log(tn / t1) / math.log(factor), 2),
+                }
+            except Exception as e:  # noqa: BLE001
+                out["queries"][name] = {"err": f"{type(e).__name__}: {e}"[:300]}
+        exps = [
+            v["exponent"] for v in out["queries"].values() if "exponent" in v
+        ]
+        if exps:
+            out["max_exponent"] = max(exps)
+            out["median_exponent"] = round(statistics.median(exps), 2)
+        return out
+    finally:
+        _sh.rmtree(dest, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "1"))
@@ -189,6 +321,16 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             repl = {"err": f"{type(e).__name__}: {e}"[:500]}
 
+    heavy = None
+    if os.environ.get("BENCH_HEAVY_SCALE", "0") != "0":
+        try:
+            heavy = bench_heavy_scaling(
+                spark, sf_dir,
+                factor=int(os.environ.get("BENCH_HEAVY_FACTOR", "10")),
+            )
+        except Exception as e:  # noqa: BLE001
+            heavy = {"err": f"{type(e).__name__}: {e}"[:500]}
+
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     out = {
         "metric": "total_query_wall_sec",
@@ -206,6 +348,8 @@ def main() -> None:
         out["cdc_pipeline"] = cdc
     if repl is not None:
         out["replication_pipeline"] = repl
+    if heavy is not None:
+        out["heavy_scaling"] = heavy
 
     # The driver keeps only the last ~2000 chars of stdout, and the full
     # result line (86 queries) is longer than that — so (a) persist the full
@@ -235,6 +379,12 @@ def main() -> None:
         compact["cdc_pipeline"] = cdc
     if repl is not None:
         compact["replication_pipeline"] = repl
+    if heavy is not None:
+        compact["heavy_scaling"] = {
+            k: heavy[k]
+            for k in ("factor", "max_exponent", "median_exponent")
+            if k in heavy
+        } or heavy
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
