@@ -691,3 +691,59 @@ def generated_partition_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "identity_reserved_scenario",
+    survey="§2.12,beyond-ref",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(c_custkey % 2 AS INT) AS batch, COUNT(*) AS n
+        FROM customer GROUP BY 1
+    ), w AS (
+        SELECT batch, n,
+               COALESCE(SUM(n) OVER (ORDER BY batch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        FROM b
+    )
+    SELECT batch,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(997 + 3 * (prior + 1) AS BIGINT) AS min_sk,
+           CAST(997 + 3 * (prior + n) AS BIGINT) AS max_sk,
+           CAST(997 * n + 3 * (prior * n + (n * (n + 1)) // 2) AS BIGINT) AS sum_sk
+    FROM w
+    """,
+)
+def identity_reserved_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY under reserved-range allocation (r7),
+    driver-certified: an empty bootstrap declares ``sk`` (start 1000,
+    step 3), then two appends with ``retries>0`` take the CONCURRENT path —
+    each reserves its id range in a metadata commit and assigns DENSELY
+    inside it. Which row gets which id is partition-order dependent, but
+    dense reservation makes every batch's id RANGE exact arithmetic:
+    batch k (n rows, ``prior`` rows before it) occupies precisely
+    ``[997 + 3*(prior+1), 997 + 3*(prior+n)]`` with a closed-form sum — the
+    oracle certifies count/min/max/sum per batch, i.e. that allocation is
+    gap-free within a batch, disjoint across batches, and anchored at the
+    declared start/step. The sparse fast path could not be certified this
+    way (its values depend on physical partitioning) — that determinism is
+    exactly what the reservation buys at 100 TB write concurrency."""
+    from pyspark_cdc_engine.operators.dedup_incremental import _fresh_scratch_dir
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    tmp = _fresh_scratch_dir(f"identres:{sf_dir}")
+    t = DeltaliteTable(spark, f"{tmp}/customers_sk")
+    t.overwrite(c.limit(0), identity={"sk": {"start": 1000, "step": 3}})
+    t.append(c.filter("c_custkey % 2 = 0"), retries=1)  # reserved, dense
+    t.append(c.filter("c_custkey % 2 = 1"), retries=1)  # reserved, dense
+    return (
+        t.read()
+        .groupBy((F.col("c_custkey") % 2).cast("int").alias("batch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("sk").alias("min_sk"),
+            F.max("sk").alias("max_sk"),
+            F.sum("sk").alias("sum_sk"),
+        )
+    )

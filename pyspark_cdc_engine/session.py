@@ -84,6 +84,16 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(_BASE_CONFS)
+    if master and master.startswith("local"):
+        # In local mode the driver JVM IS the executor: every shuffle hash
+        # map, cache partition, and localCheckpoint block of all N cores
+        # lives in its heap. Spark's 1g default is a scale cliff (the r7
+        # heavy-scaling lane OOMed the triangle census at 10x data under
+        # it); on a real cluster spark-submit sizes this instead.
+        confs.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     confs.update(cfg.spark_confs())
     if warehouse_dir:
         confs["spark.sql.warehouse.dir"] = warehouse_dir

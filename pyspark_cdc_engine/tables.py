@@ -12,14 +12,23 @@ with the subset of semantics the reference actually uses:
 Layout::
 
     <root>/
-      _log/00000000000000000001.json   # one JSON doc per commit (snapshot-style:
-                                       #  the full list of live data dirs)
+      _log/00000000000000000007.json               # DELTA-ENCODED commit: its own
+                                                   #  add/remove dirs + changed
+                                                   #  metadata only
+      _log/00000000000000000020.checkpoint.parquet # full state every N commits
+      _log/_last_checkpoint                        # {"version": 20}
       data/<version>-<uuid8>/part-*.parquet
 
-Each commit file is a *complete snapshot* of the table's live data directories, so
-reading version N never replays the log — it reads exactly one JSON file and opens the
-parquet dirs it lists. Single-writer discipline (one streaming query or driver per
-table) matches the reference's deployment model.
+Commits are delta-encoded (Delta-style — :mod:`pyspark_cdc_engine.log`): each
+JSON doc records only that commit's added/removed dirs, stats for the added
+dirs, and carried metadata that changed, so commit size is independent of
+table size and total log volume grows linearly with history. Every
+``engine.log-checkpoint-interval`` commits a parquet checkpoint materializes
+the reconstructed state and ``_last_checkpoint`` points at it — reading a
+snapshot costs one checkpoint read plus at most one interval of tiny JSON
+docs, never a full replay. OCC via exclusive link(2) of the version file
+gives multi-writer safety; blind-append retries and reserved-range identity
+allocation build on it.
 
 Scale notes (100 TB design point):
 - Readers get plain multi-path parquet scans → Spark's vectorized reader, predicate

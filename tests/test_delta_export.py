@@ -841,3 +841,55 @@ def test_dv_history_export_feed_matches_read_changes(spark, tmp_path):
     )
     want = _rowset(t.read_changes(0), cols)
     assert got == want
+
+
+def test_checkpoint_with_many_add_actions_reads_batched(spark, tmp_path):
+    """r7: a checkpoint with thousands of add rows streams through batched
+    pyarrow iteration (multiple batches at batch_size=4096) instead of a
+    driver collect() — 6000 add actions (paths cycling the real files, so
+    the replay dedups to the true live set) must reconstruct the snapshot
+    exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(100).toDF("id").repartition(8))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    actions = _read_actions(dest)
+    meta = actions[2]["metaData"]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert len(adds) >= 2
+
+    n = 6000
+    meta_col = [json.dumps({"id": meta["id"],
+                            "schemaString": meta["schemaString"],
+                            "partitionColumns": meta["partitionColumns"]})]
+    add_col = [None]
+    for i in range(n):
+        a = adds[i % len(adds)]
+        meta_col.append(None)
+        add_col.append(json.dumps({"path": a["path"],
+                                   "partitionValues": a["partitionValues"]}))
+    # struct-typed checkpoint columns built from the JSON payloads
+    tbl = pa.table({
+        "metaData": pa.array(
+            [json.loads(m) if m else None for m in meta_col],
+            type=pa.struct([("id", pa.string()), ("schemaString", pa.string()),
+                            ("partitionColumns", pa.list_(pa.string()))]),
+        ),
+        "add": pa.array(
+            [json.loads(a) if a else None for a in add_col],
+            type=pa.struct([("path", pa.string()),
+                            ("partitionValues", pa.map_(pa.string(), pa.string()))]),
+        ),
+    })
+    log = dest / "_delta_log"
+    pq.write_table(tbl, log / f"{0:020d}.checkpoint.parquet")
+    (log / f"{0:020d}.json").unlink()  # checkpoint-only log
+
+    got = read_delta_snapshot(spark, str(dest))
+    assert got.count() == 100
+    assert {r.id for r in got.collect()} == set(range(100))
