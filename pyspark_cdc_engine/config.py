@@ -44,6 +44,14 @@ DEFAULTS: dict[str, Any] = {
     "spark.warehouse-dir": "",
     "spark.log-level": "WARN",
     "spark.ui-port": "",
+    # Hive metastore toggle (reference.conf:6 `enable-hive-support`, :25-28
+    # `spark.hive.*`; SparkSessionCreator.scala:32-33,39). Off by default:
+    # the engine targets plain OSS Spark, but flipping this on gives the
+    # reference's persistent-metastore catalog (in-session Derby unless a
+    # JDBC connection-url points at a shared metastore).
+    "spark.dev.enable-hive-support": False,
+    "spark.hive.connection-url": "",
+    "spark.hive.connection-driver": "",
     # kafka defaults (reference.conf:34-36)
     "kafka.starting-offsets": "earliest",
     "kafka.fail-on-data-loss": False,
@@ -175,6 +183,16 @@ class AppConfig:
             confs["spark.ui.port"] = self.get_str("spark.ui-port")
         if self.get_str("spark.warehouse-dir"):
             confs["spark.sql.warehouse.dir"] = self.get_str("spark.warehouse-dir")
+        # Metastore JDBC wiring (SparkSessionCreator.scala:32-33): only
+        # meaningful with enable-hive-support, but harmless without.
+        if self.get_str("spark.hive.connection-url"):
+            confs["spark.hadoop.javax.jdo.option.ConnectionURL"] = self.get_str(
+                "spark.hive.connection-url"
+            )
+        if self.get_str("spark.hive.connection-driver"):
+            confs["spark.hadoop.javax.jdo.option.ConnectionDriverName"] = (
+                self.get_str("spark.hive.connection-driver")
+            )
         prefix = "spark.conf."
         for layer in (self._file, self._overrides):
             for k, v in layer.items():

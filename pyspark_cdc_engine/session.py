@@ -101,6 +101,12 @@ def get_spark(
         confs.update(extra_confs)
     for k, v in confs.items():
         builder = builder.config(k, v)
+    if cfg.get_bool("spark.dev.enable-hive-support"):
+        # SparkSessionCreator.scala:39 — persistent Hive metastore catalog.
+        # catalogImplementation is a static conf: it binds when the JVM-side
+        # SparkContext is created and is a no-op on getOrCreate() reuse, same
+        # as in Scala Spark.
+        builder = builder.enableHiveSupport()
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(cfg.get_str("spark.log-level"))
     return spark

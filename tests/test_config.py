@@ -7,6 +7,8 @@ routing (checkpointing.py). Precedence contract under test:
 from __future__ import annotations
 
 import json
+import os
+from pathlib import Path
 
 import pytest
 
@@ -200,3 +202,66 @@ def test_materialize_reroutes_when_active_root_is_similar_prefix(
     ccd = spark.sparkContext.getCheckpointDir() or ""
     assert str(new) in ccd and "ckpt-old" not in ccd
     assert any(new.rglob("rdd-*"))
+
+
+def test_spark_confs_hive_metastore_wiring(tmp_path):
+    """SparkSessionCreator.scala:32-33 parity: spark.hive.* keys map to the
+    javax.jdo metastore confs; absent keys contribute nothing."""
+    c = AppConfig(overrides={
+        "spark.hive.connection-url": "jdbc:derby:;databaseName=/tmp/ms;create=true",
+        "spark.hive.connection-driver": "org.apache.derby.jdbc.EmbeddedDriver",
+    })
+    confs = c.spark_confs()
+    assert confs["spark.hadoop.javax.jdo.option.ConnectionURL"].startswith(
+        "jdbc:derby:"
+    )
+    assert (
+        confs["spark.hadoop.javax.jdo.option.ConnectionDriverName"]
+        == "org.apache.derby.jdbc.EmbeddedDriver"
+    )
+    assert "spark.hadoop.javax.jdo.option.ConnectionURL" not in (
+        AppConfig().spark_confs()
+    )
+
+
+def test_enable_hive_support_builds_hive_catalog(tmp_path):
+    """SparkSessionCreator.scala:39 parity: the enable-hive-support toggle
+    yields a session whose catalogImplementation is hive (persistent
+    metastore). catalogImplementation is a static conf, so this runs in a
+    subprocess with its own JVM rather than the shared pytest session."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import os, sys
+        from pyspark_cdc_engine.config import AppConfig
+        from pyspark_cdc_engine.session import get_spark
+        c = AppConfig(overrides={
+            "spark.dev.enable-hive-support": True,
+            "spark.warehouse-dir": sys.argv[1],
+            "spark.conf.spark.sql.shuffle.partitions": "4",
+        })
+        spark = get_spark(app_name="hive-toggle-test", master="local[2]", config=c)
+        assert spark.conf.get("spark.sql.catalogImplementation") == "hive", \\
+            spark.conf.get("spark.sql.catalogImplementation")
+        spark.sql("CREATE TABLE hive_toggle_t (id BIGINT) USING parquet")
+        spark.sql("INSERT INTO hive_toggle_t VALUES (1), (2)")
+        n = spark.sql("SELECT count(*) AS n FROM hive_toggle_t").collect()[0].n
+        assert n == 2, n
+        spark.stop()
+        print("HIVE_OK")
+    """)
+    env = dict(os.environ)
+    # Keep the subprocess's derby metastore + warehouse inside tmp_path.
+    env["SPARK_GRAFT_CPUS"] = "2"
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path / "wh")],
+        capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),  # derby.log + metastore_db land here, not the repo
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "HIVE_OK" in proc.stdout
