@@ -68,6 +68,81 @@ def word_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bigram_predictability_score",
+    survey="M5-text,A2,J3,beyond-ref",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id, list_extract(w, i) AS w1, list_extract(w, i + 1) AS w2
+      FROM words, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(c12.c) AS BIGINT) AS sum_follow,
+           CAST(SUM(c1.c) AS BIGINT) AS sum_hist,
+           CAST(SUM(c12.c) AS DOUBLE) / CAST(SUM(c1.c) AS DOUBLE)
+             AS predictability
+    FROM bg JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+            JOIN c1 ON bg.w1 = c1.w1
+    GROUP BY bg.doc_id
+    """,
+)
+def bigram_predictability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (order-sensitive) LM quality signal: per document, the
+    occurrence-weighted fraction of next-word transitions that the corpus
+    bigram model predicts — Σ c(w_i, w_{i+1}) / Σ c(w_i, ·) over the doc's
+    bigram occurrences. This is the signal a bigram-perplexity filter
+    (CCNet/Gopher-style) ranks by, in the ratio-of-sums form: scrambled or
+    machine-garbled text scores low even when its WORDS are common (the case
+    :func:`word_commonness_score` structurally misses), natural prose scores
+    near the corpus mean. Every intermediate is exact integer arithmetic with
+    ONE IEEE division at the end, so Spark and DuckDB agree bit-for-bit —
+    a log-space perplexity would accumulate doubles and flake the oracle.
+
+    Plan: bigrams are generated ROW-LOCALLY (transform over the split array —
+    no window shuffle, no self-join); corpus bigram counts and history counts
+    are each one hash shuffle with map-side partial aggregation; the two
+    joins back are vocab-sized build sides (bigram vocab grows sub-linearly
+    with corpus size) that AQE broadcasts when small; the final per-doc hash
+    agg is the only doc-keyed shuffle. No UDFs, no quadratic stage — the
+    same shape at 100 TB, with the bigram-count frame shuffled at worst.
+
+    size(w) >= 2 guard: Spark's sequence(1, size-1) would DESCEND for a
+    1-token doc ([1, 0]) instead of being empty; DuckDB's range(1, 0) is
+    empty, so the filter also keeps the two engines' row sets identical."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bg = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> "
+                "struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c12").cast("bigint").alias("sum_follow"),
+            F.sum("c1").cast("bigint").alias("sum_hist"),
+            (F.sum("c12").cast("double") / F.sum("c1").cast("double")).alias(
+                "predictability"
+            ),
+        )
+    )
+
+
 _CONTAIN_TAU = 0.6
 
 
