@@ -343,6 +343,17 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
         # log on EVERY micro-batch — the planner's cost is O(window), not
         # O(history).
         seed = max((u for u in vs if u <= start_v), default=None)
+        if seed is None and vs and vs[0] > 0:
+            # log retention (cleanup_log) pruned the window's start: the
+            # pre-state at start_v is unreconstructible, and seeding from {}
+            # would replay the boundary snapshot as one giant insert batch.
+            # Fail the stream loudly — restart from a fresh snapshot, the
+            # Delta failOnDataLoss contract.
+            raise ValueError(
+                f"CDF stream start v{start_v} is below the oldest retained "
+                f"commit v{vs[0]} (log retention pruned earlier history); "
+                f"restart from a fresh snapshot"
+            )
         carry = (
             txlog.carry_of(txlog.state_at(log_dir, seed))
             if seed is not None

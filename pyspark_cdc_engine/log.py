@@ -30,6 +30,14 @@ Legacy snapshot-style commits (a ``live`` key in the doc) still replay
 correctly: they act as a full state reset, so pre-r7 logs and hand-written
 protocol-test docs keep working unchanged.
 
+Log retention (:func:`cleanup`, ``DeltaliteTable.cleanup_log``): commit docs
+and checkpoints strictly before a boundary checkpoint can be pruned (Delta's
+``delta.logRetentionDuration`` metadata cleanup). Retained versions
+reconstruct exactly (replay seeds from the boundary checkpoint); time travel
+and change feeds below the boundary raise loudly. Idempotent-writer txn
+markers survive pruning through the carried cumulative ``txn_high`` map —
+the SetTransaction-in-checkpoint analog.
+
 Layout::
 
     <root>/_log/00000000000000000007.json                # delta-encoded commit
@@ -64,10 +72,17 @@ CARRIED_KEYS = (
     "cdf",
     "generated",
     "identity",
+    # cumulative per-app txn high-water marks (Delta's SetTransaction-in-
+    # checkpoint analog): maintained by apply_doc from each commit's `txn`
+    # marker, never written by commit docs directly — carrying it means
+    # idempotent-writer dedup survives log retention (cleanup) pruning the
+    # commits that recorded the markers.
+    "txn_high",
 )
 
 #: Doc keys with protocol meaning — a caller's ``extra`` may not collide.
-_RESERVED = {"version", "timestamp", "operation", "live", "add", "remove"}
+_RESERVED = {"version", "timestamp", "operation", "live", "add", "remove",
+             "txn_high"}
 
 _CKPT_SUFFIX = ".checkpoint.parquet"
 
@@ -119,8 +134,12 @@ def apply_doc(carry: dict, doc: dict) -> dict:
     a checkpoint's own doc overlay its checkpointed state."""
     if "live" in doc:
         # legacy snapshot-style doc: complete state reset (pre-r7 writers
-        # embedded everything; absent keys mean absent state)
-        return dict(doc)
+        # embedded everything; absent keys mean absent state) — except the
+        # cumulative txn high-water map, which survives resets
+        state = dict(doc)
+        if "txn_high" in carry:
+            state["txn_high"] = carry["txn_high"]
+        return _merge_txn_high(state, carry, doc)
     state = dict(carry)
     add = doc.get("add") or []
     remove = set(doc.get("remove") or [])
@@ -138,21 +157,88 @@ def apply_doc(carry: dict, doc: dict) -> dict:
     for k, val in doc.items():
         if k not in ("add", "remove", "dir_stats"):
             state[k] = val  # carried changes + per-commit fields + version/ts/op
+    return _merge_txn_high(state, carry, doc)
+
+
+def _merge_txn_high(state: dict, carry: dict, doc: dict) -> dict:
+    """Fold ``doc``'s per-commit ``txn`` marker into the carried cumulative
+    ``txn_high`` map (app -> max version seen)."""
+    txn = doc.get("txn") or {}
+    app, ver = txn.get("app"), txn.get("version")
+    if app is None or ver is None:
+        return state
+    th = dict(carry.get("txn_high") or {})
+    th[app] = ver if app not in th else max(th[app], ver)
+    state["txn_high"] = th
     return state
 
 
 def replay_states(log_dir: Path, end: int | None = None):
-    """Linear replay from version 0: yields ``(version, state, raw_doc)`` for
-    every commit up to ``end`` — the one-pass shape for vacuum / history /
-    export, where per-version reconstruction would be quadratic."""
+    """Linear replay: yields ``(version, state, raw_doc)`` for every RETAINED
+    commit up to ``end`` — the one-pass shape for vacuum / history / export,
+    where per-version reconstruction would be quadratic.
+
+    On a retention-pruned log (oldest retained version > 0, see
+    :func:`cleanup`) the carry seeds from the boundary checkpoint, so the
+    first yielded state is the full snapshot — NOT the first doc's adds
+    alone. Without this, a pruned log would make vacuum see long-lived dirs
+    as unreferenced and delete live data."""
+    vs = versions(log_dir)
     carry: dict = {}
-    for v in versions(log_dir):
+    if vs and vs[0] > 0:
+        # cleanup() guarantees a checkpoint at the pruned log's first version
+        if vs[0] not in checkpoint_versions(log_dir):
+            raise FileNotFoundError(
+                f"pruned log starts at v{vs[0]} but no checkpoint exists "
+                f"there — {log_dir} is corrupt"
+            )
+        carry = load_checkpoint_carry(log_dir, vs[0])
+        # vs[0]'s own doc re-applies idempotently below, recovering its
+        # per-commit fields (same contract as state_at)
+    for v in vs:
         if end is not None and v > end:
             break
         doc = raw_doc(log_dir, v)
         state = apply_doc(carry, doc)
         carry = carry_of(state)
         yield v, state, doc
+
+
+def cleanup(log_dir: Path, keep_from: int, dry_run: bool = False) -> list[str]:
+    """Log retention (Delta's metadata-cleanup analog): delete commit docs
+    and checkpoints STRICTLY BEFORE ``keep_from``, which must itself be a
+    checkpoint version — the boundary checkpoint stays, so every retained
+    version still reconstructs (checkpoint + at most ``interval`` docs) and
+    :func:`replay_states` seeds from it. Time travel / change feeds below
+    ``keep_from`` become unavailable (callers raise loudly — the Delta
+    ``logRetentionDuration`` contract).
+
+    Returns the deleted (or, ``dry_run``, deletable) file names. Deletion
+    order is docs-then-checkpoints, each oldest-first, so a reader racing a
+    cleanup only ever sees a log MORE pruned than it expects, never a
+    checkpoint-less gap."""
+    cvs = checkpoint_versions(log_dir)
+    if keep_from not in cvs:
+        raise ValueError(
+            f"keep_from={keep_from} is not a checkpoint version "
+            f"(checkpoints: {cvs}) — the boundary must stay reconstructible"
+        )
+    doomed_docs = [v for v in versions(log_dir) if v < keep_from]
+    doomed_ckpts = [c for c in cvs if c < keep_from]
+    names = [commit_path(log_dir, v).name for v in doomed_docs] + [
+        checkpoint_path(log_dir, c).name for c in doomed_ckpts
+    ]
+    if dry_run:
+        return names
+    for v in doomed_docs:
+        commit_path(log_dir, v).unlink(missing_ok=True)
+    for c in doomed_ckpts:
+        checkpoint_path(log_dir, c).unlink(missing_ok=True)
+    # drop cached states for pruned versions: a stale hit would let
+    # state_at() keep answering for history that is gone
+    for key in [k for k in _STATE_CACHE if k[0] == str(log_dir) and k[1] < keep_from]:
+        _STATE_CACHE.pop(key, None)
+    return names
 
 
 # ------------------------------------------------------------- checkpoints
@@ -324,6 +410,10 @@ def encode_commit(
     caller's per-commit fields — size independent of table size."""
     carry = carry_of(base_state)
     extra = dict(extra or {})
+    if "txn_high" in extra:
+        # derived by apply_doc from each commit's `txn` marker — writers may
+        # not set it directly (it would desync the cumulative map)
+        raise ValueError("extra key 'txn_high' collides with the log protocol")
     base_live = set(carry.get("live") or [])
     new_live = set(live_dirs)
     add = sorted(new_live - base_live)

@@ -737,6 +737,16 @@ class DeltaliteTable:
         logical names — the current ones — instead of failing to union
         per-commit frames with mismatched columns."""
         end = self.latest_version() if ending_version is None else ending_version
+        oldest = self._oldest_retained()
+        if oldest > 0 and starting_version < oldest:
+            # a pruned log can't reconstruct the pre-state at starting_version;
+            # treating it as genesis would re-emit the whole boundary snapshot
+            # as inserts — raise instead (Delta's logRetentionDuration contract)
+            raise ValueError(
+                f"change feed from version {starting_version} is unavailable: "
+                f"log retention pruned versions < {oldest} "
+                f"(cleanup_log); restart the consumer from a fresh snapshot"
+            )
         # an end beyond the latest commit clamps (the pre-r5 iteration did so
         # implicitly): watermark pollers pass target versions that may not
         # exist yet
@@ -1464,8 +1474,16 @@ class DeltaliteTable:
 
     # ---------------------------------------------------------------- writes
     def last_txn_version(self, txn_app: str) -> int | None:
-        """Highest txn version committed under ``txn_app``, or None."""
-        best = None
+        """Highest txn version committed under ``txn_app``, or None.
+
+        Reads the carried cumulative ``txn_high`` map (Delta's
+        SetTransaction-in-checkpoint analog — survives :meth:`cleanup_log`
+        pruning the commits that recorded the markers), unioned with a raw
+        scan of retained docs so histories whose checkpoints predate the
+        ``txn_high`` protocol still answer exactly."""
+        best = (self._read_commit(self.latest_version()).get("txn_high") or {}).get(
+            txn_app
+        )
         for v in self._versions():
             # txn markers are per-commit: raw docs, no state reconstruction
             txn = self._raw_commit(v).get("txn")
@@ -2164,6 +2182,34 @@ class DeltaliteTable:
         return self._commit_staged(
             "zorder", [*kept, *rels], rels, extra, base, commit, stats_cols=tuple(cols)
         )
+
+    def cleanup_log(
+        self, retain_last: int = 50, dry_run: bool = False
+    ) -> list[str]:
+        """Log retention (Delta's ``delta.logRetentionDuration`` metadata
+        cleanup, version-count keyed): prune commit docs and checkpoints
+        older than the newest checkpoint that still leaves the last
+        ``retain_last`` versions intact. The boundary checkpoint stays, so
+        every retained version reconstructs exactly as before; time travel,
+        ``read_changes``, CDF streams, and Delta-history export BELOW the
+        boundary raise loudly instead of answering wrong. No-op (returns
+        ``[]``) when no checkpoint is old enough. Data files are vacuum's
+        business, not this method's — run :meth:`vacuum` for those."""
+        cutoff = self.latest_version() - retain_last
+        cvs = txlog.checkpoint_versions(self._log_dir)
+        keep_from = max((c for c in cvs if c <= cutoff), default=None)
+        oldest = self._versions()[0]
+        if keep_from is None or keep_from <= oldest:
+            return []
+        return txlog.cleanup(self._log_dir, keep_from, dry_run=dry_run)
+
+    def _oldest_retained(self) -> int:
+        """First version still in the log (0 unless :meth:`cleanup_log` has
+        pruned history)."""
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"not a deltalite table: {self.path}")
+        return vs[0]
 
     def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False) -> list[str]:
         """Delete data dirs not referenced by any commit within the retention window

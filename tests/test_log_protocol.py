@@ -200,3 +200,171 @@ def test_reserved_extra_keys_rejected(tmp_path):
     base, commit = t._snapshot()
     with pytest.raises(ValueError, match="protocol"):
         t._write_commit("append", commit["live"], {"add": ["x"]}, base, commit)
+
+
+# ------------------------------------------------------------- log retention
+def test_cleanup_log_prunes_and_retained_state_is_exact(tmp_path):
+    t = _table(tmp_path)
+    _append_commits(t, 45)  # checkpoints at 20, 40
+    expected_live = {
+        v: t._read_commit(v)["live"] for v in range(40, 45)
+    }
+    deleted = t.cleanup_log(retain_last=4)
+    assert deleted  # docs 0..39 + checkpoint 20 went away
+    assert txlog.versions(t._log_dir)[0] == 40
+    assert txlog.checkpoint_versions(t._log_dir) == [40]
+    txlog._STATE_CACHE.clear()
+    for v in range(40, 45):
+        assert t._read_commit(v)["live"] == expected_live[v], v
+    # appends + the next checkpoint keep working on the pruned log
+    _append_commits(t, 20, start=45)
+    assert t.latest_version() == 64
+    assert 60 in txlog.checkpoint_versions(t._log_dir)
+    assert len(t._read_commit(64)["live"]) == 65
+
+
+def test_cleanup_log_noop_without_old_enough_checkpoint(tmp_path):
+    t = _table(tmp_path)
+    _append_commits(t, 10)  # no checkpoint yet below latest-5
+    assert t.cleanup_log(retain_last=5) == []
+    assert txlog.versions(t._log_dir)[0] == 0
+
+
+def test_cleanup_log_dry_run_deletes_nothing(tmp_path):
+    t = _table(tmp_path)
+    _append_commits(t, 30)
+    names = t.cleanup_log(retain_last=5, dry_run=True)
+    assert names and txlog.versions(t._log_dir)[0] == 0
+
+
+def test_pruned_time_travel_raises(tmp_path):
+    t = _table(tmp_path)
+    _append_commits(t, 30)
+    t.cleanup_log(retain_last=5)
+    txlog._STATE_CACHE.clear()
+    with pytest.raises(FileNotFoundError):
+        t._read_commit(3)
+
+
+def test_replay_states_seeds_from_boundary_checkpoint(tmp_path):
+    """A pruned log must replay the FULL snapshot at the boundary — seeding
+    from {} would make vacuum see long-lived dirs as unreferenced and delete
+    live data."""
+    t = _table(tmp_path)
+    _append_commits(t, 30)
+    t.cleanup_log(retain_last=5)
+    states = list(txlog.replay_states(t._log_dir))
+    assert states[0][0] == 20
+    assert len(states[0][1]["live"]) == 21  # all dirs ever appended, not 1
+    assert len(states[-1][1]["live"]) == 30
+
+
+def test_replay_states_raises_on_checkpointless_pruned_log(tmp_path):
+    t = _table(tmp_path)
+    _append_commits(t, 30)
+    t.cleanup_log(retain_last=5)
+    txlog.checkpoint_path(t._log_dir, 20).unlink()
+    with pytest.raises(FileNotFoundError, match="corrupt"):
+        list(txlog.replay_states(t._log_dir))
+
+
+def test_cleanup_requires_checkpoint_boundary(tmp_path):
+    t = _table(tmp_path)
+    _append_commits(t, 30)
+    with pytest.raises(ValueError, match="checkpoint"):
+        txlog.cleanup(t._log_dir, keep_from=7)
+
+
+def test_txn_high_survives_cleanup(tmp_path):
+    """Delta's SetTransaction-in-checkpoint analog: idempotent-writer dedup
+    must survive pruning the commits that recorded the markers."""
+    t = _table(tmp_path)
+    base, commit = t._snapshot()
+    t._write_commit(
+        "append", ["data/0000000000-deadbeef"],
+        {"schema": "{}", "txn": {"app": "repl", "version": 7}},
+        base, commit,
+    )
+    _append_commits(t, 44, start=1)  # checkpoints at 20, 40
+    assert t.last_txn_version("repl") == 7
+    t.cleanup_log(retain_last=4)
+    txlog._STATE_CACHE.clear()
+    assert txlog.versions(t._log_dir)[0] == 40  # the marker's commit is gone
+    assert t.last_txn_version("repl") == 7     # ...but the high-water is not
+    assert t.last_txn_version("ghost") is None
+
+
+def test_txn_high_takes_max_and_never_rides_docs(tmp_path):
+    t = _table(tmp_path)
+    for i, v in enumerate([5, 3, 9]):
+        base, commit = t._snapshot()
+        live = list(commit.get("live") or []) + [f"data/{i:010d}-cafebabe"]
+        t._write_commit(
+            "append", live, {"schema": "{}", "txn": {"app": "a", "version": v}},
+            base, commit,
+        )
+    assert t.last_txn_version("a") == 9
+    for v in txlog.versions(t._log_dir):
+        assert "txn_high" not in txlog.raw_doc(t._log_dir, v)
+    base, commit = t._snapshot()
+    with pytest.raises(ValueError, match="txn_high"):
+        t._write_commit("append", commit["live"], {"txn_high": {"a": 99}},
+                        base, commit)
+
+
+def test_pruned_change_feed_raises(tmp_path, spark):
+    from pyspark_cdc_engine.tables import DeltaliteTable as DT
+
+    t = DT(spark, str(tmp_path / "ct"))
+    t.overwrite(spark.range(10).selectExpr("id", "id AS v"))
+    for i in range(25):
+        t.append(spark.range(100 + i, 101 + i).selectExpr("id", "id AS v"))
+    t.cleanup_log(retain_last=3)
+    oldest = t._oldest_retained()
+    assert oldest > 0
+    with pytest.raises(ValueError, match="pruned"):
+        t.read_changes(-1, t.latest_version())
+    with pytest.raises(ValueError, match="pruned"):
+        t.read_changes(oldest - 2, t.latest_version())
+    # from the boundary on, the feed still answers
+    n = t.read_changes(oldest, t.latest_version()).count()
+    assert n == t.latest_version() - oldest
+
+
+def test_pruned_cdf_stream_raises(tmp_path, spark):
+    from pyspark_cdc_engine.cdf_source import read_change_stream
+    from pyspark_cdc_engine.tables import DeltaliteTable as DT
+
+    t = DT(spark, str(tmp_path / "st"))
+    t.overwrite(spark.range(5).selectExpr("id", "id AS v"))
+    for i in range(25):
+        t.append(spark.range(100 + i, 101 + i).selectExpr("id", "id AS v"))
+    t.cleanup_log(retain_last=3)
+    stream = read_change_stream(spark, t.path, starting_version=0)
+    q = (stream.writeStream.format("noop")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="retained|pruned|snapshot"):
+        q.awaitTermination(300)
+        raise RuntimeError("stream should have failed on the pruned start")
+
+
+def test_vacuum_on_pruned_log_keeps_live_data(tmp_path, spark):
+    """The data-loss scenario the checkpoint-seeded replay prevents: dirs
+    appended BEFORE the retention boundary are still live — vacuum must keep
+    them even though their add-commits are pruned; dirs genuinely dead
+    (replaced by compact) still age out."""
+    from pyspark_cdc_engine.tables import DeltaliteTable as DT
+
+    t = DT(spark, str(tmp_path / "vt"))
+    t.overwrite(spark.range(50).selectExpr("id", "id AS v"))
+    for i in range(24):
+        t.append(spark.range(1000 + i, 1001 + i).selectExpr("id", "id AS v"))
+    t.compact()  # rewrites everything: the old dirs become tombstones
+    t.cleanup_log(retain_last=3)
+    assert t._oldest_retained() > 0
+    before = set(t.read().toPandas()["id"])
+    dead = t.vacuum(retain_hours=0.0)
+    assert dead  # the pre-compact dirs aged out
+    after = set(t.read().toPandas()["id"])
+    assert after == before == set(range(50)) | set(range(1000, 1024))
