@@ -174,6 +174,36 @@ class AutoCompactor:
         self.compactions += 1
 
 
+class AutoLogCleaner:
+    """Auto log retention for the streaming sinks' ``maintain=`` hook: after
+    each applied batch, prune commit history beyond ``retain_last`` versions
+    (:meth:`DeltaliteTable.cleanup_log`) — so a long-running replica fed by
+    per-batch commits keeps a bounded metadata footprint instead of a log
+    that grows forever. The boundary respects checkpoint placement (no
+    eligible checkpoint = no-op), and because txn high-waters are carried
+    through checkpoints, idempotent replay of an in-flight batch is
+    unaffected by the pruning of old marker commits.
+
+    ``retain_last`` should comfortably exceed every downstream CDF
+    consumer's maximum lag in versions: a consumer further behind than the
+    boundary gets the loud restart-from-snapshot refusal, which is the
+    correct failure but an operational event."""
+
+    def __init__(self, table: DeltaliteTable, retain_last: int = 200) -> None:
+        self.table = table
+        self.retain_last = retain_last
+        self.cleanups = 0  # observability
+        self.pruned_files = 0
+
+    def refresh(self) -> None:
+        if not self.table.exists():
+            return
+        pruned = self.table.cleanup_log(retain_last=self.retain_last)
+        if pruned:
+            self.cleanups += 1
+            self.pruned_files += len(pruned)
+
+
 def register_sql_maintenance_functions(spark: SparkSession) -> None:
     """Make the DESCRIBE HISTORY analog reachable from plain ``spark.sql``
     (closing part of the deltalite/Delta SQL-surface gap the README

@@ -403,3 +403,42 @@ def test_jvm_data_path_rate_limited_and_idempotent(spark, tmp_path):
     # replaying a fully-drained checkpoint applies nothing
     _run(spark, src, tmp_path / "dest", tmp_path / "ck")
     assert dest.latest_version() == 2
+
+
+def test_auto_log_cleaner_bounds_metadata(spark, tmp_path):
+    """A long-running per-batch-committing replica's metadata footprint is
+    bounded by the AutoLogCleaner in the maintain= hook: history beyond
+    retain_last prunes at checkpoint boundaries, the snapshot and recent
+    time travel stay exact, and idempotent txn replay still dedups (the
+    high-water survives pruning via the carried txn_high map)."""
+    from pyspark_cdc_engine import log as txlog
+    from pyspark_cdc_engine.maintenance import AutoLogCleaner
+
+    t = _mk(spark, tmp_path / "t", n=5)
+    lc = AutoLogCleaner(t, retain_last=10)
+    for i in range(44):
+        t.append(
+            spark.createDataFrame([(100 + i, float(i))], ["id", "v"]),
+            txn_app="feeder", txn_version=i,
+        )
+        lc.refresh()  # exactly what _refresh_all does per micro-batch
+    vs = txlog.versions(t._log_dir)
+    assert vs[0] > 0 and len(vs) <= 10 + txlog_interval() + 1
+    assert lc.cleanups >= 1 and lc.pruned_files > 0
+    # snapshot exact, recent time travel works, txn dedup intact
+    assert sorted(r[0] for r in _snap(t)) == list(range(5)) + list(range(100, 144))
+    assert t.read(version=vs[0]).count() > 0
+    assert t.last_txn_version("feeder") == 43
+    # a replayed old batch is recognized as already applied
+    before = t.latest_version()
+    t.append(
+        spark.createDataFrame([(999, 9.9)], ["id", "v"]),
+        txn_app="feeder", txn_version=3,
+    )
+    assert t.latest_version() == before  # no-op replay
+
+
+def txlog_interval() -> int:
+    from pyspark_cdc_engine.config import get_config
+
+    return get_config().get_int("engine.log-checkpoint-interval")
