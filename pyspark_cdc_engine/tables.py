@@ -2184,20 +2184,37 @@ class DeltaliteTable:
         )
 
     def cleanup_log(
-        self, retain_last: int = 50, dry_run: bool = False
+        self,
+        retain_last: int = 50,
+        retain_hours: float | None = None,
+        dry_run: bool = False,
     ) -> list[str]:
         """Log retention (Delta's ``delta.logRetentionDuration`` metadata
-        cleanup, version-count keyed): prune commit docs and checkpoints
-        older than the newest checkpoint that still leaves the last
-        ``retain_last`` versions intact. The boundary checkpoint stays, so
-        every retained version reconstructs exactly as before; time travel,
-        ``read_changes``, CDF streams, and Delta-history export BELOW the
-        boundary raise loudly instead of answering wrong. No-op (returns
-        ``[]``) when no checkpoint is old enough. Data files are vacuum's
-        business, not this method's — run :meth:`vacuum` for those."""
+        cleanup): prune commit docs and checkpoints older than the newest
+        checkpoint that still leaves the last ``retain_last`` versions —
+        and, when ``retain_hours`` is given, every commit younger than that
+        window (both constraints apply, Delta's duration semantics keyed the
+        same way :meth:`vacuum` keys data retention) — intact. The boundary
+        checkpoint stays, so every retained version reconstructs exactly as
+        before; time travel, ``read_changes``, CDF streams, and
+        Delta-history export BELOW the boundary raise loudly instead of
+        answering wrong. No-op (returns ``[]``) when no checkpoint is old
+        enough. Data files are vacuum's business, not this method's — run
+        :meth:`vacuum` for those."""
         cutoff = self.latest_version() - retain_last
         cvs = txlog.checkpoint_versions(self._log_dir)
-        keep_from = max((c for c in cvs if c <= cutoff), default=None)
+        eligible = [c for c in cvs if c <= cutoff]
+        if retain_hours is not None:
+            wall_cutoff = time.time() - retain_hours * 3600
+            # a checkpoint qualifies only once every pruned-away commit
+            # (everything below it) is older than the window; its own doc's
+            # timestamp upper-bounds them all
+            eligible = [
+                c
+                for c in eligible
+                if float(self._raw_commit(c)["timestamp"]) <= wall_cutoff
+            ]
+        keep_from = max(eligible, default=None)
         oldest = self._versions()[0]
         if keep_from is None or keep_from <= oldest:
             return []

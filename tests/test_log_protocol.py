@@ -368,3 +368,15 @@ def test_vacuum_on_pruned_log_keeps_live_data(tmp_path, spark):
     assert dead  # the pre-compact dirs aged out
     after = set(t.read().toPandas()["id"])
     assert after == before == set(range(50)) | set(range(1000, 1024))
+
+
+def test_cleanup_log_time_window_blocks_young_history(tmp_path):
+    """retain_hours: commits younger than the window stay even when
+    retain_last alone would prune them; retain_hours=0 restores the
+    version-count behavior (everything is 'old enough')."""
+    t = _table(tmp_path)
+    _append_commits(t, 45)  # all stamped 'now'
+    assert t.cleanup_log(retain_last=4, retain_hours=1.0) == []
+    assert txlog.versions(t._log_dir)[0] == 0
+    assert t.cleanup_log(retain_last=4, retain_hours=0.0)
+    assert txlog.versions(t._log_dir)[0] == 40
