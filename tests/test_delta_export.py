@@ -893,3 +893,31 @@ def test_checkpoint_with_many_add_actions_reads_batched(spark, tmp_path):
     got = read_delta_snapshot(spark, str(dest))
     assert got.count() == 100
     assert {r.id for r in got.collect()} == set(range(100))
+
+
+def test_snapshot_export_works_on_pruned_log_history_export_refuses(
+    spark, tmp_path
+):
+    """Log retention (cleanup_log) and the two export modes: the snapshot
+    export materializes current state, so a pruned log exports fine; the
+    history export needs genesis and refuses loudly."""
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_snapshot,
+    )
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(20).selectExpr("id", "id * 2 AS v"))
+    for i in range(25):
+        t.append(spark.range(100 + i, 101 + i).selectExpr("id", "id * 2 AS v"))
+    t.cleanup_log(retain_last=3)
+    assert t._oldest_retained() > 0
+    dest = tmp_path / "exported"
+    export_delta_snapshot(t, str(dest))
+    back = read_delta_snapshot(spark, str(dest))
+    assert sorted(r.id for r in back.collect()) == sorted(
+        r.id for r in t.read().collect()
+    )
+    with pytest.raises(ValueError, match="version 0"):
+        export_delta_history(t, str(tmp_path / "hist"))
