@@ -380,3 +380,75 @@ def test_cleanup_log_time_window_blocks_young_history(tmp_path):
     assert txlog.versions(t._log_dir)[0] == 0
     assert t.cleanup_log(retain_last=4, retain_hours=0.0)
     assert txlog.versions(t._log_dir)[0] == 40
+
+
+# ---------------------------------------------------- protocol property test
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_op_strategy = st.lists(
+    st.fixed_dictionaries({
+        "n_remove": st.integers(0, 3),
+        "txn": st.one_of(
+            st.none(),
+            st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 9)),
+        ),
+        "schema_bump": st.booleans(),
+    }),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(ops=_op_strategy, interval=st.integers(2, 7), prune_at=st.integers(0, 39))
+@settings(max_examples=60, deadline=None)
+def test_log_protocol_roundtrip_under_random_histories(
+    ops, interval, prune_at, tmp_path_factory
+):
+    """For ANY commit history (random add/remove/txn/schema sequences), any
+    checkpoint interval, and a cleanup at any eligible boundary: the
+    reconstructed latest state equals a brute-force fold of the full
+    pre-pruning doc history — live set, stats keys, schema, and txn
+    high-waters all exact, via state_at AND via replay_states."""
+    log_dir = tmp_path_factory.mktemp("plog") / "_log"
+    log_dir.mkdir()
+    rng_live: list[str] = []
+    expect_live: set[str] = set()
+    expect_th: dict[str, int] = {}
+    expect_schema = None
+    state: dict = {}
+    for v, op in enumerate(ops):
+        removes = rng_live[: op["n_remove"]]
+        rng_live = rng_live[op["n_remove"]:]
+        new_dir = f"data/{v:010d}-prop"
+        extra: dict = {"dir_stats": {new_dir: {"id": [v, v]}}}
+        if op["schema_bump"]:
+            extra["schema"] = f'{{"v": {v}}}'
+            expect_schema = extra["schema"]
+        if op["txn"]:
+            app, tv = op["txn"]
+            extra["txn"] = {"app": app, "version": tv}
+            expect_th[app] = max(expect_th.get(app, tv), tv)
+        live = sorted((set(rng_live) | {new_dir}))
+        rng_live.append(new_dir)
+        expect_live = set(live)
+        doc, state = txlog.encode_commit(
+            state, "append", live, extra, v, timestamp=1000.0 + v
+        )
+        txlog.link_commit(log_dir, v, doc)
+        txlog.after_commit(log_dir, v, state, checkpoint_interval=interval)
+    latest = len(ops) - 1
+    cvs = txlog.checkpoint_versions(log_dir)
+    eligible = [c for c in cvs if 0 < c <= min(prune_at, latest)]
+    if eligible:
+        txlog.cleanup(log_dir, eligible[-1])
+    txlog._STATE_CACHE.clear()
+    got = txlog.state_at(log_dir, latest)
+    assert set(got["live"]) == expect_live
+    assert set(got.get("dir_stats") or {}) == expect_live
+    assert got.get("schema") == expect_schema
+    assert got.get("txn_high", {}) == expect_th
+    *_ , (rv, rstate, _doc) = txlog.replay_states(log_dir)
+    assert rv == latest
+    assert set(rstate["live"]) == expect_live
+    assert rstate.get("txn_high", {}) == expect_th
