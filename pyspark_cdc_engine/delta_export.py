@@ -530,6 +530,53 @@ def _commit_schema_meta(commit, table, v):
     return schema, configuration
 
 
+def _write_delta_checkpoint(log_dir: Path, version: int, actions: list[dict]):
+    """Write ``actions`` (protocol/metaData/add dicts) as a single-file Delta
+    checkpoint parquet at ``version`` and point ``_last_checkpoint`` at it —
+    the shape a metadata-cleaned real Delta log has at its oldest retained
+    version. One row per action, null struct cells for the other kinds;
+    map-typed fields (partitionValues, configuration) are real parquet MAPs,
+    matching what Spark's checkpoint writer emits and what
+    :func:`read_delta_snapshot`'s batched reader normalizes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mapt = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", mapt),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()), ("options", mapt)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", mapt),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    tbl = pa.table(
+        {
+            "protocol": pa.array([a.get("protocol") for a in actions], proto_t),
+            "metaData": pa.array([a.get("metaData") for a in actions], meta_t),
+            "add": pa.array([a.get("add") for a in actions], add_t),
+        }
+    )
+    pq.write_table(tbl, log_dir / f"{version:020d}.checkpoint.parquet")
+    (log_dir / "_last_checkpoint").write_text(
+        json.dumps({"version": version, "size": len(actions)})
+    )
+
+
 def export_delta_history(
     table: DeltaliteTable, dest: str, upto: int | None = None
 ) -> dict:
@@ -563,8 +610,20 @@ def export_delta_history(
     Unsupported (refused loudly, use the snapshot export): shallow clones
     (their live entries reference another table's files)."""
     versions = [v for v in table._versions() if upto is None or v <= upto]
-    if not versions or versions[0] != 0:
-        raise ValueError("history export needs a contiguous log from version 0")
+    if not versions:
+        raise ValueError(
+            "history export: no retained commits at or below the requested "
+            "version (log retention pruned them — export from a retained "
+            "version, or use export_delta_snapshot)"
+        )
+    base = versions[0]
+    pruned = base != 0
+    # A retention-pruned deltalite log exports as what a metadata-cleaned
+    # REAL Delta log looks like: a parquet CHECKPOINT at the boundary
+    # (protocol + metaData + every live add, DV tombstones materialized)
+    # plus ordinary JSON commits after it. Version numbers stay authentic;
+    # time travel below the boundary is unavailable in the export exactly
+    # as it is in the source.
     commits = {v: table._read_commit(v) for v in versions}
     for v, c in commits.items():
         if c["operation"] == "shallow_clone" or any(
@@ -706,7 +765,7 @@ def export_delta_history(
                 }
             }
         ]
-        if v == 0:
+        if v == base:
             actions.append(
                 {
                     "protocol": {
@@ -778,9 +837,13 @@ def export_delta_history(
                     }
                 )
         exported = new_exported
+        # the pruned-log boundary exports as a CHECKPOINT: a full snapshot,
+        # no change actions (checkpoints carry none, and the feed below the
+        # boundary is unavailable by the retention contract)
+        boundary = pruned and v == base
         empty_cdc = None  # (rel, zero-row table) fallback, see below
         wrote_cdc = False
-        for cdc_rel in commit.get("cdc_dirs") or []:
+        for cdc_rel in [] if boundary else (commit.get("cdc_dirs") or []):
             import pyarrow.parquet as pq
 
             src = table._root / cdc_rel
@@ -869,8 +932,10 @@ def export_delta_history(
                             )
                         )
 
-        new_dv = [r for r in dv_rels if r not in prev_dv_rels]
-        if op == "delete" and commit.get("dv_delete") and new_dv:
+        new_dv = [] if boundary else [r for r in dv_rels if r not in prev_dv_rels]
+        if boundary:
+            pass  # no per-commit change reconstruction at the boundary
+        elif op == "delete" and commit.get("dv_delete") and new_dv:
             _rows_at(_sidecar_positions(new_dv), "delete")
         elif op == "update" and commit.get("dv_update"):
             if new_dv:
@@ -912,9 +977,14 @@ def export_delta_history(
                 }
             )
 
-        (log_dir / f"{v:020d}.json").write_text(
-            "\n".join(json.dumps(a) for a in actions) + "\n"
-        )
+        if boundary:
+            _write_delta_checkpoint(
+                log_dir, v, [a for a in actions if "commitInfo" not in a]
+            )
+        else:
+            (log_dir / f"{v:020d}.json").write_text(
+                "\n".join(json.dumps(a) for a in actions) + "\n"
+            )
         prev_dv_rels = set(dv_rels)
         prev_live_set = set(live)
 
@@ -959,9 +1029,31 @@ def read_delta_changes(
         raise FileNotFoundError(f"no Delta commits in {log_dir}")
     end = versions[-1] if ending_version is None else ending_version
 
-    # latest metaData at or before `end` drives logical-name resolution
+    # latest metaData at or before `end` drives logical-name resolution. On
+    # a metadata-cleaned log (only a boundary checkpoint below the first
+    # JSON commit) the metaData may live solely in the checkpoint — seed
+    # from the newest checkpoint ≤ end, then let later JSON re-emits win.
     schema_json = None
     configuration: dict = {}
+    ckpt_versions = sorted(
+        int(p.name.split(".")[0]) for p in log_dir.glob("*.checkpoint.parquet")
+    )
+    seed_ckpt = max((c for c in ckpt_versions if c <= end), default=None)
+    if seed_ckpt is not None:
+        import pyarrow.parquet as pq_
+
+        pf = pq_.ParquetFile(
+            str(log_dir / f"{seed_ckpt:020d}.checkpoint.parquet")
+        )
+        if "metaData" in pf.schema_arrow.names:
+            for batch in pf.iter_batches(columns=["metaData"]):
+                for m in batch.column("metaData").to_pylist():
+                    if m and m.get("schemaString"):
+                        schema_json = m["schemaString"]
+                        cfg = m.get("configuration") or {}
+                        if isinstance(cfg, list):  # pyarrow MAP -> tuples
+                            cfg = dict(cfg)
+                        configuration = dict(cfg)
     for v in versions:
         if v > end:
             break

@@ -895,12 +895,11 @@ def test_checkpoint_with_many_add_actions_reads_batched(spark, tmp_path):
     assert {r.id for r in got.collect()} == set(range(100))
 
 
-def test_snapshot_export_works_on_pruned_log_history_export_refuses(
-    spark, tmp_path
-):
+def test_snapshot_and_history_export_on_pruned_log(spark, tmp_path):
     """Log retention (cleanup_log) and the two export modes: the snapshot
-    export materializes current state, so a pruned log exports fine; the
-    history export needs genesis and refuses loudly."""
+    export materializes current state; the history export emits what a
+    metadata-cleaned REAL Delta log looks like — a parquet checkpoint at the
+    boundary + JSON commits after, version numbers authentic."""
     from pyspark_cdc_engine.delta_export import (
         export_delta_history,
         read_delta_snapshot,
@@ -912,12 +911,59 @@ def test_snapshot_export_works_on_pruned_log_history_export_refuses(
     for i in range(25):
         t.append(spark.range(100 + i, 101 + i).selectExpr("id", "id * 2 AS v"))
     t.cleanup_log(retain_last=3)
-    assert t._oldest_retained() > 0
+    oldest = t._oldest_retained()
+    assert oldest > 0
     dest = tmp_path / "exported"
     export_delta_snapshot(t, str(dest))
     back = read_delta_snapshot(spark, str(dest))
     assert sorted(r.id for r in back.collect()) == sorted(
         r.id for r in t.read().collect()
     )
-    with pytest.raises(ValueError, match="version 0"):
-        export_delta_history(t, str(tmp_path / "hist"))
+    hist = tmp_path / "hist"
+    summary = export_delta_history(t, str(hist))
+    assert summary["latest_version"] == t.latest_version()
+    log = hist / "_delta_log"
+    assert (log / f"{oldest:020d}.checkpoint.parquet").is_file()
+    assert not (log / f"{oldest:020d}.json").exists()
+    assert json.loads((log / "_last_checkpoint").read_text())["version"] == oldest
+    # every RETAINED version time-travels byte-equal; below the boundary the
+    # export refuses exactly like the source does
+    for v in (oldest, oldest + 1, t.latest_version()):
+        got = sorted(r.id for r in read_delta_snapshot(spark, str(hist), v).collect())
+        want = sorted(r.id for r in t.read(version=v).collect())
+        assert got == want, v
+    with pytest.raises(ValueError, match="not present"):
+        read_delta_snapshot(spark, str(hist), oldest - 1)
+
+
+def test_pruned_history_export_round_trips_the_feed(spark, tmp_path):
+    """table_changes over the exported pruned log equals deltalite's own
+    read_changes for the retained window (DV DML included)."""
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_changes,
+    )
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(30).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    for i in range(28):
+        t.append(spark.range(100 + i, 101 + i).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    t.update({"v": "v + 0.5"}, "id = 3", mode="dv")
+    t.delete("id = 5", mode="dv")
+    t.cleanup_log(retain_last=6)
+    oldest = t._oldest_retained()
+    assert oldest > 0
+    hist = tmp_path / "hist"
+    export_delta_history(t, str(hist))
+    want = {
+        (r.id, float(r.v), r["_change_type"], r["_commit_version"])
+        for r in t.read_changes(oldest, t.latest_version()).collect()
+    }
+    got = {
+        (r.id, float(r.v), r["_change_type"], r["_commit_version"])
+        for r in read_delta_changes(
+            spark, str(hist), oldest, t.latest_version()
+        ).collect()
+    }
+    assert got == want and want
