@@ -102,6 +102,34 @@ def test_delta_reads_our_export_and_we_read_deltas(spark, tmp_path):
     assert {r.id for r in back.collect()} == set(range(20))
 
 
+@pytest.mark.realjars
+def test_real_delta_reads_our_pruned_history_export(spark, tmp_path):
+    """A retention-pruned deltalite log exports as a metadata-cleaned real
+    Delta log (boundary checkpoint parquet + JSON commits); real delta-spark
+    must time travel within the retained window and read the latest
+    snapshot."""
+    if not _delta_present(spark):
+        pytest.skip("delta-spark not installed / Delta classes absent")
+    from pyspark_cdc_engine.delta_export import export_delta_history
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    for i in range(28):
+        t.append(spark.range(100 + i, 101 + i).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"))
+    t.cleanup_log(retain_last=5)
+    oldest = t._oldest_retained()
+    assert oldest > 0
+    hist = tmp_path / "hist"
+    export_delta_history(t, str(hist))
+    latest = spark.read.format("delta").load(str(hist))
+    assert latest.count() == t.read().count()
+    tt = (spark.read.format("delta").option("versionAsOf", oldest)
+          .load(str(hist)))
+    assert tt.count() == t.read(version=oldest).count()
+
+
 def test_realjars_suite_skips_cleanly_without_jars(spark):
     """Meta-test (always runs): in a jar-less env the probes report absent and
     the marked tests above skip instead of erroring — the opt-in contract."""
