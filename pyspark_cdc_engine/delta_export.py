@@ -226,13 +226,15 @@ def export_delta_snapshot(
 # --------------------------------------------------------------------- import
 
 
-def _check_last_checkpoint(log_dir: Path, target: int, versions: list[int]) -> None:
-    """ADVICE guard: multi-part (``parts``) and v2 (sidecar) checkpoints are
-    not parseable here, and our ``*.checkpoint.parquet`` glob cannot even SEE
-    them (multi-part files are named ``N.checkpoint.M.P.parquet``). If
-    ``_last_checkpoint`` says such a checkpoint ≤ target exists and the JSON
-    commits alone cannot replay the full history (0..target contiguous), fail
-    loudly instead of returning a silently incomplete snapshot."""
+def _check_last_checkpoint(
+    log_dir: Path, target: int, versions: list[int], parseable_ckpts: set[int]
+) -> None:
+    """ADVICE guard: v2 (UUID-named, sidecar) checkpoints are not parseable
+    here; single-file and complete classic multi-part checkpoints are
+    (``parseable_ckpts``). If ``_last_checkpoint`` says a checkpoint ≤ target
+    exists that we cannot parse and the JSON commits alone cannot replay the
+    full history (0..target contiguous), fail loudly instead of returning a
+    silently incomplete snapshot."""
     lc = log_dir / "_last_checkpoint"
     if not lc.is_file():
         return
@@ -244,17 +246,13 @@ def _check_last_checkpoint(log_dir: Path, target: int, versions: list[int]) -> N
     if v < 0 or v > target:
         return
     # The ROBUST signal (real writers often put nothing but version/size in
-    # _last_checkpoint): a checkpoint at v exists per the pointer, but the
-    # only layout we can parse is a single-file {v}.checkpoint.parquet.
-    # Multi-part (N.checkpoint.M.P.parquet), v2/UUID-named, and sidecar
-    # checkpoints are all invisible to that name — so if the parseable file
-    # is absent AND the JSON commits can't replay 0..target on their own,
-    # any result would be silently incomplete.
-    parseable = (
-        int(meta.get("parts") or 1) == 1
-        and (log_dir / f"{v:020d}.checkpoint.parquet").is_file()
-    )
-    if parseable:
+    # _last_checkpoint): a checkpoint at v exists per the pointer. Parseable
+    # layouts are single-file {v}.checkpoint.parquet and COMPLETE classic
+    # multi-part sets; v2/UUID-named + sidecar checkpoints (and part-missing
+    # multi-part sets) are not — so if the pointer's version isn't parseable
+    # AND the JSON commits can't replay 0..target on their own, any result
+    # would be silently incomplete.
+    if v in parseable_ckpts:
         return
     json_complete = bool(versions) and versions[0] == 0 and set(
         range(0, target + 1)
@@ -262,24 +260,55 @@ def _check_last_checkpoint(log_dir: Path, target: int, versions: list[int]) -> N
     if not json_complete:
         raise ValueError(
             f"{log_dir}: _last_checkpoint points at version {v} but no "
-            f"single-file {v:020d}.checkpoint.parquet exists (multi-part, "
-            f"v2/UUID-named, or sidecar checkpoint — unsupported here), and "
-            f"the JSON commits do not cover 0..{target} — refusing to return "
-            f"a partial snapshot"
+            f"parseable checkpoint exists there (v2/UUID-named or sidecar "
+            f"layout, or an incomplete multi-part set — unsupported here), "
+            f"and the JSON commits do not cover 0..{target} — refusing to "
+            f"return a partial snapshot"
         )
+
+
+def _multipart_checkpoints(log_dir: Path) -> dict[int, list[Path]]:
+    """COMPLETE multi-part checkpoints (classic V1 naming
+    ``{v}.checkpoint.{i}.{n}.parquet``): version -> ordered part paths.
+    A set missing any of its n parts is ignored (an interrupted writer's
+    leftovers must not half-apply)."""
+    groups: dict[tuple[int, int], dict[int, Path]] = {}
+    for p in log_dir.glob("*.checkpoint.*.*.parquet"):
+        bits = p.name.split(".")
+        if len(bits) != 5 or not (
+            bits[0].isdigit() and bits[2].isdigit() and bits[3].isdigit()
+        ):
+            continue
+        v, i, n = int(bits[0]), int(bits[2]), int(bits[3])
+        groups.setdefault((v, n), {})[i] = p
+    out: dict[int, list[Path]] = {}
+    for (v, n), parts in groups.items():
+        if len(parts) == n:
+            out[v] = [parts[i] for i in sorted(parts)]
+    return out
 
 
 def _log_actions_upto(log_dir: Path, version: int | None):
     """Yield (action_dict) streams: checkpoint rows first (if one at or below
     the target version exists), then JSON commits after it, in order. Returns
-    (checkpoint_path_or_None, checkpoint_version, [json_commit_paths])."""
+    (checkpoint_paths_or_None, checkpoint_version, [json_commit_paths]);
+    checkpoint_paths is a list — one element for a single-file checkpoint,
+    the ordered parts for a classic multi-part one."""
     versions = sorted(
         int(p.stem) for p in log_dir.glob("*.json") if p.stem.isdigit()
     )
-    ckpt_versions = sorted(
-        int(p.name.split(".")[0]) for p in log_dir.glob("*.checkpoint.parquet")
-    )
+    multi = _multipart_checkpoints(log_dir)
+    single = {
+        int(p.name.split(".")[0]): p
+        for p in log_dir.glob("*.checkpoint.parquet")
+    }
+    ckpt_versions = sorted(set(single) | set(multi))
     if not versions and not ckpt_versions:
+        if (log_dir / "_last_checkpoint").is_file():
+            # a pointer exists but nothing parseable does (v2/sidecar
+            # layout, or a multi-part set missing parts) — the loud guard's
+            # message, not a bare "no commits"
+            _check_last_checkpoint(log_dir, 1 << 62, versions, set())
         raise FileNotFoundError(f"no Delta commits in {log_dir}")
     # a metadata-cleaned table may hold ONLY a checkpoint (json commits
     # retired by delta.logRetentionDuration) — still a complete snapshot
@@ -287,16 +316,18 @@ def _log_actions_upto(log_dir: Path, version: int | None):
     target = latest if version is None else version
     if target not in versions and target not in ckpt_versions:
         raise ValueError(f"version {target} not present in {log_dir}")
-    _check_last_checkpoint(log_dir, target, versions)
+    _check_last_checkpoint(log_dir, target, versions, set(ckpt_versions))
 
-    ckpt_path, ckpt_v = None, -1
+    ckpt_paths, ckpt_v = None, -1
     for v in ckpt_versions:
         if ckpt_v < v <= target:
-            ckpt_v, ckpt_path = v, log_dir / f"{v:020d}.checkpoint.parquet"
+            # a version with both layouts prefers the single file
+            ckpt_v = v
+            ckpt_paths = [single[v]] if v in single else multi[v]
     jsons = [
         log_dir / f"{v:020d}.json" for v in versions if ckpt_v < v <= target
     ]
-    return ckpt_path, ckpt_v, jsons
+    return ckpt_paths, ckpt_v, jsons
 
 
 def read_delta_snapshot(spark, path: str, version: int | None = None):
@@ -324,7 +355,7 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
 
     root = Path(path)
     log_dir = root / "_delta_log"
-    ckpt_path, _ckpt_v, jsons = _log_actions_upto(log_dir, version)
+    ckpt_paths, _ckpt_v, jsons = _log_actions_upto(log_dir, version)
 
     schema_json: str | None = None
     partition_cols: list[str] = []
@@ -345,12 +376,15 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
         elif a.get("remove") and a["remove"].get("path"):
             live.pop(a["remove"]["path"], None)
 
-    if ckpt_path is not None:
-        # batched pyarrow iteration, NOT spark.read...collect(): a checkpoint
-        # of a large table holds millions of add rows, and collect() would
-        # materialize every one as a driver Row object at once. Batches keep
-        # the transient footprint bounded; the accumulated `live` dict is the
-        # snapshot itself (unavoidable, and far smaller than Row objects).
+    for ckpt_path in ckpt_paths or []:
+        # batched pyarrow iteration over each checkpoint file (one for a
+        # single-file checkpoint, every part of a classic multi-part one —
+        # action rows are disjoint across parts, so order is immaterial),
+        # NOT spark.read...collect(): a checkpoint of a large table holds
+        # millions of add rows, and collect() would materialize every one as
+        # a driver Row object at once. Batches keep the transient footprint
+        # bounded; the accumulated `live` dict is the snapshot itself
+        # (unavoidable, and far smaller than Row objects).
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(str(ckpt_path))
@@ -1035,17 +1069,19 @@ def read_delta_changes(
     # from the newest checkpoint ≤ end, then let later JSON re-emits win.
     schema_json = None
     configuration: dict = {}
-    ckpt_versions = sorted(
-        int(p.name.split(".")[0]) for p in log_dir.glob("*.checkpoint.parquet")
-    )
-    seed_ckpt = max((c for c in ckpt_versions if c <= end), default=None)
+    single_ckpts = {
+        int(p.name.split(".")[0]): [p]
+        for p in log_dir.glob("*.checkpoint.parquet")
+    }
+    ckpt_files = {**_multipart_checkpoints(log_dir), **single_ckpts}
+    seed_ckpt = max((c for c in ckpt_files if c <= end), default=None)
     if seed_ckpt is not None:
         import pyarrow.parquet as pq_
 
-        pf = pq_.ParquetFile(
-            str(log_dir / f"{seed_ckpt:020d}.checkpoint.parquet")
-        )
-        if "metaData" in pf.schema_arrow.names:
+        for part in ckpt_files[seed_ckpt]:
+            pf = pq_.ParquetFile(str(part))
+            if "metaData" not in pf.schema_arrow.names:
+                continue
             for batch in pf.iter_batches(columns=["metaData"]):
                 for m in batch.column("metaData").to_pylist():
                     if m and m.get("schemaString"):

@@ -967,3 +967,49 @@ def test_pruned_history_export_round_trips_the_feed(spark, tmp_path):
         ).collect()
     }
     assert got == want and want
+
+
+def test_read_multipart_checkpoint(spark, tmp_path):
+    """Classic V1 multi-part checkpoints ({v}.checkpoint.{i}.{n}.parquet)
+    read like single-file ones: action rows are disjoint across parts. An
+    incomplete set (a part deleted) falls back to the loud refusal."""
+    import pytest as _pytest
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(24).toDF("id"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    actions = _read_actions(dest)
+    meta = actions[2]["metaData"]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert len(adds) >= 2
+    ckpt_schema = (
+        "metaData struct<id:string,schemaString:string,partitionColumns:array<string>>, "
+        "add struct<path:string,partitionValues:map<string,string>>, "
+        "remove struct<path:string>"
+    )
+    meta_row = {"metaData": {"id": meta["id"], "schemaString": meta["schemaString"],
+                             "partitionColumns": meta["partitionColumns"]},
+                "add": None, "remove": None}
+    add_rows = [{"metaData": None,
+                 "add": {"path": a["path"], "partitionValues": a["partitionValues"]},
+                 "remove": None} for a in adds]
+    half = len(add_rows) // 2
+    log = dest / "_delta_log"
+    for i, rows in enumerate(([meta_row] + add_rows[:half], add_rows[half:])):
+        build = tmp_path / f"part{i}"
+        spark.createDataFrame(rows, ckpt_schema).coalesce(1).write.parquet(str(build))
+        src = next(p for p in build.iterdir() if p.suffix == ".parquet")
+        src.rename(log / f"{0:020d}.checkpoint.{i + 1:010d}.{2:010d}.parquet")
+    (log / f"{0:020d}.json").unlink()  # only the multi-part ckpt carries v0
+    (log / "_last_checkpoint").write_text(
+        json.dumps({"version": 0, "size": len(add_rows) + 1, "parts": 2})
+    )
+    got = read_delta_snapshot(spark, str(dest))
+    assert {r.id for r in got.collect()} == set(range(24))
+    # part goes missing -> the set is incomplete -> loud refusal, never partial
+    (log / f"{0:020d}.checkpoint.{2:010d}.{2:010d}.parquet").unlink()
+    with _pytest.raises(ValueError, match="multi-part"):
+        read_delta_snapshot(spark, str(dest))
