@@ -227,3 +227,28 @@ def test_crashed_writer_cdc_publish_is_repaired(spark, tmp_path):
     deletes = [r for r in rows if r["_change_type"] == "delete"]
     assert {r["id"] for r in deletes} == {8, 9}
     assert (t._root / rel).exists()  # the move was finished on disk
+
+
+def test_cdf_stream_pages_on_while_retention_prunes_behind_it(spark, tmp_path):
+    """Log retention racing a paging consumer: cleanup_log pruning versions
+    the stream has ALREADY consumed must not disturb the next window (the
+    planner seeds from a retained snapshot at or below its start); only a
+    cleanup that outruns the consumer trips the loud restart guard."""
+    t = _mk(spark, tmp_path / "t", n=3)                              # v0
+    for i in range(24):
+        t.append(spark.createDataFrame([(10 + i, float(i))], ["id", "v"]))
+
+    def drain(n):
+        return _drain(
+            read_change_stream(spark, t.path, 0, max_versions_per_batch=n),
+            tmp_path,
+        )
+
+    # consume through v21, then prune everything below the checkpoint at 20
+    seen = {r._commit_version for r in drain(22)}
+    assert max(seen) == 21
+    assert t.cleanup_log(retain_last=4)
+    assert t._oldest_retained() == 20
+    # next window starts at 21 (> boundary): pages on unaffected
+    seen2 = {r._commit_version for r in drain(22)}
+    assert seen2 == {22, 23, 24}
