@@ -229,12 +229,13 @@ def export_delta_snapshot(
 def _check_last_checkpoint(
     log_dir: Path, target: int, versions: list[int], parseable_ckpts: set[int]
 ) -> None:
-    """ADVICE guard: v2 (UUID-named, sidecar) checkpoints are not parseable
-    here; single-file and complete classic multi-part checkpoints are
+    """ADVICE guard: parseable checkpoint layouts are single-file, complete
+    classic multi-part, and v2/UUID-named (sidecars followed)
     (``parseable_ckpts``). If ``_last_checkpoint`` says a checkpoint ≤ target
-    exists that we cannot parse and the JSON commits alone cannot replay the
-    full history (0..target contiguous), fail loudly instead of returning a
-    silently incomplete snapshot."""
+    exists that we cannot parse (an incomplete multi-part set, an unknown
+    layout) and the JSON commits alone cannot replay the full history
+    (0..target contiguous), fail loudly instead of returning a silently
+    incomplete snapshot."""
     lc = log_dir / "_last_checkpoint"
     if not lc.is_file():
         return
@@ -260,11 +261,47 @@ def _check_last_checkpoint(
     if not json_complete:
         raise ValueError(
             f"{log_dir}: _last_checkpoint points at version {v} but no "
-            f"parseable checkpoint exists there (v2/UUID-named or sidecar "
-            f"layout, or an incomplete multi-part set — unsupported here), "
+            f"parseable checkpoint exists there (incomplete multi-part set "
+            f"or an unknown layout), "
             f"and the JSON commits do not cover 0..{target} — refusing to "
             f"return a partial snapshot"
         )
+
+
+def _v2_checkpoints(log_dir: Path) -> dict[int, list[Path]]:
+    """V2 (UUID-named) checkpoints ``{v}.checkpoint.{uuid}.parquet``:
+    version -> [file]. Each is complete by construction (file actions live
+    inline or in ``sidecar``-action files the reader follows); several UUID
+    variants for one version are equivalent per the protocol — any one
+    serves."""
+    out: dict[int, Path] = {}
+    for p in log_dir.glob("*.checkpoint.*.parquet"):
+        bits = p.name.split(".")
+        if len(bits) == 4 and bits[0].isdigit() and not bits[2].isdigit():
+            out.setdefault(int(bits[0]), p)
+    return {v: [p] for v, p in out.items()}
+
+
+def _iter_parquet_actions(
+    fp: Path,
+    cols: tuple = ("metaData", "protocol", "add", "remove", "sidecar"),
+):
+    """Batched-pyarrow action iteration over one checkpoint/sidecar parquet:
+    yields {action_kind: action_dict} rows with parquet MAP values
+    normalized to dicts. Never materializes the file driver-side at once."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(str(fp))
+    action_cols = [c for c in cols if c in pf.schema_arrow.names]
+    for batch in pf.iter_batches(columns=action_cols, batch_size=4096):
+        for row in batch.to_pylist():
+            a = {k: v for k, v in row.items() if v is not None}
+            for act in a.values():
+                if isinstance(act, dict):
+                    for mk, mv in act.items():
+                        if isinstance(mv, list) and mv and isinstance(mv[0], tuple):
+                            act[mk] = dict(mv)
+            yield a
 
 
 def _multipart_checkpoints(log_dir: Path) -> dict[int, list[Path]]:
@@ -298,11 +335,12 @@ def _log_actions_upto(log_dir: Path, version: int | None):
         int(p.stem) for p in log_dir.glob("*.json") if p.stem.isdigit()
     )
     multi = _multipart_checkpoints(log_dir)
+    v2 = _v2_checkpoints(log_dir)
     single = {
         int(p.name.split(".")[0]): p
         for p in log_dir.glob("*.checkpoint.parquet")
     }
-    ckpt_versions = sorted(set(single) | set(multi))
+    ckpt_versions = sorted(set(single) | set(multi) | set(v2))
     if not versions and not ckpt_versions:
         if (log_dir / "_last_checkpoint").is_file():
             # a pointer exists but nothing parseable does (v2/sidecar
@@ -321,9 +359,13 @@ def _log_actions_upto(log_dir: Path, version: int | None):
     ckpt_paths, ckpt_v = None, -1
     for v in ckpt_versions:
         if ckpt_v < v <= target:
-            # a version with both layouts prefers the single file
+            # a version with several layouts prefers single > multi-part > v2
             ckpt_v = v
-            ckpt_paths = [single[v]] if v in single else multi[v]
+            ckpt_paths = (
+                [single[v]] if v in single
+                else multi[v] if v in multi
+                else v2[v]
+            )
     jsons = [
         log_dir / f"{v:020d}.json" for v in versions if ckpt_v < v <= target
     ]
@@ -332,8 +374,9 @@ def _log_actions_upto(log_dir: Path, version: int | None):
 
 def read_delta_snapshot(spark, path: str, version: int | None = None):
     """Read a REAL Delta table (written by any engine) as a DataFrame, no
-    delta jars needed. Supports JSON commits and single-file parquet
-    checkpoints; ``version`` = time travel (VERSION AS OF).
+    delta jars needed. Supports JSON commits and parquet checkpoints in the
+    single-file, classic multi-part, and v2/UUID-named (inline or sidecar
+    file actions) layouts; ``version`` = time travel (VERSION AS OF).
 
     Protocol enforcement (PROTOCOL.md): the ``protocol`` action is parsed and
     tables demanding reader capabilities we do not implement fail LOUDLY —
@@ -378,35 +421,28 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
 
     for ckpt_path in ckpt_paths or []:
         # batched pyarrow iteration over each checkpoint file (one for a
-        # single-file checkpoint, every part of a classic multi-part one —
-        # action rows are disjoint across parts, so order is immaterial),
-        # NOT spark.read...collect(): a checkpoint of a large table holds
-        # millions of add rows, and collect() would materialize every one as
-        # a driver Row object at once. Batches keep the transient footprint
-        # bounded; the accumulated `live` dict is the snapshot itself
-        # (unavoidable, and far smaller than Row objects).
-        import pyarrow.parquet as pq
-
-        pf = pq.ParquetFile(str(ckpt_path))
-        action_cols = [
-            c
-            for c in ("metaData", "protocol", "add", "remove")
-            if c in pf.schema_arrow.names
-        ]
-        for batch in pf.iter_batches(columns=action_cols, batch_size=4096):
-            for row in batch.to_pylist():
-                a = {k: v for k, v in row.items() if v is not None}
-                # parquet MAP columns surface as [(k, v), ...] in pyarrow
-                # (Row.asDict gave dicts) — normalize before applying
-                for act in a.values():
-                    if isinstance(act, dict):
-                        for mk, mv in act.items():
-                            if (
-                                isinstance(mv, list)
-                                and mv
-                                and isinstance(mv[0], tuple)
-                            ):
-                                act[mk] = dict(mv)
+        # single-file or v2 checkpoint, every part of a classic multi-part
+        # one — action rows are disjoint across files, so order is
+        # immaterial), NOT spark.read...collect(): a checkpoint of a large
+        # table holds millions of add rows, and collect() would materialize
+        # every one as a driver Row object at once. Batches keep the
+        # transient footprint bounded; the accumulated `live` dict is the
+        # snapshot itself (unavoidable, and far smaller than Row objects).
+        # V2 checkpoints may externalize file actions into sidecar parquet
+        # files under _delta_log/_sidecars/ — `sidecar` actions are followed
+        # with the same batched reader.
+        for a in _iter_parquet_actions(ckpt_path):
+            sc = a.get("sidecar")
+            if sc and sc.get("path"):
+                sp = log_dir / "_sidecars" / sc["path"]
+                if not sp.is_file():
+                    raise ValueError(
+                        f"v2 checkpoint {ckpt_path.name} references missing "
+                        f"sidecar {sc['path']} — refusing a partial snapshot"
+                    )
+                for sa in _iter_parquet_actions(sp, cols=("add", "remove")):
+                    _apply(sa)
+            else:
                 _apply(a)
     for jp in jsons:
         for ln in jp.read_text().splitlines():
@@ -418,7 +454,7 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
     reader_features = {
         f for f in (protocol.get("readerFeatures") or []) if f
     }
-    SUPPORTED_FEATURES = {"columnMapping"}
+    SUPPORTED_FEATURES = {"columnMapping", "v2Checkpoint"}
     if min_reader == 3:
         # v3 tables MUST enumerate readerFeatures; an absent/empty list means
         # we cannot know what the table demands — fail loudly either way
@@ -1073,7 +1109,11 @@ def read_delta_changes(
         int(p.name.split(".")[0]): [p]
         for p in log_dir.glob("*.checkpoint.parquet")
     }
-    ckpt_files = {**_multipart_checkpoints(log_dir), **single_ckpts}
+    ckpt_files = {
+        **_v2_checkpoints(log_dir),
+        **_multipart_checkpoints(log_dir),
+        **single_ckpts,
+    }
     seed_ckpt = max((c for c in ckpt_files if c <= end), default=None)
     if seed_ckpt is not None:
         import pyarrow.parquet as pq_

@@ -1013,3 +1013,74 @@ def test_read_multipart_checkpoint(spark, tmp_path):
     (log / f"{0:020d}.checkpoint.{2:010d}.{2:010d}.parquet").unlink()
     with _pytest.raises(ValueError, match="multi-part"):
         read_delta_snapshot(spark, str(dest))
+
+
+def test_read_v2_uuid_checkpoint_with_sidecars(spark, tmp_path):
+    """V2 (UUID-named) checkpoints read: file actions either inline or
+    externalized into _delta_log/_sidecars/ parquet files referenced by
+    `sidecar` actions; the v2Checkpoint readerFeature is accepted; a missing
+    sidecar refuses loudly instead of returning a partial snapshot."""
+    import pytest as _pytest
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(18).toDF("id"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    actions = _read_actions(dest)
+    meta = actions[2]["metaData"]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert len(adds) >= 2
+    log = dest / "_delta_log"
+
+    # v2 checkpoint file: protocol (v3 + v2Checkpoint feature) + metaData
+    # inline, file actions split across two sidecars
+    ckpt_schema = (
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>, "
+        "metaData struct<id:string,schemaString:string,partitionColumns:array<string>>, "
+        "sidecar struct<path:string,sizeInBytes:bigint>"
+    )
+    sidecar_schema = (
+        "add struct<path:string,partitionValues:map<string,string>>, "
+        "remove struct<path:string>"
+    )
+    half = len(adds) // 2
+    sidecars = [adds[:half], adds[half:]]
+    (log / "_sidecars").mkdir()
+    side_rows = []
+    for i, group in enumerate(sidecars):
+        rows = [{"add": {"path": a["path"], "partitionValues": a["partitionValues"]},
+                 "remove": None} for a in group]
+        build = tmp_path / f"sc{i}"
+        spark.createDataFrame(rows, sidecar_schema).coalesce(1).write.parquet(str(build))
+        src = next(p for p in build.iterdir() if p.suffix == ".parquet")
+        name = f"{i:032x}.parquet"
+        src.rename(log / "_sidecars" / name)
+        side_rows.append({"protocol": None, "metaData": None,
+                          "sidecar": {"path": name, "sizeInBytes": 1}})
+    ckpt_rows = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]},
+         "metaData": None, "sidecar": None},
+        {"protocol": None,
+         "metaData": {"id": meta["id"], "schemaString": meta["schemaString"],
+                      "partitionColumns": meta["partitionColumns"]},
+         "sidecar": None},
+    ] + side_rows
+    build = tmp_path / "v2ck"
+    spark.createDataFrame(ckpt_rows, ckpt_schema).coalesce(1).write.parquet(str(build))
+    src = next(p for p in build.iterdir() if p.suffix == ".parquet")
+    src.rename(log / f"{0:020d}.checkpoint.80a083e8-7026-4e79-81be-000000000000.parquet")
+    (log / f"{0:020d}.json").unlink()  # only the v2 checkpoint carries v0
+    (log / "_last_checkpoint").write_text(json.dumps({"version": 0}))
+
+    got = read_delta_snapshot(spark, str(dest))
+    assert {r.id for r in got.collect()} == set(range(18))
+
+    # missing sidecar -> loud refusal
+    (log / "_sidecars" / f"{1:032x}.parquet").unlink()
+    with _pytest.raises(ValueError, match="sidecar"):
+        read_delta_snapshot(spark, str(dest))
