@@ -554,11 +554,21 @@ class DeltaliteCdfMetaStreamReader(DeltaliteCdfStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         self._last_planned = max(self._last_planned, int(end["v"]))
-        window = [
-            v
-            for v in _versions(self._path)
-            if int(start["v"]) < v <= int(end["v"])
-        ]
+        vs = _versions(self._path)
+        start_v = int(start["v"])
+        if vs and vs[0] > 0 and start_v < vs[0]:
+            # same failOnDataLoss guard as the full reader (partitions()
+            # above): log retention pruned the window's start, so versions
+            # in (start_v, vs[0]) are gone. Without this the pruned window
+            # would just yield fewer meta rows and the batch-side
+            # read_changes (whose window is derived from the SURVIVING
+            # versions) would never see the loss.
+            raise ValueError(
+                f"CDF stream start v{start_v} is below the oldest retained "
+                f"commit v{vs[0]} (log retention pruned earlier history); "
+                f"restart from a fresh snapshot"
+            )
+        window = [v for v in vs if start_v < v <= int(end["v"])]
         return [_MetaSlice(window)] if window else []
 
     def read(self, partition: _MetaSlice):

@@ -1098,6 +1098,19 @@ def read_delta_changes(
     if not versions:
         raise FileNotFoundError(f"no Delta commits in {log_dir}")
     end = versions[-1] if ending_version is None else ending_version
+    if versions[0] > 0 and starting_version < versions[0] - 1:
+        # metadata-cleaned log (delta.logRetentionDuration / the pruned
+        # histories export_delta_history writes): JSON commits below the
+        # boundary are gone, so versions in (starting_version, versions[0])
+        # can never iterate below — silently returning the surviving suffix
+        # would hand the consumer an incomplete feed. Mirror the loud
+        # refusal DeltaliteTable.read_changes makes for the same situation.
+        raise ValueError(
+            f"change feed from version {starting_version} is unavailable: "
+            f"log retention pruned JSON commits < {versions[0]} "
+            f"(earliest complete feed starts at {versions[0] - 1}); "
+            f"restart the consumer from a fresh snapshot"
+        )
 
     # latest metaData at or before `end` drives logical-name resolution. On
     # a metadata-cleaned log (only a boundary checkpoint below the first

@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_cdc_engine.tables import DeltaliteTable, MergeClause
+from pyspark_cdc_engine.tables import (
+    DeltaliteTable,
+    MergeClause,
+    NoChangesInWindow,
+)
 
 # Operations that change no rows: physical reorganizations and log-only
 # commits. Schema commits are only safe for a given consumer when they don't
@@ -231,7 +235,17 @@ class IncrementalAggregate:
             return upto
         try:
             changed = self.base.read_changes(since, upto)
-        except ValueError:  # physical-only commits: nothing logical to fold
+        except NoChangesInWindow:  # physical-only commits: nothing to fold
+            self._record_watermark(upto)
+            return upto
+        except ValueError:
+            # any OTHER refusal — above all log retention having pruned part
+            # of the window, which signed_fold_safe cannot see (pruned
+            # commits vanish from history()) — must not advance the
+            # watermark over lost deltas; rebuild from the snapshot instead
+            # (always correct, one aggregate scan)
+            snap = self._delta_agg(self.base.read(version=upto))
+            self.summary.overwrite(snap, txn_app=txn_app, txn_version=upto)
             self._record_watermark(upto)
             return upto
         delta = self._delta_agg_signed(changed)

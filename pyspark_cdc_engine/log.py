@@ -182,25 +182,34 @@ def replay_states(log_dir: Path, end: int | None = None):
     :func:`cleanup`) the carry seeds from the boundary checkpoint, so the
     first yielded state is the full snapshot — NOT the first doc's adds
     alone. Without this, a pruned log would make vacuum see long-lived dirs
-    as unreferenced and delete live data."""
+    as unreferenced and delete live data.
+
+    A MID-replay version gap (only ever produced by racing a :func:`cleanup`
+    mid-deletion: docs are a ``{0..j}`` genesis prefix plus the retained
+    suffix) re-seeds the same way from the checkpoint at the gap's far side —
+    applying a delta doc across missing versions would silently corrupt the
+    live set."""
     vs = versions(log_dir)
     carry: dict = {}
-    if vs and vs[0] > 0:
-        # cleanup() guarantees a checkpoint at the pruned log's first version
-        if vs[0] not in checkpoint_versions(log_dir):
-            raise FileNotFoundError(
-                f"pruned log starts at v{vs[0]} but no checkpoint exists "
-                f"there — {log_dir} is corrupt"
-            )
-        carry = load_checkpoint_carry(log_dir, vs[0])
-        # vs[0]'s own doc re-applies idempotently below, recovering its
-        # per-commit fields (same contract as state_at)
+    prev_v: int | None = None
     for v in vs:
         if end is not None and v > end:
             break
+        if (prev_v is None and v > 0) or (prev_v is not None and v != prev_v + 1):
+            # seed (or re-seed across a gap) from the checkpoint at v —
+            # cleanup() guarantees one at the boundary it prunes up to
+            if v not in checkpoint_versions(log_dir):
+                raise FileNotFoundError(
+                    f"pruned log resumes at v{v} but no checkpoint exists "
+                    f"there — {log_dir} is corrupt"
+                )
+            carry = load_checkpoint_carry(log_dir, v)
+            # v's own doc re-applies idempotently below, recovering its
+            # per-commit fields (same contract as state_at)
         doc = raw_doc(log_dir, v)
         state = apply_doc(carry, doc)
         carry = carry_of(state)
+        prev_v = v
         yield v, state, doc
 
 
@@ -214,9 +223,13 @@ def cleanup(log_dir: Path, keep_from: int, dry_run: bool = False) -> list[str]:
     ``logRetentionDuration`` contract).
 
     Returns the deleted (or, ``dry_run``, deletable) file names. Deletion
-    order is docs-then-checkpoints, each oldest-first, so a reader racing a
-    cleanup only ever sees a log MORE pruned than it expects, never a
-    checkpoint-less gap."""
+    order is docs NEWEST-first, then checkpoints oldest-first: mid-deletion
+    the remaining docs are always a genesis prefix ``{0..j}`` plus the
+    retained ``{keep_from..}`` suffix, so a racing reader either replays the
+    prefix from genesis or re-seeds at ``keep_from``'s still-present boundary
+    checkpoint (:func:`replay_states` handles the version gap) — it never
+    sees an oldest doc that is neither genesis nor checkpoint-backed, which
+    oldest-first deletion would briefly expose."""
     cvs = checkpoint_versions(log_dir)
     if keep_from not in cvs:
         raise ValueError(
@@ -230,7 +243,7 @@ def cleanup(log_dir: Path, keep_from: int, dry_run: bool = False) -> list[str]:
     ]
     if dry_run:
         return names
-    for v in doomed_docs:
+    for v in reversed(doomed_docs):
         commit_path(log_dir, v).unlink(missing_ok=True)
     for c in doomed_ckpts:
         checkpoint_path(log_dir, c).unlink(missing_ok=True)

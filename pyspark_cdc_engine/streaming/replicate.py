@@ -35,7 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspark_cdc_engine.tables import DeltaliteTable, MergeClause
+from pyspark_cdc_engine.tables import (
+    DeltaliteTable,
+    MergeClause,
+    NoChangesInWindow,
+)
 
 _META_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
 
@@ -254,8 +258,13 @@ def replicate_scd2_stream(
             if not vs:
                 return
             try:
-                batch = src.read_changes(min(vs) - 1, max(vs))
-            except ValueError:
+                # strict: a cow MERGE without CDF in the window raises
+                # instead of silently dropping its changes; the retention
+                # 'change feed unavailable' ValueError propagates too
+                # (failOnDataLoss) — only the benign no-change window is
+                # swallowed
+                batch = src.read_changes(min(vs) - 1, max(vs), strict=True)
+            except NoChangesInWindow:
                 return  # only no-change commits in the window
         else:
             batch = batch_df
@@ -305,8 +314,13 @@ def replicate_stream(
       ``DeltaliteTable.read_changes`` — Spark's vectorized JVM parquet
       reader, no per-row Python transfer. Structured Streaming still owns
       offsets/checkpointing, so delivery stays exactly-once; and because
-      the batch-side reader can replay SQL predicates, copy-on-write DML
-      WITHOUT materialized CDF replicates here too.
+      the batch-side reader can replay SQL predicates, copy-on-write
+      DELETE/UPDATE WITHOUT materialized CDF replicate here too. Cow MERGE
+      without CDF cannot be enumerated on ANY path — the sink reads in
+      strict mode and fails the stream loudly rather than skipping it
+      (enable_cdf on the source to replicate merges). A window pruned by
+      log retention likewise fails loudly (failOnDataLoss) instead of
+      advancing the checkpoint past lost history.
     - ``"python"``: change rows flow through the executor-side Python CDF
       source (the fully stream-native path). DV DML and overwrites
       replicate exactly; cow rewrites without CDF fail the stream loudly —
@@ -337,8 +351,11 @@ def replicate_stream(
             if not vs:
                 return
             try:
-                batch = src.read_changes(min(vs) - 1, max(vs))
-            except ValueError:
+                # strict + narrow catch: see replicate_scd2_stream's sink —
+                # retention refusals and unenumerable cow merges fail the
+                # stream loudly instead of advancing the checkpoint past them
+                batch = src.read_changes(min(vs) - 1, max(vs), strict=True)
+            except NoChangesInWindow:
                 return  # only no-change commits (compact/schema/...) in window
             # no extra persist/isEmpty pass: the applier persists the net
             # frame itself, which is what the MERGE's several jobs reuse

@@ -62,6 +62,17 @@ from pyspark_cdc_engine import log as txlog
 from pyspark_cdc_engine.log import ConcurrentWriteError
 
 
+class NoChangesInWindow(ValueError):
+    """:meth:`DeltaliteTable.read_changes` found commits in the requested
+    window but none carried logical changes (compact/zorder/schema-only/...).
+
+    A distinct type so change-feed consumers can treat it as a benign
+    empty batch while letting every OTHER ``ValueError`` — above all the
+    retention-pruned 'change feed unavailable' refusal, which signals
+    permanent data loss — propagate loudly (the Delta ``failOnDataLoss``
+    contract)."""
+
+
 def _commit_path(log_dir: Path, version: int) -> Path:
     return txlog.commit_path(log_dir, version)
 
@@ -700,7 +711,10 @@ class DeltaliteTable:
         return [self._read_commit(v) for v in reversed(self._versions())]
 
     def read_changes(
-        self, starting_version: int, ending_version: int | None = None
+        self,
+        starting_version: int,
+        ending_version: int | None = None,
+        strict: bool = False,
     ) -> DataFrame:
         """Change Data Feed analog (``table_changes(t, from, to)`` —
         db/query_scd1_table.sql:157-158): rows added by each commit in
@@ -729,7 +743,16 @@ class DeltaliteTable:
         — including cow MERGE, which otherwise contributes nothing (its
         images dissolve into the rewrite). Remaining rewriting commits
         (compact/zorder/restore, cow merge without CDF) contribute nothing:
-        physical reorganizations aren't logical changes.
+        physical reorganizations aren't logical changes. Cow MERGE without
+        CDF is the exception that IS a logical change the feed cannot see —
+        ``strict=True`` (what the replication sinks pass) raises instead of
+        silently omitting it; :meth:`enable_cdf` on the source makes merges
+        replicable.
+
+        Raises :class:`NoChangesInWindow` (a ``ValueError`` subclass) when
+        the window holds commits but none carried logical changes — callers
+        that poll windows treat it as an empty batch while the retention
+        refusal above stays a hard ``ValueError``.
 
         Every slice is read under the END version's schema + column mapping
         (not each commit's own): physical names are stable across renames, so
@@ -759,6 +782,7 @@ class DeltaliteTable:
             prev_dv: list[str] = list(start_commit.get("dv_files") or [])
         else:
             prev_commit, prev_live, prev_dv = None, set(), []
+        unreadable_merges: list[int] = []
         for v in self._versions():
             if v <= starting_version or v > end:
                 continue
@@ -979,11 +1003,24 @@ class DeltaliteTable:
                         .withColumn("_change_type", F.lit(tag))
                         .withColumn("_commit_version", F.lit(v))
                     )
+            elif commit["operation"] == "merge":
+                # cow MERGE without materialized CDF: its logical changes
+                # dissolved into the rewrite and cannot be enumerated
+                unreadable_merges.append(v)
             prev_commit = commit
             prev_live = set(commit["live"])
             prev_dv = list(commit.get("dv_files") or [])
-        if not frames:
+        if strict and unreadable_merges:
             raise ValueError(
+                f"change feed over ({starting_version}, {end}] is incomplete: "
+                f"copy-on-write MERGE commit(s) {unreadable_merges} carry no "
+                f"change-data files — their changes cannot be enumerated. "
+                f"Run enable_cdf() on the source (or merge with mode='dv') "
+                f"so merges materialize CDF, then restart the consumer from "
+                f"a fresh snapshot"
+            )
+        if not frames:
+            raise NoChangesInWindow(
                 f"no logical changes in ({starting_version}, {end}]"
             )
         out = frames[0]
@@ -1369,37 +1406,44 @@ class DeltaliteTable:
         and a later blind re-link of the data commit cannot collide with a
         rival's allocation. A writer that crashes after reserving leaves a
         GAP — exactly Delta's allowance. Returns ``(bases, persisted_df)``;
-        bases is None for an empty batch (nothing to reserve)."""
+        bases is None for an empty batch (nothing to reserve). On ANY raise
+        the persisted df is unpersisted here — the caller's finally only
+        covers the success paths, and a leak per lost reservation race would
+        accumulate cached blocks under concurrent appenders."""
         df = df.persist()
-        n = df.count()
-        if n == 0:
-            return None, df
-        for _ in range(retries + 3):
-            rb, rcommit = self._snapshot()
-            rident = rcommit.get("identity") or {}
-            bases: dict[str, int] = {}
-            reserved: dict[str, dict] = {}
-            for name, spec in rident.items():
-                step = int(spec.get("step", 1))
-                base = int(
-                    spec.get("high", int(spec.get("start", 1)) - step)
-                )
-                bases[name] = base
-                reserved[name] = {**spec, "high": base + n * step}
-            extra: dict = {"identity": reserved}
-            if rcommit.get("schema"):
-                extra["schema"] = rcommit["schema"]
-            try:
-                self._write_commit(
-                    "identity_reserve", rcommit["live"], extra, rb, rcommit
-                )
-                return bases, df
-            except ConcurrentWriteError:
-                continue
-        raise ConcurrentWriteError(
-            "identity reservation kept losing the commit race — retry the "
-            "append under lower write concurrency"
-        )
+        try:
+            n = df.count()
+            if n == 0:
+                return None, df
+            for _ in range(retries + 3):
+                rb, rcommit = self._snapshot()
+                rident = rcommit.get("identity") or {}
+                bases: dict[str, int] = {}
+                reserved: dict[str, dict] = {}
+                for name, spec in rident.items():
+                    step = int(spec.get("step", 1))
+                    base = int(
+                        spec.get("high", int(spec.get("start", 1)) - step)
+                    )
+                    bases[name] = base
+                    reserved[name] = {**spec, "high": base + n * step}
+                extra: dict = {"identity": reserved}
+                if rcommit.get("schema"):
+                    extra["schema"] = rcommit["schema"]
+                try:
+                    self._write_commit(
+                        "identity_reserve", rcommit["live"], extra, rb, rcommit
+                    )
+                    return bases, df
+                except ConcurrentWriteError:
+                    continue
+            raise ConcurrentWriteError(
+                "identity reservation kept losing the commit race — retry "
+                "the append under lower write concurrency"
+            )
+        except BaseException:
+            df.unpersist()
+            raise
 
     def _assign_identity_dense(
         self, df: DataFrame, ident: dict[str, dict], bases: dict[str, int]

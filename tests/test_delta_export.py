@@ -1084,3 +1084,32 @@ def test_read_v2_uuid_checkpoint_with_sidecars(spark, tmp_path):
     (log / "_sidecars" / f"{1:032x}.parquet").unlink()
     with _pytest.raises(ValueError, match="sidecar"):
         read_delta_snapshot(spark, str(dest))
+
+
+def test_read_delta_changes_refuses_pruned_start(spark, tmp_path):
+    """A feed start below a metadata-cleaned log's boundary raises (the
+    missing versions can never iterate) — mirroring DeltaliteTable.
+    read_changes' retention refusal instead of silently returning the
+    surviving suffix as if it were complete."""
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_changes,
+    )
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    for i in range(24):
+        t.append(spark.range(100 + i, 101 + i).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"))
+    t.cleanup_log(retain_last=3)
+    oldest = t._oldest_retained()
+    assert oldest > 1
+    hist = tmp_path / "hist"
+    export_delta_history(t, str(hist))
+    with pytest.raises(ValueError, match="unavailable"):
+        read_delta_changes(spark, str(hist), 0)
+    # the earliest COMPLETE feed (start = the boundary, whose own commit is
+    # the checkpoint) still reads
+    ok = read_delta_changes(spark, str(hist), oldest, t.latest_version())
+    assert ok.count() == t.read_changes(oldest).count()

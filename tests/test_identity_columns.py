@@ -177,3 +177,22 @@ def test_merge_update_clause_cannot_assign_identity(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got[0] == 0 and got[1] == 10 and got[4] == 8
+
+
+def test_failed_reservation_unpersists_the_staged_batch(spark, tmp_path, monkeypatch):
+    """A reservation that exhausts its OCC retries must not leak the
+    persisted batch (r7 left it cached on every failed concurrent append)."""
+    from pyspark_cdc_engine.log import ConcurrentWriteError
+
+    t = _mk(spark, tmp_path / "t")
+    monkeypatch.setattr(
+        t,
+        "_write_commit",
+        lambda *a, **k: (_ for _ in ()).throw(
+            ConcurrentWriteError("simulated rival")
+        ),
+    )
+    df = spark.range(5).selectExpr("id AS payload")
+    with pytest.raises(ConcurrentWriteError, match="losing the commit race"):
+        t._reserve_identity_range(df, retries=0)
+    assert not df.storageLevel.useMemory and not df.storageLevel.useDisk

@@ -451,3 +451,25 @@ def test_documents_ingest_stream_maintains_lsh_index(spark, tmp_path):
     assert inc.exceptAll(full).count() == 0 and full.exceptAll(inc).count() == 0
     ops = [c["operation"] for c in idx.index.history()]
     assert ops.count("append") >= 3 and ops.count("overwrite") == 1  # bootstrap
+
+
+def test_refresh_rebuilds_when_retention_pruned_the_window(spark, tmp_path):
+    """A summary whose watermark lags behind cleanup_log must NOT advance
+    over the pruned commits (r7 swallowed the retention ValueError and
+    recorded the watermark — the pruned appends vanished from the summary
+    forever). The sound move is one full rebuild."""
+    base = DeltaliteTable(spark, str(tmp_path / "base"))
+    base.append(_rows(spark, 0, 50))
+    mv = IncrementalAggregate(
+        spark, base, str(tmp_path / "mv"), keys=["grp"], sum_cols=["v"]
+    )
+    mv.refresh()  # watermark @v0
+    for i in range(25):  # v1..v25 (checkpoint at v20)
+        base.append(_rows(spark, 50 + 2 * i, 52 + 2 * i))
+    assert base.cleanup_log(retain_last=3)  # prune < v20
+    assert base._oldest_retained() > 1
+    v = mv.refresh()
+    assert v == base.latest_version()
+    assert _got(mv) == _expected(base)  # pruned commits' rows present
+    # and it really was a rebuild, not a fold over the surviving suffix
+    assert mv.summary.history()[1]["operation"] == "overwrite"

@@ -452,3 +452,48 @@ def test_log_protocol_roundtrip_under_random_histories(
     assert rv == latest
     assert set(rstate["live"]) == expect_live
     assert rstate.get("txn_high", {}) == expect_th
+
+
+def test_cleanup_deletes_docs_newest_first(tmp_path, monkeypatch):
+    """Doc deletion order is newest-first so a racing reader only ever sees
+    a genesis prefix + the retained suffix (oldest-first would briefly
+    expose an oldest doc that is neither genesis nor checkpoint-backed)."""
+    t = _table(tmp_path)
+    _append_commits(t, 30)
+    calls: list[int] = []
+    real = txlog.commit_path
+
+    def rec(log_dir, v):
+        calls.append(v)
+        return real(log_dir, v)
+
+    monkeypatch.setattr(txlog, "commit_path", rec)
+    txlog.cleanup(t._log_dir, keep_from=20)
+    doomed = list(range(20))
+    assert calls[-len(doomed):] == sorted(doomed, reverse=True)
+
+
+def test_replay_states_reseeds_across_mid_log_gap(tmp_path):
+    """The state a racing reader sees mid-cleanup (docs deleted newest-first:
+    prefix {0..7} + retained {20..}) replays EXACTLY — the prefix from
+    genesis, the suffix re-seeded from the boundary checkpoint. Applying a
+    delta doc across the gap would silently corrupt the live set."""
+    t = _table(tmp_path)
+    _append_commits(t, 30)  # v0..29, checkpoint at v20
+    for v in range(8, 20):  # newest-first deletion interrupted after 19..8
+        txlog.commit_path(t._log_dir, v).unlink()
+    states = {v: st for v, st, _ in txlog.replay_states(t._log_dir)}
+    assert len(states[7]["live"]) == 8    # genesis prefix, exact
+    assert len(states[20]["live"]) == 21  # checkpoint-seeded, not 8+1 deltas
+    assert len(states[29]["live"]) == 30
+
+
+def test_replay_states_raises_on_checkpointless_mid_log_gap(tmp_path):
+    """A gap whose far side has NO checkpoint is corruption, not retention —
+    loud refusal instead of a silently wrong replay."""
+    t = _table(tmp_path)
+    _append_commits(t, 15)  # no checkpoint until v20 would exist
+    for v in range(5, 10):
+        txlog.commit_path(t._log_dir, v).unlink()
+    with pytest.raises(FileNotFoundError, match="corrupt"):
+        list(txlog.replay_states(t._log_dir))

@@ -442,3 +442,75 @@ def txlog_interval() -> int:
     from pyspark_cdc_engine.config import get_config
 
     return get_config().get_int("engine.log-checkpoint-interval")
+
+
+# ---------------------------------------------- failure-signal fidelity (r8)
+
+
+def test_read_changes_no_change_window_raises_distinct_type(spark, tmp_path):
+    """The benign 'no logical changes' case is a NoChangesInWindow — a
+    ValueError SUBCLASS distinct from the retention refusal — so sinks can
+    swallow one without swallowing the other."""
+    from pyspark_cdc_engine.tables import NoChangesInWindow
+
+    t = _mk(spark, tmp_path / "t", n=4)                           # v0
+    t.append(spark.createDataFrame([(7, 7.0)], ["id", "v"]))      # v1
+    t.compact()                                                   # v2 physical
+    with pytest.raises(NoChangesInWindow):
+        t.read_changes(1, 2)  # window holds only the compact commit
+
+
+def test_read_changes_strict_refuses_cow_merge_without_cdf(spark, tmp_path):
+    """strict=True (the replication sinks' mode): a cow MERGE whose images
+    dissolved into the rewrite raises instead of silently vanishing from
+    the feed. Non-strict keeps the lenient ad-hoc-inspection behavior."""
+    from pyspark_cdc_engine.tables import MergeClause
+
+    t = _mk(spark, tmp_path / "t", n=6)                           # v0
+    t.merge(
+        spark.createDataFrame([(1, 99.0)], ["id", "v"]),
+        "target.id = source.id",
+        [MergeClause("update", None, {"v": "source.v"})],
+    )                                                             # v1 cow merge
+    t.append(spark.createDataFrame([(50, 5.0)], ["id", "v"]))     # v2
+    with pytest.raises(ValueError, match="MERGE commit"):
+        t.read_changes(0, 2, strict=True)
+    # non-strict: the append still enumerates, merge silently absent
+    assert t.read_changes(0, 2).count() == 1
+
+
+def test_jvm_sink_fails_loudly_on_cow_merge_without_cdf(spark, tmp_path):
+    """The jvm data path must not advance the checkpoint past a commit whose
+    changes it cannot enumerate (the r7 sink swallowed every ValueError and
+    silently dropped cow-merge changes)."""
+    from pyspark_cdc_engine.tables import MergeClause
+
+    src = _mk(spark, tmp_path / "src", n=6)
+    src.merge(
+        spark.createDataFrame([(1, 99.0)], ["id", "v"]),
+        "target.id = source.id",
+        [MergeClause("update", None, {"v": "source.v"})],
+    )  # cow merge, no CDF
+    q = replicate_stream(
+        spark, src.path, str(tmp_path / "dest"), ["id"], str(tmp_path / "ck")
+    )
+    with pytest.raises(Exception, match="MERGE commit"):
+        q.awaitTermination(240)
+
+
+def test_jvm_sink_fails_loudly_on_retention_pruned_window(spark, tmp_path):
+    """failOnDataLoss on the metadata-only path: a replica whose checkpoint
+    lags behind cleanup_log must fail the stream, not skip the pruned window
+    (r7 swallowed the retention ValueError and advanced the checkpoint —
+    permanent silent data loss)."""
+    src = _mk(spark, tmp_path / "src", n=4)                       # v0
+    _run(spark, src, tmp_path / "dest", tmp_path / "ck")          # drained @v0
+    for i in range(25):                                           # v1..v25
+        src.append(spark.createDataFrame([(100 + i, float(i))], ["id", "v"]))
+    assert src.cleanup_log(retain_last=3)                         # prune <20
+    assert src._oldest_retained() > 1
+    q = replicate_stream(
+        spark, src.path, str(tmp_path / "dest"), ["id"], str(tmp_path / "ck")
+    )
+    with pytest.raises(Exception, match="oldest retained"):
+        q.awaitTermination(240)
