@@ -39,12 +39,14 @@ other without a delta dependency.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import time
 import urllib.parse
 import uuid
 from pathlib import Path
 
+from pyspark_cdc_engine import dvformat
 from pyspark_cdc_engine.tables import DeltaliteTable
 
 
@@ -381,12 +383,20 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
     Protocol enforcement (PROTOCOL.md): the ``protocol`` action is parsed and
     tables demanding reader capabilities we do not implement fail LOUDLY —
     reader version 3 tables are accepted only when every listed readerFeature
-    is supported here (``columnMapping``), and any add-file carrying a
-    ``deletionVector`` is rejected (silently resurrecting deleted rows is the
-    failure mode this guards against). Column mapping mode=name is fully
-    supported: files are resolved via each field's
-    ``delta.columnMapping.physicalName`` and projected back to logical names;
-    mode=id (parquet field-id resolution) is rejected.
+    is supported here (``columnMapping``, ``deletionVectors``,
+    ``v2Checkpoint``). Column mapping mode=name is fully supported: files are
+    resolved via each field's ``delta.columnMapping.physicalName`` and
+    projected back to logical names; mode=id (parquet field-id resolution) is
+    rejected.
+
+    DELETION VECTORS (delta-spark 3.4+ writes them by default for
+    DELETE/UPDATE): each live add's descriptor is resolved through
+    :mod:`pyspark_cdc_engine.dvformat` (inline Z85 or on-disk
+    roaring-bitmap files, framing + CRC verified), and the marked positions
+    are anti-joined against the scan's ``_metadata.row_index`` — the exact
+    mechanism deltalite's own merge-on-read DVs use (tables.py:_read_dirs).
+    Driver memory is bounded by the snapshot's total DELETED-row count (the
+    same bound delta-spark's own DV broadcast carries), not table size.
 
     Partition columns are reconstructed per add-file from the log's
     ``partitionValues`` (cast to the schema's types), grouped so each distinct
@@ -454,7 +464,7 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
     reader_features = {
         f for f in (protocol.get("readerFeatures") or []) if f
     }
-    SUPPORTED_FEATURES = {"columnMapping", "v2Checkpoint"}
+    SUPPORTED_FEATURES = {"columnMapping", "v2Checkpoint", "deletionVectors"}
     if min_reader == 3:
         # v3 tables MUST enumerate readerFeatures; an absent/empty list means
         # we cannot know what the table demands — fail loudly either way
@@ -479,12 +489,20 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
             f"unsupported delta.columnMapping.mode={cm_mode!r} at {path} "
             f"(only 'name' mapping is implemented)"
         )
-    for add in live.values():
-        if add.get("deletionVector"):
-            raise ValueError(
-                f"table at {path} uses deletion vectors "
-                f"({add['path']}); reading it without DV support would "
-                f"resurrect deleted rows — refusing"
+    # deletion vectors: resolve every live add's descriptor driver-side
+    # (each bitmap is small — the delta-spark broadcast carries the same
+    # bound); positions anti-join against _metadata.row_index below. A
+    # checkpoint's add rows carry an all-None deletionVector struct when the
+    # file has none — presence means a non-null storageType.
+    dv_pairs: list[tuple[str, int]] = []  # (abs file path, deleted row index)
+    for rel, add in live.items():
+        desc = add.get("deletionVector")
+        if desc and desc.get("storageType"):
+            # abspath (not resolve: Spark doesn't follow symlinks either) so
+            # the pair matches the scheme-stripped _metadata.file_path
+            fp = os.path.abspath(str(root / Path(urllib.parse.unquote(rel))))
+            dv_pairs.extend(
+                (fp, p) for p in dvformat.dv_positions(desc, root)
             )
 
     if schema_json is None:
@@ -524,19 +542,37 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
     out = None
     for key, files in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(data_schema).parquet(*files)
-        # project physical file columns back to logical names
-        df = df.select(
-            *[
-                F.col(phys_of[f.name]).alias(f.name)
-                for f in data_fields
-            ]
-        )
+        proj = [F.col(phys_of[f.name]).alias(f.name) for f in data_fields]
+        if dv_pairs:
+            # surface the scan's file/position identity, anti-join the DV
+            # marks, then drop — rows a DV tombstones never surface. Files
+            # without a DV never match, so one join covers every group.
+            df = df.select(
+                *proj,
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/"
+                ).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        else:
+            # project physical file columns back to logical names
+            df = df.select(*proj)
         for c, v in zip(partition_cols, key):
             # Delta encodes null partition values as JSON null / missing
             lit = F.lit(None) if v is None or v == "" else F.lit(v)
             df = df.withColumn(c, lit.cast(part_types[c]))
-        df = df.select(*[f.name for f in full_schema.fields])
+        df = df.select(
+            *[f.name for f in full_schema.fields],
+            *(["__fp", "__ri"] if dv_pairs else []),
+        )
         out = df if out is None else out.unionByName(df)
+    if dv_pairs and out is not None:
+        dv_df = spark.createDataFrame(dv_pairs, "dv_fp string, dv_ri bigint")
+        out = out.join(
+            F.broadcast(dv_df),
+            (out["__fp"] == dv_df["dv_fp"]) & (out["__ri"] == dv_df["dv_ri"]),
+            "left_anti",
+        ).drop("__fp", "__ri")
     return out
 
 
@@ -1083,6 +1119,14 @@ def read_delta_changes(
       add — valid while the removed file still exists, i.e. pre-VACUUM);
       ``dataChange=false`` reorganizations contribute nothing.
 
+    DELETION-VECTOR commits (delta-spark's default DELETE/UPDATE since 3.4)
+    derive exactly: a same-commit remove+add of ONE path is a DV
+    transition, whose logical deletes are the positions in (new DV − old
+    DV) — semi-joined against the file's ``_metadata.row_index`` — and
+    whose restores (RESTORE across DV states) are (old − new) as inserts;
+    a fresh add carrying a DV inserts only its unmarked rows; a remove
+    whose file carried a DV deletes only the rows that were still live.
+
     Rows are tagged ``_change_type`` / ``_commit_version`` /
     ``_commit_timestamp`` exactly like :meth:`DeltaliteTable.read_changes`.
     Column mapping (mode=name) resolves physical file columns to logical
@@ -1171,29 +1215,67 @@ def read_delta_changes(
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols, *extra_cols)
 
+    def _abs(rel: str) -> str:
+        return os.path.abspath(str(root / Path(urllib.parse.unquote(rel))))
+
+    def _dv_set(action: dict | None) -> set[int]:
+        desc = (action or {}).get("deletionVector")
+        if desc and desc.get("storageType"):
+            return set(dvformat.dv_positions(desc, root))
+        return set()
+
+    def _pos_scan(paths: list[str]):
+        # normalized (path, row_index) identity alongside the data columns —
+        # the scheme prefix stripped so the join key matches os.path.abspath
+        return spark.read.parquet(*sorted(paths)).select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/"
+            ).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+
+    def _pos_filter(paths: list[str], pairs: list[tuple[str, int]], keep: bool):
+        raw = _pos_scan(paths)
+        pdf = F.broadcast(
+            spark.createDataFrame(pairs, "dv_fp string, dv_ri bigint")
+        )
+        return raw.join(
+            pdf,
+            (raw["__fp"] == pdf["dv_fp"]) & (raw["__ri"] == pdf["dv_ri"]),
+            "left_semi" if keep else "left_anti",
+        )
+
     frames = []
     for v in versions:
         if v <= starting_version or v > end:
             continue
-        cdc_paths, ins_paths, del_paths = [], [], []
+        cdc_paths: list[str] = []
+        adds: dict[str, dict] = {}
+        removes: dict[str, dict] = {}
         ts_ms = None
         for ln in (log_dir / f"{v:020d}.json").read_text().splitlines():
             a = json.loads(ln)
             if a.get("commitInfo"):
                 ts_ms = a["commitInfo"].get("timestamp")
             elif a.get("cdc"):
-                cdc_paths.append(
-                    str(root / urllib.parse.unquote(a["cdc"]["path"]))
-                )
+                cdc_paths.append(_abs(a["cdc"]["path"]))
             elif a.get("add") and a["add"].get("dataChange"):
-                ins_paths.append(
-                    str(root / urllib.parse.unquote(a["add"]["path"]))
-                )
+                adds[a["add"]["path"]] = a["add"]
             elif a.get("remove") and a["remove"].get("dataChange"):
-                del_paths.append(
-                    str(root / urllib.parse.unquote(a["remove"]["path"]))
-                )
+                removes[a["remove"]["path"]] = a["remove"]
         ts = F.timestamp_seconds(F.lit((ts_ms or 0) / 1000.0))
+
+        def _emit(df, tag: str, _v=v, _ts=ts) -> None:
+            # project() selects only schema fields + extras, so the __fp/__ri
+            # join columns fall away here
+            frames.append(
+                project(df, [])
+                .withColumn("_change_type", F.lit(tag))
+                .withColumn("_commit_version", F.lit(_v))
+                .withColumn("_commit_timestamp", _ts)
+            )
+
         if cdc_paths:
             raw = spark.read.parquet(*cdc_paths)
             frames.append(
@@ -1202,21 +1284,50 @@ def read_delta_changes(
                 .withColumn("_commit_timestamp", ts)
             )
             continue
-        for paths, tag in ((ins_paths, "insert"), (del_paths, "delete")):
-            live = [p for p in paths if Path(p).exists()]
-            if len(live) != len(paths):
-                raise ValueError(
-                    f"commit {v}: removed file(s) already vacuumed — the "
-                    f"derived delete rows cannot be reconstructed"
-                )
-            if live:
-                raw = spark.read.parquet(*live)
-                frames.append(
-                    project(raw, [])
-                    .withColumn("_change_type", F.lit(tag))
-                    .withColumn("_commit_version", F.lit(v))
-                    .withColumn("_commit_timestamp", ts)
-                )
+        # classify file actions: DV transitions (same path removed+re-added)
+        # are row-level; everything else is whole-file modulo its DV
+        pos_del: list[tuple[str, int]] = []
+        pos_ins: list[tuple[str, int]] = []
+        ins_plain: list[str] = []
+        ins_dv: list[tuple[str, set[int]]] = []
+        del_plain: list[str] = []
+        del_dv: list[tuple[str, set[int]]] = []
+        for rel, add in adds.items():
+            ap = _abs(rel)
+            if rel in removes:
+                old, new = _dv_set(removes[rel]), _dv_set(add)
+                pos_del.extend((ap, r) for r in sorted(new - old))
+                pos_ins.extend((ap, r) for r in sorted(old - new))
+            else:
+                dv = _dv_set(add)
+                (ins_dv.append((ap, dv)) if dv else ins_plain.append(ap))
+        for rel, rem in removes.items():
+            if rel not in adds:
+                ap = _abs(rel)
+                dv = _dv_set(rem)
+                (del_dv.append((ap, dv)) if dv else del_plain.append(ap))
+        needed = (
+            ins_plain + del_plain
+            + [p for p, _ in ins_dv] + [p for p, _ in del_dv]
+            + sorted({p for p, _ in pos_del} | {p for p, _ in pos_ins})
+        )
+        missing = [p for p in needed if not Path(p).exists()]
+        if missing:
+            raise ValueError(
+                f"commit {v}: file(s) already vacuumed — the derived change "
+                f"rows cannot be reconstructed ({missing[0]})"
+            )
+        for paths, tag in ((ins_plain, "insert"), (del_plain, "delete")):
+            if paths:
+                _emit(spark.read.parquet(*sorted(paths)), tag)
+        for group, tag in ((ins_dv, "insert"), (del_dv, "delete")):
+            if group:
+                pairs = [(p, r) for p, dv in group for r in sorted(dv)]
+                _emit(_pos_filter([p for p, _ in group], pairs, keep=False), tag)
+        for pairs, tag in ((pos_del, "delete"), (pos_ins, "insert")):
+            if pairs:
+                _emit(_pos_filter(sorted({p for p, _ in pairs}), pairs,
+                                  keep=True), tag)
     if not frames:
         raise ValueError(f"no changes in ({starting_version}, {end}]")
     out = frames[0]

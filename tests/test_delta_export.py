@@ -278,25 +278,27 @@ def test_reader_rejects_unsupported_features_and_dvs(spark, tmp_path):
     commit = dest / "_delta_log" / f"{0:020d}.json"
     actions = [json.loads(ln) for ln in commit.read_text().splitlines()]
 
-    # reader-version-3 feature set beyond our support
+    # reader-version-3 feature set beyond our support (deletionVectors and
+    # columnMapping are implemented now — typeWidening is not)
     mutated = list(actions)
     mutated[1] = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                               "readerFeatures": ["deletionVectors"]}}
+                               "readerFeatures": ["typeWidening"]}}
     commit.write_text("\n".join(json.dumps(a) for a in mutated) + "\n")
     with pytest.raises(ValueError, match="readerFeatures"):
         read_delta_snapshot(spark, str(dest))
 
-    # a deletion vector on an add action
+    # a malformed deletion-vector descriptor on an add action still refuses
+    # loudly (unknown storage type — never guess)
     mutated = list(actions)
     for a in mutated:
         if "add" in a:
             a["add"]["deletionVector"] = {
-                "storageType": "u", "pathOrInlineDv": "x", "offset": 1,
+                "storageType": "x", "pathOrInlineDv": "x", "offset": 1,
                 "sizeInBytes": 40, "cardinality": 2,
             }
             break
     commit.write_text("\n".join(json.dumps(a) for a in mutated) + "\n")
-    with pytest.raises(ValueError, match="deletion vectors"):
+    with pytest.raises(ValueError, match="storageType"):
         read_delta_snapshot(spark, str(dest))
 
     # column mapping by parquet field id: unsupported mode
@@ -1113,3 +1115,194 @@ def test_read_delta_changes_refuses_pruned_start(spark, tmp_path):
     # the checkpoint) still reads
     ok = read_delta_changes(spark, str(hist), oldest, t.latest_version())
     assert ok.count() == t.read_changes(oldest).count()
+
+
+# ----------------------------------------------------- DV read on import (r8)
+
+
+def _dv_delete(dest: Path, rel: str, positions, version: int,
+               storage: str = "u", prefix: str = ""):
+    """Hand-write the commit delta-spark produces for a DV DELETE on one
+    file: protocol upgrade to readerFeatures=[deletionVectors], then
+    remove(path, old DV) + add(path, new DV), both dataChange. Returns the
+    descriptor."""
+    from pyspark_cdc_engine import dvformat
+
+    if storage == "u":
+        desc = dvformat.write_dv_file(dest, positions, random_prefix=prefix)
+    else:
+        desc = dvformat.inline_descriptor(positions)
+    log = dest / "_delta_log"
+    prev_adds = [
+        a["add"] for p in sorted(log.glob("*.json"))
+        for a in map(json.loads, p.read_text().splitlines())
+        if a.get("add") and a["add"]["path"] == rel
+    ]
+    old = prev_adds[-1]
+    lines = [
+        {"commitInfo": {"timestamp": 1700000000000 + version,
+                        "operation": "DELETE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"remove": {"path": rel, "dataChange": True,
+                    "deletionTimestamp": 1700000000000,
+                    **({"deletionVector": old["deletionVector"]}
+                       if old.get("deletionVector") else {})}},
+        {"add": {**old, "dataChange": True, "deletionVector": desc}},
+    ]
+    (log / f"{version:020d}.json").write_text(
+        "\n".join(json.dumps(ln) for ln in lines)
+    )
+    return desc
+
+
+def test_dv_snapshot_read_drops_marked_rows(spark, tmp_path):
+    """A real-Delta table whose adds carry deletion vectors (the delta-spark
+    3.4+ default for DELETE) imports with the tombstoned rows absent — on-disk
+    'u' DVs (with and without a random prefix) and inline 'i' DVs alike, at
+    every version."""
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(40).selectExpr("id", "id * 2 AS dbl"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))                               # v0
+    rels = sorted(
+        a["add"]["path"] for a in _read_actions(dest) if a.get("add")
+    )
+    assert len(rels) >= 2
+    # positions are file-relative: map each file's rows to global ids first
+    import pyarrow.parquet as pq_
+
+    def ids_at(rel, positions):
+        col = pq_.read_table(str(dest / rel), columns=["id"])["id"].to_pylist()
+        return {col[p] for p in positions}
+
+    gone = ids_at(rels[0], [0, 2]) | ids_at(rels[1], [1])
+    _dv_delete(dest, rels[0], [0, 2], version=1)                      # u, no prefix
+    _dv_delete(dest, rels[1], [1], version=2, storage="i")            # inline
+    got = {r.id for r in read_delta_snapshot(spark, str(dest)).collect()}
+    assert got == set(range(40)) - gone
+    # time travel: v1 has only the first file's DV
+    got_v1 = {r.id for r in read_delta_snapshot(spark, str(dest), 1).collect()}
+    assert got_v1 == set(range(40)) - ids_at(rels[0], [0, 2])
+    # v0 still reads everything
+    assert read_delta_snapshot(spark, str(dest), 0).count() == 40
+
+
+def test_dv_grows_on_second_delete_and_prefix_storage(spark, tmp_path):
+    """A second DELETE replaces the file's DV with a superset (delta
+    semantics: DVs are per-add absolute, not deltas) — and a 'u' DV under a
+    random prefix directory resolves."""
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(20).repartition(1).selectExpr("id"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    rel = next(a["add"]["path"] for a in _read_actions(dest) if a.get("add"))
+    _dv_delete(dest, rel, [3], version=1, prefix="ab")
+    _dv_delete(dest, rel, [3, 7, 11], version=2, prefix="cd")
+    import pyarrow.parquet as pq_
+
+    col = pq_.read_table(str(dest / rel), columns=["id"])["id"].to_pylist()
+    got = {r.id for r in read_delta_snapshot(spark, str(dest)).collect()}
+    assert got == set(col) - {col[3], col[7], col[11]}
+    got1 = {r.id for r in read_delta_snapshot(spark, str(dest), 1).collect()}
+    assert got1 == set(col) - {col[3]}
+
+
+def test_dv_integrity_failures_raise(spark, tmp_path):
+    """Corrupt DV bytes / missing sidecars refuse loudly — never resurrect
+    or over-delete rows silently."""
+    from pyspark_cdc_engine import dvformat
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(10).repartition(1).selectExpr("id"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    rel = next(a["add"]["path"] for a in _read_actions(dest) if a.get("add"))
+    desc = _dv_delete(dest, rel, [1, 2], version=1)
+    fp = dvformat.dv_file_path(desc, dest)
+    blob = bytearray(fp.read_bytes())
+    blob[-6] ^= 0xFF  # flip a payload byte: CRC must catch it
+    fp.write_bytes(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        read_delta_snapshot(spark, str(dest)).collect()
+    fp.unlink()
+    with pytest.raises(ValueError, match="missing"):
+        read_delta_snapshot(spark, str(dest)).collect()
+
+
+def test_dv_change_feed_emits_exact_row_level_changes(spark, tmp_path):
+    """table_changes over DV commits: a DV DELETE (remove+add of the same
+    path with a grown DV) emits ONLY the newly-marked rows as deletes —
+    never the whole file as delete+insert — and a later whole-file remove
+    emits only the rows that were still live."""
+    from pyspark_cdc_engine.delta_export import read_delta_changes
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(30).repartition(1).selectExpr("id"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))                               # v0
+    rel = next(a["add"]["path"] for a in _read_actions(dest) if a.get("add"))
+    import pyarrow.parquet as pq_
+
+    col = pq_.read_table(str(dest / rel), columns=["id"])["id"].to_pylist()
+    _dv_delete(dest, rel, [2, 5], version=1)                          # DELETE
+    _dv_delete(dest, rel, [2, 5, 9], version=2)                       # DELETE
+    feed = read_delta_changes(spark, str(dest), 0, 2)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r.id) for r in feed.collect()
+    )
+    assert got == [
+        (1, "delete", col[2]), (1, "delete", col[5]),
+        (2, "delete", col[9]),
+    ]
+    # whole-file remove after the DVs: only the 27 surviving rows delete
+    log = dest / "_delta_log"
+    (log / f"{3:020d}.json").write_text(json.dumps(
+        {"remove": {"path": rel, "dataChange": True,
+                    "deletionVector": json.loads(
+                        (log / f"{2:020d}.json").read_text().splitlines()[-1]
+                    )["add"]["deletionVector"]}}) + "\n")
+    feed3 = read_delta_changes(spark, str(dest), 2, 3)
+    rows3 = [(r["_change_type"], r.id) for r in feed3.collect()]
+    assert sorted(rows3) == sorted(
+        ("delete", x) for x in set(col) - {col[2], col[5], col[9]}
+    )
+
+
+def test_dv_change_feed_fresh_add_with_dv_inserts_unmarked_rows(spark, tmp_path):
+    """An add of a NEW file that already carries a DV (e.g. RESTORE across a
+    DV state) inserts only its unmarked rows."""
+    from pyspark_cdc_engine import dvformat
+    from pyspark_cdc_engine.delta_export import read_delta_changes
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(12).repartition(1).selectExpr("id"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    rel = next(a["add"]["path"] for a in _read_actions(dest) if a.get("add"))
+    import pyarrow.parquet as pq_
+
+    col = pq_.read_table(str(dest / rel), columns=["id"])["id"].to_pylist()
+    # copy the file under a new name, add it WITH a DV in one commit
+    new_rel = "part-copy.parquet"
+    (dest / new_rel).write_bytes((dest / rel).read_bytes())
+    desc = dvformat.write_dv_file(dest, [0, 4])
+    (dest / "_delta_log" / f"{1:020d}.json").write_text("\n".join(
+        json.dumps(ln) for ln in [
+            {"commitInfo": {"timestamp": 1700000000001, "operation": "RESTORE"}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            {"add": {"path": new_rel, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "deletionVector": desc}},
+        ]))
+    feed = read_delta_changes(spark, str(dest), 0, 1)
+    got = sorted((r["_change_type"], r.id) for r in feed.collect())
+    assert got == sorted(("insert", x) for x in set(col) - {col[0], col[4]})
