@@ -384,10 +384,13 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
     tables demanding reader capabilities we do not implement fail LOUDLY —
     reader version 3 tables are accepted only when every listed readerFeature
     is supported here (``columnMapping``, ``deletionVectors``,
-    ``v2Checkpoint``). Column mapping mode=name is fully supported: files are
-    resolved via each field's ``delta.columnMapping.physicalName`` and
-    projected back to logical names; mode=id (parquet field-id resolution) is
-    rejected.
+    ``v2Checkpoint``). Column mapping: mode=name resolves files via each
+    field's ``delta.columnMapping.physicalName`` and projects back to
+    logical names; mode=id resolves by PARQUET FIELD ID through Spark's
+    native ``spark.sql.parquet.fieldId.read.enabled`` mechanism (the read
+    schema carries ``parquet.field.id`` metadata), which also covers files
+    whose column names match neither logical nor physical names (the
+    Iceberg-converted/UniForm shape).
 
     DELETION VECTORS (delta-spark 3.4+ writes them by default for
     DELETE/UPDATE): each live add's descriptor is resolved through
@@ -484,10 +487,10 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
             f"unsupported Delta minReaderVersion={min_reader} at {path}"
         )
     cm_mode = configuration.get("delta.columnMapping.mode", "none")
-    if cm_mode not in ("none", "", "name"):
+    if cm_mode not in ("none", "", "name", "id"):
         raise ValueError(
             f"unsupported delta.columnMapping.mode={cm_mode!r} at {path} "
-            f"(only 'name' mapping is implemented)"
+            f"(only 'name' and 'id' mapping are implemented)"
         )
     # deletion vectors: resolve every live add's descriptor driver-side
     # (each bitmap is small — the delta-spark broadcast carries the same
@@ -511,7 +514,7 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
         raise ValueError(f"empty Delta snapshot at {path}")
 
     full_schema = StructType.fromJson(json.loads(schema_json))
-    mapped = cm_mode == "name"
+    mapped = cm_mode in ("name", "id")
 
     def phys_name(f: StructField) -> str:
         if mapped and f.metadata and "delta.columnMapping.physicalName" in f.metadata:
@@ -520,9 +523,23 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
 
     phys_of = {f.name: phys_name(f) for f in full_schema.fields}
     data_fields = [f for f in full_schema.fields if f.name not in partition_cols]
-    data_schema = StructType(
-        [StructField(phys_of[f.name], f.dataType, f.nullable) for f in data_fields]
-    )
+    # id mapping resolves file columns by PARQUET FIELD ID, not name —
+    # Spark's native mechanism: a read-schema field whose metadata carries
+    # `parquet.field.id` matches by id when
+    # spark.sql.parquet.fieldId.read.enabled is on. Enabling the conf is a
+    # safe global (schemas without id metadata are untouched), and it's the
+    # only correct path for id-mode files whose column names differ from the
+    # physicalName (e.g. Iceberg-converted / UniForm tables).
+    if cm_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+    def _scan_field(f: StructField) -> StructField:
+        meta = None
+        if cm_mode == "id" and f.metadata and "delta.columnMapping.id" in f.metadata:
+            meta = {"parquet.field.id": int(f.metadata["delta.columnMapping.id"])}
+        return StructField(phys_of[f.name], f.dataType, f.nullable, meta)
+
+    data_schema = StructType([_scan_field(f) for f in data_fields])
     part_types = {
         f.name: f.dataType for f in full_schema.fields if f.name in partition_cols
     }

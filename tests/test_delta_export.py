@@ -301,13 +301,15 @@ def test_reader_rejects_unsupported_features_and_dvs(spark, tmp_path):
     with pytest.raises(ValueError, match="storageType"):
         read_delta_snapshot(spark, str(dest))
 
-    # column mapping by parquet field id: unsupported mode
+    # a column-mapping mode we've never heard of (name and id are supported)
     mutated = [json.loads(ln) for ln in commit.read_text().splitlines()]
     for a in mutated:
         if "add" in a:
             a["add"].pop("deletionVector", None)
         if "metaData" in a:
-            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+            a["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "telepathy"
+            }
     commit.write_text("\n".join(json.dumps(a) for a in mutated) + "\n")
     with pytest.raises(ValueError, match="columnMapping.mode"):
         read_delta_snapshot(spark, str(dest))
@@ -1306,3 +1308,101 @@ def test_dv_change_feed_fresh_add_with_dv_inserts_unmarked_rows(spark, tmp_path)
     feed = read_delta_changes(spark, str(dest), 0, 1)
     got = sorted((r["_change_type"], r.id) for r in feed.collect())
     assert got == sorted(("insert", x) for x in set(col) - {col[0], col[4]})
+
+
+# ------------------------------------------------- id-mode column mapping (r8)
+
+
+def test_id_mode_column_mapping_resolves_by_field_id(spark, tmp_path):
+    """delta.columnMapping.mode=id: file columns resolve by PARQUET FIELD ID.
+    The data file's column names deliberately differ from both the logical
+    and the physical names (the UniForm/Iceberg-converted shape) — only id
+    matching can read it correctly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    dest = tmp_path / "delta_id"
+    (dest / "_delta_log").mkdir(parents=True)
+    tbl = pa.table({}).from_arrays(
+        [pa.array([1, 2, 3], pa.int64()), pa.array(["a", "b", "c"])],
+        schema=pa.schema([
+            pa.field("weird_1", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("weird_2", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+        ]),
+    )
+    pq_.write_table(tbl, str(dest / "part-0.parquet"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-phys-1"}},
+            {"name": "label", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-phys-2"}},
+        ],
+    }
+    lines = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"],
+                      "writerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": "0000", "format": {"provider": "parquet"},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "id",
+                                        "delta.columnMapping.maxColumnId": "2"}}},
+        {"add": {"path": "part-0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    (dest / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(ln) for ln in lines)
+    )
+    got = read_delta_snapshot(spark, str(dest))
+    assert [f.name for f in got.schema.fields] == ["id", "label"]
+    assert sorted((r.id, r.label) for r in got.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+
+
+def test_id_mode_with_delta_spark_style_files(spark, tmp_path):
+    """The common delta-spark id-mode shape: files carry BOTH field ids and
+    physicalName column names. Must read identically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    dest = tmp_path / "delta_id2"
+    (dest / "_delta_log").mkdir(parents=True)
+    tbl = pa.Table.from_arrays(
+        [pa.array([10.5, 20.5])],
+        schema=pa.schema([
+            pa.field("col-abc", pa.float64(),
+                     metadata={b"PARQUET:field_id": b"7"}),
+        ]),
+    )
+    pq_.write_table(tbl, str(dest / "f.parquet"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "price", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 7,
+                          "delta.columnMapping.physicalName": "col-abc"}},
+        ],
+    }
+    lines = [
+        {"metaData": {"id": "0001", "format": {"provider": "parquet"},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+        {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    (dest / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(ln) for ln in lines)
+    )
+    got = read_delta_snapshot(spark, str(dest))
+    assert sorted(r.price for r in got.collect()) == [10.5, 20.5]
