@@ -376,7 +376,15 @@ def connected_components(
     in ~20 rounds, not 1M. Safety: a label only ever holds a node id from its
     own component (labels enter via edges or via another label in the same
     component) and is monotone non-increasing, so the fixpoint is exactly the
-    per-component min. Every round materializes via
+    per-component min.
+
+    The loop runs ONLY over nodes that appear in an edge: an isolated node's
+    label can never change (no neighbor, label(label)=self), so iterating it
+    is pure waste — and in a near-dup corpus almost every document is
+    isolated, which made per-round cost O(corpus) instead of O(dup subgraph)
+    (the r7 heavy-scaling lane's worst exponent came from exactly this).
+    Isolated nodes join the result once at the end as their own singleton
+    cluster. Every round materializes via
     :func:`pyspark_cdc_engine.checkpointing.materialize` (reliable
     ``checkpoint()`` when ``engine.checkpoint-dir`` is configured — an
     executor loss mid-loop on a real cluster then recovers instead of killing
@@ -387,7 +395,11 @@ def connected_components(
     edges = materialize(
         pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     )
-    labels = nodes.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("label"))
+    # both edge directions are present, so src alone covers every non-isolated
+    # node; the loop's label table is the DUP SUBGRAPH, not the corpus
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
@@ -436,10 +448,15 @@ def connected_components(
         raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
     if stats is not None:
         stats["rounds"] = rounds
-    return labels.select(
-        F.col("id").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("label") == F.col("id")).alias("is_canonical"),
+    # isolated nodes (never touched by the loop) are their own clusters
+    return (
+        nodes.select(F.col("doc_id").alias("id"))
+        .join(labels.withColumnRenamed("label", "clabel"), "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("clabel", "id").alias("cluster_id"),
+            (F.coalesce("clabel", "id") == F.col("id")).alias("is_canonical"),
+        )
     )
 
 
