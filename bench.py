@@ -360,11 +360,21 @@ def main() -> None:
             repl = {"err": f"{type(e).__name__}: {e}"[:500]}
 
     heavy = None
-    if os.environ.get("BENCH_HEAVY_SCALE", "0") != "0":
+    # Default ON for full runs (r7 verdict ask #6: the lane is part of the
+    # round protocol at 10x; 30x stays a manual BENCH_HEAVY_FACTOR=30 run).
+    # Partial BENCH_ONLY runs skip it unless explicitly requested.
+    heavy_default = "0" if only else "1"
+    if os.environ.get("BENCH_HEAVY_SCALE", heavy_default) != "0":
         try:
             heavy = bench_heavy_scaling(
                 spark, sf_dir,
                 factor=int(os.environ.get("BENCH_HEAVY_FACTOR", "10")),
+            )
+            # lane gate: >1.1 means super-linear growth the small-sf lanes
+            # can't see — surface it as a first-class violation list
+            heavy["violations"] = sorted(
+                n for n, v in heavy.get("queries", {}).items()
+                if v.get("exponent", 0) > 1.1
             )
         except Exception as e:  # noqa: BLE001
             heavy = {"err": f"{type(e).__name__}: {e}"[:500]}
@@ -438,7 +448,7 @@ def main() -> None:
     if heavy is not None:
         compact["heavy_scaling"] = {
             k: heavy[k]
-            for k in ("factor", "max_exponent", "median_exponent")
+            for k in ("factor", "max_exponent", "median_exponent", "violations")
             if k in heavy
         } or heavy
     print(json.dumps(compact, separators=(",", ":")))
