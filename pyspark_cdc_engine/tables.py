@@ -2358,6 +2358,99 @@ class DeltaliteTable:
                 shutil.rmtree(self._root / rel, ignore_errors=True)
         return dead
 
+    def _dv_target_dirs(self, dv_rels: list[str]) -> set[str]:
+        """Data-dir rels a set of DV sidecars tombstone into: each sidecar's
+        distinct ``file_path`` values, relativized to the table root and cut
+        to the ``data/<dir>`` component. Driver-side pyarrow read of the
+        (tiny) sidecars only — the conflict checker's file-overlap probe."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return set()
+        dirs: set[str] = set()
+        root = str(self._root.resolve())
+        for rel in dv_rels:
+            for f in sorted((self._root / rel).rglob("*.parquet")):
+                col = pq.read_table(str(f), columns=["file_path"])["file_path"]
+                for fp in set(col.to_pylist()):
+                    p = re.sub(r"^[a-z][a-zA-Z0-9+.-]*:/+", "/", fp)
+                    if p.startswith(root):
+                        parts = Path(p[len(root):].lstrip("/")).parts
+                        if len(parts) >= 2:
+                            dirs.add("/".join(parts[:2]))
+        return dirs
+
+    # Interleaved operations a DML retry can tolerate (subject to the
+    # file-overlap checks): data-changing commits whose effect on OTHER
+    # files composes with ours, plus metadata-neutral bookkeeping. Anything
+    # else (overwrite, restore, schema DDL, set_cdf, clone...) invalidates
+    # the premise that re-linking our staged result is equivalent to a
+    # serial re-run.
+    _DML_COMPATIBLE_OPS = frozenset({
+        "append", "identity_reserve", "refresh", "analyze",
+        "delete", "update", "merge", "compact", "zorder",
+    })
+
+    def _dml_conflict_reason(
+        self,
+        base: int,
+        base_commit: dict,
+        new_base: int,
+        new_commit: dict,
+        touched: set[str],
+    ) -> str | None:
+        """Delta WriteSerializable conflict detection for a DML retry: None
+        when every commit in ``(base, new_base]`` is file-level DISJOINT
+        from ``touched`` (the dirs this DML read and/or replaced) and no
+        carried metadata this DML depends on changed; else the reason to
+        abort. Mirrors Delta's ConflictChecker: concurrent blind appends are
+        always fine (our predicate simply doesn't see the new rows — the
+        WriteSerializable history), concurrent DML/compaction is fine iff it
+        rewrote/removed/tombstoned only files we didn't touch."""
+        for key in ("schema", "constraints", "column_mapping", "partition_by",
+                    "cdf", "generated", "identity"):
+            if new_commit.get(key) != base_commit.get(key):
+                return f"carried {key} changed concurrently"
+        for v in range(base + 1, new_base + 1):
+            doc = self._raw_commit(v)
+            op = doc.get("operation")
+            if "live" in doc:
+                return f"snapshot-style commit at version {v}"
+            if op not in self._DML_COMPATIBLE_OPS:
+                return f"interleaved {op} commit at version {v}"
+            overlap = set(doc.get("remove") or []) & touched
+            if overlap:
+                return (
+                    f"version {v} ({op}) rewrote shared file "
+                    f"{sorted(overlap)[0]}"
+                )
+            if "dv_files" in doc:
+                # rival tombstones into a dir we read would be buried by our
+                # rewrite (cow) or double-attributed (dv) — overlap = conflict
+                prev_dv = set(
+                    txlog.state_at(self._log_dir, v - 1).get("dv_files") or []
+                )
+                new_dvs = [r for r in doc["dv_files"] if r not in prev_dv]
+                dv_overlap = self._dv_target_dirs(new_dvs) & touched
+                if dv_overlap:
+                    return (
+                        f"version {v} ({op}) tombstoned into shared file "
+                        f"{sorted(dv_overlap)[0]}"
+                    )
+        return None
+
+    @staticmethod
+    def _dml_retries() -> int:
+        """Conflict-retry budget for DELETE/UPDATE under concurrent writers
+        (Delta's WriteSerializable re-resolution). 0 restores the pre-r8
+        always-refuse behavior."""
+        try:
+            from pyspark_cdc_engine.config import get_config
+
+            return get_config().get_int("engine.dml-conflict-retries", 3)
+        except Exception:
+            return 3
+
     def _dml_rewrite(
         self,
         op: str,
@@ -2417,10 +2510,47 @@ class DeltaliteTable:
             extra["pruned_dirs_kept"] = len(kept)
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
-        return self._commit_staged(
-            op, [*kept, *rels], staged, extra, base, commit,
-            stats_cols=tuple(prune_bounds or ()),
-        )
+        # WriteSerializable conflict re-resolution (Delta's OCC shape, the
+        # r7 verdict ask): losing the version race aborts only when an
+        # interleaved commit actually touched the dirs this DML read —
+        # disjoint-file concurrent DML re-links the SAME staged rewrite
+        # against the new snapshot. `touched` is the read+replace set; kept
+        # (stats-pruned) dirs were never read, so rivals may do anything to
+        # them.
+        touched = set(live)
+        retries = self._dml_retries()
+        attempt = 0
+        while True:
+            try:
+                return self._commit_staged(
+                    op, [*kept, *rels], staged, extra, base, commit,
+                    stats_cols=tuple(prune_bounds or ()),
+                    keep_staged_on_conflict=attempt < retries,
+                )
+            except ConcurrentWriteError:
+                if attempt >= retries:
+                    raise
+                attempt += 1
+                new_base, new_commit = self._snapshot()
+                reason = self._dml_conflict_reason(
+                    base, commit, new_base, new_commit, touched
+                )
+                if reason is None and txn_app is not None and txn_version is not None:
+                    last = self.last_txn_version(txn_app)
+                    if last is not None and txn_version <= last:
+                        for r in staged:
+                            self._discard_staged(r)
+                        return new_base  # another replica landed our batch
+                if reason is not None:
+                    for r in staged:
+                        self._discard_staged(r)
+                    raise ConcurrentWriteError(
+                        f"{op} retry abandoned at version {new_base}: {reason}"
+                    ) from None
+                kept = [d for d in new_commit["live"] if d not in touched]
+                if "pruned_dirs_kept" in extra:
+                    extra["pruned_dirs_kept"] = len(kept)
+                base, commit = new_base, new_commit
 
     def delete(
         self,
@@ -2512,9 +2642,39 @@ class DeltaliteTable:
             )
         )
         rel = self._write_dv_sidecar(matched, base + 1)
-        extra["dv_files"] = [*prior, rel]
         extra["dv_rows_added"] = self._dv_rows([rel])
-        return self._write_commit("delete", commit["live"], extra, base, commit)
+        # conflict re-resolution (same WriteSerializable contract as
+        # _dml_rewrite): our tombstones stay valid as long as no interleaved
+        # commit rewrote or tombstoned into the dirs we scanned; the DV list
+        # rebases onto the new snapshot's carried set. A lost sidecar is
+        # inert (never referenced), so no cleanup on abort.
+        touched = set(live)
+        retries = self._dml_retries()
+        attempt = 0
+        while True:
+            extra["dv_files"] = [*(commit.get("dv_files") or []), rel]
+            try:
+                return self._write_commit(
+                    "delete", commit["live"], extra, base, commit
+                )
+            except ConcurrentWriteError:
+                if attempt >= retries:
+                    raise
+                attempt += 1
+                new_base, new_commit = self._snapshot()
+                if txn_app is not None and txn_version is not None:
+                    last = self.last_txn_version(txn_app)
+                    if last is not None and txn_version <= last:
+                        return new_base
+                reason = self._dml_conflict_reason(
+                    base, commit, new_base, new_commit, touched
+                )
+                if reason is not None:
+                    raise ConcurrentWriteError(
+                        f"delete retry abandoned at version {new_base}: "
+                        f"{reason}"
+                    ) from None
+                base, commit = new_base, new_commit
 
     def _write_dv_sidecar(self, tombstones: DataFrame, version_hint: int) -> str:
         """Write a (file_path, row_index) tombstone parquet under ``_dv/`` and
@@ -2600,12 +2760,43 @@ class DeltaliteTable:
             mapping=self._mapping(commit),
         )
         rels = self._staged_rels(rel, commit.get("partition_by"))
-        extra["dv_files"] = [*prior, dv_rel]
         extra["dv_rows_added"] = self._dv_rows([dv_rel])
-        return self._commit_staged(
-            "update", [*commit["live"], *rels], rels, extra, base, commit,
-            stats_cols=tuple(prune_bounds or ()),
-        )
+        # same conflict re-resolution as _dv_delete; the post-image data dir
+        # is staged, so keep it across retries and discard it on abort.
+        # (set literal: this method's SET-clause param shadows builtins.set)
+        touched = {*live}
+        retries = self._dml_retries()
+        attempt = 0
+        while True:
+            extra["dv_files"] = [*(commit.get("dv_files") or []), dv_rel]
+            try:
+                return self._commit_staged(
+                    "update", [*commit["live"], *rels], rels, extra, base,
+                    commit, stats_cols=tuple(prune_bounds or ()),
+                    keep_staged_on_conflict=attempt < retries,
+                )
+            except ConcurrentWriteError:
+                if attempt >= retries:
+                    raise
+                attempt += 1
+                new_base, new_commit = self._snapshot()
+                if txn_app is not None and txn_version is not None:
+                    last = self.last_txn_version(txn_app)
+                    if last is not None and txn_version <= last:
+                        for r in rels:
+                            self._discard_staged(r)
+                        return new_base
+                reason = self._dml_conflict_reason(
+                    base, commit, new_base, new_commit, touched
+                )
+                if reason is not None:
+                    for r in rels:
+                        self._discard_staged(r)
+                    raise ConcurrentWriteError(
+                        f"update retry abandoned at version {new_base}: "
+                        f"{reason}"
+                    ) from None
+                base, commit = new_base, new_commit
 
     def update(
         self,

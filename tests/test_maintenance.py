@@ -1208,3 +1208,161 @@ def test_zvalue_many_keys_stays_in_63_bits(spark, tmp_path):
     # the curve still discriminates: a full zorder pass stays correct
     t.zorder_by(*cols, target_partitions=4)
     assert t.read().count() == 256
+
+
+# -------------------------------------------- disjoint-file concurrent DML (r8)
+
+
+def _two_dir_table(spark, tmp_path):
+    """Two data dirs with disjoint id ranges (stats logged at write time)."""
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(0, 10).selectExpr("id", "id * 1.0 AS v"))
+    t.append(spark.range(100, 110).selectExpr("id", "id * 1.0 AS v"))
+    return t
+
+
+def _interleave(victim, action):
+    """Run ``action`` inside ``victim``'s data-write window, so the victim's
+    commit targets a stale snapshot (the classic OCC race)."""
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    orig = DeltaliteTable._write_data_dir
+    state = {"fired": False}
+
+    def hook(df, hint, partition_by=None, **kw):
+        rel = orig(victim, df, hint, partition_by=partition_by, **kw)
+        if not state["fired"]:
+            state["fired"] = True
+            action()
+        return rel
+
+    victim._write_data_dir = hook
+    return victim
+
+
+def test_concurrent_disjoint_cow_deletes_both_succeed(spark, tmp_path):
+    """Delta WriteSerializable: two stats-pruned DELETEs touching disjoint
+    files both land — the loser re-resolves against the new snapshot and
+    re-links its staged rewrite. Final state equals the serial result."""
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = _two_dir_table(spark, tmp_path)
+    a = DeltaliteTable(spark, t.path)
+    b = DeltaliteTable(spark, t.path)
+    _interleave(a, lambda: b.delete("id = 105", prune_bounds={"id": (100, 109)}))
+    a.delete("id = 3", prune_bounds={"id": (0, 9)})
+    assert sorted(r.id for r in t.read().collect()) == (
+        [i for i in range(10) if i != 3]
+        + [i for i in range(100, 110) if i != 105]
+    )
+    ops = [h["operation"] for h in t.history()]
+    assert ops[:2] == ["delete", "delete"]  # no lost update, no merge-away
+
+
+def test_concurrent_overlapping_cow_deletes_refuse(spark, tmp_path):
+    """Same race on the SAME file: the loser must abort (its rewrite was
+    computed against pre-rival bytes — re-linking would bury the rival)."""
+    from pyspark_cdc_engine.log import ConcurrentWriteError
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = _two_dir_table(spark, tmp_path)
+    a = DeltaliteTable(spark, t.path)
+    b = DeltaliteTable(spark, t.path)
+    _interleave(a, lambda: b.delete("id = 5", prune_bounds={"id": (0, 9)}))
+    with pytest.raises(ConcurrentWriteError, match="shared file"):
+        a.delete("id = 3", prune_bounds={"id": (0, 9)})
+    # rival's delete intact, victim's aborted cleanly
+    assert sorted(r.id for r in t.read().collect()) == (
+        [i for i in range(10) if i != 5] + list(range(100, 110))
+    )
+
+
+def test_concurrent_append_and_delete_both_succeed(spark, tmp_path):
+    """A blind append interleaving a DELETE never conflicts (the
+    WriteSerializable history: the delete simply doesn't see the new rows)."""
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = _two_dir_table(spark, tmp_path)
+    a = DeltaliteTable(spark, t.path)
+    b = DeltaliteTable(spark, t.path)
+    _interleave(a, lambda: b.append(
+        spark.range(200, 203).selectExpr("id", "id * 1.0 AS v")))
+    a.delete("id < 2", prune_bounds={"id": (0, 9)})
+    assert sorted(r.id for r in t.read().collect()) == (
+        list(range(2, 10)) + list(range(100, 110)) + [200, 201, 202]
+    )
+
+
+def test_concurrent_disjoint_dv_deletes_both_succeed(spark, tmp_path):
+    """Merge-on-read deletes on disjoint files compose: the loser rebases its
+    sidecar onto the new snapshot's DV list."""
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = _two_dir_table(spark, tmp_path)
+    a = DeltaliteTable(spark, t.path)
+    b = DeltaliteTable(spark, t.path)
+
+    orig = DeltaliteTable._write_dv_sidecar
+    state = {"fired": False}
+
+    def hook(self_, tombstones, hint):
+        rel = orig(a, tombstones, hint)
+        if not state["fired"]:
+            state["fired"] = True
+            b.delete("id = 107", prune_bounds={"id": (100, 109)}, mode="dv")
+        return rel
+
+    a._write_dv_sidecar = hook.__get__(a)
+    a.delete("id = 4", prune_bounds={"id": (0, 9)}, mode="dv")
+    assert sorted(r.id for r in t.read().collect()) == (
+        [i for i in range(10) if i != 4]
+        + [i for i in range(100, 110) if i != 107]
+    )
+    # both commits carry their own sidecar and the union of DV lists
+    assert len(t._read_commit(t.latest_version()).get("dv_files") or []) == 2
+
+
+def test_concurrent_overlapping_dv_deletes_refuse(spark, tmp_path):
+    """Two DV deletes tombstoning into the SAME file: the loser aborts (the
+    change feed must attribute each row's delete to exactly one commit)."""
+    from pyspark_cdc_engine.log import ConcurrentWriteError
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = _two_dir_table(spark, tmp_path)
+    a = DeltaliteTable(spark, t.path)
+    b = DeltaliteTable(spark, t.path)
+
+    orig = DeltaliteTable._write_dv_sidecar
+    state = {"fired": False}
+
+    def hook(self_, tombstones, hint):
+        rel = orig(a, tombstones, hint)
+        if not state["fired"]:
+            state["fired"] = True
+            b.delete("id = 6", prune_bounds={"id": (0, 9)}, mode="dv")
+        return rel
+
+    a._write_dv_sidecar = hook.__get__(a)
+    with pytest.raises(ConcurrentWriteError, match="tombstoned into shared"):
+        a.delete("id = 4", prune_bounds={"id": (0, 9)}, mode="dv")
+    assert sorted(r.id for r in t.read().collect()) == (
+        [i for i in range(10) if i != 6] + list(range(100, 110))
+    )
+
+
+def test_delete_retry_refuses_interleaved_overwrite(spark, tmp_path):
+    """History-rewriting interleaves (overwrite/restore/DDL) still abort a
+    DML retry regardless of file overlap."""
+    from pyspark_cdc_engine.log import ConcurrentWriteError
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = _two_dir_table(spark, tmp_path)
+    a = DeltaliteTable(spark, t.path)
+    b = DeltaliteTable(spark, t.path)
+    _interleave(a, lambda: b.overwrite(
+        spark.range(500, 505).selectExpr("id", "id * 1.0 AS v")))
+    with pytest.raises(ConcurrentWriteError):
+        a.delete("id = 3", prune_bounds={"id": (0, 9)})
+    assert sorted(r.id for r in t.read().collect()) == list(range(500, 505))
