@@ -151,13 +151,54 @@ def bench_replication(spark, n_rows: int) -> dict:
         dest = DeltaliteTable(spark, str(base / "dest"))
         n_dest = dest.read().count()
         assert n_dest == src.read().count()
-        return {
+        out = {
             "n_commits": src.latest_version() + 1,
             "replica_rows": n_dest,
             "replicate_wall_sec": round(wall, 3),
             "rows_per_sec": round(n_dest / wall, 1),
             "first_stream_init_sec": warmup_sec,
         }
+        # Versions-per-batch fold (r7 verdict ask #7): a lagging consumer
+        # facing ~100 SMALL commits drains them under different
+        # maxVersionsPerBatch windows. Folding many versions into one
+        # net-effect MERGE amortizes per-batch overhead — rows/s should rise
+        # with the window; this records the actual curve.
+        many = DeltaliteTable(spark, str(base / "many_src"))
+        many.overwrite(spark.range(20_000).selectExpr(*shape))
+        per = max(200, n_rows // 100)
+        for i in range(100):
+            many.append(
+                spark.range(1_000_000 + i * per, 1_000_000 + (i + 1) * per)
+                .selectExpr(*shape)
+            )
+        total = many.read().count()
+        curve = {}
+        for wnd in (5, 25, 101):
+            # the Python data source's availableNow drains ONE batch per run
+            # (single-batch fallback), so a lagging consumer reruns with the
+            # same checkpoint until converged — which is exactly the shape
+            # being measured: wall includes every restart the window forces
+            dd, cc = str(base / f"d{wnd}"), str(base / f"c{wnd}")
+            t0 = time.perf_counter()
+            runs = 0
+            while True:
+                q = replicate_stream(
+                    spark, many.path, dd, ["id"], cc,
+                    max_versions_per_batch=wnd,
+                )
+                q.awaitTermination(600)
+                runs += 1
+                if DeltaliteTable(spark, dd).read().count() == total:
+                    break
+                assert runs <= 120, "versions-per-batch drain did not converge"
+            w = time.perf_counter() - t0
+            curve[str(wnd)] = {
+                "wall_sec": round(w, 3),
+                "rows_per_sec": round(total / w, 1),
+                "stream_runs": runs,
+            }
+        out["versions_per_batch"] = {"n_commits": 101, "curve": curve}
+        return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
