@@ -2407,10 +2407,12 @@ class DeltaliteTable:
         always fine (our predicate simply doesn't see the new rows — the
         WriteSerializable history), concurrent DML/compaction is fine iff it
         rewrote/removed/tombstoned only files we didn't touch."""
-        for key in ("schema", "constraints", "column_mapping", "partition_by",
+        for key in ("constraints", "column_mapping", "partition_by",
                     "cdf", "generated", "identity"):
             if new_commit.get(key) != base_commit.get(key):
                 return f"carried {key} changed concurrently"
+        if self._dml_schema_conflict(base_commit, new_commit):
+            return "carried schema changed concurrently"
         for v in range(base + 1, new_base + 1):
             doc = self._raw_commit(v)
             op = doc.get("operation")
@@ -2438,6 +2440,32 @@ class DeltaliteTable:
                         f"{sorted(dv_overlap)[0]}"
                     )
         return None
+
+    @staticmethod
+    def _dml_schema_conflict(base_commit: dict, new_commit: dict) -> bool:
+        """Whether an interleaved commit's carried schema invalidates a DML's
+        staged rewrite. Compared SEMANTICALLY, not as JSON text: rival DML
+        re-records the schema with its output's nullability, which is
+        equivalent layout-wise. Conflict = fields/types/order changed, or
+        nullability got STRICTER (staged rows might hold nulls a new
+        non-nullable field forbids); pure relaxation composes."""
+        a, b = base_commit.get("schema"), new_commit.get("schema")
+        if a == b:
+            return False
+        if a is None or b is None:
+            return True
+        from pyspark.sql.types import StructType
+
+        sa = StructType.fromJson(json.loads(a))
+        sb = StructType.fromJson(json.loads(b))
+        if [(f.name, f.dataType) for f in sa.fields] != [
+            (f.name, f.dataType) for f in sb.fields
+        ]:
+            return True
+        return any(
+            fa.nullable and not fb.nullable
+            for fa, fb in zip(sa.fields, sb.fields)
+        )
 
     @staticmethod
     def _dml_retries() -> int:
@@ -3115,10 +3143,45 @@ class DeltaliteTable:
             extra["pruned_dirs_kept"] = len(kept)
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
-        return self._commit_staged(
-            "merge", [*kept, *rels], staged, extra, base, commit,
-            stats_cols=(prune_on,) if prune_on else (),
-        )
+        # WriteSerializable conflict re-resolution, same contract as
+        # _dml_rewrite: a file-skipping merge losing the race to a rival that
+        # touched only PRUNED dirs re-links its staged rewrite (two CDC
+        # appliers on disjoint key ranges compose); any overlap aborts.
+        touched = set(live)
+        retries = self._dml_retries()
+        attempt = 0
+        while True:
+            try:
+                return self._commit_staged(
+                    "merge", [*kept, *rels], staged, extra, base, commit,
+                    stats_cols=(prune_on,) if prune_on else (),
+                    keep_staged_on_conflict=attempt < retries,
+                )
+            except ConcurrentWriteError:
+                if attempt >= retries:
+                    raise
+                attempt += 1
+                new_base, new_commit = self._snapshot()
+                if txn_app is not None and txn_version is not None:
+                    last = self.last_txn_version(txn_app)
+                    if last is not None and txn_version <= last:
+                        for r in staged:
+                            self._discard_staged(r)
+                        return new_base  # another replica landed our batch
+                reason = self._dml_conflict_reason(
+                    base, commit, new_base, new_commit, touched
+                )
+                if reason is not None:
+                    for r in staged:
+                        self._discard_staged(r)
+                    raise ConcurrentWriteError(
+                        f"merge retry abandoned at version {new_base}: "
+                        f"{reason}"
+                    ) from None
+                kept = [d for d in new_commit["live"] if d not in touched]
+                if "pruned_dirs_kept" in extra:
+                    extra["pruned_dirs_kept"] = len(kept)
+                base, commit = new_base, new_commit
 
     def _dv_merge(
         self,

@@ -1218,8 +1218,8 @@ def _two_dir_table(spark, tmp_path):
     from pyspark_cdc_engine.tables import DeltaliteTable
 
     t = DeltaliteTable(spark, str(tmp_path / "t"))
-    t.overwrite(spark.range(0, 10).selectExpr("id", "id * 1.0 AS v"))
-    t.append(spark.range(100, 110).selectExpr("id", "id * 1.0 AS v"))
+    t.overwrite(spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    t.append(spark.range(100, 110).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
     return t
 
 
@@ -1288,7 +1288,7 @@ def test_concurrent_append_and_delete_both_succeed(spark, tmp_path):
     a = DeltaliteTable(spark, t.path)
     b = DeltaliteTable(spark, t.path)
     _interleave(a, lambda: b.append(
-        spark.range(200, 203).selectExpr("id", "id * 1.0 AS v")))
+        spark.range(200, 203).selectExpr("id", "CAST(id AS DOUBLE) AS v")))
     a.delete("id < 2", prune_bounds={"id": (0, 9)})
     assert sorted(r.id for r in t.read().collect()) == (
         list(range(2, 10)) + list(range(100, 110)) + [200, 201, 202]
@@ -1366,3 +1366,45 @@ def test_delete_retry_refuses_interleaved_overwrite(spark, tmp_path):
     with pytest.raises(ConcurrentWriteError):
         a.delete("id = 3", prune_bounds={"id": (0, 9)})
     assert sorted(r.id for r in t.read().collect()) == list(range(500, 505))
+
+
+def test_concurrent_disjoint_merges_both_succeed(spark, tmp_path):
+    """Two file-skipping MERGEs (CDC appliers on disjoint key ranges) both
+    land — the Delta WriteSerializable shape two regional replicators hit."""
+    from pyspark_cdc_engine.tables import DeltaliteTable, MergeClause
+
+    t = _two_dir_table(spark, tmp_path)
+    a = DeltaliteTable(spark, t.path)
+    b = DeltaliteTable(spark, t.path)
+    up = [MergeClause("update", None, {"v": "source.v"}),
+          MergeClause("insert", None, None)]
+    _interleave(a, lambda: b.merge(
+        spark.createDataFrame([(105, 5000.0)], ["id", "v"]),
+        "target.id = source.id", up, prune_on="id"))
+    a.merge(
+        spark.createDataFrame([(3, 300.0)], ["id", "v"]),
+        "target.id = source.id", up, prune_on="id",
+    )
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[3] == 300.0 and got[105] == 5000.0 and len(got) == 20
+
+
+def test_concurrent_overlapping_merges_refuse(spark, tmp_path):
+    """Both merges rewrite the same dir: the loser aborts."""
+    from pyspark_cdc_engine.log import ConcurrentWriteError
+    from pyspark_cdc_engine.tables import DeltaliteTable, MergeClause
+
+    t = _two_dir_table(spark, tmp_path)
+    a = DeltaliteTable(spark, t.path)
+    b = DeltaliteTable(spark, t.path)
+    up = [MergeClause("update", None, {"v": "source.v"})]
+    _interleave(a, lambda: b.merge(
+        spark.createDataFrame([(5, 1.0)], ["id", "v"]),
+        "target.id = source.id", up, prune_on="id"))
+    with pytest.raises(ConcurrentWriteError, match="shared file"):
+        a.merge(
+            spark.createDataFrame([(3, 2.0)], ["id", "v"]),
+            "target.id = source.id", up, prune_on="id",
+        )
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[5] == 1.0 and got[3] == 3.0  # rival intact, victim aborted
