@@ -1406,3 +1406,27 @@ def test_id_mode_with_delta_spark_style_files(spark, tmp_path):
     )
     got = read_delta_snapshot(spark, str(dest))
     assert sorted(r.price for r in got.collect()) == [10.5, 20.5]
+
+
+def test_dv_on_partitioned_table_composes_with_partition_columns(spark, tmp_path):
+    """DVs anti-join by (file, row_index) while partition columns are
+    reconstructed from the log — the two mechanisms must compose."""
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    df = spark.range(24).selectExpr("id", "CAST(id % 2 AS STRING) AS bucket")
+    t.overwrite(df, partition_by=["bucket"])
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    adds = [a["add"] for a in _read_actions(dest) if a.get("add")]
+    victim = next(a for a in adds if a["partitionValues"]["bucket"] == "1")
+    import pyarrow.parquet as pq_
+
+    col = pq_.read_table(str(dest / victim["path"]), columns=["id"])["id"].to_pylist()
+    _dv_delete(dest, victim["path"], [0, 2], version=1)
+    got = read_delta_snapshot(spark, str(dest))
+    assert [f.name for f in got.schema.fields] == ["id", "bucket"]
+    rows = {(r.id, r.bucket) for r in got.collect()}
+    assert rows == {
+        (i, str(i % 2)) for i in range(24) if i not in (col[0], col[2])
+    }
