@@ -29,8 +29,10 @@ re-evaluating a SQL predicate:
   per-kind sidecars, inserts / post-images from its per-kind image dirs —
   the commit keeps all four outputs' identities, so a MERGE is fully
   streamable (and hence replicable) in merge-on-read mode;
-- compact / zorder / restore / analyze / schema commits: no logical change,
-  skipped.
+- compact / zorder / analyze / schema commits: no logical change, skipped;
+- RESTORE: a logical rewind this executor-side reader cannot enumerate —
+  refused loudly (the batch-side ``DeltaliteTable.read_changes`` derives
+  its exact diff, so the jvm data path replicates through restores).
 
 Copy-on-write DELETE/UPDATE/MERGE commits on a CDF-ENABLED table
 (``DeltaliteTable.enable_cdf``, the ``delta.enableChangeDataFeed`` analog)
@@ -74,7 +76,7 @@ from pyspark.sql.types import (
 FORMAT_NAME = "deltalite_cdf"
 
 _SKIP_OPS = {
-    "compact", "zorder", "restore", "analyze", "add_constraint",
+    "compact", "zorder", "analyze", "add_constraint",
     "drop_constraint", "add_column", "rename_column", "drop_column",
     "refresh", "shallow_clone", "set_cdf", "identity_reserve",
 }
@@ -474,6 +476,20 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
                 ))
             elif op in _SKIP_OPS:
                 pass  # physical reorganization / metadata: no logical change
+            elif op == "restore":
+                # a RESTORE is a logical rewind whose change set needs
+                # prev-state scans and DV position-diffs — enumerable by the
+                # batch-side reader (DeltaliteTable.read_changes), not by
+                # this executor-side one. Silently skipping (pre-r8) made
+                # replicas diverge; refuse loudly instead.
+                raise RuntimeError(
+                    f"deltalite_cdf: commit {v} is a RESTORE — its change "
+                    f"set cannot be enumerated executor-side. Use the "
+                    f"metadata-only jvm data path "
+                    f"(replicate_stream data_path='jvm', the default) or "
+                    f"restart the consumer from a fresh snapshot past this "
+                    f"version."
+                )
             else:
                 raise RuntimeError(
                     f"deltalite_cdf: commit {v} is a copy-on-write {op!r} — "

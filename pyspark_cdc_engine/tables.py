@@ -741,8 +741,12 @@ class DeltaliteTable:
         CDF-ENABLED table (:meth:`enable_cdf`) every cow DML commit instead
         carries MATERIALIZED change-data files (``cdc_dirs``), read verbatim
         — including cow MERGE, which otherwise contributes nothing (its
-        images dissolve into the rewrite). Remaining rewriting commits
-        (compact/zorder/restore, cow merge without CDF) contribute nothing:
+        images dissolve into the rewrite). RESTORE commits (r8) derive their
+        exact diff like Delta CDF does from the restore's add/remove:
+        re-added dirs insert, removed dirs' previously-visible rows delete,
+        and still-live dirs position-diff their DV visibility (re-surfaced
+        rows insert, newly-tombstoned rows delete). Remaining rewriting
+        commits (compact/zorder, cow merge without CDF) contribute nothing:
         physical reorganizations aren't logical changes. Cow MERGE without
         CDF is the exception that IS a logical change the feed cannot see —
         ``strict=True`` (what the replication sinks pass) raises instead of
@@ -828,6 +832,83 @@ class DeltaliteTable:
                         .withColumn("_change_type", F.lit("delete"))
                         .withColumn("_commit_version", F.lit(v))
                     )
+            elif commit["operation"] == "restore" and prev_commit is not None:
+                # RESTORE is a LOGICAL change (the snapshot rewinds), not a
+                # physical reorganization — Delta's CDF derives its rows from
+                # the restore's add/remove actions and so do we (pre-r8 this
+                # commit contributed nothing and streaming replicas silently
+                # diverged across a restore). Three sources of change:
+                # re-added dirs (visible rows insert), removed dirs (rows
+                # visible under the PREV state delete), and still-live dirs
+                # whose DV visibility changed (position-diff: re-surfaced
+                # rows insert, newly-tombstoned rows delete).
+                to = end_commit if end_commit.get("schema") else commit
+                if added:
+                    img = self._read_dirs(
+                        [str(self._root / d) for d in added],
+                        commit.get("schema"),
+                        commit.get("partition_by"),
+                        commit.get("column_mapping"),
+                        dv_rels=commit.get("dv_files"),
+                    )
+                    frames.append(
+                        self._project_to_schema(img, commit, to)
+                        .withColumn("_change_type", F.lit("insert"))
+                        .withColumn("_commit_version", F.lit(v))
+                    )
+                removed = [d for d in prev_live if d not in set(commit["live"])]
+                if removed:
+                    pre = self._read_dirs(
+                        [str(self._root / d) for d in removed],
+                        prev_commit.get("schema"),
+                        prev_commit.get("partition_by"),
+                        prev_commit.get("column_mapping"),
+                        dv_rels=prev_dv,
+                    )
+                    frames.append(
+                        self._project_to_schema(pre, prev_commit, to)
+                        .withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_version", F.lit(v))
+                    )
+                shared = [d for d in commit["live"] if d in prev_live]
+                cur_dv = list(commit.get("dv_files") or [])
+                if shared and set(cur_dv) != set(prev_dv):
+                    base_rows = self._read_dirs(
+                        [str(self._root / d) for d in shared],
+                        commit.get("schema"),
+                        commit.get("partition_by"),
+                        commit.get("column_mapping"),
+                        keep_pos=True,
+                    )
+
+                    def _ts(rels):
+                        if not rels:
+                            return None
+                        return self.spark.read.parquet(
+                            *[str(self._root / r) for r in rels]
+                        )
+
+                    pts, cts = _ts(prev_dv), _ts(cur_dv)
+                    for was, now, tag in ((pts, cts, "insert"),
+                                          (cts, pts, "delete")):
+                        # insert: tombstoned before, visible now;
+                        # delete: visible before, tombstoned now
+                        if was is None:
+                            continue
+                        diff = was if now is None else was.join(
+                            now, ["file_path", "row_index"], "left_anti"
+                        )
+                        rows = base_rows.join(
+                            diff,
+                            (base_rows["__fp"] == diff["file_path"])
+                            & (base_rows["__ri"] == diff["row_index"]),
+                            "left_semi",
+                        ).drop("__fp", "__ri")
+                        frames.append(
+                            self._project_to_schema(rows, commit, to)
+                            .withColumn("_change_type", F.lit(tag))
+                            .withColumn("_commit_version", F.lit(v))
+                        )
             elif commit.get("cdc_dirs"):
                 # CDF-materialized cow DML (enable_cdf): the commit's change
                 # rows were written as change-data files atomically with the

@@ -514,3 +514,67 @@ def test_jvm_sink_fails_loudly_on_retention_pruned_window(spark, tmp_path):
     )
     with pytest.raises(Exception, match="oldest retained"):
         q.awaitTermination(240)
+
+
+# ------------------------------------------------------ RESTORE in the feed (r8)
+
+
+def test_read_changes_restore_emits_exact_diff(spark, tmp_path):
+    """RESTORE is a logical rewind, not a physical reorg: the feed derives
+    its diff from the restore's add/remove (Delta CDF semantics) — pre-r8 it
+    contributed nothing and replicas silently diverged across restores."""
+    t = _mk(spark, tmp_path / "t", n=5)                              # v0
+    t.append(spark.createDataFrame(
+        [(10, 1.0), (11, 2.0), (12, 3.0)], ["id", "v"]))             # v1
+    t.delete("id = 2")                                               # v2 cow
+    t.restore(0)                                                     # v3
+    feed = t.read_changes(2, 3)
+    got = sorted((r["_change_type"], r.id) for r in feed.collect())
+    # removed dirs: v1's appends + v2's rewrite (visible rows 0,1,3,4);
+    # re-added dir: v0's original (0..4 return)
+    assert [x for x in got if x[0] == "delete"] == [
+        ("delete", 0), ("delete", 1), ("delete", 3), ("delete", 4),
+        ("delete", 10), ("delete", 11), ("delete", 12),
+    ]
+    assert [x for x in got if x[0] == "insert"] == [
+        ("insert", i) for i in range(5)
+    ]
+
+
+def test_read_changes_restore_resurfaces_dv_tombstones(spark, tmp_path):
+    """Restoring past a DV delete re-surfaces the tombstoned rows: the
+    still-live dir's DV visibility position-diff emits them as inserts."""
+    t = _mk(spark, tmp_path / "t", n=5)                              # v0
+    t.delete("id = 2", mode="dv")                                    # v1
+    t.restore(0)                                                     # v2
+    feed = t.read_changes(1, 2)
+    got = sorted((r["_change_type"], r.id) for r in feed.collect())
+    assert got == [("insert", 2)]
+    # and the snapshot agrees
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_jvm_replica_converges_through_restore(spark, tmp_path):
+    """End to end: a jvm-path replica that applied pre-restore state folds
+    the restore's diff and converges to the rewound snapshot."""
+    src = _mk(spark, tmp_path / "src", n=5)                          # v0
+    src.append(spark.createDataFrame([(50, 5.0)], ["id", "v"]))      # v1
+    src.delete("id = 1", mode="dv")                                  # v2
+    _run(spark, src, tmp_path / "dest", tmp_path / "ck")
+    dest = DeltaliteTable(spark, str(tmp_path / "dest"))
+    assert _snap(dest) == _snap(src)                                 # pre-restore
+    src.restore(0)                                                   # v3
+    _run(spark, src, tmp_path / "dest", tmp_path / "ck")
+    assert _snap(dest) == _snap(src)
+    assert sorted(r.id for r in dest.read().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_python_path_refuses_restore_loudly(spark, tmp_path):
+    src = _mk(spark, tmp_path / "src", n=4)
+    src.restore(0)  # no-op rewind is still a restore commit
+    q = replicate_stream(
+        spark, src.path, str(tmp_path / "dest"), ["id"], str(tmp_path / "ck"),
+        data_path="python",
+    )
+    with pytest.raises(Exception, match="RESTORE"):
+        q.awaitTermination(240)
