@@ -584,9 +584,41 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
         )
         out = df if out is None else out.unionByName(df)
     if dv_pairs and out is not None:
-        dv_df = spark.createDataFrame(dv_pairs, "dv_fp string, dv_ri bigint")
+        # small DV sets (the common case) broadcast; past the threshold the
+        # pairs spill to a temp parquet and the anti-join shuffles instead —
+        # a 100 TB snapshot with billions of tombstones must not pin every
+        # position in the driver's createDataFrame + broadcast
+        try:
+            from pyspark_cdc_engine.config import get_config
+
+            cap = get_config().get_int("engine.dv-import-broadcast-max",
+                                       2_000_000)
+        except Exception:
+            cap = 2_000_000
+        if len(dv_pairs) <= cap:
+            dv_df = F.broadcast(
+                spark.createDataFrame(dv_pairs, "dv_fp string, dv_ri bigint")
+            )
+        else:
+            import atexit
+            import shutil as _sh
+            import tempfile
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq_
+
+            tmp = tempfile.mkdtemp(prefix="dv_import_")
+            atexit.register(_sh.rmtree, tmp, ignore_errors=True)
+            pq_.write_table(
+                pa.table({
+                    "dv_fp": pa.array((p for p, _ in dv_pairs), pa.string()),
+                    "dv_ri": pa.array((r for _, r in dv_pairs), pa.int64()),
+                }),
+                f"{tmp}/pairs.parquet",
+            )
+            dv_df = spark.read.parquet(tmp)
         out = out.join(
-            F.broadcast(dv_df),
+            dv_df,
             (out["__fp"] == dv_df["dv_fp"]) & (out["__ri"] == dv_df["dv_ri"]),
             "left_anti",
         ).drop("__fp", "__ri")
@@ -1215,12 +1247,44 @@ def read_delta_changes(
     if schema_json is None:
         raise ValueError(f"no metaData action found in {log_dir}")
     schema = StructType.fromJson(json.loads(schema_json))
-    mapped = configuration.get("delta.columnMapping.mode") == "name"
+    cm_mode = configuration.get("delta.columnMapping.mode", "none")
+    mapped = cm_mode in ("name", "id")
 
     def phys(f) -> str:
         if mapped and f.metadata and "delta.columnMapping.physicalName" in f.metadata:
             return f.metadata["delta.columnMapping.physicalName"]
         return f.name
+
+    # id-mode tables resolve file columns by PARQUET FIELD ID (same
+    # mechanism as read_delta_snapshot): scans request an id-annotated
+    # schema instead of trusting file column names — required for files
+    # whose names match neither logical nor physical names (UniForm shape).
+    if cm_mode == "id":
+        from pyspark.sql.types import StringType, StructField
+
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+        def _fmeta(f):
+            if f.metadata and "delta.columnMapping.id" in f.metadata:
+                return {"parquet.field.id": int(f.metadata["delta.columnMapping.id"])}
+            return None
+
+        scan_schema = StructType(
+            [StructField(phys(f), f.dataType, True, _fmeta(f)) for f in schema.fields]
+        )
+        # cdc files carry the spec's _change_type column (no field id:
+        # fields without id metadata fall back to name matching)
+        cdc_schema = StructType(
+            [*scan_schema.fields, StructField("_change_type", StringType(), True)]
+        )
+    else:
+        scan_schema = cdc_schema = None
+
+    def _read(paths: list[str], cdc: bool = False):
+        r = spark.read
+        if scan_schema is not None:
+            r = r.schema(cdc_schema if cdc else scan_schema)
+        return r.parquet(*paths)
 
     def project(df, extra_cols):
         cols = []
@@ -1244,7 +1308,7 @@ def read_delta_changes(
     def _pos_scan(paths: list[str]):
         # normalized (path, row_index) identity alongside the data columns —
         # the scheme prefix stripped so the join key matches os.path.abspath
-        return spark.read.parquet(*sorted(paths)).select(
+        return _read(sorted(paths)).select(
             "*",
             F.regexp_replace(
                 F.col("_metadata.file_path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/"
@@ -1294,7 +1358,7 @@ def read_delta_changes(
             )
 
         if cdc_paths:
-            raw = spark.read.parquet(*cdc_paths)
+            raw = _read(cdc_paths, cdc=True)
             frames.append(
                 project(raw, [F.col("_change_type")])
                 .withColumn("_commit_version", F.lit(v))
@@ -1336,7 +1400,7 @@ def read_delta_changes(
             )
         for paths, tag in ((ins_plain, "insert"), (del_plain, "delete")):
             if paths:
-                _emit(spark.read.parquet(*sorted(paths)), tag)
+                _emit(_read(sorted(paths)), tag)
         for group, tag in ((ins_dv, "insert"), (del_dv, "delete")):
             if group:
                 pairs = [(p, r) for p, dv in group for r in sorted(dv)]

@@ -1430,3 +1430,70 @@ def test_dv_on_partitioned_table_composes_with_partition_columns(spark, tmp_path
     assert rows == {
         (i, str(i % 2)) for i in range(24) if i not in (col[0], col[2])
     }
+
+
+def test_id_mode_change_feed_resolves_by_field_id(spark, tmp_path):
+    """read_delta_changes on an id-mode table whose file column names match
+    neither logical nor physical names: field-id resolution must hold on the
+    feed path too (name projection would silently yield NULL columns)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pyspark_cdc_engine.delta_export import read_delta_changes
+
+    dest = tmp_path / "delta_id"
+    (dest / "_delta_log").mkdir(parents=True)
+    tbl = pa.Table.from_arrays(
+        [pa.array([1, 2, 3], pa.int64())],
+        schema=pa.schema(
+            [pa.field("weird", pa.int64(), metadata={b"PARQUET:field_id": b"1"})]
+        ),
+    )
+    pq_.write_table(tbl, str(dest / "f0.parquet"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-p1"}},
+        ],
+    }
+    lines = [
+        {"metaData": {"id": "0002", "format": {"provider": "parquet"},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    (dest / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(ln) for ln in lines)
+    )
+    feed = read_delta_changes(spark, str(dest), -1, 0)
+    got = sorted((r["_change_type"], r.id) for r in feed.collect())
+    assert got == [("insert", 1), ("insert", 2), ("insert", 3)]
+
+
+def test_dv_import_spills_past_broadcast_cap(spark, tmp_path):
+    """Above engine.dv-import-broadcast-max the DV positions spill to a
+    parquet-backed join instead of a driver-built broadcast — same result."""
+    from pyspark_cdc_engine import config as cfgmod
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(30).repartition(1).selectExpr("id"))
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    rel = next(a["add"]["path"] for a in _read_actions(dest) if a.get("add"))
+    _dv_delete(dest, rel, [1, 4, 7], version=1)
+    import pyarrow.parquet as pq_
+
+    col = pq_.read_table(str(dest / rel), columns=["id"])["id"].to_pylist()
+    want = set(col) - {col[1], col[4], col[7]}
+    custom = cfgmod.load(overrides={"engine.dv-import-broadcast-max": 1})
+    cfgmod.set_config(custom)
+    try:
+        got = {r.id for r in read_delta_snapshot(spark, str(dest)).collect()}
+    finally:
+        cfgmod.set_config(None)
+    assert got == want
