@@ -1408,3 +1408,68 @@ def test_concurrent_overlapping_merges_refuse(spark, tmp_path):
         )
     got = {r.id: r.v for r in t.read().collect()}
     assert got[5] == 1.0 and got[3] == 3.0  # rival intact, victim aborted
+
+
+def test_concurrent_disjoint_dml_random_program_matches_serial(spark, tmp_path):
+    """Randomized OCC property (seeded): for random pairs of DML operations
+    on DISJOINT key ranges, racing them (B commits inside A's write window)
+    must yield exactly the state of applying them serially — regardless of
+    operation kind (cow/DV delete, cow/DV update, file-skipping merge)."""
+    import random
+
+    from pyspark_cdc_engine.tables import DeltaliteTable, MergeClause
+
+    rng = random.Random(8)
+
+    def ops_for(lo, hi, tag):
+        k = rng.randrange(lo, hi)
+        pb = {"id": (lo, hi - 1)}
+        return rng.choice([
+            lambda t: t.delete(f"id = {k}", prune_bounds=pb),
+            lambda t: t.delete(f"id = {k}", prune_bounds=pb, mode="dv"),
+            lambda t: t.update({"v": f"v + {tag}.0"}, f"id = {k}", prune_bounds=pb),
+            lambda t: t.update({"v": f"v + {tag}.0"}, f"id = {k}", prune_bounds=pb, mode="dv"),
+            lambda t: t.merge(
+                spark.createDataFrame([(k, float(tag * 1000))], ["id", "v"]),
+                "target.id = source.id",
+                [MergeClause("update", None, {"v": "source.v"})],
+                prune_on="id",
+            ),
+        ])
+
+    for trial in range(5):
+        rng2 = random.Random(100 + trial)
+        raced = _two_dir_table(spark, tmp_path / f"raced{trial}")
+        serial = _two_dir_table(spark, tmp_path / f"serial{trial}")
+        op_a = ops_for(0, 10, 1)
+        op_b = ops_for(100, 110, 2)
+        # serial: B then A (B wins the race below, so B is serialized first)
+        op_b(serial)
+        op_a(serial)
+        a = DeltaliteTable(spark, raced.path)
+        b = DeltaliteTable(spark, raced.path)
+        fired = {"done": False}
+        orig_dir = DeltaliteTable._write_data_dir
+        orig_dv = DeltaliteTable._write_dv_sidecar
+
+        def hook_dir(df, hint, partition_by=None, **kw):
+            rel = orig_dir(a, df, hint, partition_by=partition_by, **kw)
+            if not fired["done"]:
+                fired["done"] = True
+                op_b(b)
+            return rel
+
+        def hook_dv(tombstones, hint):
+            rel = orig_dv(a, tombstones, hint)
+            if not fired["done"]:
+                fired["done"] = True
+                op_b(b)
+            return rel
+
+        a._write_data_dir = hook_dir
+        a._write_dv_sidecar = hook_dv
+        op_a(a)
+        assert fired["done"], "race never fired"
+        got = sorted(tuple(r) for r in raced.read().collect())
+        want = sorted(tuple(r) for r in serial.read().collect())
+        assert got == want, f"trial {trial} diverged"

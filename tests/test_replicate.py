@@ -578,3 +578,31 @@ def test_python_path_refuses_restore_loudly(spark, tmp_path):
     )
     with pytest.raises(Exception, match="RESTORE"):
         q.awaitTermination(240)
+
+
+def test_scd2_replica_tracks_history_through_restore(spark, tmp_path):
+    """SCD2 through a RESTORE: the rewind's diff closes the rows it removes
+    and opens history rows for what it brings back — downstream keeps full
+    lineage including the rewind itself."""
+    from pyspark_cdc_engine.streaming.replicate import apply_changes_scd2
+
+    t = _mk(spark, tmp_path / "t", n=0)
+    t.overwrite(spark.createDataFrame([(1, 1.0)], ["id", "v"]))         # v1
+    t.update({"v": "v + 10.0"}, "id = 1")                               # v2
+    t.restore(1)                                                        # v3
+    dest = DeltaliteTable(spark, str(tmp_path / "d"))
+    apply_changes_scd2(dest, t.read_changes(0), ["id"])
+    hist = sorted(
+        (r.id, r.v, r["__start_version"], r["__end_version"], r["__is_current"])
+        for r in dest.read().collect()
+    )
+    assert hist == [
+        (1, 1.0, 1, 2, False),     # original state, closed by the update
+        (1, 1.0, 3, None, True),   # restored state, current again
+        (1, 11.0, 2, 3, False),    # updated state, closed by the restore
+    ]
+    # the current rows equal the (rewound) snapshot
+    cur = sorted(
+        (r.id, r.v) for r in dest.read().filter("__is_current").collect()
+    )
+    assert cur == sorted((r.id, r.v) for r in t.read().collect())
