@@ -2659,6 +2659,11 @@ class DeltaliteTable:
                 kept = [d for d in new_commit["live"] if d not in touched]
                 if "pruned_dirs_kept" in extra:
                     extra["pruned_dirs_kept"] = len(kept)
+                if new_commit.get("schema"):
+                    # the conflict check only admits semantically-equal or
+                    # RELAXED rival schemas; re-record the relaxed one — the
+                    # kept dirs now include rival rows its nullability covers
+                    extra["schema"] = new_commit["schema"]
                 base, commit = new_base, new_commit
 
     def delete(
@@ -3262,6 +3267,19 @@ class DeltaliteTable:
                 kept = [d for d in new_commit["live"] if d not in touched]
                 if "pruned_dirs_kept" in extra:
                     extra["pruned_dirs_kept"] = len(kept)
+                if new_commit.get("schema"):
+                    # per-field nullability UNION of our merge output and the
+                    # rival's (the check admits only equal-or-relaxed rivals;
+                    # kept dirs now hold rows under the rival's claims)
+                    from pyspark.sql.types import StructField, StructType
+
+                    ours = StructType.fromJson(json.loads(extra["schema"]))
+                    theirs = StructType.fromJson(json.loads(new_commit["schema"]))
+                    extra["schema"] = StructType([
+                        StructField(a.name, a.dataType,
+                                    a.nullable or b.nullable, a.metadata)
+                        for a, b in zip(ours.fields, theirs.fields)
+                    ]).json()
                 base, commit = new_base, new_commit
 
     def _dv_merge(
