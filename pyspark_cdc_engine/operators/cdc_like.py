@@ -747,3 +747,50 @@ def identity_reserved_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sk").alias("sum_sk"),
         )
     )
+
+
+@register(
+    "restore_replication_scenario",
+    survey="§2.12,J4,beyond-ref",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    UNION ALL
+    SELECT o_orderkey + 40000000 AS o_orderkey,
+           'Z' AS o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 1200 = 0
+    """,
+)
+def restore_replication_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE in the change feed under driver certification (r8): the
+    source runs cow UPDATE + cow DELETE, then RESTORE(0) — a logical rewind
+    whose diff the feed derives Delta-CDF-style from the restore's
+    add/remove (re-added dirs insert, removed dirs' visible rows delete) —
+    then appends fresh rows. A replica folding the WHOLE feed must equal
+    the rewound-plus-appended closed form: the update and delete cancel out
+    of existence, the appends survive. Pre-r8 the restore contributed
+    nothing to the feed and the replica kept the rolled-back states
+    forever (the silent-divergence bug this scenario pins)."""
+    from pyspark_cdc_engine.operators.dedup_incremental import _fresh_scratch_dir
+    from pyspark_cdc_engine.streaming.replicate import apply_changes
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = _fresh_scratch_dir(f"restore_repl:{sf_dir}")
+    t = DeltaliteTable(spark, f"{tmp}/orders_src")
+    t.overwrite(o)                                                     # v0
+    t.update({"o_totalprice": "o_totalprice * 1.05"},
+             "o_orderstatus = 'P'")                                    # v1 cow
+    t.delete("o_orderstatus = 'F' AND o_totalprice < 1500")            # v2 cow
+    t.restore(0)                                                       # v3
+    t.append(                                                          # v4
+        o.filter("o_orderkey % 1200 = 0").select(
+            (F.col("o_orderkey") + 40000000).alias("o_orderkey"),
+            F.lit("Z").alias("o_orderstatus"),
+            F.col("o_totalprice"),
+        )
+    )
+    dest = DeltaliteTable(spark, f"{tmp}/orders_replica")
+    apply_changes(dest, t.read_changes(-1), ["o_orderkey"])
+    return dest.read()
