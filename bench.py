@@ -186,7 +186,15 @@ def bench_replication(spark, n_rows: int) -> dict:
                     spark, many.path, dd, ["id"], cc,
                     max_versions_per_batch=wnd,
                 )
-                q.awaitTermination(600)
+                if not q.awaitTermination(600):
+                    # a drain overran its budget: starting another stream on
+                    # the same checkpoint would corrupt the measurement —
+                    # stop it and fail this lane cleanly
+                    q.stop()
+                    raise RuntimeError(
+                        f"versions-per-batch drain (window {wnd}) exceeded "
+                        f"600s — aborting the curve"
+                    )
                 runs += 1
                 if DeltaliteTable(spark, dd).read().count() == total:
                     break

@@ -96,6 +96,19 @@ def _versions(table_path: str) -> list[int]:
     return txlog.versions(Path(table_path) / "_log")
 
 
+def _suffix_start(vs: list[int]) -> int:
+    """Start of the log's CONTIGUOUS suffix — what retention guards key on.
+    A reader racing cleanup_log mid-deletion (docs removed newest-first) can
+    observe a genesis prefix plus the retained suffix; versions below the
+    gap are doomed and must count as pruned, not as replayable history."""
+    start = vs[-1]
+    for v in reversed(vs):
+        if v != start and v != start - 1:
+            break
+        start = v
+    return start
+
+
 class _CdfSlice(InputPartition):
     """One unit of change enumeration: a set of parquet files, optionally
     with per-file row positions to ``take`` (tombstone slices), projected to
@@ -344,16 +357,17 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
         # read (at most `interval` doc replays) instead of walking the whole
         # log on EVERY micro-batch — the planner's cost is O(window), not
         # O(history).
-        seed = max((u for u in vs if u <= start_v), default=None)
-        if seed is None and vs and vs[0] > 0:
+        oldest = _suffix_start(vs) if vs else 0
+        seed = max((u for u in vs if oldest <= u <= start_v), default=None)
+        if seed is None and vs and oldest > 0:
             # log retention (cleanup_log) pruned the window's start: the
             # pre-state at start_v is unreconstructible, and seeding from {}
-            # would replay the boundary snapshot as one giant insert batch.
-            # Fail the stream loudly — restart from a fresh snapshot, the
-            # Delta failOnDataLoss contract.
+            # (or from a doomed mid-cleanup prefix doc below the gap) would
+            # replay wrong state. Fail the stream loudly — restart from a
+            # fresh snapshot, the Delta failOnDataLoss contract.
             raise ValueError(
                 f"CDF stream start v{start_v} is below the oldest retained "
-                f"commit v{vs[0]} (log retention pruned earlier history); "
+                f"commit v{oldest} (log retention pruned earlier history); "
                 f"restart from a fresh snapshot"
             )
         carry = (
@@ -572,16 +586,18 @@ class DeltaliteCdfMetaStreamReader(DeltaliteCdfStreamReader):
         self._last_planned = max(self._last_planned, int(end["v"]))
         vs = _versions(self._path)
         start_v = int(start["v"])
-        if vs and vs[0] > 0 and start_v < vs[0]:
+        oldest = _suffix_start(vs) if vs else 0
+        if vs and oldest > 0 and start_v < oldest:
             # same failOnDataLoss guard as the full reader (partitions()
-            # above): log retention pruned the window's start, so versions
-            # in (start_v, vs[0]) are gone. Without this the pruned window
-            # would just yield fewer meta rows and the batch-side
-            # read_changes (whose window is derived from the SURVIVING
-            # versions) would never see the loss.
+            # above), keyed on the CONTIGUOUS suffix (a mid-cleanup prefix
+            # below a gap is doomed history): log retention pruned the
+            # window's start, so versions in (start_v, oldest) are gone.
+            # Without this the pruned window would just yield fewer meta
+            # rows and the batch-side read_changes (whose window is derived
+            # from the SURVIVING versions) would never see the loss.
             raise ValueError(
                 f"CDF stream start v{start_v} is below the oldest retained "
-                f"commit v{vs[0]} (log retention pruned earlier history); "
+                f"commit v{oldest} (log retention pruned earlier history); "
                 f"restart from a fresh snapshot"
             )
         window = [v for v in vs if start_v < v <= int(end["v"])]

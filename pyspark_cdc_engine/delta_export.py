@@ -52,6 +52,20 @@ from pyspark_cdc_engine.tables import DeltaliteTable
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+# java.net.URI path quoting (what Hadoop Path.toString — and therefore
+# Spark's `_metadata.file_path` — applies): RFC 2396 unreserved marks plus
+# the path-segment reserved set stay literal, everything else (spaces,
+# '%', non-ASCII as UTF-8) percent-encodes.
+_URI_PATH_SAFE = "/;:@&=+$,-_.!~*'()"
+
+
+def _uri_path(p: str) -> str:
+    """A filesystem path in the form Spark's ``_metadata.file_path`` carries
+    after its scheme — REQUIRED for any equality join against that column
+    (a raw path with a space would match nothing and a DV anti-join would
+    silently resurrect deleted rows)."""
+    return urllib.parse.quote(p, safe=_URI_PATH_SAFE)
+
 
 def _partition_values(
     rel_path: str, partition_cols: list[str]
@@ -501,9 +515,12 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
     for rel, add in live.items():
         desc = add.get("deletionVector")
         if desc and desc.get("storageType"):
-            # abspath (not resolve: Spark doesn't follow symlinks either) so
-            # the pair matches the scheme-stripped _metadata.file_path
-            fp = os.path.abspath(str(root / Path(urllib.parse.unquote(rel))))
+            # abspath (not resolve: Spark doesn't follow symlinks either) in
+            # URI-quoted form, matching the scheme-stripped
+            # _metadata.file_path byte for byte
+            fp = _uri_path(
+                os.path.abspath(str(root / Path(urllib.parse.unquote(rel))))
+            )
             dv_pairs.extend(
                 (fp, p) for p in dvformat.dv_positions(desc, root)
             )
@@ -1318,8 +1335,14 @@ def read_delta_changes(
 
     def _pos_filter(paths: list[str], pairs: list[tuple[str, int]], keep: bool):
         raw = _pos_scan(paths)
+        # pairs carry RAW filesystem paths (also used for reads/existence
+        # checks); the join key must be the URI-quoted form _metadata
+        # carries (space -> %20 etc.)
         pdf = F.broadcast(
-            spark.createDataFrame(pairs, "dv_fp string, dv_ri bigint")
+            spark.createDataFrame(
+                [(_uri_path(p), r) for p, r in pairs],
+                "dv_fp string, dv_ri bigint",
+            )
         )
         return raw.join(
             pdf,

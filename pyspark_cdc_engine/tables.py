@@ -2346,12 +2346,23 @@ class DeltaliteTable:
         return txlog.cleanup(self._log_dir, keep_from, dry_run=dry_run)
 
     def _oldest_retained(self) -> int:
-        """First version still in the log (0 unless :meth:`cleanup_log` has
-        pruned history)."""
+        """Oldest version from which history is CONTIGUOUSLY replayable: the
+        start of the log's contiguous suffix. Normally ``versions[0]`` (0
+        unless :meth:`cleanup_log` pruned history) — but a reader racing a
+        cleanup mid-deletion (docs removed newest-first) can observe a
+        genesis prefix ``{0..j}`` plus the retained suffix; treating vs[0]=0
+        as 'nothing pruned' there would let change feeds silently compute
+        diffs ACROSS the gap. The suffix start is what every retention guard
+        must key on."""
         vs = self._versions()
         if not vs:
             raise FileNotFoundError(f"not a deltalite table: {self.path}")
-        return vs[0]
+        oldest = vs[-1]
+        for v in reversed(vs):
+            if v != oldest and v != oldest - 1:
+                break  # gap: everything below is a doomed mid-cleanup prefix
+            oldest = v
+        return oldest
 
     def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False) -> list[str]:
         """Delete data dirs not referenced by any commit within the retention window
@@ -2439,27 +2450,37 @@ class DeltaliteTable:
                 shutil.rmtree(self._root / rel, ignore_errors=True)
         return dead
 
-    def _dv_target_dirs(self, dv_rels: list[str]) -> set[str]:
-        """Data-dir rels a set of DV sidecars tombstone into: each sidecar's
-        distinct ``file_path`` values, relativized to the table root and cut
-        to the ``data/<dir>`` component. Driver-side pyarrow read of the
-        (tiny) sidecars only — the conflict checker's file-overlap probe."""
-        try:
-            import pyarrow.parquet as pq
-        except ImportError:  # pragma: no cover
-            return set()
-        dirs: set[str] = set()
-        root = str(self._root.resolve())
+    def _dv_overlap(self, dv_rels: list[str], touched: set[str]) -> str | None:
+        """Conflict probe: do these DV sidecars tombstone into any of the
+        ``touched`` data dirs? Returns the overlapping dir rel, or the raw
+        path when it cannot be mapped to this table at all (FAIL CLOSED: a
+        correctness guard that can't classify a path must report conflict,
+        never 'no overlap'), or None when provably disjoint. Each sidecar's
+        ``file_path`` values map to the file's PARENT dir relative to the
+        table root — the partition-LEAF rel for partitioned tables, exactly
+        the shape ``live``/``touched`` entries use. Driver-side pyarrow read
+        of the (tiny) sidecars only."""
+        import pyarrow.parquet as pq
+
+        # Spark records _metadata.file_path under the path it was GIVEN, so
+        # accept both the non-resolved absolute root and the symlink-resolved
+        # one (e.g. a table reached through a symlinked volume).
+        roots = {str(Path(os.path.abspath(self._root))), str(self._root.resolve())}
         for rel in dv_rels:
             for f in sorted((self._root / rel).rglob("*.parquet")):
                 col = pq.read_table(str(f), columns=["file_path"])["file_path"]
                 for fp in set(col.to_pylist()):
                     p = re.sub(r"^[a-z][a-zA-Z0-9+.-]*:/+", "/", fp)
-                    if p.startswith(root):
-                        parts = Path(p[len(root):].lstrip("/")).parts
-                        if len(parts) >= 2:
-                            dirs.add("/".join(parts[:2]))
-        return dirs
+                    d = None
+                    for root in roots:
+                        if p.startswith(root):
+                            d = str(Path(p[len(root):].lstrip("/")).parent)
+                            break
+                    if d is None:
+                        return fp  # unmappable: fail closed
+                    if d in touched:
+                        return d
+        return None
 
     # Interleaved operations a DML retry can tolerate (subject to the
     # file-overlap checks): data-changing commits whose effect on OTHER
@@ -2514,11 +2535,11 @@ class DeltaliteTable:
                     txlog.state_at(self._log_dir, v - 1).get("dv_files") or []
                 )
                 new_dvs = [r for r in doc["dv_files"] if r not in prev_dv]
-                dv_overlap = self._dv_target_dirs(new_dvs) & touched
-                if dv_overlap:
+                hit = self._dv_overlap(new_dvs, touched) if new_dvs else None
+                if hit is not None:
                     return (
                         f"version {v} ({op}) tombstoned into shared file "
-                        f"{sorted(dv_overlap)[0]}"
+                        f"{hit}"
                     )
         return None
 
@@ -2550,15 +2571,65 @@ class DeltaliteTable:
 
     @staticmethod
     def _dml_retries() -> int:
-        """Conflict-retry budget for DELETE/UPDATE under concurrent writers
-        (Delta's WriteSerializable re-resolution). 0 restores the pre-r8
-        always-refuse behavior."""
+        """Conflict-retry budget for DELETE/UPDATE/MERGE under concurrent
+        writers (Delta's WriteSerializable re-resolution). 0 restores the
+        pre-r8 always-refuse behavior."""
         try:
             from pyspark_cdc_engine.config import get_config
 
             return get_config().get_int("engine.dml-conflict-retries", 3)
         except Exception:
             return 3
+
+    def _dml_conflict_retry(
+        self,
+        op: str,
+        attempt_commit,
+        rebase,
+        base: int,
+        commit: dict,
+        touched: set[str],
+        staged: list[str],
+        txn_app: str | None,
+        txn_version: int | None,
+    ) -> int:
+        """THE WriteSerializable retry loop, shared by every DML commit path
+        (cow delete/update via _dml_rewrite, DV delete/update, cow merge) so
+        the conflict contract cannot drift between them.
+
+        ``attempt_commit(base, commit, keep_staged)`` performs one commit
+        attempt against the given snapshot and may raise
+        ConcurrentWriteError; ``rebase(new_commit)`` updates the caller's
+        closure state (kept list, carried schema, DV list) before a retry.
+        On an idempotent-replay hit (another replica landed our txn) or an
+        abandoned retry, ``staged`` dirs are discarded."""
+        retries = self._dml_retries()
+        attempt = 0
+        while True:
+            try:
+                return attempt_commit(base, commit, attempt < retries)
+            except ConcurrentWriteError:
+                if attempt >= retries:
+                    raise
+                attempt += 1
+                new_base, new_commit = self._snapshot()
+                if txn_app is not None and txn_version is not None:
+                    last = self.last_txn_version(txn_app)
+                    if last is not None and txn_version <= last:
+                        for r in staged:
+                            self._discard_staged(r)
+                        return new_base  # another replica landed our batch
+                reason = self._dml_conflict_reason(
+                    base, commit, new_base, new_commit, touched
+                )
+                if reason is not None:
+                    for r in staged:
+                        self._discard_staged(r)
+                    raise ConcurrentWriteError(
+                        f"{op} retry abandoned at version {new_base}: {reason}"
+                    ) from None
+                rebase(new_commit)
+                base, commit = new_base, new_commit
 
     def _dml_rewrite(
         self,
@@ -2627,44 +2698,31 @@ class DeltaliteTable:
         # (stats-pruned) dirs were never read, so rivals may do anything to
         # them.
         touched = set(live)
-        retries = self._dml_retries()
-        attempt = 0
-        while True:
-            try:
-                return self._commit_staged(
-                    op, [*kept, *rels], staged, extra, base, commit,
-                    stats_cols=tuple(prune_bounds or ()),
-                    keep_staged_on_conflict=attempt < retries,
-                )
-            except ConcurrentWriteError:
-                if attempt >= retries:
-                    raise
-                attempt += 1
-                new_base, new_commit = self._snapshot()
-                reason = self._dml_conflict_reason(
-                    base, commit, new_base, new_commit, touched
-                )
-                if reason is None and txn_app is not None and txn_version is not None:
-                    last = self.last_txn_version(txn_app)
-                    if last is not None and txn_version <= last:
-                        for r in staged:
-                            self._discard_staged(r)
-                        return new_base  # another replica landed our batch
-                if reason is not None:
-                    for r in staged:
-                        self._discard_staged(r)
-                    raise ConcurrentWriteError(
-                        f"{op} retry abandoned at version {new_base}: {reason}"
-                    ) from None
-                kept = [d for d in new_commit["live"] if d not in touched]
-                if "pruned_dirs_kept" in extra:
-                    extra["pruned_dirs_kept"] = len(kept)
-                if new_commit.get("schema"):
-                    # the conflict check only admits semantically-equal or
-                    # RELAXED rival schemas; re-record the relaxed one — the
-                    # kept dirs now include rival rows its nullability covers
-                    extra["schema"] = new_commit["schema"]
-                base, commit = new_base, new_commit
+        state = {"kept": kept}
+
+        def _attempt(b: int, c: dict, keep_staged: bool) -> int:
+            return self._commit_staged(
+                op, [*state["kept"], *rels], staged, extra, b, c,
+                stats_cols=tuple(prune_bounds or ()),
+                keep_staged_on_conflict=keep_staged,
+            )
+
+        def _rebase(new_commit: dict) -> None:
+            state["kept"] = [
+                d for d in new_commit["live"] if d not in touched
+            ]
+            if "pruned_dirs_kept" in extra:
+                extra["pruned_dirs_kept"] = len(state["kept"])
+            if new_commit.get("schema"):
+                # the conflict check only admits semantically-equal or
+                # RELAXED rival schemas; re-record the relaxed one — the
+                # kept dirs now include rival rows its nullability covers
+                extra["schema"] = new_commit["schema"]
+
+        return self._dml_conflict_retry(
+            op, _attempt, _rebase, base, commit, touched, staged,
+            txn_app, txn_version,
+        )
 
     def delete(
         self,
@@ -2757,38 +2815,24 @@ class DeltaliteTable:
         )
         rel = self._write_dv_sidecar(matched, base + 1)
         extra["dv_rows_added"] = self._dv_rows([rel])
-        # conflict re-resolution (same WriteSerializable contract as
-        # _dml_rewrite): our tombstones stay valid as long as no interleaved
-        # commit rewrote or tombstoned into the dirs we scanned; the DV list
-        # rebases onto the new snapshot's carried set. A lost sidecar is
-        # inert (never referenced), so no cleanup on abort.
-        touched = set(live)
-        retries = self._dml_retries()
-        attempt = 0
-        while True:
-            extra["dv_files"] = [*(commit.get("dv_files") or []), rel]
-            try:
-                return self._write_commit(
-                    "delete", commit["live"], extra, base, commit
-                )
-            except ConcurrentWriteError:
-                if attempt >= retries:
-                    raise
-                attempt += 1
-                new_base, new_commit = self._snapshot()
-                if txn_app is not None and txn_version is not None:
-                    last = self.last_txn_version(txn_app)
-                    if last is not None and txn_version <= last:
-                        return new_base
-                reason = self._dml_conflict_reason(
-                    base, commit, new_base, new_commit, touched
-                )
-                if reason is not None:
-                    raise ConcurrentWriteError(
-                        f"delete retry abandoned at version {new_base}: "
-                        f"{reason}"
-                    ) from None
-                base, commit = new_base, new_commit
+        # conflict re-resolution (shared _dml_conflict_retry contract): our
+        # tombstones stay valid as long as no interleaved commit rewrote or
+        # tombstoned into the dirs we scanned; the DV list and carried
+        # schema rebase onto the new snapshot. A lost sidecar is inert
+        # (never referenced), so nothing to discard on abort.
+
+        def _attempt(b: int, c: dict, _keep: bool) -> int:
+            extra["dv_files"] = [*(c.get("dv_files") or []), rel]
+            return self._write_commit("delete", c["live"], extra, b, c)
+
+        def _rebase(new_commit: dict) -> None:
+            if new_commit.get("schema"):
+                extra["schema"] = new_commit["schema"]
+
+        return self._dml_conflict_retry(
+            "delete", _attempt, _rebase, base, commit, set(live), [],
+            txn_app, txn_version,
+        )
 
     def _write_dv_sidecar(self, tombstones: DataFrame, version_hint: int) -> str:
         """Write a (file_path, row_index) tombstone parquet under ``_dv/`` and
@@ -2875,42 +2919,27 @@ class DeltaliteTable:
         )
         rels = self._staged_rels(rel, commit.get("partition_by"))
         extra["dv_rows_added"] = self._dv_rows([dv_rel])
-        # same conflict re-resolution as _dv_delete; the post-image data dir
-        # is staged, so keep it across retries and discard it on abort.
-        # (set literal: this method's SET-clause param shadows builtins.set)
-        touched = {*live}
-        retries = self._dml_retries()
-        attempt = 0
-        while True:
-            extra["dv_files"] = [*(commit.get("dv_files") or []), dv_rel]
-            try:
-                return self._commit_staged(
-                    "update", [*commit["live"], *rels], rels, extra, base,
-                    commit, stats_cols=tuple(prune_bounds or ()),
-                    keep_staged_on_conflict=attempt < retries,
-                )
-            except ConcurrentWriteError:
-                if attempt >= retries:
-                    raise
-                attempt += 1
-                new_base, new_commit = self._snapshot()
-                if txn_app is not None and txn_version is not None:
-                    last = self.last_txn_version(txn_app)
-                    if last is not None and txn_version <= last:
-                        for r in rels:
-                            self._discard_staged(r)
-                        return new_base
-                reason = self._dml_conflict_reason(
-                    base, commit, new_base, new_commit, touched
-                )
-                if reason is not None:
-                    for r in rels:
-                        self._discard_staged(r)
-                    raise ConcurrentWriteError(
-                        f"update retry abandoned at version {new_base}: "
-                        f"{reason}"
-                    ) from None
-                base, commit = new_base, new_commit
+
+        # same shared conflict re-resolution as _dv_delete; the post-image
+        # data dir is staged, so it survives retries and discards on abort.
+        # ({*live} literal: this method's SET-clause param shadows built-in
+        # set)
+        def _attempt(b: int, c: dict, keep_staged: bool) -> int:
+            extra["dv_files"] = [*(c.get("dv_files") or []), dv_rel]
+            return self._commit_staged(
+                "update", [*c["live"], *rels], rels, extra, b, c,
+                stats_cols=tuple(prune_bounds or ()),
+                keep_staged_on_conflict=keep_staged,
+            )
+
+        def _rebase(new_commit: dict) -> None:
+            if new_commit.get("schema"):
+                extra["schema"] = new_commit["schema"]
+
+        return self._dml_conflict_retry(
+            "update", _attempt, _rebase, base, commit, {*live}, rels,
+            txn_app, txn_version,
+        )
 
     def update(
         self,
@@ -3229,58 +3258,42 @@ class DeltaliteTable:
             extra["pruned_dirs_kept"] = len(kept)
         if txn_app is not None and txn_version is not None:
             extra["txn"] = {"app": txn_app, "version": txn_version}
-        # WriteSerializable conflict re-resolution, same contract as
-        # _dml_rewrite: a file-skipping merge losing the race to a rival that
-        # touched only PRUNED dirs re-links its staged rewrite (two CDC
-        # appliers on disjoint key ranges compose); any overlap aborts.
+        # shared WriteSerializable conflict re-resolution: a file-skipping
+        # merge losing the race to a rival that touched only PRUNED dirs
+        # re-links its staged rewrite (two CDC appliers on disjoint key
+        # ranges compose); any overlap aborts.
         touched = set(live)
-        retries = self._dml_retries()
-        attempt = 0
-        while True:
-            try:
-                return self._commit_staged(
-                    "merge", [*kept, *rels], staged, extra, base, commit,
-                    stats_cols=(prune_on,) if prune_on else (),
-                    keep_staged_on_conflict=attempt < retries,
-                )
-            except ConcurrentWriteError:
-                if attempt >= retries:
-                    raise
-                attempt += 1
-                new_base, new_commit = self._snapshot()
-                if txn_app is not None and txn_version is not None:
-                    last = self.last_txn_version(txn_app)
-                    if last is not None and txn_version <= last:
-                        for r in staged:
-                            self._discard_staged(r)
-                        return new_base  # another replica landed our batch
-                reason = self._dml_conflict_reason(
-                    base, commit, new_base, new_commit, touched
-                )
-                if reason is not None:
-                    for r in staged:
-                        self._discard_staged(r)
-                    raise ConcurrentWriteError(
-                        f"merge retry abandoned at version {new_base}: "
-                        f"{reason}"
-                    ) from None
-                kept = [d for d in new_commit["live"] if d not in touched]
-                if "pruned_dirs_kept" in extra:
-                    extra["pruned_dirs_kept"] = len(kept)
-                if new_commit.get("schema"):
-                    # per-field nullability UNION of our merge output and the
-                    # rival's (the check admits only equal-or-relaxed rivals;
-                    # kept dirs now hold rows under the rival's claims)
-                    from pyspark.sql.types import StructField, StructType
+        state = {"kept": kept}
 
-                    ours = StructType.fromJson(json.loads(extra["schema"]))
-                    theirs = StructType.fromJson(json.loads(new_commit["schema"]))
-                    extra["schema"] = StructType([
-                        StructField(a.name, a.dataType,
-                                    a.nullable or b.nullable, a.metadata)
-                        for a, b in zip(ours.fields, theirs.fields)
-                    ]).json()
-                base, commit = new_base, new_commit
+        def _attempt(b: int, c: dict, keep_staged: bool) -> int:
+            return self._commit_staged(
+                "merge", [*state["kept"], *rels], staged, extra, b, c,
+                stats_cols=(prune_on,) if prune_on else (),
+                keep_staged_on_conflict=keep_staged,
+            )
+
+        def _rebase(new_commit: dict) -> None:
+            state["kept"] = [d for d in new_commit["live"] if d not in touched]
+            if "pruned_dirs_kept" in extra:
+                extra["pruned_dirs_kept"] = len(state["kept"])
+            if new_commit.get("schema"):
+                # per-field nullability UNION of our merge output and the
+                # rival's (the check admits only equal-or-relaxed rivals;
+                # kept dirs now hold rows under the rival's claims)
+                from pyspark.sql.types import StructField, StructType
+
+                ours = StructType.fromJson(json.loads(extra["schema"]))
+                theirs = StructType.fromJson(json.loads(new_commit["schema"]))
+                extra["schema"] = StructType([
+                    StructField(a.name, a.dataType,
+                                a.nullable or b.nullable, a.metadata)
+                    for a, b in zip(ours.fields, theirs.fields)
+                ]).json()
+
+        return self._dml_conflict_retry(
+            "merge", _attempt, _rebase, base, commit, touched, staged,
+            txn_app, txn_version,
+        )
 
     def _dv_merge(
         self,

@@ -1497,3 +1497,30 @@ def test_dv_import_spills_past_broadcast_cap(spark, tmp_path):
     finally:
         cfgmod.set_config(None)
     assert got == want
+
+
+def test_dv_import_handles_uri_special_chars_in_table_path(spark, tmp_path):
+    """Spark's _metadata.file_path is java.net.URI-quoted (space -> %20,
+    '+' literal): the DV join keys must quote identically or tombstoned
+    rows silently resurrect for any table under a path needing encoding."""
+    from pyspark_cdc_engine.delta_export import (
+        read_delta_changes,
+        read_delta_snapshot,
+    )
+
+    base = tmp_path / "my tables+x"
+    base.mkdir()
+    t = DeltaliteTable(spark, str(base / "src"))
+    t.overwrite(spark.range(10).repartition(1).selectExpr("id"))
+    dest = base / "delta"
+    export_delta_snapshot(t, str(dest))
+    rel = next(a["add"]["path"] for a in _read_actions(dest) if a.get("add"))
+    import pyarrow.parquet as pq_
+
+    col = pq_.read_table(str(dest / rel), columns=["id"])["id"].to_pylist()
+    _dv_delete(dest, rel, [1, 3], version=1)
+    got = {r.id for r in read_delta_snapshot(spark, str(dest)).collect()}
+    assert got == set(col) - {col[1], col[3]}
+    feed = read_delta_changes(spark, str(dest), 0, 1)
+    dels = {r.id for r in feed.filter("_change_type = 'delete'").collect()}
+    assert dels == {col[1], col[3]}

@@ -497,3 +497,23 @@ def test_replay_states_raises_on_checkpointless_mid_log_gap(tmp_path):
         txlog.commit_path(t._log_dir, v).unlink()
     with pytest.raises(FileNotFoundError, match="corrupt"):
         list(txlog.replay_states(t._log_dir))
+
+
+def test_mid_cleanup_gap_counts_as_pruned_for_change_feeds(tmp_path, spark):
+    """A reader racing cleanup mid-doc-deletion sees {0..j} ∪ {keep_from..}.
+    _oldest_retained must key on the CONTIGUOUS SUFFIX start, so change
+    feeds over the gap raise the retention refusal instead of silently
+    diffing across missing versions (re-emitting live rows as inserts)."""
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(3).toDF("id"))
+    for i in range(29):  # v1..v29, checkpoint at v20
+        t.append(spark.range(100 + i, 101 + i).toDF("id"))
+    for v in range(8, 20):  # newest-first deletion interrupted after 19..8
+        txlog.commit_path(t._log_dir, v).unlink()
+    assert t._oldest_retained() == 20
+    with pytest.raises(ValueError, match="unavailable"):
+        t.read_changes(10, 25)  # window straddles the gap
+    # windows fully inside the suffix still work
+    assert t.read_changes(20, 25).count() == 5
+    # and fully inside the doomed prefix the data is still replayable
+    assert t.read(version=7).count() == 3 + 7

@@ -1473,3 +1473,30 @@ def test_concurrent_disjoint_dml_random_program_matches_serial(spark, tmp_path):
         got = sorted(tuple(r) for r in raced.read().collect())
         want = sorted(tuple(r) for r in serial.read().collect())
         assert got == want, f"trial {trial} diverged"
+
+
+def test_concurrent_dv_delete_on_partitioned_table_conflicts(spark, tmp_path):
+    """The DV-overlap probe must map sidecar file paths to PARTITION-LEAF
+    dirs (the shape `live`/touched entries use) — r8's first cut truncated
+    to data/<top> and could never fire on partitioned tables, silently
+    resurrecting a rival's tombstones under the victim's rewrite."""
+    from pyspark_cdc_engine.log import ConcurrentWriteError
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.range(12).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v", "CAST(id % 2 AS STRING) AS k"
+        ),
+        partition_by=["k"],
+    )
+    a = DeltaliteTable(spark, t.path)
+    b = DeltaliteTable(spark, t.path)
+    # rival B tombstones a row in the SAME partition A is rewriting
+    _interleave(a, lambda: b.delete("id = 4", mode="dv"))
+    with pytest.raises(ConcurrentWriteError, match="tombstoned into shared"):
+        a.delete("id = 6")  # cow rewrite of every partition (no bounds)
+    # B's delete survived; A aborted without burying it
+    assert sorted(r.id for r in t.read().collect()) == [
+        i for i in range(12) if i != 4
+    ]
