@@ -750,7 +750,8 @@ def _write_delta_checkpoint(log_dir: Path, version: int, actions: list[dict]):
 
 
 def export_delta_history(
-    table: DeltaliteTable, dest: str, upto: int | None = None
+    table: DeltaliteTable, dest: str, upto: int | None = None,
+    dv: str = "materialize",
 ) -> dict:
     """Replay the deltalite log into a REAL multi-commit ``_delta_log`` —
     the history export that :func:`export_delta_snapshot` (one commit, no
@@ -767,20 +768,39 @@ def export_delta_history(
     (verified by replaying every version through
     :func:`read_delta_snapshot` in tests).
 
-    DELETION-VECTOR histories export too (r6 verdict ask #3): the real DV
-    protocol (descriptor-bearing add actions) is still not emitted — instead
-    each DV commit is exported as the equivalent COPY-ON-WRITE rewrite, with
-    every affected file's export re-materialized minus its cumulative
-    tombstones (remove old variant + add new variant), plus exact ``cdc``
-    actions carrying the commit's change rows (the positions a DV commit
-    tombstones are enumerable, which is the whole point of merge-on-read) —
-    so :func:`read_delta_snapshot` is byte-equal to ``read(version=v)`` at
+    DELETION-VECTOR histories export in either of two modes (``dv=``):
+
+    - ``"materialize"`` (default, r6): each DV commit exports as the
+      equivalent COPY-ON-WRITE rewrite — every affected file re-materialized
+      minus its cumulative tombstones (remove old variant + add new
+      variant), cached per (file, tombstone-set) so RESTORE reuses bytes.
+      Readable by ANY Delta reader (protocol stays at reader 1/2).
+    - ``"native"`` (r8): the REAL DV protocol — each data file copies ONCE,
+      and DV commits emit remove+add of the SAME path with a
+      ``deletionVector`` descriptor pointing at an on-disk roaring-bitmap
+      sidecar written via :mod:`pyspark_cdc_engine.dvformat` (UUID-named
+      ``deletion_vector_*.bin``, framed + CRC exactly as delta-spark's
+      DeletionVectorStore writes them). Protocol upgrades to reader 3 /
+      writer 7 with ``deletionVectors`` in both feature lists. THE shape
+      for DV-heavy histories at scale: materialize-mode cost is
+      O(DV-commits x file bytes) — a hot file re-copies on every delete —
+      native is O(file bytes + tiny sidecars). Requires a DV-capable
+      consumer (delta-spark 2.3+/3.x, or this repo's own importer, which
+      round-trip-verifies the emission). Not supported for retention-pruned
+      histories (the boundary checkpoint would need DV-struct add rows) —
+      refused loudly, use materialize.
+
+    Both modes additionally emit exact ``cdc`` actions carrying each DV
+    commit's change rows (the positions a DV commit tombstones are
+    enumerable, which is the whole point of merge-on-read) — so
+    :func:`read_delta_snapshot` is byte-equal to ``read(version=v)`` at
     every version and :func:`read_delta_changes` returns the same feed
-    ``read_changes`` gives. RESTORE across DV states re-uses previously
-    materialized variants (cached per (file, tombstone-set)).
+    ``read_changes`` gives.
 
     Unsupported (refused loudly, use the snapshot export): shallow clones
     (their live entries reference another table's files)."""
+    if dv not in ("materialize", "native"):
+        raise ValueError(f"dv must be materialize|native, got {dv!r}")
     versions = [v for v in table._versions() if upto is None or v <= upto]
     if not versions:
         raise ValueError(
@@ -814,8 +834,29 @@ def export_delta_history(
         or c.get("dv_merge")
         for c in commits.values()
     )
+    native_dv = dv == "native" and any_dv
+    if native_dv and base != 0:
+        raise ValueError(
+            "native DV export of a retention-pruned history is not "
+            "supported (the boundary checkpoint would need DV-struct add "
+            "rows) — use dv='materialize'"
+        )
     min_reader = 2 if any_mapping else 1
     min_writer = 5 if any_mapping else (4 if (any_cdc or any_dv) else 2)
+    protocol_features: dict = {}
+    if native_dv:
+        # table features era: reader 3 / writer 7 with explicit lists
+        min_reader, min_writer = 3, 7
+        reader_feats = ["deletionVectors"] + (
+            ["columnMapping"] if any_mapping else []
+        )
+        writer_feats = list(reader_feats) + (
+            ["changeDataFeed"] if any_cdc else []
+        )
+        protocol_features = {
+            "readerFeatures": reader_feats,
+            "writerFeatures": writer_feats,
+        }
 
     dest_path = Path(dest)
     log_dir = dest_path / "_delta_log"
@@ -840,13 +881,18 @@ def export_delta_history(
 
     # Per-FILE export variants: a source file's export at any version is its
     # bytes minus the cumulative tombstones the version's dv_files hold for
-    # it. (src file, tombstone-set) -> (delta path | None, size); None =
-    # fully tombstoned, exports as nothing. File identities survive
-    # remove/re-add cycles (RESTORE, across DV states too) without
-    # recopying bytes.
-    variants: dict[tuple[str, frozenset], tuple[str | None, int]] = {}
-    # src file -> (tombstone-set, delta path | None, size) currently exported
-    exported: dict[str, tuple[frozenset, str | None, int]] = {}
+    # it (materialize mode), or its verbatim bytes plus a deletionVector
+    # DESCRIPTOR (native mode). (src file, tombstone-set) ->
+    # (delta path | None, size, descriptor | None); path None = fully
+    # tombstoned in materialize mode, exports as nothing. File identities
+    # survive remove/re-add cycles (RESTORE, across DV states too) without
+    # recopying bytes — native mode copies each file exactly once.
+    variants: dict[
+        tuple[str, frozenset], tuple[str | None, int, dict | None]
+    ] = {}
+    # src file -> (tombs, delta path | None, size, desc) currently exported
+    exported: dict[str, tuple[frozenset, str | None, int, dict | None]] = {}
+    n_dv_files = 0
     sidecar_memo: dict[str, dict[str, list[int]]] = {}  # dv rel -> file -> pos
     ct = {"n_files": 0, "total": 0}
     last_meta: tuple | None = None
@@ -875,8 +921,30 @@ def export_delta_history(
         key = (src_file, tombs)
         if key in variants:
             return variants[key]
+        nonlocal n_dv_files
         src_dir = table._root / dl_rel
         rel = delta_rel(dl_rel, Path(src_file), Path(src_dir))
+        desc: dict | None = None
+        if native_dv:
+            # the file copies ONCE (tombs-independent); tombstones become a
+            # real DV sidecar + descriptor, cached per (file, tombs) so
+            # RESTORE back to a DV state reuses the sidecar
+            plain = variants.get((src_file, frozenset()))
+            if plain is None:
+                target = dest_path / rel
+                target.parent.mkdir(parents=True, exist_ok=True)
+                shutil.copy2(src_file, target)
+                plain = (quote_path(rel), target.stat().st_size, None)
+                variants[(src_file, frozenset())] = plain
+                ct["n_files"] += 1
+                ct["total"] += plain[1]
+            if tombs:
+                desc = dvformat.write_dv_file(dest_path, sorted(tombs))
+                n_dv_files += 1
+                entry = (plain[0], plain[1], desc)
+                variants[key] = entry
+                return entry
+            return plain
         if tombs:
             # materialized-minus-tombstones variant, named by the tombstone
             # set so RESTORE back to this DV state reuses the bytes
@@ -887,7 +955,7 @@ def export_delta_history(
             tbl = pq.read_table(src_file)
             keep = [i for i in range(tbl.num_rows) if i not in tombs]
             if not keep:
-                variants[key] = (None, 0)
+                variants[key] = (None, 0, None)
                 return variants[key]
             target = dest_path / rel
             target.parent.mkdir(parents=True, exist_ok=True)
@@ -896,7 +964,7 @@ def export_delta_history(
             target = dest_path / rel
             target.parent.mkdir(parents=True, exist_ok=True)
             shutil.copy2(src_file, target)
-        entry = (quote_path(rel), target.stat().st_size)
+        entry = (quote_path(rel), target.stat().st_size, None)
         variants[key] = entry
         ct["n_files"] += 1
         ct["total"] += entry[1]
@@ -943,6 +1011,7 @@ def export_delta_history(
                     "protocol": {
                         "minReaderVersion": min_reader,
                         "minWriterVersion": min_writer,
+                        **protocol_features,
                     }
                 }
             )
@@ -974,7 +1043,7 @@ def export_delta_history(
             for f in sorted((table._root / dl_rel).rglob("*.parquet")):
                 sf = str(f)
                 desired[sf] = (dl_rel, frozenset(dv_pos.get(sf, ())))
-        for sf, (tombs, pth, _sz) in sorted(exported.items()):
+        for sf, (tombs, pth, _sz, old_desc) in sorted(exported.items()):
             nd = desired.get(sf)
             if (nd is None or nd[1] != tombs) and pth is not None:
                 actions.append(
@@ -983,17 +1052,20 @@ def export_delta_history(
                             "path": pth,
                             "deletionTimestamp": ts_ms,
                             "dataChange": data_change,
+                            **({"deletionVector": old_desc} if old_desc else {}),
                         }
                     }
                 )
-        new_exported: dict[str, tuple[frozenset, str | None, int]] = {}
+        new_exported: dict[
+            str, tuple[frozenset, str | None, int, dict | None]
+        ] = {}
         for sf, (dl_rel, tombs) in sorted(desired.items()):
             cur = exported.get(sf)
             if cur is not None and cur[0] == tombs:
                 new_exported[sf] = cur
                 continue
-            pth, sz = _variant(sf, dl_rel, tombs)
-            new_exported[sf] = (tombs, pth, sz)
+            pth, sz, desc = _variant(sf, dl_rel, tombs)
+            new_exported[sf] = (tombs, pth, sz, desc)
             if pth is not None:
                 actions.append(
                     {
@@ -1005,6 +1077,7 @@ def export_delta_history(
                             "size": sz,
                             "modificationTime": ts_ms,
                             "dataChange": data_change,
+                            **({"deletionVector": desc} if desc else {}),
                         }
                     }
                 )
@@ -1165,6 +1238,7 @@ def export_delta_history(
         "latest_version": versions[-1],
         "n_files": ct["n_files"],
         "n_cdc_files": n_cdc,
+        "n_dv_files": n_dv_files,
         "total_bytes": ct["total"],
         "dest": str(dest_path),
     }

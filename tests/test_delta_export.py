@@ -1524,3 +1524,102 @@ def test_dv_import_handles_uri_special_chars_in_table_path(spark, tmp_path):
     feed = read_delta_changes(spark, str(dest), 0, 1)
     dels = {r.id for r in feed.filter("_change_type = 'delete'").collect()}
     assert dels == {col[1], col[3]}
+
+
+# ----------------------------------------------------- native DV export (r8)
+
+
+def test_native_dv_history_export_round_trips_every_version(spark, tmp_path):
+    """dv='native': data files copy ONCE and DV commits emit remove+add of
+    the same path with real roaring-bitmap descriptors — the two
+    independently-built codepaths (dvformat writer in the export, DV-aware
+    importer from this round) must agree with the source at every version."""
+    import json as _json
+
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_changes,
+        read_delta_snapshot,
+    )
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(30).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    t.update({"v": "v + 0.5"}, "id IN (3, 7)", mode="dv")   # v1: DV + images
+    t.delete("id % 9 = 1", mode="dv")                       # v2: DV delete
+    t.delete("id = 20", mode="dv")                          # v3: stacks
+    t.restore(2)                                            # v4: DV rewind
+    hist = tmp_path / "hist"
+    summary = export_delta_history(t, str(hist), dv="native")
+    assert summary["n_dv_files"] >= 2
+    log = hist / "_delta_log"
+    actions = [
+        _json.loads(ln)
+        for p in sorted(log.glob("*.json"))
+        for ln in p.read_text().splitlines()
+    ]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    dv_adds = [a["add"] for a in actions
+               if a.get("add", {}).get("deletionVector")]
+    assert dv_adds, "no descriptor-bearing adds emitted"
+    assert all(d["deletionVector"]["storageType"] == "u" for d in dv_adds)
+    # every data file copied exactly once: no -m materialized variants
+    assert not list(hist.rglob("*-m*.parquet"))
+    for v in range(t.latest_version() + 1):
+        got = sorted(
+            (r.id, r.v)
+            for r in read_delta_snapshot(spark, str(hist), v).collect()
+        )
+        want = sorted((r.id, r.v) for r in t.read(version=v).collect())
+        assert got == want, f"version {v}"
+    # the exported cdc actions reproduce deltalite's own feed
+    want_feed = {
+        (r.id, float(r.v), r["_change_type"], r["_commit_version"])
+        for r in t.read_changes(0).collect()
+    }
+    got_feed = {
+        (r.id, float(r.v), r["_change_type"], r["_commit_version"])
+        for r in read_delta_changes(spark, str(hist), 0).collect()
+    }
+    assert got_feed == want_feed and want_feed
+
+
+def test_native_dv_export_refuses_pruned_history(spark, tmp_path):
+    from pyspark_cdc_engine.delta_export import export_delta_history
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(10).selectExpr("id"))
+    for i in range(24):
+        t.append(spark.range(100 + i, 101 + i).selectExpr("id"))
+    t.delete("id = 3", mode="dv")
+    t.cleanup_log(retain_last=3)
+    with pytest.raises(ValueError, match="native DV export"):
+        export_delta_history(t, str(tmp_path / "hist"), dv="native")
+
+
+def test_native_mode_without_dvs_matches_materialize(spark, tmp_path):
+    """A DV-free history exports identically in both modes (protocol stays
+    at the classic versions — no gratuitous feature requirements)."""
+    import json as _json
+
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_snapshot,
+    )
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(10).selectExpr("id"))
+    t.append(spark.range(10, 15).selectExpr("id"))
+    hist = tmp_path / "hist"
+    export_delta_history(t, str(hist), dv="native")
+    first = (hist / "_delta_log" / f"{0:020d}.json").read_text()
+    proto = next(
+        _json.loads(ln)["protocol"]
+        for ln in first.splitlines() if '"protocol"' in ln
+    )
+    assert proto["minReaderVersion"] == 1 and "readerFeatures" not in proto
+    assert read_delta_snapshot(spark, str(hist)).count() == 15

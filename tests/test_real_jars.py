@@ -177,3 +177,30 @@ def test_we_read_real_delta_deletion_vectors(spark, tmp_path):
     feed = read_delta_changes(spark, str(real), 0)
     dels = {r.id for r in feed.filter("_change_type = 'delete'").collect()}
     assert dels == {i for i in range(40) if i % 5 == 0}
+
+
+@pytest.mark.realjars
+def test_real_delta_reads_our_native_dv_export(spark, tmp_path):
+    """The inverse of the DV-import smoke: a history exported with
+    dv='native' (real roaring-bitmap sidecars + descriptor-bearing adds,
+    reader 3 / writer 7) must read through REAL delta-spark at the latest
+    version and time travel across the DV states."""
+    if not _delta_present(spark):
+        pytest.skip("delta-spark not installed / Delta classes absent")
+    from pyspark_cdc_engine.delta_export import export_delta_history
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(25).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    t.delete("id % 6 = 1", mode="dv")
+    t.update({"v": "v * 2.0"}, "id = 4", mode="dv")
+    hist = tmp_path / "hist"
+    export_delta_history(t, str(hist), dv="native")
+    got = spark.read.format("delta").load(str(hist))
+    assert sorted((r.id, r.v) for r in got.collect()) == sorted(
+        (r.id, r.v) for r in t.read().collect()
+    )
+    for v in range(t.latest_version() + 1):
+        tt = (spark.read.format("delta").option("versionAsOf", v)
+              .load(str(hist)))
+        assert tt.count() == t.read(version=v).count(), v
