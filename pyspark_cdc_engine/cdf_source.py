@@ -97,16 +97,10 @@ def _versions(table_path: str) -> list[int]:
 
 
 def _suffix_start(vs: list[int]) -> int:
-    """Start of the log's CONTIGUOUS suffix — what retention guards key on.
-    A reader racing cleanup_log mid-deletion (docs removed newest-first) can
-    observe a genesis prefix plus the retained suffix; versions below the
-    gap are doomed and must count as pruned, not as replayable history."""
-    start = vs[-1]
-    for v in reversed(vs):
-        if v != start and v != start - 1:
-            break
-        start = v
-    return start
+    """Shared mid-cleanup-race retention guard (log.contiguous_suffix_start)."""
+    from pyspark_cdc_engine import log as txlog
+
+    return txlog.contiguous_suffix_start(vs)
 
 
 class _CdfSlice(InputPartition):
@@ -559,7 +553,17 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
 
 
 def _strip_scheme(p: str) -> str:
-    return p[len("file:"):] if p.startswith("file:") else p
+    """Recorded ``_metadata.file_path`` -> raw filesystem path: drop the
+    scheme AND percent-decode (Spark records the java.net.URI-quoted form,
+    e.g. ``file:/tmp/my%20tables/...``). Every consumer compares these keys
+    against raw ``rglob``/``str(Path)`` paths or opens them with pyarrow —
+    leaving the quoting in place silently missed every lookup for table
+    paths needing encoding."""
+    import urllib.parse
+
+    return urllib.parse.unquote(
+        p[len("file:"):] if p.startswith("file:") else p
+    )
 
 
 class _MetaSlice(InputPartition):

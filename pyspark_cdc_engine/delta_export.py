@@ -506,12 +506,13 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
             f"unsupported delta.columnMapping.mode={cm_mode!r} at {path} "
             f"(only 'name' and 'id' mapping are implemented)"
         )
-    # deletion vectors: resolve every live add's descriptor driver-side
-    # (each bitmap is small — the delta-spark broadcast carries the same
-    # bound); positions anti-join against _metadata.row_index below. A
-    # checkpoint's add rows carry an all-None deletionVector struct when the
-    # file has none — presence means a non-null storageType.
-    dv_pairs: list[tuple[str, int]] = []  # (abs file path, deleted row index)
+    # deletion vectors: collect every live add's descriptor; positions
+    # anti-join against _metadata.row_index below. A checkpoint's add rows
+    # carry an all-None deletionVector struct when the file has none —
+    # presence means a non-null storageType. Bitmaps resolve lazily
+    # (per-file, driver-side) so the snapshot-wide tombstone count never
+    # pins a Python list when it exceeds the broadcast cap.
+    dv_descs: list[tuple[str, dict]] = []  # (URI-quoted abs file path, desc)
     for rel, add in live.items():
         desc = add.get("deletionVector")
         if desc and desc.get("storageType"):
@@ -521,9 +522,7 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
             fp = _uri_path(
                 os.path.abspath(str(root / Path(urllib.parse.unquote(rel))))
             )
-            dv_pairs.extend(
-                (fp, p) for p in dvformat.dv_positions(desc, root)
-            )
+            dv_descs.append((fp, desc))
 
     if schema_json is None:
         raise ValueError(f"no metaData action found in {log_dir}")
@@ -577,7 +576,7 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
     for key, files in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(data_schema).parquet(*files)
         proj = [F.col(phys_of[f.name]).alias(f.name) for f in data_fields]
-        if dv_pairs:
+        if dv_descs:
             # surface the scan's file/position identity, anti-join the DV
             # marks, then drop — rows a DV tombstones never surface. Files
             # without a DV never match, so one join covers every group.
@@ -597,14 +596,16 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
             df = df.withColumn(c, lit.cast(part_types[c]))
         df = df.select(
             *[f.name for f in full_schema.fields],
-            *(["__fp", "__ri"] if dv_pairs else []),
+            *(["__fp", "__ri"] if dv_descs else []),
         )
         out = df if out is None else out.unionByName(df)
-    if dv_pairs and out is not None:
-        # small DV sets (the common case) broadcast; past the threshold the
-        # pairs spill to a temp parquet and the anti-join shuffles instead —
-        # a 100 TB snapshot with billions of tombstones must not pin every
-        # position in the driver's createDataFrame + broadcast
+    if dv_descs and out is not None:
+        # small DV sets (the common case, sized from the descriptors'
+        # cardinality WITHOUT resolving any bitmap) broadcast; past the
+        # threshold the positions stream per-file into a temp parquet and
+        # the anti-join shuffles instead — a 100 TB snapshot with billions
+        # of tombstones never pins more than ONE file's positions in the
+        # driver at a time.
         try:
             from pyspark_cdc_engine.config import get_config
 
@@ -612,7 +613,13 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
                                        2_000_000)
         except Exception:
             cap = 2_000_000
-        if len(dv_pairs) <= cap:
+        total = sum(int(d.get("cardinality") or 0) for _, d in dv_descs)
+        if total <= cap:
+            dv_pairs = [
+                (fp, p)
+                for fp, d in dv_descs
+                for p in dvformat.dv_positions(d, root)
+            ]
             dv_df = F.broadcast(
                 spark.createDataFrame(dv_pairs, "dv_fp string, dv_ri bigint")
             )
@@ -626,13 +633,17 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
 
             tmp = tempfile.mkdtemp(prefix="dv_import_")
             atexit.register(_sh.rmtree, tmp, ignore_errors=True)
-            pq_.write_table(
-                pa.table({
-                    "dv_fp": pa.array((p for p, _ in dv_pairs), pa.string()),
-                    "dv_ri": pa.array((r for _, r in dv_pairs), pa.int64()),
-                }),
-                f"{tmp}/pairs.parquet",
+            pair_schema = pa.schema(
+                [("dv_fp", pa.string()), ("dv_ri", pa.int64())]
             )
+            with pq_.ParquetWriter(f"{tmp}/pairs.parquet", pair_schema) as w:
+                for fp, d in dv_descs:
+                    pos = dvformat.dv_positions(d, root)
+                    w.write_batch(pa.record_batch(
+                        [pa.array([fp] * len(pos), pa.string()),
+                         pa.array(pos, pa.int64())],
+                        schema=pair_schema,
+                    ))
             dv_df = spark.read.parquet(tmp)
         out = out.join(
             dv_df,
@@ -1387,6 +1398,31 @@ def read_delta_changes(
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols, *extra_cols)
 
+    # Partition-column values live in the LOG (add/remove/cdc
+    # partitionValues, physical names under column mapping), not in file
+    # bytes — a feed that reads files alone NULLs every partition key, and
+    # a consumer merging on it writes wrong rows. Scans group by partition
+    # tuple and re-attach the literals under the PHYSICAL name so project()
+    # resolves them like any file column.
+    pv_by_path: dict[str, dict] = {}
+
+    def _with_pv(df, pv_key: tuple):
+        pvals = dict(pv_key)
+        for f in schema.fields:
+            p = phys(f)
+            if p in pvals and p not in df.columns:
+                val = pvals[p]
+                lit = F.lit(None) if val is None or val == "" else F.lit(val)
+                df = df.withColumn(p, lit.cast(f.dataType))
+        return df
+
+    def _pv_groups(paths):
+        groups: dict[tuple, list[str]] = {}
+        for p in paths:
+            key = tuple(sorted((pv_by_path.get(p) or {}).items()))
+            groups.setdefault(key, []).append(p)
+        return sorted(groups.items())
+
     def _abs(rel: str) -> str:
         return os.path.abspath(str(root / Path(urllib.parse.unquote(rel))))
 
@@ -1437,30 +1473,42 @@ def read_delta_changes(
             if a.get("commitInfo"):
                 ts_ms = a["commitInfo"].get("timestamp")
             elif a.get("cdc"):
-                cdc_paths.append(_abs(a["cdc"]["path"]))
+                p = _abs(a["cdc"]["path"])
+                cdc_paths.append(p)
+                pv_by_path[p] = a["cdc"].get("partitionValues") or {}
             elif a.get("add") and a["add"].get("dataChange"):
                 adds[a["add"]["path"]] = a["add"]
+                pv_by_path[_abs(a["add"]["path"])] = (
+                    a["add"].get("partitionValues") or {}
+                )
             elif a.get("remove") and a["remove"].get("dataChange"):
                 removes[a["remove"]["path"]] = a["remove"]
+                # removes carry partitionValues optionally (delta-spark
+                # writes them); an add for the same path wins
+                pv_by_path.setdefault(
+                    _abs(a["remove"]["path"]),
+                    a["remove"].get("partitionValues") or {},
+                )
         ts = F.timestamp_seconds(F.lit((ts_ms or 0) / 1000.0))
 
-        def _emit(df, tag: str, _v=v, _ts=ts) -> None:
+        def _emit(df, tag: str, pv_key: tuple = (), _v=v, _ts=ts) -> None:
             # project() selects only schema fields + extras, so the __fp/__ri
             # join columns fall away here
             frames.append(
-                project(df, [])
+                project(_with_pv(df, pv_key), [])
                 .withColumn("_change_type", F.lit(tag))
                 .withColumn("_commit_version", F.lit(_v))
                 .withColumn("_commit_timestamp", _ts)
             )
 
         if cdc_paths:
-            raw = _read(cdc_paths, cdc=True)
-            frames.append(
-                project(raw, [F.col("_change_type")])
-                .withColumn("_commit_version", F.lit(v))
-                .withColumn("_commit_timestamp", ts)
-            )
+            for pv_key, grp in _pv_groups(cdc_paths):
+                raw = _with_pv(_read(sorted(grp), cdc=True), pv_key)
+                frames.append(
+                    project(raw, [F.col("_change_type")])
+                    .withColumn("_commit_version", F.lit(v))
+                    .withColumn("_commit_timestamp", ts)
+                )
             continue
         # classify file actions: DV transitions (same path removed+re-added)
         # are row-level; everything else is whole-file modulo its DV
@@ -1496,16 +1544,17 @@ def read_delta_changes(
                 f"rows cannot be reconstructed ({missing[0]})"
             )
         for paths, tag in ((ins_plain, "insert"), (del_plain, "delete")):
-            if paths:
-                _emit(_read(sorted(paths)), tag)
+            for pv_key, grp in _pv_groups(paths):
+                _emit(_read(sorted(grp)), tag, pv_key)
         for group, tag in ((ins_dv, "insert"), (del_dv, "delete")):
             if group:
                 pairs = [(p, r) for p, dv in group for r in sorted(dv)]
-                _emit(_pos_filter([p for p, _ in group], pairs, keep=False), tag)
+                for pv_key, grp in _pv_groups([p for p, _ in group]):
+                    _emit(_pos_filter(grp, pairs, keep=False), tag, pv_key)
         for pairs, tag in ((pos_del, "delete"), (pos_ins, "insert")):
             if pairs:
-                _emit(_pos_filter(sorted({p for p, _ in pairs}), pairs,
-                                  keep=True), tag)
+                for pv_key, grp in _pv_groups(sorted({p for p, _ in pairs})):
+                    _emit(_pos_filter(grp, pairs, keep=True), tag, pv_key)
     if not frames:
         raise ValueError(f"no changes in ({starting_version}, {end}]")
     out = frames[0]

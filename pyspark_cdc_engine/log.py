@@ -483,3 +483,18 @@ def after_commit(
         version % checkpoint_interval == 0
     ):
         write_checkpoint(log_dir, version, state)
+
+
+def contiguous_suffix_start(vs: list[int]) -> int:
+    """Start of the version list's CONTIGUOUS suffix — what every retention
+    guard must key on. A reader racing :func:`cleanup` mid-doc-deletion
+    (docs removed newest-first) can observe a genesis prefix plus the
+    retained suffix; versions below the gap are doomed history and must
+    count as pruned, never as replayable. One shared implementation for the
+    table layer and the streaming CDF planner (they guard the same race)."""
+    start = vs[-1]
+    for v in reversed(vs):
+        if v != start and v != start - 1:
+            break
+        start = v
+    return start

@@ -51,6 +51,7 @@ import os
 import re
 import shutil
 import time
+import urllib.parse
 import uuid
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -2357,12 +2358,7 @@ class DeltaliteTable:
         vs = self._versions()
         if not vs:
             raise FileNotFoundError(f"not a deltalite table: {self.path}")
-        oldest = vs[-1]
-        for v in reversed(vs):
-            if v != oldest and v != oldest - 1:
-                break  # gap: everything below is a doomed mid-cleanup prefix
-            oldest = v
-        return oldest
+        return txlog.contiguous_suffix_start(vs)
 
     def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False) -> list[str]:
         """Delete data dirs not referenced by any commit within the retention window
@@ -2470,7 +2466,13 @@ class DeltaliteTable:
             for f in sorted((self._root / rel).rglob("*.parquet")):
                 col = pq.read_table(str(f), columns=["file_path"])["file_path"]
                 for fp in set(col.to_pylist()):
-                    p = re.sub(r"^[a-z][a-zA-Z0-9+.-]*:/+", "/", fp)
+                    # recorded paths are java.net.URI-quoted (space -> %20):
+                    # decode before comparing against raw filesystem roots,
+                    # else every path is 'unmappable' and the fail-closed
+                    # branch degrades retries to always-refuse
+                    p = urllib.parse.unquote(
+                        re.sub(r"^[a-z][a-zA-Z0-9+.-]*:/+", "/", fp)
+                    )
                     d = None
                     for root in roots:
                         if p.startswith(root):

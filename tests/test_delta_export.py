@@ -1623,3 +1623,23 @@ def test_native_mode_without_dvs_matches_materialize(spark, tmp_path):
     )
     assert proto["minReaderVersion"] == 1 and "readerFeatures" not in proto
     assert read_delta_snapshot(spark, str(hist)).count() == 15
+
+
+def test_change_feed_attaches_partition_values(spark, tmp_path):
+    """Partition-column values live in the log (add/cdc partitionValues),
+    not in file bytes — the feed must re-attach them per partition group
+    (pre-r8 every partition key came back NULL and a consumer merging on it
+    wrote wrong rows)."""
+    from pyspark_cdc_engine.delta_export import read_delta_changes
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(
+        spark.range(12).selectExpr("id", "CAST(id % 3 AS STRING) AS g"),
+        partition_by=["g"],
+    )
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    feed = read_delta_changes(spark, str(dest), -1, 0)
+    got = sorted((r.id, r.g, r["_change_type"]) for r in feed.collect())
+    assert got == sorted((i, str(i % 3), "insert") for i in range(12))
+    assert not any(g is None for _, g, _ in got)
