@@ -517,3 +517,16 @@ def test_mid_cleanup_gap_counts_as_pruned_for_change_feeds(tmp_path, spark):
     assert t.read_changes(20, 25).count() == 5
     # and fully inside the doomed prefix the data is still replayable
     assert t.read(version=7).count() == 3 + 7
+
+
+def test_contiguous_suffix_start_edge_cases():
+    """The shared retention-guard primitive (tables + CDF planner both key
+    on it): suffix start across no-gap, single-gap, multi-gap, and
+    singleton shapes."""
+    css = txlog.contiguous_suffix_start
+    assert css([0, 1, 2]) == 0                 # untouched log
+    assert css([5, 6, 7]) == 5                 # cleanly pruned log
+    assert css([0, 1, 7, 8, 9]) == 7           # mid-cleanup race shape
+    assert css([0, 3, 7, 8]) == 7              # multiple gaps: last wins
+    assert css([4]) == 4                       # singleton
+    assert css([0, 2]) == 2                    # adjacent gap
