@@ -1063,6 +1063,13 @@ def export_delta_history(
                             "path": pth,
                             "deletionTimestamp": ts_ms,
                             "dataChange": data_change,
+                            # partitionValues on removes (delta-spark writes
+                            # them): without these, a feed deriving deletes
+                            # from a partitioned remove has no way to attach
+                            # the partition-key values (not in file bytes)
+                            "partitionValues": _partition_values(
+                                urllib.parse.unquote(pth), partition_cols
+                            ),
                             **({"deletionVector": old_desc} if old_desc else {}),
                         }
                     }

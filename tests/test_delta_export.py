@@ -1643,3 +1643,70 @@ def test_change_feed_attaches_partition_values(spark, tmp_path):
     got = sorted((r.id, r.g, r["_change_type"]) for r in feed.collect())
     assert got == sorted((i, str(i % 3), "insert") for i in range(12))
     assert not any(g is None for _, g, _ in got)
+
+
+def test_partitioned_history_feed_carries_partition_keys(spark, tmp_path):
+    """A partitioned history's derived delete rows carry their partition-key
+    values: the export writes partitionValues on remove actions (file bytes
+    don't hold partition columns) and the feed re-attaches them."""
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_changes,
+    )
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(
+        spark.range(12).selectExpr("id", "CAST(id % 2 AS STRING) AS g"),
+        partition_by=["g"],
+    )
+    t.delete("id >= 8")  # cow delete: remove+add per touched partition
+    hist = tmp_path / "hist"
+    export_delta_history(t, str(hist))
+    feed = read_delta_changes(spark, str(hist), 0, 1)
+    rows = [(r.id, r.g, r["_change_type"]) for r in feed.collect()]
+    assert rows and not any(g is None for _, g, _ in rows)
+    assert all(g == str(i % 2) for i, g, _ in rows)
+    # the derived feed is whole-file (remove all -> delete, re-add survivors
+    # -> insert; the Delta derivation contract for non-CDC rewrites) — its
+    # NET effect must equal deltalite's exact predicate-replayed feed
+    net: dict[int, str] = {}
+    for i, _g, ct in sorted(
+        rows, key=lambda x: 0 if x[2] == "delete" else 1
+    ):
+        net[i] = ct  # insert after delete = survives
+    dead = {i for i, ct in net.items() if ct == "delete"}
+    assert dead == {
+        r.id for r in t.read_changes(0, 1).filter(
+            "_change_type = 'delete'"
+        ).collect()
+    }
+
+
+def test_native_dv_export_with_column_mapping(spark, tmp_path):
+    """Native DV export composes with column mapping: protocol lists BOTH
+    features, files resolve by physicalName, tombstones apply."""
+    import json as _json
+
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_snapshot,
+    )
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(15).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    t.rename_column("v", "price")
+    t.delete("id % 4 = 2", mode="dv")
+    hist = tmp_path / "hist"
+    export_delta_history(t, str(hist), dv="native")
+    first = (hist / "_delta_log" / f"{0:020d}.json").read_text()
+    proto = next(
+        _json.loads(ln)["protocol"]
+        for ln in first.splitlines() if '"protocol"' in ln
+    )
+    assert set(proto["readerFeatures"]) == {"deletionVectors", "columnMapping"}
+    for v in range(t.latest_version() + 1):
+        got = sorted(
+            tuple(r) for r in read_delta_snapshot(spark, str(hist), v).collect()
+        )
+        want = sorted(tuple(r) for r in t.read(version=v).collect())
+        assert got == want, f"version {v}"
