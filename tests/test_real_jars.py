@@ -204,3 +204,44 @@ def test_real_delta_reads_our_native_dv_export(spark, tmp_path):
         tt = (spark.read.format("delta").option("versionAsOf", v)
               .load(str(hist)))
         assert tt.count() == t.read(version=v).count(), v
+
+
+@pytest.mark.realjars
+def test_duckdb_delta_extension_reads_our_exports(spark, tmp_path):
+    """Third independent validator (besides delta-spark and our own
+    importer): DuckDB's delta extension reading our exports — snapshot,
+    history latest, and the native-DV emission. Needs network (or a cached
+    extension) to load; skips cleanly otherwise."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute("INSTALL delta; LOAD delta;")
+    except Exception:
+        pytest.skip("duckdb delta extension unavailable (no network/cache)")
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        export_delta_snapshot,
+    )
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(30).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    t.delete("id % 7 = 3", mode="dv")
+    snap = tmp_path / "snap"
+    export_delta_snapshot(t, str(snap))
+    got = {
+        r[0] for r in con.execute(
+            f"SELECT id FROM delta_scan('{snap}')"
+        ).fetchall()
+    }
+    want = {r.id for r in t.read().collect()}
+    assert got == want
+    hist = tmp_path / "hist"
+    export_delta_history(t, str(hist), dv="native")
+    got2 = {
+        r[0] for r in con.execute(
+            f"SELECT id FROM delta_scan('{hist}')"
+        ).fetchall()
+    }
+    assert got2 == want
