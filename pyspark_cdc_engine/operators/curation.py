@@ -941,3 +941,64 @@ def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.alias("weight"),
         (w / nat).alias("boost"),
     )
+
+
+@register(
+    "leakage_free_split",
+    survey="M5-dedup,W1,beyond-ref",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach (id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    bucketed AS (
+      SELECT doc_id, cluster_id,
+             instr('0123456789abcdef',
+                   substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1 AS b
+      FROM clusters
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 12 THEN 'train'
+                WHEN b < 14 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed
+    """,
+)
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split WITHOUT eval contamination: the unit of
+    assignment is the near-duplicate CLUSTER, not the document — a plain
+    per-doc hash split (``train_val_test_split``) happily puts one near-dup
+    in train and its twin in val, inflating eval scores with memorized
+    content. Pipeline: near-dup edges (``engine.pair-source``: exact
+    Jaccard below the guard, banded LSH above) → pointer-doubling connected
+    components → md5-of-cluster-id bucketing (75/12.5/12.5, deterministic
+    across engines/runs — the same cross-engine md5 contract as
+    ``document_chunking``). Singleton docs are their own cluster, so the
+    split stays ~per-doc uniform while every dup group lands wholly inside
+    one split."""
+    pairs = near_dup_edges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = connected_components(docs, pairs).select("doc_id", "cluster_id")
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 12, "train")
+        .when(bucket < 14, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
