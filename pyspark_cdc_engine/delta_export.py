@@ -572,7 +572,55 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
             str(root / Path(urllib.parse.unquote(rel)))
         )
 
-    out = None
+    # A per-tuple scan is fine for tens of partitions but a 10k-partition
+    # table would union 10k scans into one driver-melting plan. When every
+    # file sits under Hive-style `<phys>=<val>/` dirs (delta-spark's own
+    # layout, and this repo's exports), ONE basePath scan recovers the
+    # partition columns natively — partition pruning, one scan node,
+    # plan size independent of partition count. Non-Hive layouts (files
+    # named freely, values only in the log) keep the per-tuple fallback.
+    hive_layout = bool(partition_cols) and all(
+        all(
+            any(part.startswith(phys_of.get(c, c) + "=")
+                for part in Path(urllib.parse.unquote(rel)).parts[:-1])
+            for c in partition_cols
+        )
+        for rel in live
+    )
+    if hive_layout:
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _ST
+
+        hive_schema = _ST(
+            [*data_schema.fields]
+            + [
+                _SF(phys_of[c], part_types[c], True)
+                for c in partition_cols
+            ]
+        )
+        df = (
+            spark.read.schema(hive_schema)
+            .option("basePath", str(root))
+            .parquet(*sorted(str(root / Path(urllib.parse.unquote(r)))
+                             for r in live))
+        )
+        proj = [
+            F.col(phys_of[f.name]).alias(f.name) for f in full_schema.fields
+        ]
+        if dv_descs:
+            df = df.select(
+                *proj,
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/"
+                ).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        else:
+            df = df.select(*proj)
+        groups = {}
+        out = df
+    else:
+        out = None
     for key, files in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(data_schema).parquet(*files)
         proj = [F.col(phys_of[f.name]).alias(f.name) for f in data_fields]

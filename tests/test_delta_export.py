@@ -1710,3 +1710,68 @@ def test_native_dv_export_with_column_mapping(spark, tmp_path):
         )
         want = sorted(tuple(r) for r in t.read(version=v).collect())
         assert got == want, f"version {v}"
+
+
+def test_partitioned_import_is_one_scan_with_pruning(spark, tmp_path):
+    """Hive-laid partitioned tables import as ONE basePath scan (plan size
+    independent of partition count — a 10k-partition table must not union
+    10k scans), and a partition filter prunes at the source."""
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(
+        spark.range(64).selectExpr("id", "CAST(id % 16 AS STRING) AS g"),
+        partition_by=["g"],
+    )
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    df = read_delta_snapshot(spark, str(dest))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1 and "Union" not in plan
+    assert sorted((r.id, r.g) for r in df.collect()) == [
+        (i, str(i % 16)) for i in range(64)
+    ]
+    pruned = df.filter("g = '3'")
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in pplan and "g#" in pplan.split(
+        "PartitionFilters"
+    )[1][:80]
+    assert {r.id for r in pruned.collect()} == {i for i in range(64) if i % 16 == 3}
+
+
+def test_non_hive_partition_layout_falls_back_to_log_values(spark, tmp_path):
+    """Files named freely (partition values ONLY in add.partitionValues, no
+    k=v dirs — the foreign-writer shape) keep the per-tuple literal path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    dest = tmp_path / "delta"
+    (dest / "_delta_log").mkdir(parents=True)
+    for i, name in enumerate(["a.parquet", "b.parquet"]):
+        pq_.write_table(
+            pa.table({"id": pa.array([i * 10, i * 10 + 1], pa.int64())}),
+            str(dest / name),
+        )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "g", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    lines = [
+        {"metaData": {"id": "0003", "format": {"provider": "parquet"},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["g"], "configuration": {}}},
+        {"add": {"path": "a.parquet", "partitionValues": {"g": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "b.parquet", "partitionValues": {"g": "y"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    (dest / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(ln) for ln in lines)
+    )
+    got = sorted((r.id, r.g) for r in read_delta_snapshot(spark, str(dest)).collect())
+    assert got == [(0, "x"), (1, "x"), (10, "y"), (11, "y")]
