@@ -588,6 +588,42 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
         for rel in live
     )
     if hive_layout:
+        # The log's partitionValues map is authoritative; dir names are a
+        # layout convention. A spec-legal table whose dirs and log disagree
+        # would make the basePath scan silently read wrong partition-column
+        # values, so verify (cheap driver-side string compares, deduped per
+        # distinct (col, dir-value, log-value) triple) that they agree for
+        # every file — any mismatch, unparseable escape, or ambiguity falls
+        # back to the per-tuple scan, which reads values from the log only.
+        def _dir_val(rel: str, phys: str):
+            for part in Path(urllib.parse.unquote(rel)).parts[:-1]:
+                if part.startswith(phys + "="):
+                    raw = part[len(phys) + 1 :]
+                    if raw == "__HIVE_DEFAULT_PARTITION__":
+                        return None
+                    # Hive/Spark escapePathName is %XX-compatible
+                    return urllib.parse.unquote(raw)
+            return None
+
+        seen_triples: set[tuple] = set()
+        for rel, add in live.items():
+            pvals = dict(add.get("partitionValues") or {})
+            for c in partition_cols:
+                phys = phys_of.get(c, c)
+                triple = (
+                    phys,
+                    _dir_val(rel, phys),
+                    pvals.get(phys, pvals.get(c)),
+                )
+                if triple in seen_triples:
+                    continue
+                seen_triples.add(triple)
+                if triple[1] != triple[2]:
+                    hive_layout = False
+                    break
+            if not hive_layout:
+                break
+    if hive_layout:
         from pyspark.sql.types import StructField as _SF
         from pyspark.sql.types import StructType as _ST
 

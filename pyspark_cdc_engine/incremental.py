@@ -28,6 +28,7 @@ from pyspark_cdc_engine.tables import (
     DeltaliteTable,
     MergeClause,
     NoChangesInWindow,
+    RetentionPrunedWindow,
 )
 
 # Operations that change no rows: physical reorganizations and log-only
@@ -238,12 +239,12 @@ class IncrementalAggregate:
         except NoChangesInWindow:  # physical-only commits: nothing to fold
             self._record_watermark(upto)
             return upto
-        except ValueError:
-            # any OTHER refusal — above all log retention having pruned part
-            # of the window, which signed_fold_safe cannot see (pruned
-            # commits vanish from history()) — must not advance the
-            # watermark over lost deltas; rebuild from the snapshot instead
-            # (always correct, one aggregate scan)
+        except RetentionPrunedWindow:
+            # log retention pruned part of the window — invisible to
+            # signed_fold_safe (pruned commits vanish from history()).
+            # Advancing the watermark would drop the lost deltas; rebuild
+            # from the snapshot instead (always correct, one aggregate
+            # scan). Any OTHER ValueError is a genuine bug and propagates.
             snap = self._delta_agg(self.base.read(version=upto))
             self.summary.overwrite(snap, txn_app=txn_app, txn_version=upto)
             self._record_watermark(upto)

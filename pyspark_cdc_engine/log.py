@@ -188,28 +188,58 @@ def replay_states(log_dir: Path, end: int | None = None):
     mid-deletion: docs are a ``{0..j}`` genesis prefix plus the retained
     suffix) re-seeds the same way from the checkpoint at the gap's far side —
     applying a delta doc across missing versions would silently corrupt the
-    live set."""
+    live set.
+
+    A NON-atomic directory listing racing that same deletion can transiently
+    show a non-prefix hole (e.g. v6 scanned before its unlink, v5's entry
+    read after its own) or list a doc that is gone by read time. Both
+    resolve on a second listing once deletion has swept past, so a missing
+    mid-gap checkpoint or a vanished listed doc re-lists ONCE (from just
+    past the last yielded version — earlier yields already reached the
+    consumer) and retries before declaring corruption."""
     vs = versions(log_dir)
     carry: dict = {}
     prev_v: int | None = None
-    for v in vs:
+    relisted = False
+    i = 0
+    while i < len(vs):
+        v = vs[i]
         if end is not None and v > end:
             break
-        if (prev_v is None and v > 0) or (prev_v is not None and v != prev_v + 1):
-            # seed (or re-seed across a gap) from the checkpoint at v —
-            # cleanup() guarantees one at the boundary it prunes up to
-            if v not in checkpoint_versions(log_dir):
-                raise FileNotFoundError(
-                    f"pruned log resumes at v{v} but no checkpoint exists "
-                    f"there — {log_dir} is corrupt"
-                )
+        gap = (prev_v is None and v > 0) or (
+            prev_v is not None and v != prev_v + 1
+        )
+        if gap and v not in checkpoint_versions(log_dir):
+            # seed (or re-seed across a gap) needs the checkpoint cleanup()
+            # guarantees at the boundary it prunes up to — absence here is
+            # either a torn listing (retry) or real corruption (raise)
+            if not relisted:
+                relisted = True
+                vs = [x for x in versions(log_dir) if prev_v is None or x > prev_v]
+                i = 0
+                continue
+            raise FileNotFoundError(
+                f"pruned log resumes at v{v} but no checkpoint exists "
+                f"there — {log_dir} is corrupt"
+            )
+        try:
+            doc = raw_doc(log_dir, v)
+        except FileNotFoundError:
+            # listed but deleted before we read it: same torn race
+            if not relisted:
+                relisted = True
+                vs = [x for x in versions(log_dir) if prev_v is None or x > prev_v]
+                i = 0
+                continue
+            raise
+        if gap:
             carry = load_checkpoint_carry(log_dir, v)
             # v's own doc re-applies idempotently below, recovering its
             # per-commit fields (same contract as state_at)
-        doc = raw_doc(log_dir, v)
         state = apply_doc(carry, doc)
         carry = carry_of(state)
         prev_v = v
+        i += 1
         yield v, state, doc
 
 

@@ -39,7 +39,11 @@ from pyspark_cdc_engine.operators.dedup_scale import (
     verified_pairs_from_bands,
 )
 from pyspark_cdc_engine.operators.registry import load_table, register
-from pyspark_cdc_engine.tables import DeltaliteTable, NoChangesInWindow
+from pyspark_cdc_engine.tables import (
+    DeltaliteTable,
+    NoChangesInWindow,
+    RetentionPrunedWindow,
+)
 
 
 class IncrementalLshIndex:
@@ -109,11 +113,12 @@ class IncrementalLshIndex:
         except NoChangesInWindow:  # physical-only commits: nothing to fold
             self._record_watermark(upto)
             return upto
-        except ValueError:
-            # any OTHER refusal (log retention pruned part of the window —
-            # invisible to the safety gate, which walks the surviving
-            # history): rebuilding is the only sound move; advancing the
-            # watermark would silently drop the pruned commits' bands
+        except RetentionPrunedWindow:
+            # log retention pruned part of the window — invisible to the
+            # safety gate, which walks the surviving history. Rebuilding is
+            # the only sound move; advancing the watermark would silently
+            # drop the pruned commits' bands. Any other ValueError is a
+            # genuine bug and propagates.
             snap = self._bands_of(self.base.read(version=upto))
             self.index.overwrite(snap, txn_app=txn_app, txn_version=upto)
             self._record_watermark(upto)

@@ -74,6 +74,22 @@ class NoChangesInWindow(ValueError):
     contract)."""
 
 
+class RetentionPrunedWindow(ValueError):
+    """:meth:`DeltaliteTable.read_changes` was asked for a window whose start
+    precedes the oldest retained commit — log retention (``cleanup_log``)
+    pruned part of the requested feed, so the changes are permanently
+    unreconstructable.
+
+    A distinct type so incremental maintainers (:mod:`incremental`,
+    :mod:`operators.dedup_incremental`) can catch exactly this case and fall
+    back to a full rebuild, while genuine metadata/schema ``ValueError``\\ s
+    keep propagating instead of being silently converted into expensive
+    rebuilds that advance the watermark over a real bug. Still a
+    ``ValueError`` subclass, so replication sinks that treat any
+    non-:class:`NoChangesInWindow` failure as fatal (the ``failOnDataLoss``
+    contract) are unchanged."""
+
+
 def _commit_path(log_dir: Path, version: int) -> Path:
     return txlog.commit_path(log_dir, version)
 
@@ -770,7 +786,7 @@ class DeltaliteTable:
             # a pruned log can't reconstruct the pre-state at starting_version;
             # treating it as genesis would re-emit the whole boundary snapshot
             # as inserts — raise instead (Delta's logRetentionDuration contract)
-            raise ValueError(
+            raise RetentionPrunedWindow(
                 f"change feed from version {starting_version} is unavailable: "
                 f"log retention pruned versions < {oldest} "
                 f"(cleanup_log); restart the consumer from a fresh snapshot"

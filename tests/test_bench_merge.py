@@ -1,0 +1,88 @@
+"""BENCH_full.json artifact merging: partial runs fold into the committed
+record, full runs replace what they produced — and EITHER way, top-level
+sections the run did not produce survive (r8 lost the manually-recorded
+``heavy_scaling_30x`` because a refresh rewrote the artifact from the run's
+own output alone)."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+spec = importlib.util.spec_from_file_location(
+    "bench", Path(__file__).resolve().parent.parent / "bench.py"
+)
+bench = importlib.util.module_from_spec(spec)
+sys.modules["bench"] = bench
+spec.loader.exec_module(bench)
+
+
+PREV = {
+    "metric": "total_query_wall_sec",
+    "value": 3.0,
+    "queries": {"a": 1.0, "b": 2.0},
+    "queries_median3": {"a": 0.8, "b": 1.6},
+    "value_median3": 2.4,
+    "heavy_scaling": {"factor": 10, "median_exponent": 0.35},
+    "heavy_scaling_30x": {"factor": 30, "median_exponent": 0.38},
+    "cdc_pipeline": {"events_per_sec": 2000},
+}
+
+
+def test_partial_merge_preserves_unknown_top_level_keys():
+    out = {"queries": {"b": 1.5}, "queries_median3": {"b": 1.2}}
+    merged = bench.merge_artifact(PREV, out, partial=True)
+    assert merged["queries"] == {"a": 1.0, "b": 1.5}
+    assert merged["value"] == 2.5
+    assert merged["queries_median3"] == {"a": 0.8, "b": 1.2}
+    assert merged["value_median3"] == 2.0
+    assert merged["heavy_scaling_30x"]["median_exponent"] == 0.38
+    assert merged["heavy_scaling"]["median_exponent"] == 0.35
+    assert merged["cdc_pipeline"] == {"events_per_sec": 2000}
+
+
+def test_full_run_preserves_unknown_top_level_keys():
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": 2.2,
+        "queries": {"a": 1.0, "b": 1.2},
+        "heavy_scaling": {"factor": 10, "median_exponent": 0.4},
+        "cdc_pipeline": {"events_per_sec": 2100},
+    }
+    merged = bench.merge_artifact(PREV, out, partial=False)
+    assert merged["queries"] == out["queries"]  # replaced, not unioned
+    assert merged["heavy_scaling"]["median_exponent"] == 0.4
+    # the deep-run section the full 10x run did not produce SURVIVES
+    assert merged["heavy_scaling_30x"]["median_exponent"] == 0.38
+
+
+def test_manual_30x_run_lands_in_its_own_key_and_keeps_10x():
+    out = {"queries": {}, "heavy_scaling_30x": {"factor": 30,
+                                                "median_exponent": 0.41}}
+    merged = bench.merge_artifact(PREV, out, partial=True)
+    assert merged["heavy_scaling_30x"]["median_exponent"] == 0.41
+    assert merged["heavy_scaling"]["median_exponent"] == 0.35
+
+
+def test_partial_rerun_clears_stale_error_for_fixed_query():
+    prev = dict(PREV, errors={"b": "ValueError: boom", "c": "old"})
+    out = {"queries": {"b": 1.5}}
+    merged = bench.merge_artifact(prev, out, partial=True)
+    assert merged["errors"] == {"c": "old"}
+    out2 = {"queries": {}, "errors": {"d": "new"}}
+    merged2 = bench.merge_artifact(merged, out2, partial=True)
+    assert merged2["errors"] == {"c": "old", "d": "new"}
+
+
+def test_clean_full_run_clears_old_errors():
+    prev = dict(PREV, errors={"b": "ValueError: boom"})
+    out = {"queries": {"a": 1.0, "b": 1.2}, "value": 2.2}
+    merged = bench.merge_artifact(prev, out, partial=False)
+    assert "errors" not in merged
+
+
+def test_empty_prev_full_run_is_identity():
+    out = {"queries": {"a": 1.0}, "value": 1.0}
+    assert bench.merge_artifact({}, out, partial=False) == out
+    assert bench.merge_artifact({}, out, partial=True) == out

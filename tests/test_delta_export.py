@@ -1775,3 +1775,72 @@ def test_non_hive_partition_layout_falls_back_to_log_values(spark, tmp_path):
     )
     got = sorted((r.id, r.g) for r in read_delta_snapshot(spark, str(dest)).collect())
     assert got == [(0, "x"), (1, "x"), (10, "y"), (11, "y")]
+
+
+def test_hive_dirs_disagreeing_with_log_fall_back_to_log_values(spark, tmp_path):
+    """The Delta log's add.partitionValues map is AUTHORITATIVE; Hive-shaped
+    dir names are just a layout convention. A spec-legal table whose dirs
+    and log disagree must take the per-tuple scan so the values come from
+    the log — the basePath fast path would silently read the dir values
+    (r8 ADVICE)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    dest = tmp_path / "delta"
+    (dest / "_delta_log").mkdir(parents=True)
+    # dirs SAY g=x / g=y; the log says g=u / g=v. Log wins.
+    for i, d in enumerate(["g=x", "g=y"]):
+        (dest / d).mkdir()
+        pq_.write_table(
+            pa.table({"id": pa.array([i * 10, i * 10 + 1], pa.int64())}),
+            str(dest / d / "part-0.parquet"),
+        )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "g", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    lines = [
+        {"metaData": {"id": "0004", "format": {"provider": "parquet"},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["g"], "configuration": {}}},
+        {"add": {"path": "g=x/part-0.parquet", "partitionValues": {"g": "u"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "g=y/part-0.parquet", "partitionValues": {"g": "v"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    (dest / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(ln) for ln in lines)
+    )
+    got = sorted((r.id, r.g) for r in read_delta_snapshot(spark, str(dest)).collect())
+    assert got == [(0, "u"), (1, "u"), (10, "v"), (11, "v")]
+
+
+def test_hive_dirs_agreeing_with_log_keep_the_base_path_scan(spark, tmp_path):
+    """The agreement check must not cost the fast path when dirs and log DO
+    agree — including escaped values (space, colon) and nulls."""
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(
+        spark.range(12).selectExpr(
+            "id",
+            "CASE WHEN id % 3 = 0 THEN NULL "
+            "WHEN id % 3 = 1 THEN 'a b' ELSE 'x:y' END AS g",
+        ),
+        partition_by=["g"],
+    )
+    dest = tmp_path / "delta"
+    export_delta_snapshot(t, str(dest))
+    df = read_delta_snapshot(spark, str(dest))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1 and "Union" not in plan
+    want = sorted(
+        (i, None if i % 3 == 0 else ("a b" if i % 3 == 1 else "x:y"))
+        for i in range(12)
+    )
+    assert sorted((r.id, r.g) for r in df.collect()) == want

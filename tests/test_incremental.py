@@ -473,3 +473,60 @@ def test_refresh_rebuilds_when_retention_pruned_the_window(spark, tmp_path):
     assert _got(mv) == _expected(base)  # pruned commits' rows present
     # and it really was a rebuild, not a fold over the surviving suffix
     assert mv.summary.history()[1]["operation"] == "overwrite"
+
+
+def test_refresh_propagates_non_retention_value_errors(spark, tmp_path):
+    """Only the retention refusal (RetentionPrunedWindow) may fall back to a
+    rebuild. Any other ValueError out of read_changes is a genuine bug —
+    converting it into a silent full rebuild that advances the watermark
+    would mask the failure (r8 ADVICE: the bare `except ValueError` did
+    exactly that)."""
+    import pytest
+
+    base = DeltaliteTable(spark, str(tmp_path / "base"))
+    base.append(_rows(spark, 0, 50))
+    mv = IncrementalAggregate(
+        spark, base, str(tmp_path / "mv"), keys=["grp"], sum_cols=["v"]
+    )
+    mv.refresh()
+    base.append(_rows(spark, 50, 60))  # v1: a real fold window exists
+
+    def boom(*a, **k):
+        raise ValueError("schema metadata is broken")
+
+    base.read_changes = boom
+    with pytest.raises(ValueError, match="schema metadata"):
+        mv.refresh()
+    # the failed refresh advanced nothing: watermark still at v0
+    assert mv.last_refreshed_version() == 0
+
+
+def test_lsh_refresh_propagates_non_retention_value_errors(spark, tmp_path):
+    import pytest
+
+    from pyspark_cdc_engine.operators.dedup_incremental import (
+        IncrementalLshIndex,
+    )
+
+    base = DeltaliteTable(spark, str(tmp_path / "docs"))
+    base.append(
+        spark.range(0, 20).selectExpr(
+            "CAST(id AS STRING) AS doc_id",
+            "concat('token a b c d e f g h ', id) AS text",
+        )
+    )
+    idx = IncrementalLshIndex(spark, base, str(tmp_path / "idx"))
+    idx.refresh()
+    base.append(
+        spark.range(20, 25).selectExpr(
+            "CAST(id AS STRING) AS doc_id",
+            "concat('token a b c d e f g h ', id) AS text",
+        )
+    )
+
+    def boom(*a, **k):
+        raise ValueError("schema metadata is broken")
+
+    base.read_changes = boom
+    with pytest.raises(ValueError, match="schema metadata"):
+        idx.refresh()

@@ -577,3 +577,62 @@ def test_multiprocess_writers_never_lose_a_commit(tmp_path):
     assert len(final["live"]) == 80
     for w in range(4):
         assert sum(1 for d in final["live"] if d.startswith(f"data/w{w}-")) == 20
+
+
+def test_replay_states_retries_torn_listing(tmp_path, monkeypatch):
+    """A reader racing cleanup()'s newest-first deletion can get a torn
+    directory listing with a NON-prefix hole (v6's entry scanned before its
+    unlink, v5's after) — transient, resolves on a second listing. replay
+    must re-list once and succeed, not raise a false 'corrupt' (r8 ADVICE)."""
+    t = _table(tmp_path)
+    _append_commits(t, 30)  # checkpoints at 20; cleanup keeps v20..v29
+    t.cleanup_log(retain_last=5)
+    real = txlog.versions(t._log_dir)
+    assert real[0] == 20
+    # torn listing: pretend deletion is mid-flight and the scan produced a
+    # hole at 21 while still showing 22+ (neither genesis nor checkpointed)
+    torn = [v for v in real if v != 20 and v != 21]
+    calls = {"n": 0}
+    orig = txlog.versions
+
+    def flaky(log_dir):
+        calls["n"] += 1
+        return torn if calls["n"] == 1 else orig(log_dir)
+
+    monkeypatch.setattr(txlog, "versions", flaky)
+    states = list(txlog.replay_states(t._log_dir))
+    assert calls["n"] >= 2  # it re-listed
+    assert [v for v, _, _ in states] == real
+    assert len(states[-1][1]["live"]) == 30
+
+
+def test_replay_states_retries_vanished_doc(tmp_path, monkeypatch):
+    """A listed doc deleted before raw_doc() reads it is the same torn race:
+    re-list once and continue from the surviving suffix."""
+    t = _table(tmp_path)
+    _append_commits(t, 30)
+    t.cleanup_log(retain_last=5)
+    real = txlog.versions(t._log_dir)
+    stale = [19] + real  # 19's doc is already gone but the listing showed it
+    calls = {"n": 0}
+    orig = txlog.versions
+
+    def flaky(log_dir):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else orig(log_dir)
+
+    monkeypatch.setattr(txlog, "versions", flaky)
+    states = list(txlog.replay_states(t._log_dir))
+    assert [v for v, _, _ in states] == real
+    assert len(states[-1][1]["live"]) == 30
+
+
+def test_replay_states_still_raises_on_persistent_corruption(tmp_path):
+    """One retry, then the truth: a checkpoint that is REALLY gone (not a
+    torn listing) still raises after the re-list."""
+    t = _table(tmp_path)
+    _append_commits(t, 30)
+    t.cleanup_log(retain_last=5)
+    txlog.checkpoint_path(t._log_dir, 20).unlink()
+    with pytest.raises(FileNotFoundError, match="corrupt"):
+        list(txlog.replay_states(t._log_dir))
