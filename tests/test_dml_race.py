@@ -1,0 +1,106 @@
+"""Multi-OS-process DML race (r8 verdict ask #1): N independent writers —
+separate processes, separate SparkSessions, no monkeypatch scheduling — run
+seeded DELETE/UPDATE/MERGE/APPEND programs against ONE deltalite table.
+
+Claims under genuine concurrency (the deployment shape on a cluster):
+- disjoint-file DML all lands (Delta WriteSerializable re-resolution),
+- same-file conflicts abort CLEANLY and land on caller retry,
+- zero commits lost or doubled (txn markers prove exactly-once per step),
+- the end state converges to the serial-oracle replay of the same programs.
+
+The in-process `_interleave` tests (tests/test_maintenance.py) pin the
+deterministic conflict matrix; this lane proves the same contract survives
+real OS-level interleaving end to end."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+from pyspark_cdc_engine import log as txlog
+from pyspark_cdc_engine.tables import DeltaliteTable
+
+from tests import dml_race_worker as worker
+
+WRITERS = 3
+SEED = 20260815
+
+
+def _setup(spark, path: str) -> DeltaliteTable:
+    """One SHARED data dir (id 9000..9099 — every writer hits this file) plus
+    one dir per writer's own id range (disjoint files)."""
+    t = DeltaliteTable(spark, path)
+    t.overwrite(
+        spark.range(worker.SHARED_LO, worker.SHARED_HI + 1).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"
+        )
+    )
+    for w in range(WRITERS):
+        t.append(
+            spark.range(w * 1000, w * 1000 + worker.OWN_SPAN).selectExpr(
+                "id", "CAST(id AS DOUBLE) AS v"
+            )
+        )
+    return t
+
+
+def test_os_process_dml_race_converges_to_serial_oracle(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _setup(spark, path)
+    setup_versions = t.latest_version() + 1
+
+    results = [tmp_path / f"w{w}.json" for w in range(WRITERS)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(Path(worker.__file__)), path, str(w),
+             str(SEED + w), str(results[w])],
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        )
+        for w in range(WRITERS)
+    ]
+    errs = [p.communicate(timeout=600)[1] for p in procs]
+    for w, p in enumerate(procs):
+        assert p.returncode == 0, errs[w].decode()[-2000:]
+
+    programs = [json.loads(r.read_text()) for r in results]
+
+    # --- zero lost/doubled: versions contiguous, txn markers exactly-once
+    vs = txlog.versions(t._log_dir)
+    n_ops = sum(len(p["program"]) for p in programs)
+    assert vs == list(range(setup_versions + n_ops))
+    seen: dict[tuple, int] = {}
+    for v in vs[setup_versions:]:
+        txn = txlog.raw_doc(t._log_dir, v).get("txn")
+        assert txn, f"DML commit v{v} lost its txn marker"
+        key = (txn["app"], txn["version"])
+        seen[key] = seen.get(key, 0) + 1
+    assert all(c == 1 for c in seen.values()), {
+        k: c for k, c in seen.items() if c != 1
+    }  # no step committed twice
+    for w, p in enumerate(programs):
+        mine = {k[1] for k in seen if k[0] == f"dmlrace-w{w}"}
+        assert mine == set(range(len(p["program"])))  # no step lost
+
+    # --- convergence: serial replay of the same programs, writer by writer
+    # (valid because every op is row-disjoint across writers — see worker)
+    oracle = _setup(spark, str(tmp_path / "oracle"))
+    for p in programs:
+        for i, o in enumerate(p["program"]):
+            worker.apply_op(spark, oracle, o, p["wid"], i)
+    got = sorted((r.id, r.v) for r in t.read().collect())
+    want = sorted((r.id, r.v) for r in oracle.read().collect())
+    assert got == want
+
+    # --- the racing writers really did contend for the shared file
+    # (clean aborts absorbed by caller retry; 0 is legal on a quiet box,
+    # but the shared-dir ops make it vanishingly unlikely — don't assert)
+    print("aborts per writer:", [p["aborts"] for p in programs])
+
+    # --- and the table is still healthy: time travel + vacuum + read_changes
+    assert t.read(version=setup_versions - 1).count() == (
+        worker.SHARED_HI - worker.SHARED_LO + 1 + WRITERS * worker.OWN_SPAN
+    )
+    t.vacuum(retain_hours=0.0)
+    assert t.read().count() == len(want)
