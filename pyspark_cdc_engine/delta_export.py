@@ -481,7 +481,24 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
     reader_features = {
         f for f in (protocol.get("readerFeatures") or []) if f
     }
-    SUPPORTED_FEATURES = {"columnMapping", "v2Checkpoint", "deletionVectors"}
+    # timestampNtz: schemaString's "timestamp_ntz" parses straight to
+    # TimestampNTZType and Spark's parquet reader maps isAdjustedToUTC=false
+    # timestamps to it natively under an explicit read schema.
+    # typeWidening(-preview): the read side of widening is exactly "file
+    # holds a NARROWER physical type than the logical schema" — Spark's
+    # parquet reader upcasts int32->long/double, float->double,
+    # date->timestamp_ntz, and decimal precision/scale growth under the
+    # explicit read schema this importer always passes (verified in
+    # tests); an unsupported exotic widening fails loudly in the scan,
+    # never reads wrong.
+    SUPPORTED_FEATURES = {
+        "columnMapping",
+        "v2Checkpoint",
+        "deletionVectors",
+        "timestampNtz",
+        "typeWidening",
+        "typeWidening-preview",
+    }
     if min_reader == 3:
         # v3 tables MUST enumerate readerFeatures; an absent/empty list means
         # we cannot know what the table demands — fail loudly either way
@@ -809,6 +826,21 @@ def _write_delta_checkpoint(log_dir: Path, version: int, actions: list[dict]):
     import pyarrow.parquet as pq
 
     mapt = pa.map_(pa.string(), pa.string())
+    # the DV-struct column appears only when some add actually carries a
+    # descriptor (a native-DV export) — plain exports keep the minimal
+    # layout any reader accepts
+    has_dv = any(
+        (a.get("add") or {}).get("deletionVector") for a in actions
+    )
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -817,6 +849,7 @@ def _write_delta_checkpoint(log_dir: Path, version: int, actions: list[dict]):
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
         ]
+        + ([("deletionVector", dv_t)] if has_dv else [])
     )
     meta_t = pa.struct(
         [
@@ -828,8 +861,21 @@ def _write_delta_checkpoint(log_dir: Path, version: int, actions: list[dict]):
             ("createdTime", pa.int64()),
         ]
     )
+    # table-features era (reader 3 / writer 7, e.g. native DV) carries the
+    # explicit feature lists through the checkpoint too
+    has_feats = any(
+        (a.get("protocol") or {}).get("readerFeatures") for a in actions
+    )
     proto_t = pa.struct(
         [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        + (
+            [
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
+            ]
+            if has_feats
+            else []
+        )
     )
     tbl = pa.table(
         {
@@ -846,7 +892,7 @@ def _write_delta_checkpoint(log_dir: Path, version: int, actions: list[dict]):
 
 def export_delta_history(
     table: DeltaliteTable, dest: str, upto: int | None = None,
-    dv: str = "materialize",
+    dv: str = "materialize", checkpoint_interval: int = 10,
 ) -> dict:
     """Replay the deltalite log into a REAL multi-commit ``_delta_log`` —
     the history export that :func:`export_delta_snapshot` (one commit, no
@@ -881,9 +927,16 @@ def export_delta_history(
       O(DV-commits x file bytes) — a hot file re-copies on every delete —
       native is O(file bytes + tiny sidecars). Requires a DV-capable
       consumer (delta-spark 2.3+/3.x, or this repo's own importer, which
-      round-trip-verifies the emission). Not supported for retention-pruned
-      histories (the boundary checkpoint would need DV-struct add rows) —
-      refused loudly, use materialize.
+      round-trip-verifies the emission). Retention-pruned histories export
+      too (r9): the boundary checkpoint carries DV-struct add rows.
+
+    PERIODIC CHECKPOINTS (r9): every ``checkpoint_interval`` commits
+    (Delta's default cadence of 10; 0 disables) the export also writes a
+    parquet checkpoint + ``_last_checkpoint``, so a real Delta reader opens
+    a 400-commit export from the newest checkpoint plus a short JSON suffix
+    instead of replaying every JSON file. Time travel below a checkpoint
+    still works — readers seed from the newest checkpoint AT OR BELOW the
+    target.
 
     Both modes additionally emit exact ``cdc`` actions carrying each DV
     commit's change rows (the positions a DV commit tombstones are
@@ -930,12 +983,6 @@ def export_delta_history(
         for c in commits.values()
     )
     native_dv = dv == "native" and any_dv
-    if native_dv and base != 0:
-        raise ValueError(
-            "native DV export of a retention-pruned history is not "
-            "supported (the boundary checkpoint would need DV-struct add "
-            "rows) — use dv='materialize'"
-        )
     min_reader = 2 if any_mapping else 1
     min_writer = 5 if any_mapping else (4 if (any_cdc or any_dv) else 2)
     protocol_features: dict = {}
@@ -1114,18 +1161,17 @@ def export_delta_history(
         meta_key = (json.dumps(schema.jsonValue()), tuple(partition_cols),
                     tuple(sorted(configuration.items())))
         if last_meta != meta_key:
-            actions.append(
-                {
-                    "metaData": {
-                        "id": table_id,
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": meta_key[0],
-                        "partitionColumns": partition_cols,
-                        "configuration": configuration,
-                        "createdTime": ts_ms,
-                    }
+            last_meta_action = {
+                "metaData": {
+                    "id": table_id,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": meta_key[0],
+                    "partitionColumns": partition_cols,
+                    "configuration": configuration,
+                    "createdTime": ts_ms,
                 }
-            )
+            }
+            actions.append(last_meta_action)
             last_meta = meta_key
         live = list(commit["live"])
         data_change = op not in ("compact", "zorder")
@@ -1332,6 +1378,42 @@ def export_delta_history(
             (log_dir / f"{v:020d}.json").write_text(
                 "\n".join(json.dumps(a) for a in actions) + "\n"
             )
+            # Delta's checkpoint cadence (default every 10 commits): a
+            # long-history export must not force real readers to replay
+            # every JSON file on open — write a full-state checkpoint
+            # (protocol + current metaData + every exported live add, DV
+            # descriptors included) and repoint _last_checkpoint. Readers
+            # time-traveling below it seed from the newest checkpoint AT
+            # OR BELOW their target, so older versions stay reachable.
+            if checkpoint_interval and v > base and v % checkpoint_interval == 0:
+                snap = [
+                    {
+                        "protocol": {
+                            "minReaderVersion": min_reader,
+                            "minWriterVersion": min_writer,
+                            **protocol_features,
+                        }
+                    },
+                    last_meta_action,
+                ]
+                for _sf, (_tombs, pth, sz, desc) in sorted(exported.items()):
+                    if pth is None:
+                        continue
+                    snap.append(
+                        {
+                            "add": {
+                                "path": pth,
+                                "partitionValues": _partition_values(
+                                    urllib.parse.unquote(pth), partition_cols
+                                ),
+                                "size": sz,
+                                "modificationTime": ts_ms,
+                                "dataChange": False,
+                                **({"deletionVector": desc} if desc else {}),
+                            }
+                        }
+                    )
+                _write_delta_checkpoint(log_dir, v, snap)
         prev_dv_rels = set(dv_rels)
         prev_live_set = set(live)
 

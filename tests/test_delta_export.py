@@ -278,11 +278,12 @@ def test_reader_rejects_unsupported_features_and_dvs(spark, tmp_path):
     commit = dest / "_delta_log" / f"{0:020d}.json"
     actions = [json.loads(ln) for ln in commit.read_text().splitlines()]
 
-    # reader-version-3 feature set beyond our support (deletionVectors and
-    # columnMapping are implemented now — typeWidening is not)
+    # reader-version-3 feature set beyond our support (deletionVectors,
+    # columnMapping, timestampNtz and typeWidening are implemented now —
+    # variantType is not)
     mutated = list(actions)
     mutated[1] = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                               "readerFeatures": ["typeWidening"]}}
+                               "readerFeatures": ["variantType"]}}
     commit.write_text("\n".join(json.dumps(a) for a in mutated) + "\n")
     with pytest.raises(ValueError, match="readerFeatures"):
         read_delta_snapshot(spark, str(dest))
@@ -1586,18 +1587,54 @@ def test_native_dv_history_export_round_trips_every_version(spark, tmp_path):
     assert got_feed == want_feed and want_feed
 
 
-def test_native_dv_export_refuses_pruned_history(spark, tmp_path):
-    from pyspark_cdc_engine.delta_export import export_delta_history
+def test_native_dv_export_of_pruned_history_round_trips(spark, tmp_path):
+    """A retention-pruned DV-heavy history exports with dv='native' (r9 —
+    the r8 refusal lifted): the BOUNDARY CHECKPOINT carries DV-struct add
+    rows + the table-features protocol, every retained version round-trips
+    through the independent importer, and no file re-materializes."""
+    import json as _json
+
+    from pyspark_cdc_engine.delta_export import (
+        export_delta_history,
+        read_delta_snapshot,
+    )
     from pyspark_cdc_engine.tables import DeltaliteTable
 
     t = DeltaliteTable(spark, str(tmp_path / "src"))
-    t.overwrite(spark.range(10).selectExpr("id"))
-    for i in range(24):
-        t.append(spark.range(100 + i, 101 + i).selectExpr("id"))
-    t.delete("id = 3", mode="dv")
-    t.cleanup_log(retain_last=3)
-    with pytest.raises(ValueError, match="native DV export"):
-        export_delta_history(t, str(tmp_path / "hist"), dv="native")
+    t.overwrite(spark.range(40).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    t.delete("id % 7 = 3", mode="dv")            # DV BELOW the boundary:
+    t.update({"v": "v + 9"}, "id < 5", mode="dv")  # carried into the ckpt
+    for i in range(22):
+        t.append(spark.range(100 + i, 101 + i).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"))
+    t.delete("id = 101", mode="dv")              # DV above the boundary too
+    t.cleanup_log(retain_last=4)
+    oldest = t._oldest_retained()
+    assert oldest > 0
+    hist = tmp_path / "hist"
+    summary = export_delta_history(t, str(hist), dv="native")
+    assert summary["n_dv_files"] >= 1
+    log = hist / "_delta_log"
+    assert not list(hist.rglob("*-m*.parquet"))  # nothing re-materialized
+    # the boundary checkpoint itself carries descriptor-bearing adds and
+    # the reader-3 feature protocol
+    import pyarrow.parquet as _pq
+
+    ck = _pq.read_table(log / f"{oldest:020d}.checkpoint.parquet").to_pylist()
+    proto = next(r["protocol"] for r in ck if r.get("protocol"))
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert any(
+        (r.get("add") or {}).get("deletionVector", {}).get("storageType") == "u"
+        for r in ck
+    )
+    for v in range(oldest, t.latest_version() + 1):
+        got = sorted(
+            (r.id, r.v)
+            for r in read_delta_snapshot(spark, str(hist), v).collect()
+        )
+        want = sorted((r.id, r.v) for r in t.read(version=v).collect())
+        assert got == want, f"version {v}"
 
 
 def test_native_mode_without_dvs_matches_materialize(spark, tmp_path):
@@ -1844,3 +1881,170 @@ def test_hive_dirs_agreeing_with_log_keep_the_base_path_scan(spark, tmp_path):
         for i in range(12)
     )
     assert sorted((r.id, r.g) for r in df.collect()) == want
+
+
+def test_long_history_export_writes_periodic_checkpoints(spark, tmp_path):
+    """Delta's checkpoint cadence: a 25-commit export carries checkpoints at
+    v10 and v20 plus _last_checkpoint, so a real reader opens the latest
+    version from the newest checkpoint + a short JSON suffix instead of
+    replaying 25 JSON files — and time travel BELOW a checkpoint still
+    answers (readers seed from the newest checkpoint at or below the
+    target)."""
+    from pyspark_cdc_engine.delta_export import (
+        _log_actions_upto,
+        export_delta_history,
+        read_delta_snapshot,
+    )
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(5).selectExpr("id", "id * 2 AS v"))
+    for i in range(25):
+        if i == 12:
+            t.delete("id = 2")  # a cow DML mid-history
+        else:
+            t.append(spark.range(100 + i, 101 + i).selectExpr("id", "id * 2 AS v"))
+    hist = tmp_path / "hist"
+    export_delta_history(t, str(hist))
+    log = hist / "_delta_log"
+    assert (log / f"{10:020d}.checkpoint.parquet").is_file()
+    assert (log / f"{20:020d}.checkpoint.parquet").is_file()
+    assert json.loads((log / "_last_checkpoint").read_text())["version"] == 20
+    # every JSON commit still present (checkpoints add, never retire)
+    assert len(list(log.glob("*.json"))) == t.latest_version() + 1
+    # the reader really does seed from the newest checkpoint + suffix only
+    ckpt_paths, ckpt_v, jsons = _log_actions_upto(log, None)
+    assert ckpt_v == 20 and ckpt_paths
+    assert [int(p.stem) for p in jsons] == list(range(21, 26))
+    # ... and below-checkpoint time travel seeds from the right one
+    _, ckpt_v15, jsons15 = _log_actions_upto(log, 15)
+    assert ckpt_v15 == 10
+    assert [int(p.stem) for p in jsons15] == list(range(11, 16))
+    for v in (0, 9, 10, 11, 15, 20, 25):
+        got = sorted(
+            (r.id, r.v) for r in read_delta_snapshot(spark, str(hist), v).collect()
+        )
+        want = sorted((r.id, r.v) for r in t.read(version=v).collect())
+        assert got == want, f"version {v}"
+
+
+def test_periodic_checkpoints_disabled_and_custom_interval(spark, tmp_path):
+    from pyspark_cdc_engine.delta_export import export_delta_history
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(5).selectExpr("id"))
+    for i in range(12):
+        t.append(spark.range(100 + i, 101 + i).selectExpr("id"))
+    off = tmp_path / "off"
+    export_delta_history(t, str(off), checkpoint_interval=0)
+    assert not list((off / "_delta_log").glob("*.checkpoint.parquet"))
+    assert not (off / "_delta_log" / "_last_checkpoint").exists()
+    every5 = tmp_path / "every5"
+    export_delta_history(t, str(every5), checkpoint_interval=5)
+    got = sorted(
+        int(p.name.split(".")[0])
+        for p in (every5 / "_delta_log").glob("*.checkpoint.parquet")
+    )
+    assert got == [5, 10]
+
+
+def _write_feature_table(dest, schema_fields, feature, arrow_table):
+    """A minimal hand-written real-Delta table: one parquet file, protocol
+    at reader 3 with the given feature, one metaData + add commit."""
+    import pyarrow.parquet as pq_
+
+    (dest / "_delta_log").mkdir(parents=True)
+    pq_.write_table(arrow_table, str(dest / "part-0.parquet"))
+    schema = {"type": "struct", "fields": schema_fields}
+    lines = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": [feature],
+                      "writerFeatures": [feature]}},
+        {"metaData": {"id": "0005", "format": {"provider": "parquet"},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "part-0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    (dest / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(ln) for ln in lines)
+    )
+
+
+def test_import_timestamp_ntz_tables(spark, tmp_path):
+    """delta-spark tables with TIMESTAMP_NTZ columns (readerFeature
+    timestampNtz) import: schemaString's timestamp_ntz maps to
+    TimestampNTZType, values wall-clock exact (r8 verdict ask #4)."""
+    import datetime
+
+    import pyarrow as pa
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    dest = tmp_path / "delta"
+    _write_feature_table(
+        dest,
+        [{"name": "id", "type": "long", "nullable": True, "metadata": {}},
+         {"name": "ts", "type": "timestamp_ntz", "nullable": True,
+          "metadata": {}}],
+        "timestampNtz",
+        pa.table({
+            "id": pa.array([1, 2], pa.int64()),
+            # parquet timestamp with isAdjustedToUTC=false == NTZ
+            "ts": pa.array([datetime.datetime(2024, 1, 2, 3, 4, 5),
+                            datetime.datetime(2030, 6, 7, 8, 9, 10)],
+                           pa.timestamp("us")),
+        }),
+    )
+    df = read_delta_snapshot(spark, str(dest))
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    got = sorted((r.id, r.ts) for r in df.collect())
+    assert got == [
+        (1, datetime.datetime(2024, 1, 2, 3, 4, 5)),
+        (2, datetime.datetime(2030, 6, 7, 8, 9, 10)),
+    ]
+
+
+def test_import_type_widened_tables(spark, tmp_path):
+    """typeWidening (reader side): files hold the NARROWER pre-widening
+    physical type; the explicit read schema upcasts int->long/double and
+    float->double in the scan."""
+    import pyarrow as pa
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    dest = tmp_path / "delta"
+    _write_feature_table(
+        dest,
+        [{"name": "i", "type": "long", "nullable": True, "metadata": {}},
+         {"name": "f", "type": "double", "nullable": True, "metadata": {}},
+         {"name": "x", "type": "double", "nullable": True, "metadata": {}}],
+        "typeWidening",
+        pa.table({
+            "i": pa.array([7, 8], pa.int32()),
+            "f": pa.array([1.5, 2.5], pa.float32()),
+            "x": pa.array([3, 4], pa.int32()),
+        }),
+    )
+    df = read_delta_snapshot(spark, str(dest))
+    assert dict(df.dtypes) == {"i": "bigint", "f": "double", "x": "double"}
+    assert sorted((r.i, r.f, r.x) for r in df.collect()) == [
+        (7, 1.5, 3.0), (8, 2.5, 4.0)
+    ]
+
+
+def test_unknown_reader_features_still_refused(spark, tmp_path):
+    import pyarrow as pa
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    dest = tmp_path / "delta"
+    _write_feature_table(
+        dest,
+        [{"name": "id", "type": "long", "nullable": True, "metadata": {}}],
+        "variantType",
+        pa.table({"id": pa.array([1], pa.int64())}),
+    )
+    with pytest.raises(ValueError, match="variantType"):
+        read_delta_snapshot(spark, str(dest))

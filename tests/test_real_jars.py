@@ -245,3 +245,49 @@ def test_duckdb_delta_extension_reads_our_exports(spark, tmp_path):
         ).fetchall()
     }
     assert got2 == want
+
+
+@pytest.mark.realjars
+def test_we_read_real_delta_timestamp_ntz(spark, tmp_path):
+    """A real delta-spark table with a TIMESTAMP_NTZ column (readerFeature
+    timestampNtz) imports through the jar-free reader wall-clock exact."""
+    if not _delta_present(spark):
+        pytest.skip("delta-spark not installed / Delta classes absent")
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    real = tmp_path / "real_ntz"
+    (spark.range(5)
+     .selectExpr("id", "timestamp_ntz'2024-01-02 03:04:05' AS ts")
+     .write.format("delta").save(str(real)))
+    back = read_delta_snapshot(spark, str(real))
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+    want = sorted((r.id, r.ts) for r in
+                  spark.read.format("delta").load(str(real)).collect())
+    assert sorted((r.id, r.ts) for r in back.collect()) == want
+
+
+@pytest.mark.realjars
+def test_real_delta_opens_periodic_checkpoint_export(spark, tmp_path):
+    """A long history export now carries periodic checkpoints; real delta
+    must open its latest version (reading checkpoint + JSON suffix) and see
+    the same rows at head and below the newest checkpoint."""
+    if not _delta_present(spark):
+        pytest.skip("delta-spark not installed / Delta classes absent")
+    from pyspark_cdc_engine.delta_export import export_delta_history
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(5).selectExpr("id"))
+    for i in range(25):
+        t.append(spark.range(100 + i, 101 + i).selectExpr("id"))
+    hist = tmp_path / "hist"
+    export_delta_history(t, str(hist))
+    real = spark.read.format("delta").load(str(hist))
+    assert sorted(r.id for r in real.collect()) == sorted(
+        r.id for r in t.read().collect()
+    )
+    v15 = (spark.read.format("delta").option("versionAsOf", 15)
+           .load(str(hist)))
+    assert sorted(r.id for r in v15.collect()) == sorted(
+        r.id for r in t.read(version=15).collect()
+    )
