@@ -331,6 +331,118 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ESD_L = 8  # exact-substring window length (tokens); Lee et al. use 50 BPE
+# tokens on web corpora — 8 words fits this corpus's ~50-word documents
+# while exercising the identical plan shape.
+
+
+@register(
+    "exact_substring_dedup",
+    survey="M5-dedup,W1,A2,J5,beyond-ref",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(list_slice(t, i, i + {_ESD_L} - 1), ' ')) AS h
+      FROM w, UNNEST(range(1, len(t) - {_ESD_L} + 2)) AS x(i)
+    ),
+    freq AS (SELECT h FROM sh GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+    dup AS (SELECT s.doc_id, s.pos FROM sh s JOIN freq f USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > {_ESD_L}
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dup)
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_ESD_L} - 1 AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+           md5(string_agg(
+                 lpad(CAST(s AS VARCHAR), 6, '0') || ':'
+                   || lpad(CAST(e AS VARCHAR), 6, '0'),
+                 ',' ORDER BY lpad(CAST(s AS VARCHAR), 6, '0') || ':'
+                   || lpad(CAST(e AS VARCHAR), 6, '0'))) AS spans_md5
+    FROM spans GROUP BY doc_id
+    """,
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): mark every maximal token span that
+    appears verbatim in MORE THAN ONE document — arbitrary-position long
+    common substrings that fixed-window chunking (``chunk_dedup_c4``) and
+    whole-doc near-dup both miss. Published pipelines delete the marked
+    spans and keep the rest of the document.
+
+    Distributed shape (never the paper's single-node suffix array): every
+    overlapping L-token (_ESD_L=8) window hashes (the Rabin-Karp rolling-hash
+    role — equal windows collide by construction), window hashes BUCKET by
+    value into a corpus-wide distinct-doc count, and only windows whose
+    hash occurs in >= 2 documents survive back to their (doc, position)
+    slots, where one per-doc window pass merges overlapping windows into
+    maximal spans (gaps > L start a new span — classic island
+    detection). Output per affected doc: span count, tokens covered by the
+    span union, and a canonical md5 of the span list (zero-padded pure
+    string sort, identical in both engines).
+
+    100 TB: only (16-byte hash, doc_id, pos) triples shuffle — text never
+    leaves the scan stage; the frequency agg partial-aggregates map-side;
+    the hash join back is bucketed by hash value (no all-pairs anywhere);
+    span merging partitions by doc_id — embarrassingly parallel."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    shingled = d.select(
+        "doc_id",
+        F.posexplode(F.expr(_shingle_expr_spark(_ESD_L))).alias("pos", "sh"),
+    ).select(
+        "doc_id", "pos", F.md5(F.col("sh").cast("binary")).alias("h")
+    )
+    # "hash occurs in >= 2 distinct docs" as one single-pass agg: min/max of
+    # doc_id differ — exact, and avoids countDistinct's expand stage
+    freq = (
+        shingled.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    dup = shingled.join(freq, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") - F.lag("pos").over(w) > _ESD_L),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + _ESD_L - 1).alias("e")
+    )
+    key = F.expr(
+        "concat(lpad(CAST(s AS STRING), 6, '0'), ':', "
+        "lpad(CAST(e AS STRING), 6, '0'))"
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list(key)), ",").cast("binary")
+        ).alias("spans_md5"),
+    )
+
+
 _C4_CHUNK = 64  # chars per non-overlapping dedup chunk
 
 

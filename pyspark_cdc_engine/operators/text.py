@@ -1099,6 +1099,160 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_US = "chr(31)"  # symbol sentinel (U+001F, never in corpus words): each
+# symbol travels as <US>sym<US>, so one left-to-right REPLACE of
+# <US>x<US><US>y<US> -> <US>xy<US> merges every adjacent (x, y) occurrence
+# in a single pass without consuming a shared boundary — the exact
+# greedy-leftmost semantics of a BPE merge pass, identical in Spark and
+# DuckDB's replace().
+
+
+@register(
+    "bpe_apply_token_count",
+    survey="M5-text,W1,A2,beyond-ref",
+    oracle=f"""
+    WITH RECURSIVE dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    ),
+    wf AS (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+      ) WHERE len(w) >= 2 GROUP BY w
+    ),
+    merges AS (
+      SELECT substr(pair, 1, 1) AS x, substr(pair, 2, 1) AS y, rank FROM (
+        SELECT pair, ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rank
+        FROM (SELECT substr(w, i, 2) AS pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+              FROM wf, UNNEST(range(1, len(w))) AS t(i) GROUP BY 1)
+      ) WHERE rank <= {_BPE_TOPK}
+    ),
+    enc0 AS (
+      SELECT word,
+             array_to_string(list_transform(range(1, length(word) + 1),
+               i -> {_BPE_US} || substr(word, CAST(i AS INT), 1) || {_BPE_US}),
+               '') AS enc
+      FROM (SELECT DISTINCT word FROM dw)
+    ),
+    ap AS (
+      SELECT word, enc, 0 AS r FROM enc0
+      UNION ALL
+      SELECT ap.word,
+             replace(ap.enc,
+                     {_BPE_US} || m.x || {_BPE_US} || {_BPE_US} || m.y || {_BPE_US},
+                     {_BPE_US} || m.x || m.y || {_BPE_US}),
+             ap.r + 1
+      FROM ap JOIN merges m ON m.rank = ap.r + 1
+    ),
+    tok AS (
+      SELECT word,
+             CAST((LENGTH(enc) - LENGTH(REPLACE(enc, {_BPE_US}, ''))) / 2
+                  AS BIGINT) AS bpe
+      FROM ap WHERE r = (SELECT COALESCE(MAX(rank), 0) FROM merges)
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(t.bpe) AS BIGINT) AS bpe_tokens
+    FROM dw JOIN tok t USING (word)
+    GROUP BY dw.doc_id
+    """,
+)
+def bpe_apply_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY a trained BPE merge list and produce per-document TRUE token
+    counts (r8 verdict ask #8 — ``bpe_merge_step`` selects one merge;
+    pipelines need the counts an applied merge table yields, which
+    whitespace proxies like ``token_count``/``sequence_pack_greedy``
+    over- or under-estimate).
+
+    The merge TABLE here is the top-K (_BPE_TOPK=20) first-iteration pair ranking
+    (exactly ``bpe_merge_step``'s output — deterministic total order:
+    count desc, pair asc); the APPLY machinery is exact for ANY merges
+    table: each rank is one left-to-right sentinel-delimited REPLACE over
+    the encoded word (see ``_BPE_US`` — a single pass merges all adjacent
+    occurrences with greedy-leftmost semantics, and a merged token can
+    never re-match its own pair), applied in rank order.
+
+    The published distributed shape (Sennrich et al. 2016 at corpus
+    scale): everything per-symbol runs over the DISTINCT-WORD table —
+    vocabulary-sized, ~log of corpus size — and only (word -> token count)
+    joins back to per-doc word occurrences. The merge constants reach the
+    vocab rows via ONE broadcast single-row aggregate (no driver collect,
+    no per-rank job); the final join + agg are ordinary hash stages keyed
+    on word and doc_id. At 100 TB the corpus-facing work is exactly the
+    word explode and one broadcast-join-count — the BPE loop itself never
+    touches corpus-sized data."""
+    d = load_table(spark, sf_dir, "documents")
+    US = "\x1f"
+    dw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = (
+        wf.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+            "cnt",
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+    w_rank = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    merges = pairs.withColumn("rank", F.row_number().over(w_rank)).filter(
+        F.col("rank") <= _BPE_TOPK
+    )
+    # ONE row carrying every ranked pair as a column: the whole merge table
+    # reaches each vocab row through a single broadcast nested-loop join of
+    # a 1-row aggregate (the plan-gate-sanctioned crossJoin shape)
+    mrow = merges.agg(
+        *[
+            F.max(F.when(F.col("rank") == i, F.col("pair"))).alias(f"p{i}")
+            for i in range(1, _BPE_TOPK + 1)
+        ]
+    )
+    vocab = dw.select("word").distinct().crossJoin(F.broadcast(mrow))
+    enc = F.expr(
+        "CASE WHEN length(word) = 0 THEN '' ELSE "
+        "concat_ws('', transform(sequence(1, length(word)), "
+        f"i -> concat({_BPE_US}, substring(word, i, 1), {_BPE_US}))) END"
+    )
+    for i in range(1, _BPE_TOPK + 1):
+        # a missing rank (tiny corpora) degrades to a no-op replace of a
+        # NUL byte no encoded word contains — never a NULL find-string
+        enc = F.call_function(
+            "replace",
+            enc,
+            F.when(F.col(f"p{i}").isNull(), F.lit("\x00")).otherwise(
+                F.concat(
+                    F.lit(US), F.substring(f"p{i}", 1, 1), F.lit(US),
+                    F.lit(US), F.substring(f"p{i}", 2, 1), F.lit(US),
+                )
+            ),
+            F.when(F.col(f"p{i}").isNull(), F.lit("")).otherwise(
+                F.concat(F.lit(US), F.col(f"p{i}"), F.lit(US))
+            ),
+        )
+    tok = vocab.select(
+        "word",
+        (
+            (F.length(enc) - F.length(F.call_function("replace", enc, F.lit(US), F.lit(""))))
+            / 2
+        )
+        .cast("bigint")
+        .alias("bpe"),
+    )
+    return dw.join(tok, "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter decontamination (bounded-broadcast benchmark membership)
 # ---------------------------------------------------------------------------

@@ -442,6 +442,7 @@ _SWEEP_CROSS_OK = {
     "temperature_sampling_weights",  # broadcast 1-row (t_all, sq_all) totals
     "copurchase_triangles",     # broadcast 1-row scalar aggregates assembled into one row
     "gap_fill_interpolate",     # broadcast 1-row (lo, hi) bounds against the 5-row type dim
+    "bpe_apply_token_count",    # broadcast 1-row merge-table pivot onto the vocab
 }
 _SWEEP_PYTHON_OK = {
     "embedding_cosine_near_dup",  # numpy gram scoring via applyInPandas (by design)
