@@ -1106,14 +1106,13 @@ _BPE_US = "chr(31)"  # symbol sentinel (U+001F, never in corpus words): each
 # greedy-leftmost semantics of a BPE merge pass, identical in Spark and
 # DuckDB's replace().
 
-
-@register(
-    "bpe_apply_token_count",
-    survey="M5-text,W1,A2,beyond-ref",
-    oracle=f"""
-    WITH RECURSIVE dw AS (
-      SELECT doc_id, word FROM (
-        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+# the recursive-CTE BPE apply shared by both oracles: (word, bpe) per
+# distinct word of the corpus, merge ranks identical to bpe_merge_step's
+_BPE_APPLY_CTES = f"""
+    dw AS (
+      SELECT doc_id, source, word FROM (
+        SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS word
+        FROM documents
       ) WHERE word <> ''
     ),
     wf AS (
@@ -1151,6 +1150,15 @@ _BPE_US = "chr(31)"  # symbol sentinel (U+001F, never in corpus words): each
                   AS BIGINT) AS bpe
       FROM ap WHERE r = (SELECT COALESCE(MAX(rank), 0) FROM merges)
     )
+"""
+
+
+
+@register(
+    "bpe_apply_token_count",
+    survey="M5-text,W1,A2,beyond-ref",
+    oracle=f"""
+    WITH RECURSIVE {_BPE_APPLY_CTES}
     SELECT dw.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(t.bpe) AS BIGINT) AS bpe_tokens
@@ -1183,10 +1191,22 @@ def bpe_apply_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     word explode and one broadcast-join-count — the BPE loop itself never
     touches corpus-sized data."""
     d = load_table(spark, sf_dir, "documents")
-    US = "\x1f"
     dw = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
+    tok = _bpe_word_tokens(d, dw)
+    return dw.join(tok, "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def _bpe_word_tokens(d: DataFrame, dw: DataFrame) -> DataFrame:
+    """(word -> bpe token count) over the distinct words of ``dw``, merges
+    trained on ``d``'s corpus (see :func:`bpe_apply_token_count` for the
+    algorithm and scale notes). Shared by the per-doc count query and the
+    per-source fertility report."""
+    US = "\x1f"
     wf = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.length("w") >= 2)
@@ -1238,7 +1258,7 @@ def bpe_apply_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit(US), F.col(f"p{i}"), F.lit(US))
             ),
         )
-    tok = vocab.select(
+    return vocab.select(
         "word",
         (
             (F.length(enc) - F.length(F.call_function("replace", enc, F.lit(US), F.lit(""))))
@@ -1247,9 +1267,70 @@ def bpe_apply_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bpe"),
     )
-    return dw.join(tok, "word").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+
+
+
+
+@register(
+    "tokenizer_fertility_report",
+    survey="M5-text,A2,beyond-ref",
+    oracle=f"""
+    WITH RECURSIVE {_BPE_APPLY_CTES}
+    , chars AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    toks AS (
+      SELECT dw.source,
+             CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+             CAST(SUM(t.bpe) AS BIGINT) AS bpe_tokens
+      FROM dw JOIN tok t USING (word) GROUP BY dw.source
+    )
+    SELECT c.source, c.n_docs, c.n_chars, t.ws_tokens, t.bpe_tokens,
+           CAST(t.bpe_tokens AS DOUBLE) / CAST(t.ws_tokens AS DOUBLE)
+             AS fertility,
+           CAST(c.n_chars AS DOUBLE) / CAST(t.bpe_tokens AS DOUBLE)
+             AS chars_per_token
+    FROM chars c JOIN toks t USING (source)
+    """,
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE tokenizer diagnostics over the applied BPE counts (the
+    report tokenizer teams read before fixing a vocab): fertility
+    (BPE tokens per whitespace word — high = the vocab fragments this
+    source's words) and chars-per-token (compression — low = wasteful
+    tokenization), plus the raw doc/char/token tallies the sampling-weight
+    queries (``source_mix_report``, ``temperature_sampling_weights``)
+    consume. Exact integers until the two final divisions, so the oracle
+    hash-certifies.
+
+    Same scale shape as :func:`bpe_apply_token_count` (the apply runs once
+    over the vocabulary); the report itself adds only source-keyed hash
+    aggs — a ~tens-of-rows output at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tok = _bpe_word_tokens(d, dw)
+    chars = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+    toks = (
+        dw.join(tok, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        )
+    )
+    return chars.join(toks, "source").select(
+        "source", "n_docs", "n_chars", "ws_tokens", "bpe_tokens",
+        (F.col("bpe_tokens").cast("double") / F.col("ws_tokens").cast("double"))
+        .alias("fertility"),
+        (F.col("n_chars").cast("double") / F.col("bpe_tokens").cast("double"))
+        .alias("chars_per_token"),
     )
 
 
