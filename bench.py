@@ -362,12 +362,15 @@ def merge_artifact(prev: dict, out: dict, partial: bool) -> dict:
     ask #5)."""
     merged = dict(prev)
     if partial and prev:
-        merged.setdefault("queries", {}).update(out.get("queries", {}))
+        # never mutate the caller's nested dicts (dict(prev) is shallow)
+        merged["queries"] = {**(prev.get("queries") or {}),
+                             **out.get("queries", {})}
         merged["value"] = round(sum(merged["queries"].values()), 3)
         if out.get("queries_median3"):
-            merged.setdefault("queries_median3", {}).update(
-                out["queries_median3"]
-            )
+            merged["queries_median3"] = {
+                **(prev.get("queries_median3") or {}),
+                **out["queries_median3"],
+            }
             merged["value_median3"] = round(
                 sum(merged["queries_median3"].values()), 3
             )
@@ -391,6 +394,11 @@ def merge_artifact(prev: dict, out: dict, partial: bool) -> dict:
         merged.update(out)
         if "errors" in prev and "errors" not in out:
             merged.pop("errors", None)  # a clean full run clears old errors
+        if "queries_median3" not in out:
+            # a BENCH_MEDIAN3=0 full run replaced "queries" — a preserved
+            # median3 section would describe queries of an older run
+            merged.pop("queries_median3", None)
+            merged.pop("value_median3", None)
     return merged
 
 
@@ -512,7 +520,12 @@ def main() -> None:
     # parses. Full per-query timings live in BENCH_full.json.
     full_path = Path(__file__).resolve().parent / "BENCH_full.json"
     try:
-        prev = json.loads(full_path.read_text()) if full_path.exists() else {}
+        # ValueError too: a truncated artifact (prior run killed mid-write)
+        # must not abort THIS run's result line — fall back to out alone
+        try:
+            prev = json.loads(full_path.read_text()) if full_path.exists() else {}
+        except ValueError:
+            prev = {}
         full_path.write_text(
             json.dumps(merge_artifact(prev, out, partial=bool(only)), indent=1)
             + "\n"

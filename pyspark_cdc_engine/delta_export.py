@@ -612,24 +612,30 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
         # distinct (col, dir-value, log-value) triple) that they agree for
         # every file — any mismatch, unparseable escape, or ambiguity falls
         # back to the per-tuple scan, which reads values from the log only.
-        def _dir_val(rel: str, phys: str):
-            for part in Path(urllib.parse.unquote(rel)).parts[:-1]:
-                if part.startswith(phys + "="):
-                    raw = part[len(phys) + 1 :]
-                    if raw == "__HIVE_DEFAULT_PARTITION__":
-                        return None
-                    # Hive/Spark escapePathName is %XX-compatible
-                    return urllib.parse.unquote(raw)
-            return None
+        def _unescape_dir(raw: str):
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            # Spark's unescapePathName decodes each %XX as ONE char
+            # (byte-wise), NOT as UTF-8 — latin-1 unquote matches it, so a
+            # multi-byte escape like %C3%A9 compares exactly as the scan
+            # will read it ('Ã©'), never as the UTF-8 decode ('é')
+            return urllib.parse.unquote(raw, encoding="latin-1")
 
         seen_triples: set[tuple] = set()
         for rel, add in live.items():
             pvals = dict(add.get("partitionValues") or {})
+            # one parse per file, not one per (file, column)
+            parts = Path(urllib.parse.unquote(rel)).parts[:-1]
+            dir_vals = {}
+            for part in parts:
+                k, _, v = part.partition("=")
+                if _ and k not in dir_vals:
+                    dir_vals[k] = _unescape_dir(v)
             for c in partition_cols:
                 phys = phys_of.get(c, c)
                 triple = (
                     phys,
-                    _dir_val(rel, phys),
+                    dir_vals.get(phys),
                     pvals.get(phys, pvals.get(c)),
                 )
                 if triple in seen_triples:

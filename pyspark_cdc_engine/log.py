@@ -192,16 +192,22 @@ def replay_states(log_dir: Path, end: int | None = None):
 
     A NON-atomic directory listing racing that same deletion can transiently
     show a non-prefix hole (e.g. v6 scanned before its unlink, v5's entry
-    read after its own) or list a doc that is gone by read time. Both
-    resolve on a second listing once deletion has swept past, so a missing
-    mid-gap checkpoint or a vanished listed doc re-lists ONCE (from just
-    past the last yielded version — earlier yields already reached the
-    consumer) and retries before declaring corruption."""
+    read after its own) or list a doc/checkpoint that is gone by read time.
+    These resolve once the deletion sweep has passed, so a missing mid-gap
+    checkpoint or a vanished listed file re-lists (from just past the last
+    yielded version — earlier yields already reached the consumer) and
+    retries, a BOUNDED number of times per position so real corruption
+    still raises; successful progress resets the budget (a long replay may
+    legitimately race several cleanups)."""
     vs = versions(log_dir)
     carry: dict = {}
     prev_v: int | None = None
-    relisted = False
+    relists = 0
     i = 0
+
+    def _relist() -> list[int]:
+        return [x for x in versions(log_dir) if prev_v is None or x > prev_v]
+
     while i < len(vs):
         v = vs[i]
         if end is not None and v > end:
@@ -213,10 +219,9 @@ def replay_states(log_dir: Path, end: int | None = None):
             # seed (or re-seed across a gap) needs the checkpoint cleanup()
             # guarantees at the boundary it prunes up to — absence here is
             # either a torn listing (retry) or real corruption (raise)
-            if not relisted:
-                relisted = True
-                vs = [x for x in versions(log_dir) if prev_v is None or x > prev_v]
-                i = 0
+            if relists < 3:
+                relists += 1
+                vs, i = _relist(), 0
                 continue
             raise FileNotFoundError(
                 f"pruned log resumes at v{v} but no checkpoint exists "
@@ -224,21 +229,22 @@ def replay_states(log_dir: Path, end: int | None = None):
             )
         try:
             doc = raw_doc(log_dir, v)
+            if gap:
+                carry = load_checkpoint_carry(log_dir, v)
+                # v's own doc re-applies idempotently below, recovering its
+                # per-commit fields (same contract as state_at)
         except FileNotFoundError:
-            # listed but deleted before we read it: same torn race
-            if not relisted:
-                relisted = True
-                vs = [x for x in versions(log_dir) if prev_v is None or x > prev_v]
-                i = 0
+            # listed but deleted before we read it (doc or checkpoint):
+            # same torn race
+            if relists < 3:
+                relists += 1
+                vs, i = _relist(), 0
                 continue
             raise
-        if gap:
-            carry = load_checkpoint_carry(log_dir, v)
-            # v's own doc re-applies idempotently below, recovering its
-            # per-commit fields (same contract as state_at)
         state = apply_doc(carry, doc)
         carry = carry_of(state)
         prev_v = v
+        relists = 0  # progress: fresh budget for the next stall point
         i += 1
         yield v, state, doc
 

@@ -86,3 +86,23 @@ def test_empty_prev_full_run_is_identity():
     out = {"queries": {"a": 1.0}, "value": 1.0}
     assert bench.merge_artifact({}, out, partial=False) == out
     assert bench.merge_artifact({}, out, partial=True) == out
+
+
+def test_merge_artifact_never_mutates_prev():
+    prev = {"queries": {"a": 1.0}, "queries_median3": {"a": 0.9},
+            "value": 1.0, "value_median3": 0.9}
+    snapshot = {"queries": dict(prev["queries"]),
+                "queries_median3": dict(prev["queries_median3"])}
+    bench.merge_artifact(prev, {"queries": {"b": 2.0},
+                                "queries_median3": {"b": 1.8}}, partial=True)
+    assert prev["queries"] == snapshot["queries"]
+    assert prev["queries_median3"] == snapshot["queries_median3"]
+
+
+def test_full_run_without_median3_clears_stale_median_sections():
+    prev = dict(PREV)
+    out = {"queries": {"a": 1.0}, "value": 1.0}  # BENCH_MEDIAN3=0 run
+    merged = bench.merge_artifact(prev, out, partial=False)
+    assert "queries_median3" not in merged and "value_median3" not in merged
+    # ... but the unknown sections still survive
+    assert merged["heavy_scaling_30x"]["median_exponent"] == 0.38

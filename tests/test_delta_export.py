@@ -2048,3 +2048,44 @@ def test_unknown_reader_features_still_refused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="variantType"):
         read_delta_snapshot(spark, str(dest))
+
+
+def test_hive_dir_multibyte_escape_compares_byte_wise(spark, tmp_path):
+    """Spark's unescapePathName decodes %XX CHAR-wise, not UTF-8: a foreign
+    writer's dir g=%C3%A9 scans as 'Ã©' even when the log says 'é'. The
+    agreement check must compare what the SCAN would produce (byte-wise
+    decode) so this table takes the per-tuple path and reads the log's
+    'é', never the dir's mojibake."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    dest = tmp_path / "delta"
+    (dest / "_delta_log").mkdir(parents=True)
+    d = dest / "g=%C3%A9"  # literal percent-escapes in the dir name
+    d.mkdir()
+    pq_.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64())}), str(d / "part-0.parquet")
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "g", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    lines = [
+        {"metaData": {"id": "0006", "format": {"provider": "parquet"},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["g"], "configuration": {}}},
+        # add.path URI-encodes the literal '%' as %25
+        {"add": {"path": "g=%25C3%25A9/part-0.parquet",
+                 "partitionValues": {"g": "é"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    (dest / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(ln) for ln in lines)
+    )
+    got = sorted((r.id, r.g) for r in read_delta_snapshot(spark, str(dest)).collect())
+    assert got == [(1, "é"), (2, "é")]
