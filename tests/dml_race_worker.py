@@ -104,6 +104,32 @@ def apply_op(spark, table, o: dict, wid: int, i: int, retries: int = 40) -> int:
     raise AssertionError(f"op never landed after {retries} aborts: {o}")
 
 
+def run_maintenance(spark, path: str, rounds: int, result: str) -> None:
+    """The AutoCompactor/AutoLogCleaner deployment shape: a maintenance
+    loop racing live DML writers. compact() rewrites live dirs, so it
+    CONFLICTS with any concurrent DML — a clean abort here is correct; it
+    retries like the real maintenance job's next tick. Logically a no-op:
+    the parent's serial oracle never needs to see these commits."""
+    from pyspark_cdc_engine.log import ConcurrentWriteError
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    table = DeltaliteTable(spark, path)
+    committed, aborts = 0, 0
+    for _ in range(rounds):
+        try:
+            table.compact(target_partitions=2)
+            committed += 1
+        except ConcurrentWriteError:
+            aborts += 1
+        table.cleanup_log(retain_last=200)  # far above the race's depth:
+        # retention must never prune commits the racing readers still replay
+        time.sleep(random.uniform(0.05, 0.2))
+    Path(result).write_text(
+        json.dumps({"wid": "maintenance", "program": [],
+                    "compactions": committed, "aborts": aborts})
+    )
+
+
 def main() -> None:
     path, wid, seed, result = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
@@ -117,6 +143,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "2")
         .getOrCreate()
     )
+    if wid < 0:  # maintenance role
+        run_maintenance(spark, path, rounds=-wid, result=result)
+        spark.stop()
+        return
     from pyspark_cdc_engine.tables import DeltaliteTable
 
     table = DeltaliteTable(spark, path)

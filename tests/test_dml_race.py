@@ -51,31 +51,45 @@ def test_os_process_dml_race_converges_to_serial_oracle(spark, tmp_path):
     t = _setup(spark, path)
     setup_versions = t.latest_version() + 1
 
-    results = [tmp_path / f"w{w}.json" for w in range(WRITERS)]
+    # WRITERS DML processes plus ONE maintenance process (wid < 0 =
+    # compaction rounds): OPTIMIZE racing live DML is the AutoCompactor
+    # deployment shape — compactions abort cleanly on conflict and are
+    # logically no-ops, so the serial oracle below never sees them
+    roles = [(w, SEED + w) for w in range(WRITERS)] + [(-4, 0)]
+    results = [tmp_path / f"w{i}.json" for i in range(len(roles))]
     procs = [
         subprocess.Popen(
             [sys.executable, str(Path(worker.__file__)), path, str(w),
-             str(SEED + w), str(results[w])],
+             str(seed), str(results[i])],
             stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
         )
-        for w in range(WRITERS)
+        for i, (w, seed) in enumerate(roles)
     ]
     errs = [p.communicate(timeout=600)[1] for p in procs]
     for w, p in enumerate(procs):
         assert p.returncode == 0, errs[w].decode()[-2000:]
 
-    programs = [json.loads(r.read_text()) for r in results]
+    reports = [json.loads(r.read_text()) for r in results]
+    programs = [p for p in reports if p["wid"] != "maintenance"]
+    maint = next(p for p in reports if p["wid"] == "maintenance")
 
     # --- zero lost/doubled: versions contiguous, txn markers exactly-once
     vs = txlog.versions(t._log_dir)
     n_ops = sum(len(p["program"]) for p in programs)
-    assert vs == list(range(setup_versions + n_ops))
+    assert vs == list(range(setup_versions + n_ops + maint["compactions"]))
     seen: dict[tuple, int] = {}
+    n_compact = 0
     for v in vs[setup_versions:]:
-        txn = txlog.raw_doc(t._log_dir, v).get("txn")
-        assert txn, f"DML commit v{v} lost its txn marker"
+        doc = txlog.raw_doc(t._log_dir, v)
+        txn = doc.get("txn")
+        if not txn:
+            # only the maintenance racer commits without a marker
+            assert doc.get("operation") == "compact", f"v{v}: {doc.get('operation')}"
+            n_compact += 1
+            continue
         key = (txn["app"], txn["version"])
         seen[key] = seen.get(key, 0) + 1
+    assert n_compact == maint["compactions"]
     assert all(c == 1 for c in seen.values()), {
         k: c for k, c in seen.items() if c != 1
     }  # no step committed twice
@@ -96,7 +110,9 @@ def test_os_process_dml_race_converges_to_serial_oracle(spark, tmp_path):
     # --- the racing writers really did contend for the shared file
     # (clean aborts absorbed by caller retry; 0 is legal on a quiet box,
     # but the shared-dir ops make it vanishingly unlikely — don't assert)
-    print("aborts per writer:", [p["aborts"] for p in programs])
+    print("aborts per writer:", [p["aborts"] for p in programs],
+          "compactions:", maint["compactions"], "compact aborts:",
+          maint["aborts"])
 
     # --- and the table is still healthy: time travel + vacuum + read_changes
     assert t.read(version=setup_versions - 1).count() == (
