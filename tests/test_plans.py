@@ -444,6 +444,7 @@ _SWEEP_CROSS_OK = {
     "gap_fill_interpolate",     # broadcast 1-row (lo, hi) bounds against the 5-row type dim
     "bpe_apply_token_count",    # broadcast 1-row merge-table pivot onto the vocab
     "tokenizer_fertility_report",  # same broadcast merge pivot (shared helper)
+    "sequence_pack_bpe",           # same broadcast merge pivot (shared helper)
 }
 _SWEEP_PYTHON_OK = {
     "embedding_cosine_near_dup",  # numpy gram scoring via applyInPandas (by design)
