@@ -1334,6 +1334,79 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def train_bpe_merges(
+    words: DataFrame, k: int = _BPE_TOPK
+) -> list[tuple[str, str]]:
+    """TRUE iterative BPE training (Sennrich et al. 2016) — unlike
+    ``bpe_merge_step``'s one-shot first-iteration ranking, each selected
+    merge REWRITES the symbol table before the next pair count, so later
+    ranks see the merged symbols ((t,h) then (th,e), not (h,e)). Returns
+    the merge list in rank order, ready for the sentinel-REPLACE apply
+    (:func:`_bpe_word_tokens` semantics) or any external tokenizer.
+
+    ``words``: (w string, cnt long) — the distinct-word frequency table
+    (vocabulary-sized; build it once from the corpus). The k-step driver
+    loop runs each pair count + argmax + rewrite as Spark jobs over that
+    vocabulary — at 100 TB the corpus is touched ONCE to build ``words``;
+    training cost is k jobs over millions of vocab rows, never billions of
+    documents. Per step only the single best (x, y, count) row reaches the
+    driver. Ties break (count desc, x, y) — the same total order the
+    one-shot ranking uses. ``localCheckpoint`` truncates the per-step
+    lineage so step N's plan doesn't replay steps 1..N-1.
+
+    Greedy-leftmost rewrite as a fold: append each symbol, merging with
+    the accumulator's tail when (tail, s) == (x, y) — a merged token can
+    never re-match its own pair (xy != x), so one pass per step is exact."""
+    enc = words.select(
+        "cnt",
+        F.expr(
+            "CASE WHEN length(w) = 0 THEN CAST(array() AS array<string>) "
+            "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) "
+            "END"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        best = (
+            enc.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), i -> "
+                        "struct(element_at(syms, i) AS x, "
+                        "element_at(syms, i + 1) AS y))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "x", "y")
+            .first()
+        )
+        if best is None:
+            break
+        merges.append((best.x, best.y))
+        x, y = F.lit(best.x), F.lit(best.y)
+        merged = F.concat(x, y)
+        enc = enc.select(
+            "cnt",
+            F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS array<string>)"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == x)
+                    & (s == y),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+    return merges
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter decontamination (bounded-broadcast benchmark membership)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,115 @@
+"""TRUE iterative BPE training (train_bpe_merges) against a from-scratch
+pure-Python reference of Sennrich et al. 2016: identical merge sequences
+(interacting ranks included), and train+apply consistency — applying the
+trained merges through the sentinel-REPLACE apply reproduces the reference
+tokenizer's per-word token counts exactly."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from pyspark_cdc_engine.operators.text import train_bpe_merges
+
+
+def _ref_train(word_freq: dict[str, int], k: int) -> list[tuple[str, str]]:
+    """Reference BPE trainer: symbol tables per word, argmax pair by
+    (count desc, x, y), greedy-leftmost rewrite, repeat."""
+    tables = {w: [c for c in w] for w in word_freq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        counts: Counter = Counter()
+        for w, syms in tables.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += word_freq[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        x, y = best
+        for w, syms in tables.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == x and s == y:
+                    out[-1] = x + y
+                else:
+                    out.append(s)
+            tables[w] = out
+    return merges
+
+
+def _ref_apply(word: str, merges: list[tuple[str, str]]) -> int:
+    syms = [c for c in word]
+    for x, y in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == x and s == y:
+                out[-1] = x + y
+            else:
+                out.append(s)
+        syms = out
+    return len(syms)
+
+
+CORPUS = {
+    # engineered so ranks INTERACT: 'th' must win first, then ('th','e')
+    # outranks ('h','e') — the first-iteration ranking gets this wrong
+    "the": 50, "then": 20, "they": 15, "there": 10,
+    "hen": 8, "her": 12, "banana": 9, "bandana": 4, "aaaa": 6,
+}
+
+
+def test_trained_merges_match_reference(spark):
+    words = spark.createDataFrame(
+        [(w, c) for w, c in CORPUS.items()], ["w", "cnt"]
+    )
+    got = train_bpe_merges(words, k=8)
+    want = _ref_train(dict(CORPUS), 8)
+    assert got == want
+    # the engineered interaction really happened: a merged symbol appears
+    # on the left side of a later merge
+    merged_syms = {x + y for x, y in got}
+    assert any(x in merged_syms for x, _ in got[1:])
+
+
+def test_train_plus_apply_matches_reference_token_counts(spark):
+    words = spark.createDataFrame(
+        [(w, c) for w, c in CORPUS.items()], ["w", "cnt"]
+    )
+    merges = train_bpe_merges(words, k=6)
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    # apply the TRAINED merges through the same sentinel-REPLACE chain the
+    # shared helper builds, and compare per-word counts with the reference
+    US = "\x1f"
+    enc = F.expr(
+        "concat_ws('', transform(sequence(1, length(word)), "
+        "i -> concat(char(31), substring(word, i, 1), char(31))))"
+    )
+    for x, y in merges:
+        enc = F.call_function(
+            "replace", enc,
+            F.lit(US + x + US + US + y + US), F.lit(US + x + y + US),
+        )
+    got = {
+        r.word: r.n
+        for r in dw.select(
+            "word",
+            (
+                (F.length(enc)
+                 - F.length(F.call_function("replace", enc, F.lit(US), F.lit(""))))
+                / 2
+            ).cast("int").alias("n"),
+        ).collect()
+    }
+    assert got == {w: _ref_apply(w, merges) for w in CORPUS}
+
+
+def test_training_handles_degenerate_vocab(spark):
+    words = spark.createDataFrame([("a", 5), ("", 1)], ["w", "cnt"])
+    assert train_bpe_merges(words, k=3) == []  # no adjacent pairs anywhere
