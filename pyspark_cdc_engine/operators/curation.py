@@ -1190,3 +1190,174 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+_SHARDS = 16  # test-scale shard count; production uses thousands (see docstring)
+_FP_P = 2_147_483_647  # Mersenne prime 2^31 - 1: checksum modulus
+# engine-portable 16-bit slices of md5(doc_id): hex digits 1-4 and 5-8
+_H1_SPARK = "CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT)"
+_OK_SPARK = "CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 5, 4), 16, 10) AS BIGINT)"
+_H1_DUCK = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
+_OK_DUCK = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4)) AS BIGINT)"
+
+
+@register(
+    "shard_manifest",
+    survey="A2,W1,F14,beyond-ref",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+               AS n_tokens,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             {_H1_DUCK} AS h1,
+             {_OK_DUCK} AS okey
+      FROM documents
+    ),
+    positioned AS (
+      SELECT *,
+             CAST(h1 % {_SHARDS} AS INT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY h1 % {_SHARDS}
+                                ORDER BY okey, doc_id) AS pos
+      FROM keyed
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(CAST(((pos % {_FP_P}) * ((h1 * 65536 + okey) % {_FP_P}))
+                         % {_FP_P} AS HUGEINT)) % {_FP_P} AS BIGINT) AS order_fp
+    FROM positioned
+    GROUP BY shard
+    """,
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard manifest: the export step that turns a
+    curated corpus into N fixed shards a dataloader can stream. Every doc is
+    assigned to shard ``md5(doc_id)[0:4] % N`` (content-independent, so
+    re-exports are stable and shards stay hash-balanced), ordered WITHIN its
+    shard by a second md5 slice (the deterministic pseudo-shuffle training
+    wants — never source/crawl order), and the manifest reports per shard:
+    doc count, true whitespace-token and char totals, distinct sources, and
+    a position-weighted checksum ``sum(pos * h64(doc)) mod 2^31-1`` a
+    consumer re-derives to verify both membership AND order of a delivered
+    shard — a plain content hash can't catch a reshuffled shard.
+
+    Scale shape: one hash-partition shuffle into shards, one sort per shard.
+    At 100 TB the shard count is chosen in the thousands (e.g. ~10 GB per
+    shard — the WebDataset/TFRecord convention), so "sort one shard" is a
+    single-task-sized sequential unit by construction and every shard sorts
+    in parallel; N=16 here only because the test corpus is small. The
+    checksum is exact integer math (products < 2^62, summed as
+    decimal(38,0) before the final mod), so Spark and DuckDB agree
+    bit-for-bit regardless of reduction order."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.expr(_H1_SPARK).alias("h1"),
+        F.expr(_OK_SPARK).alias("okey"),
+    ).withColumn("shard", (F.col("h1") % _SHARDS).cast("int"))
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    positioned = keyed.withColumn("pos", F.row_number().over(w).cast("bigint"))
+    term = (
+        (F.col("pos") % _FP_P)
+        * ((F.col("h1") * F.lit(65536) + F.col("okey")) % _FP_P)
+    ) % _FP_P
+    return positioned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.pmod(F.sum(term.cast("decimal(38,0)")), F.lit(_FP_P))
+        .cast("bigint")
+        .alias("order_fp"),
+    )
+
+
+def _shard_keys(id_col: str) -> tuple[str, str]:
+    """Spark SQL exprs for the (shard-hash, order-key) md5 slices of any id
+    column — the parameterized form of ``_H1_SPARK``/``_OK_SPARK``."""
+    base = f"md5(CAST(CAST({id_col} AS STRING) AS BINARY))"
+    return (
+        f"CAST(conv(substr({base}, 1, 4), 16, 10) AS BIGINT)",
+        f"CAST(conv(substr({base}, 5, 4), 16, 10) AS BIGINT)",
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = _SHARDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a curated corpus as ``n_shards`` deterministic training
+    shards under ``path`` plus a verifiable manifest — the export half of
+    :func:`shard_manifest` (which only *reports* the plan).
+
+    Layout: ``path/shard=K/part-*.parquet`` with two extra columns,
+    ``_shard`` (redundant copy of the dir key, survives non-partition-aware
+    readers) and ``_order_key`` (the within-shard pseudo-shuffle key), plus
+    ``path/_manifest/`` holding one row per shard with the same columns and
+    position-weighted ``order_fp`` checksum as :func:`shard_manifest`.
+
+    Global order contract: rows are range-sorted by (shard, order key, id)
+    before the partitioned write, so within every ``shard=K`` dir the
+    lexicographic part-file order IS the shard's sample order (range
+    partitions ascend with the sort key and part numbers ascend with
+    partition id); a consumer either streams files name-sorted or re-sorts
+    on the persisted ``_order_key``. Scale shape: one range shuffle + write
+    (each output task writes one contiguous slice of one shard — no
+    single-task-per-shard bottleneck), one hash agg for the manifest.
+
+    Returns the manifest DataFrame (also written under ``path/_manifest``).
+    """
+    h_expr, o_expr = _shard_keys(id_col)
+    keyed = df.withColumn("_h1", F.expr(h_expr)).withColumn(
+        "_order_key", F.expr(o_expr)
+    ).withColumn("shard", (F.col("_h1") % n_shards).cast("int"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("_order_key", id_col)
+    pos = F.row_number().over(w).cast("bigint")
+    term = (
+        (pos % _FP_P) * ((F.col("_h1") * F.lit(65536) + F.col("_order_key")) % _FP_P)
+    ) % _FP_P
+    manifest = (
+        keyed.select("shard", "_h1", "_order_key", id_col)
+        .withColumn("_term", term)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.pmod(F.sum(F.col("_term").cast("decimal(38,0)")), F.lit(_FP_P))
+            .cast("bigint")
+            .alias("order_fp"),
+        )
+    )
+
+    (
+        keyed.drop("_h1")
+        .withColumn("_shard", F.col("shard"))
+        .repartitionByRange(
+            max(df.sparkSession.sparkContext.defaultParallelism, n_shards),
+            "shard",
+            "_order_key",
+            id_col,
+        )
+        .sortWithinPartitions("shard", "_order_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    manifest.write.mode("overwrite").parquet(path.rstrip("/") + "/_manifest")
+    return manifest

@@ -1,0 +1,100 @@
+"""Round-trip tests for the training-shard writer (write_training_shards).
+
+The writer's contract (curation.py): deterministic md5 shard assignment,
+within-shard pseudo-shuffle order recoverable from name-sorted part files,
+and a position-weighted manifest checksum a consumer can re-derive.
+"""
+
+import glob
+import hashlib
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark_cdc_engine.operators.curation import (
+    _FP_P,
+    _SHARDS,
+    shard_manifest,
+    write_training_shards,
+)
+from tests.conftest import SF_DIR
+
+
+def _md5_slices(doc_id: int) -> tuple[int, int]:
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()
+    return int(h[0:4], 16), int(h[4:8], 16)
+
+
+def _read_shard_in_file_order(shard_dir: str):
+    """Concat a shard's part files in lexicographic name order (the writer's
+    documented consumption order)."""
+    rows = []
+    for f in sorted(glob.glob(os.path.join(shard_dir, "part-*.parquet"))):
+        t = pq.read_table(f)
+        rows.extend(t.to_pylist())
+    return rows
+
+
+@pytest.fixture(scope="module")
+def written(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("shards") / "corpus")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    manifest = write_training_shards(docs, out, n_shards=_SHARDS)
+    return out, docs, {r["shard"]: r.asDict() for r in manifest.collect()}
+
+
+def test_assignment_and_coverage(written):
+    out, docs, manifest = written
+    n_in = docs.count()
+    assert sum(m["n_docs"] for m in manifest.values()) == n_in
+    seen = 0
+    for shard, m in manifest.items():
+        rows = _read_shard_in_file_order(os.path.join(out, f"shard={shard}"))
+        assert len(rows) == m["n_docs"]
+        seen += len(rows)
+        for r in rows[:50]:
+            h1, okey = _md5_slices(r["doc_id"])
+            assert h1 % _SHARDS == shard
+            assert r["_shard"] == shard
+            assert r["_order_key"] == okey
+    assert seen == n_in
+
+
+def test_file_order_is_sample_order_and_fp_matches(written):
+    out, _, manifest = written
+    for shard, m in manifest.items():
+        rows = _read_shard_in_file_order(os.path.join(out, f"shard={shard}"))
+        keys = [(r["_order_key"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys), f"shard {shard} not in pseudo-shuffle order"
+        fp = 0
+        for pos, r in enumerate(rows, start=1):
+            h1, okey = _md5_slices(r["doc_id"])
+            fp = (fp + (pos % _FP_P) * ((h1 * 65536 + okey) % _FP_P)) % _FP_P
+        assert fp == m["order_fp"], f"shard {shard} checksum mismatch"
+
+
+def test_manifest_agrees_with_shard_manifest_query(spark, written):
+    _, _, manifest = written
+    report = {
+        r["shard"]: r.asDict()
+        for r in shard_manifest(spark, SF_DIR).collect()
+    }
+    assert set(report) == set(manifest)
+    for shard, m in manifest.items():
+        assert report[shard]["n_docs"] == m["n_docs"]
+        assert report[shard]["order_fp"] == m["order_fp"]
+
+
+def test_multiple_part_files_keep_global_order(spark, tmp_path):
+    """Force >1 part file per shard: order must survive file splits."""
+    out = str(tmp_path / "split")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    manifest = write_training_shards(docs, out, n_shards=2)
+    for shard in (0, 1):
+        files = sorted(glob.glob(os.path.join(out, f"shard={shard}", "part-*.parquet")))
+        rows = _read_shard_in_file_order(os.path.join(out, f"shard={shard}"))
+        keys = [(r["_order_key"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys), f"{len(files)} files, order broken"
+        m = {r["shard"]: r for r in manifest.collect()}[shard]
+        assert len(rows) == m["n_docs"]
