@@ -10,7 +10,7 @@ Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_cdc_engine.config import get_config
@@ -519,18 +519,11 @@ def chunk_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 2048  # tokens per packed training sequence
 _PACK_BUCKETS = 32   # parallel packing streams
 
-
-@register(
-    "sequence_pack_greedy",
-    survey="W1,A2,F18,beyond-ref",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id,
-             CAST(doc_id % {_PACK_BUCKETS} AS INT) AS bucket,
-             CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT)
-               AS n_tokens
-      FROM documents
-    ),
+# shared packing tail (SQL): consumes a `toks(doc_id, bucket, n_tokens)` CTE —
+# one window cumsum per bucket, sequence id = starting offset div budget,
+# hash agg per (bucket, seq). Both packing queries append this verbatim so
+# the budget/seq_id semantics can never diverge between them.
+_PACK_TAIL_SQL = f"""
     packed AS (
       SELECT bucket, doc_id, n_tokens,
              SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
@@ -544,101 +537,15 @@ _PACK_BUCKETS = 32   # parallel packing streams
            CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_BUDGET} AS fill_ratio
     FROM packed
     GROUP BY bucket, (running - n_tokens) // {_PACK_BUDGET}
-    """,
-)
-def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-sequence PACKING: assign documents to fixed-token-budget
-    (2048-token) training sequences by greedy in-order concatenation —
-    the pretraining dataloader step that turns a shuffled corpus into dense
-    fixed-length samples. A single global packing order would serialize on
-    one partition, so documents are first split into 32
-    deterministic hash streams and packed within each (the standard
-    distributed-packing compromise: bounded parallelism loss, no global
-    sort). One window cumsum per bucket (running token offset), sequence id
-    = starting offset div budget, then a hash agg per (bucket, seq). All
-    token arithmetic integer-exact."""
+"""
+
+
+def _pack_tail(per_doc_tokens: DataFrame) -> DataFrame:
+    """Shared packing tail (Spark): ``(doc_id, n_tokens)`` → packed-sequence
+    report — the exact DataFrame counterpart of ``_PACK_TAIL_SQL``."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        (F.col("doc_id") % _PACK_BUCKETS).cast("int").alias("bucket"),
-        (
-            F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-            + 1
-        ).cast("bigint").alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = toks.withColumn("running", F.sum("n_tokens").over(w))
-    return (
-        packed.select(
-            "bucket",
-            F.expr(f"(running - n_tokens) div {_PACK_BUDGET}").alias("seq_id"),
-            "n_tokens",
-        )
-        .groupBy("bucket", "seq_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            (F.sum("n_tokens").cast("double") / _PACK_BUDGET).alias("fill_ratio"),
-        )
-    )
-
-
-@register(
-    "sequence_pack_bpe",
-    survey="W1,A2,beyond-ref",
-    oracle=f"""
-    WITH RECURSIVE {_BPE_APPLY_CTES}
-    , per_doc AS (
-      SELECT dw.doc_id, CAST(SUM(t.bpe) AS BIGINT) AS n_tokens
-      FROM dw JOIN tok t USING (word) GROUP BY dw.doc_id
-    ),
-    toks AS (
-      SELECT doc_id, CAST(doc_id % {_PACK_BUCKETS} AS INT) AS bucket, n_tokens
-      FROM per_doc
-    ),
-    packed AS (
-      SELECT bucket, doc_id, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS running
-      FROM toks
-    )
-    SELECT bucket,
-           CAST((running - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_BUDGET} AS fill_ratio
-    FROM packed
-    GROUP BY bucket, (running - n_tokens) // {_PACK_BUDGET}
-    """,
-)
-def sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """:func:`sequence_pack_greedy` driven by TRUE tokenizer counts: packing
-    by whitespace words misjudges every budget by each source's fertility
-    (a 1.3-fertility source overfills 2048-token sequences by 30%), so the
-    real dataloader packs on the APPLIED-BPE counts
-    (``bpe_apply_token_count``). Same distributed shape — the BPE apply
-    runs once over the vocabulary, per-doc counts join back, then the
-    32-stream bucket cumsum assigns sequence ids; the only corpus-sized
-    stages are the word explode and two hash aggs."""
-    from pyspark.sql import Window
-
-    d = load_table(spark, sf_dir, "documents")
-    dw = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    per_doc = (
-        dw.join(_bpe_word_tokens(d, dw), "word")
-        .groupBy("doc_id")
-        .agg(F.sum("bpe").cast("bigint").alias("n_tokens"))
-    )
-    toks = per_doc.select(
+    toks = per_doc_tokens.select(
         "doc_id",
         (F.col("doc_id") % _PACK_BUCKETS).cast("int").alias("bucket"),
         "n_tokens",
@@ -662,6 +569,81 @@ def sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tokens").cast("double") / _PACK_BUDGET).alias("fill_ratio"),
         )
     )
+
+
+@register(
+    "sequence_pack_greedy",
+    survey="W1,A2,F18,beyond-ref",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(doc_id % {_PACK_BUCKETS} AS INT) AS bucket,
+             CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    {_PACK_TAIL_SQL}
+    """,
+)
+def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence PACKING: assign documents to fixed-token-budget
+    (2048-token) training sequences by greedy in-order concatenation —
+    the pretraining dataloader step that turns a shuffled corpus into dense
+    fixed-length samples. A single global packing order would serialize on
+    one partition, so documents are first split into 32
+    deterministic hash streams and packed within each (the standard
+    distributed-packing compromise: bounded parallelism loss, no global
+    sort). One window cumsum per bucket (running token offset), sequence id
+    = starting offset div budget, then a hash agg per (bucket, seq). All
+    token arithmetic integer-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return _pack_tail(
+        d.select(
+            "doc_id",
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "sequence_pack_bpe",
+    survey="W1,A2,beyond-ref",
+    oracle=f"""
+    WITH RECURSIVE {_BPE_APPLY_CTES}
+    , per_doc AS (
+      SELECT dw.doc_id, CAST(SUM(t.bpe) AS BIGINT) AS n_tokens
+      FROM dw JOIN tok t USING (word) GROUP BY dw.doc_id
+    ),
+    toks AS (
+      SELECT doc_id, CAST(doc_id % {_PACK_BUCKETS} AS INT) AS bucket, n_tokens
+      FROM per_doc
+    ),
+    {_PACK_TAIL_SQL}
+    """,
+)
+def sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`sequence_pack_greedy` driven by TRUE tokenizer counts: packing
+    by whitespace words misjudges every budget by each source's fertility
+    (a 1.3-fertility source overfills 2048-token sequences by 30%), so the
+    real dataloader packs on the APPLIED-BPE counts
+    (``bpe_apply_token_count``). Same distributed shape — the BPE apply
+    runs once over the vocabulary, per-doc counts join back, then the
+    32-stream bucket cumsum assigns sequence ids; the only corpus-sized
+    stages are the word explode and two hash aggs."""
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    per_doc = (
+        dw.join(_bpe_word_tokens(d, dw), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("bpe").cast("bigint").alias("n_tokens"))
+    )
+    return _pack_tail(per_doc)
 
 
 @register(
@@ -1194,11 +1176,38 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHARDS = 16  # test-scale shard count; production uses thousands (see docstring)
 _FP_P = 2_147_483_647  # Mersenne prime 2^31 - 1: checksum modulus
-# engine-portable 16-bit slices of md5(doc_id): hex digits 1-4 and 5-8
-_H1_SPARK = "CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT)"
-_OK_SPARK = "CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 5, 4), 16, 10) AS BIGINT)"
-_H1_DUCK = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
-_OK_DUCK = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4)) AS BIGINT)"
+
+
+def _shard_keys(id_col: str) -> tuple[str, str]:
+    """Spark SQL exprs for the (shard-hash, order-key) 48-bit md5 slices of
+    any id column. 48 bits (12 hex digits) rather than a short slice so that
+    (a) shard counts in the thousands stay hash-balanced — ``2^48 mod N`` is
+    a negligible skew for any realistic N, where a 16-bit slice would load
+    shards 0..(65536 mod N) ~17% heavier at N=10000 — and (b) the order key
+    is collision-free enough that the within-shard pseudo-shuffle never
+    degrades into long id-order runs on corpus-scale shards."""
+    base = f"md5(CAST(CAST({id_col} AS STRING) AS BINARY))"
+    return (
+        f"CAST(conv(substr({base}, 1, 12), 16, 10) AS BIGINT)",
+        f"CAST(conv(substr({base}, 13, 12), 16, 10) AS BIGINT)",
+    )
+
+
+_H1_SPARK, _OK_SPARK = _shard_keys("doc_id")
+_H1_DUCK = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+_OK_DUCK = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 13, 12)) AS BIGINT)"
+# position-weighted checksum term: (pos mod P) * dochash mod P, with
+# dochash = ((h1 mod P) * 65537 + okey) mod P mixing both 48-bit slices.
+# Every intermediate stays < 2^62, so plain BIGINT math is exact in both
+# engines; the sum crosses engines as decimal/hugeint before the final mod.
+_FP_TERM_DUCK = (
+    f"((pos % {_FP_P}) * (((h1 % {_FP_P}) * 65537 + okey) % {_FP_P})) % {_FP_P}"
+)
+
+
+def _fp_term(pos: Column, h1: Column, okey: Column) -> Column:
+    dochash = ((h1 % _FP_P) * F.lit(65537) + okey) % _FP_P
+    return ((pos % _FP_P) * dochash) % _FP_P
 
 
 @register(
@@ -1226,8 +1235,8 @@ _OK_DUCK = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4)) AS BIG
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-           CAST(SUM(CAST(((pos % {_FP_P}) * ((h1 * 65536 + okey) % {_FP_P}))
-                         % {_FP_P} AS HUGEINT)) % {_FP_P} AS BIGINT) AS order_fp
+           CAST(SUM(CAST({_FP_TERM_DUCK} AS HUGEINT)) % {_FP_P} AS BIGINT)
+             AS order_fp
     FROM positioned
     GROUP BY shard
     """,
@@ -1235,14 +1244,15 @@ _OK_DUCK = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 4)) AS BIG
 def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard manifest: the export step that turns a
     curated corpus into N fixed shards a dataloader can stream. Every doc is
-    assigned to shard ``md5(doc_id)[0:4] % N`` (content-independent, so
-    re-exports are stable and shards stay hash-balanced), ordered WITHIN its
-    shard by a second md5 slice (the deterministic pseudo-shuffle training
-    wants — never source/crawl order), and the manifest reports per shard:
-    doc count, true whitespace-token and char totals, distinct sources, and
-    a position-weighted checksum ``sum(pos * h64(doc)) mod 2^31-1`` a
-    consumer re-derives to verify both membership AND order of a delivered
-    shard — a plain content hash can't catch a reshuffled shard.
+    assigned to shard ``md5(doc_id)[0:12] % N`` (content-independent, so
+    re-exports are stable and shards stay hash-balanced even at thousands of
+    shards — see :func:`_shard_keys`), ordered WITHIN its shard by a second
+    48-bit md5 slice (the deterministic pseudo-shuffle training wants —
+    never source/crawl order), and the manifest reports per shard: doc
+    count, true whitespace-token and char totals, distinct sources, and a
+    position-weighted checksum ``sum(pos * dochash) mod 2^31-1`` a consumer
+    re-derives to verify both membership AND order of a delivered shard — a
+    plain content hash can't catch a reshuffled shard.
 
     Scale shape: one hash-partition shuffle into shards, one sort per shard.
     At 100 TB the shard count is chosen in the thousands (e.g. ~10 GB per
@@ -1269,10 +1279,7 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("shard", (F.col("h1") % _SHARDS).cast("int"))
     w = Window.partitionBy("shard").orderBy("okey", "doc_id")
     positioned = keyed.withColumn("pos", F.row_number().over(w).cast("bigint"))
-    term = (
-        (F.col("pos") % _FP_P)
-        * ((F.col("h1") * F.lit(65536) + F.col("okey")) % _FP_P)
-    ) % _FP_P
+    term = _fp_term(F.col("pos"), F.col("h1"), F.col("okey"))
     return positioned.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
@@ -1281,16 +1288,6 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.sum(term.cast("decimal(38,0)")), F.lit(_FP_P))
         .cast("bigint")
         .alias("order_fp"),
-    )
-
-
-def _shard_keys(id_col: str) -> tuple[str, str]:
-    """Spark SQL exprs for the (shard-hash, order-key) md5 slices of any id
-    column — the parameterized form of ``_H1_SPARK``/``_OK_SPARK``."""
-    base = f"md5(CAST(CAST({id_col} AS STRING) AS BINARY))"
-    return (
-        f"CAST(conv(substr({base}, 1, 4), 16, 10) AS BIGINT)",
-        f"CAST(conv(substr({base}, 5, 4), 16, 10) AS BIGINT)",
     )
 
 
@@ -1307,48 +1304,36 @@ def write_training_shards(
     Layout: ``path/shard=K/part-*.parquet`` with two extra columns,
     ``_shard`` (redundant copy of the dir key, survives non-partition-aware
     readers) and ``_order_key`` (the within-shard pseudo-shuffle key), plus
-    ``path/_manifest/`` holding one row per shard with the same columns and
-    position-weighted ``order_fp`` checksum as :func:`shard_manifest`.
+    ``path/_manifest/`` holding one row per shard: ``(shard, n_docs,
+    order_fp)`` with the same position-weighted checksum definition as
+    :func:`shard_manifest` (the per-shard token/char/source totals of that
+    report need a ``text`` column a generic ``df`` may not have, so the
+    writer's manifest carries only the universally-derivable columns).
 
     Global order contract: rows are range-sorted by (shard, order key, id)
     before the partitioned write, so within every ``shard=K`` dir the
     lexicographic part-file order IS the shard's sample order (range
     partitions ascend with the sort key and part numbers ascend with
-    partition id); a consumer either streams files name-sorted or re-sorts
-    on the persisted ``_order_key``. Scale shape: one range shuffle + write
-    (each output task writes one contiguous slice of one shard — no
-    single-task-per-shard bottleneck), one hash agg for the manifest.
+    partition id). Caveat: Spark zero-pads part numbers to 5 digits, so
+    name-sorted streaming is only valid below 100 000 output tasks — the
+    authoritative consumer protocol is re-sorting on the persisted
+    ``(_order_key, id)``, which has no such bound. Scale shape: one range
+    shuffle + write (each output task writes one contiguous slice of one
+    shard — no single-task-per-shard bottleneck), then the manifest is
+    derived by re-reading the three narrow key columns OF THE WRITTEN FILES
+    (column-pruned parquet scan — never a second pass over the corpus text,
+    and the checksum attests what is actually on disk).
 
-    Returns the manifest DataFrame (also written under ``path/_manifest``).
+    Returns the written manifest, re-read from ``path/_manifest``.
     """
     h_expr, o_expr = _shard_keys(id_col)
-    keyed = df.withColumn("_h1", F.expr(h_expr)).withColumn(
-        "_order_key", F.expr(o_expr)
-    ).withColumn("shard", (F.col("_h1") % n_shards).cast("int"))
-
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("shard").orderBy("_order_key", id_col)
-    pos = F.row_number().over(w).cast("bigint")
-    term = (
-        (pos % _FP_P) * ((F.col("_h1") * F.lit(65536) + F.col("_order_key")) % _FP_P)
-    ) % _FP_P
-    manifest = (
-        keyed.select("shard", "_h1", "_order_key", id_col)
-        .withColumn("_term", term)
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.pmod(F.sum(F.col("_term").cast("decimal(38,0)")), F.lit(_FP_P))
-            .cast("bigint")
-            .alias("order_fp"),
-        )
-    )
-
-    (
-        keyed.drop("_h1")
+    keyed = (
+        df.withColumn("_order_key", F.expr(o_expr))
+        .withColumn("shard", (F.expr(h_expr) % n_shards).cast("int"))
         .withColumn("_shard", F.col("shard"))
-        .repartitionByRange(
+    )
+    (
+        keyed.repartitionByRange(
             max(df.sparkSession.sparkContext.defaultParallelism, n_shards),
             "shard",
             "_order_key",
@@ -1359,5 +1344,24 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    manifest.write.mode("overwrite").parquet(path.rstrip("/") + "/_manifest")
-    return manifest
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    written = spark.read.parquet(path).select("_shard", "_order_key", id_col)
+    w = Window.partitionBy("_shard").orderBy("_order_key", id_col)
+    pos = F.row_number().over(w).cast("bigint")
+    term = _fp_term(pos, F.expr(h_expr), F.col("_order_key"))
+    manifest = (
+        written.withColumn("_term", term)
+        .groupBy(F.col("_shard").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.pmod(F.sum(F.col("_term").cast("decimal(38,0)")), F.lit(_FP_P))
+            .cast("bigint")
+            .alias("order_fp"),
+        )
+    )
+    manifest_path = path.rstrip("/") + "/_manifest"
+    manifest.write.mode("overwrite").parquet(manifest_path)
+    return spark.read.parquet(manifest_path)

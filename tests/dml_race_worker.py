@@ -117,8 +117,13 @@ def run_maintenance(spark, path: str, rounds: int, result: str) -> None:
     committed, aborts = 0, 0
     for _ in range(rounds):
         try:
-            table.compact(target_partitions=2)
-            committed += 1
+            v = table.compact(target_partitions=2)
+            # compact() can return WITHOUT committing (the partitioned
+            # nothing-fragmented path returns the rival-authored base):
+            # count only versions whose commit doc this compactor authored,
+            # or the parent's version accounting over-reports
+            if table._read_commit(v).get("operation") == "compact":
+                committed += 1
         except ConcurrentWriteError:
             aborts += 1
         table.cleanup_log(retain_last=200)  # far above the race's depth:

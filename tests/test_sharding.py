@@ -23,7 +23,12 @@ from tests.conftest import SF_DIR
 
 def _md5_slices(doc_id: int) -> tuple[int, int]:
     h = hashlib.md5(str(doc_id).encode()).hexdigest()
-    return int(h[0:4], 16), int(h[4:8], 16)
+    return int(h[0:12], 16), int(h[12:24], 16)
+
+
+def _fp_term(pos: int, h1: int, okey: int) -> int:
+    dochash = ((h1 % _FP_P) * 65537 + okey) % _FP_P
+    return ((pos % _FP_P) * dochash) % _FP_P
 
 
 def _read_shard_in_file_order(shard_dir: str):
@@ -70,7 +75,7 @@ def test_file_order_is_sample_order_and_fp_matches(written):
         fp = 0
         for pos, r in enumerate(rows, start=1):
             h1, okey = _md5_slices(r["doc_id"])
-            fp = (fp + (pos % _FP_P) * ((h1 * 65536 + okey) % _FP_P)) % _FP_P
+            fp = (fp + _fp_term(pos, h1, okey)) % _FP_P
         assert fp == m["order_fp"], f"shard {shard} checksum mismatch"
 
 
