@@ -1441,3 +1441,101 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _IVF_K)
         .select("query_id", "neighbor_id", "label", "rank", "cos_sim")
     )
+
+
+@register(
+    "ann_recall_at_k",
+    survey="M5-ann,J3,A2,beyond-ref",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))},
+    iq AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+           FROM assigned WHERE vec_id < {_IVF_QUERIES}),
+    ivf_scored AS (
+      SELECT iq.query_id, c.vec_id AS neighbor_id,
+             {_dot_duck('iq.qemb', 'c.embedding')} / SQRT(iq.qn2 * c.norm2) AS cos_sim
+      FROM iq JOIN assigned c
+        ON c.centroid_id = iq.centroid_id AND c.vec_id <> iq.query_id
+    ),
+    ivf_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM ivf_scored
+      ) WHERE rank <= {_IVF_K}
+    ),
+    bf_dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                           * CAST(c.embedding[i] AS DOUBLE) AS {_DEC}))
+                  AS DOUBLE) AS dot
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id,
+      UNNEST(range(1, len(q.embedding) + 1)) AS t(i)
+      WHERE q.vec_id < {_IVF_QUERIES}
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    bf_scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             d.dot / SQRT(nq.norm2 * nc.norm2) AS cos_sim
+      FROM bf_dots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nc ON nc.vec_id = d.neighbor_id
+    ),
+    bf_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM bf_scored
+      ) WHERE rank <= {_IVF_K}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.neighbor_id) AS DOUBLE) / {_IVF_K} AS recall
+    FROM bf_topk b
+    LEFT JOIN ivf_topk i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against brute-force ground truth — the
+    eval every ANN deployment runs before trusting the index: per query,
+    how many of the exact top-{_IVF_K} cosine neighbors does the bucketed
+    search recover? Composes the two registered kernels verbatim
+    (:func:`cosine_topk_bruteforce` is the ground truth,
+    :func:`ann_ivf_bucketed` the candidate), joins the two top-k sets, and
+    reports (n_hits, recall) per query. Both kernels break cosine ties on
+    neighbor_id, so the top-k SETS are deterministic and the recall is
+    exact — an oracle-checkable number, not a sampled estimate. At 100 TB
+    the ground-truth side is the expensive half; the standard practice this
+    query encodes is running it over a small fixed query panel (here the
+    {_IVF_QUERIES}-query set both kernels already share) while the IVF side
+    serves production traffic."""
+    from pyspark_cdc_engine.operators.vectors import (
+        _N_QUERIES,
+        _TOP_K,
+        cosine_topk_bruteforce,
+    )
+
+    # the two kernels must agree on panel + k for set-intersection recall
+    assert _N_QUERIES == _IVF_QUERIES and _TOP_K == _IVF_K
+
+    bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = (
+        ann_ivf_bucketed(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / _IVF_K
+            ).alias("recall"),
+        )
+    )

@@ -430,6 +430,7 @@ def test_salted_join_matches_plain_and_spreads_keys(spark):
 # Queries allowed to deviate from the sweep's defaults, with the reason.
 _SWEEP_CROSS_OK = {
     "cosine_topk_bruteforce",   # broadcast 8-query set: BNLJ by construction
+    "ann_recall_at_k",          # composes the gated brute-force kernel
     "ann_lsh_hyperplane",       # broadcast 512-row hyperplane table
     "above_avg_orders",         # broadcast 1-row global aggregate
     "spender_activity_reconciliation",  # broadcast 1-row thresholds (same class)
