@@ -1365,3 +1365,145 @@ def write_training_shards(
     manifest_path = path.rstrip("/") + "/_manifest"
     manifest.write.mode("overwrite").parquet(manifest_path)
     return spark.read.parquet(manifest_path)
+
+
+class ShardExporter:
+    """Incremental training-shard export of a deltalite corpus table.
+
+    Each :meth:`refresh` drains the base table's change feed since the last
+    exported watermark into a NEW GENERATION directory
+    ``path/gen=<version>/`` written by :func:`write_training_shards` — same
+    shard assignment, within-shard order, and manifest checksum contracts.
+    A consumer streams generations in ascending version order; within one
+    generation the write_training_shards order contract applies. Because
+    shard assignment is a content-independent hash of the id, a doc's shard
+    never changes across generations — per-shard consumers read
+    ``gen=*/shard=K`` and stay correct.
+
+    Training shards are append-only artifacts, so only row-preserving
+    windows (appends / physical-only commits, the same
+    ``incremental_fold_safe`` gate the incremental LSH index uses) fold as
+    O(delta) generations. Any history rewrite (DELETE/UPDATE/MERGE/
+    overwrite/restore), schema change touching exported columns, or a
+    retention-pruned feed window triggers a FULL re-export: one fresh base
+    generation at the current version, with every earlier generation listed
+    in the state file's ``superseded`` (consumers must restart from the new
+    base — the old files are left for in-flight readers and can be removed
+    once drained).
+
+    Crash idempotence: the data write lands before the state file advances,
+    and re-writing ``gen=<v>`` is a deterministic overwrite — a retry after
+    a crash between the two steps converges to the same bytes.
+
+    Cites the reference's change-feed-driven downstream pattern
+    (db/query_scd1_table.sql:157-158) re-targeted at dataset export.
+    """
+
+    _STATE = "_export_state.json"
+
+    def __init__(self, spark: SparkSession, base, path: str, n_shards: int = _SHARDS, id_col: str = "doc_id") -> None:
+        self.spark = spark
+        self.base = base
+        self.path = path.rstrip("/")
+        self.n_shards = n_shards
+        self.id_col = id_col
+
+    # -- state ---------------------------------------------------------
+    def _state(self) -> dict:
+        import json
+        from pathlib import Path
+
+        p = Path(self.path) / self._STATE
+        if not p.exists():
+            return {"last_version": -1, "generations": [], "superseded": []}
+        return json.loads(p.read_text())
+
+    def _write_state(self, state: dict) -> None:
+        import json
+        import os
+        from pathlib import Path
+
+        Path(self.path).mkdir(parents=True, exist_ok=True)
+        tmp = Path(self.path) / (self._STATE + ".tmp")
+        tmp.write_text(json.dumps(state))
+        os.replace(tmp, Path(self.path) / self._STATE)
+
+    def _gen_dir(self, version: int) -> str:
+        return f"{self.path}/gen={version}"
+
+    # -- export --------------------------------------------------------
+    def _export_full(self, upto: int, state: dict) -> DataFrame:
+        manifest = write_training_shards(
+            self.base.read(version=upto),
+            self._gen_dir(upto),
+            n_shards=self.n_shards,
+            id_col=self.id_col,
+        )
+        state["superseded"] = sorted(
+            set(state["superseded"]) | {g for g in state["generations"] if g != upto}
+        )
+        state["generations"] = [upto]
+        state["last_version"] = upto
+        self._write_state(state)
+        return manifest
+
+    def refresh(self) -> int:
+        """Export every base commit newer than the watermark; returns the
+        new watermark. No new commits → no new generation."""
+        from pyspark_cdc_engine.incremental import incremental_fold_safe
+        from pyspark_cdc_engine.streaming.replicate import _META_COLS
+        from pyspark_cdc_engine.tables import (
+            NoChangesInWindow,
+            RetentionPrunedWindow,
+        )
+
+        upto = self.base.latest_version()
+        state = self._state()
+        since = state["last_version"]
+        if since >= upto:
+            return since
+
+        # the export ships EVERY column, so any schema commit touching any
+        # current column breaks additive folding (schema introspection only
+        # — .columns triggers no job)
+        fold_safe = since >= 0 and incremental_fold_safe(
+            self.base.history(),
+            since,
+            upto,
+            set(self.base.read(version=upto).columns),
+        )
+        if not fold_safe:
+            self._export_full(upto, state)
+            return upto
+        try:
+            changed = self.base.read_changes(since, upto)
+        except NoChangesInWindow:
+            state["last_version"] = upto
+            self._write_state(state)
+            return upto
+        except RetentionPrunedWindow:
+            self._export_full(upto, state)
+            return upto
+        write_training_shards(
+            changed.drop(*_META_COLS),
+            self._gen_dir(upto),
+            n_shards=self.n_shards,
+            id_col=self.id_col,
+        )
+        state["generations"] = sorted(set(state["generations"]) | {upto})
+        state["last_version"] = upto
+        self._write_state(state)
+        return upto
+
+    def live_docs(self) -> DataFrame:
+        """Union of all live (non-superseded) generations — must equal the
+        base table's snapshot at the watermark (tested contract)."""
+        state = self._state()
+        dfs = [
+            self.spark.read.parquet(self._gen_dir(g)).drop("_shard", "_order_key", "shard")
+            for g in state["generations"]
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out

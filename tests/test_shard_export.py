@@ -1,0 +1,99 @@
+"""Incremental training-shard export (ShardExporter) against a live
+deltalite corpus table: O(delta) generations for append windows, full
+re-export with superseded generations on history rewrites, and the
+union-of-live-generations == snapshot invariant throughout.
+"""
+
+import glob
+import os
+
+import pytest
+
+from pyspark_cdc_engine.operators.curation import ShardExporter
+from pyspark_cdc_engine.tables import DeltaliteTable
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = DeltaliteTable(spark, str(tmp_path / "corpus"))
+    t.overwrite(docs.filter("doc_id < 30"))
+    return t, docs
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_base_then_incremental_generations(spark, corpus, tmp_path):
+    t, docs = corpus
+    ex = ShardExporter(spark, t, str(tmp_path / "shards"), n_shards=4)
+
+    v0 = ex.refresh()
+    assert v0 == t.latest_version()
+    assert _ids(ex.live_docs()) == _ids(t.read())
+    gens0 = ex._state()["generations"]
+    assert gens0 == [v0]
+
+    # append-only window -> ONE new generation holding exactly the delta
+    t.append(docs.filter("doc_id >= 30 AND doc_id < 40"))
+    t.append(docs.filter("doc_id >= 40 AND doc_id < 45"))
+    v1 = ex.refresh()
+    assert v1 == t.latest_version() and v1 > v0
+    st = ex._state()
+    assert st["generations"] == [v0, v1] and st["superseded"] == []
+    delta = spark.read.parquet(ex._gen_dir(v1))
+    assert _ids(delta) == list(range(30, 45))
+    assert _ids(ex.live_docs()) == _ids(t.read())
+
+    # no new commits -> watermark unchanged, no new generation
+    assert ex.refresh() == v1
+    assert ex._state()["generations"] == [v0, v1]
+
+
+def test_rewrite_forces_full_reexport(spark, corpus, tmp_path):
+    t, docs = corpus
+    ex = ShardExporter(spark, t, str(tmp_path / "shards"), n_shards=4)
+    v0 = ex.refresh()
+    t.append(docs.filter("doc_id >= 30 AND doc_id < 40"))
+    v1 = ex.refresh()
+
+    t.delete("doc_id % 7 = 0")
+    v2 = ex.refresh()
+    st = ex._state()
+    assert st["generations"] == [v2]
+    assert sorted(st["superseded"]) == [v0, v1]
+    assert _ids(ex.live_docs()) == _ids(t.read())
+    assert all(i % 7 != 0 for i in _ids(ex.live_docs()))
+
+
+def test_generation_layout_is_write_training_shards(spark, corpus, tmp_path):
+    t, _ = corpus
+    ex = ShardExporter(spark, t, str(tmp_path / "shards"), n_shards=4)
+    v0 = ex.refresh()
+    gen = ex._gen_dir(v0)
+    shard_dirs = sorted(glob.glob(os.path.join(gen, "shard=*")))
+    assert shard_dirs, "no shard dirs written"
+    manifest = spark.read.parquet(gen + "/_manifest")
+    assert set(manifest.columns) == {"shard", "n_docs", "order_fp"}
+    assert manifest.agg({"n_docs": "sum"}).collect()[0][0] == t.read().count()
+
+
+def test_crash_replay_converges(spark, corpus, tmp_path):
+    """A retry after the data write but before the state advance must
+    converge: re-running refresh() overwrites gen=<v> deterministically."""
+    t, docs = corpus
+    ex = ShardExporter(spark, t, str(tmp_path / "shards"), n_shards=4)
+    ex.refresh()
+    t.append(docs.filter("doc_id >= 30 AND doc_id < 40"))
+
+    # simulate the crash window: data written, state not yet advanced
+    state_before = ex._state()
+    v1 = ex.refresh()
+    ex._write_state(state_before)  # roll the state file back
+
+    assert ex.refresh() == v1  # replay
+    st = ex._state()
+    assert st["generations"] == sorted(set(st["generations"]))
+    assert _ids(ex.live_docs()) == _ids(t.read())
