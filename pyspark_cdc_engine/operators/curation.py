@@ -1393,7 +1393,11 @@ class ShardExporter:
 
     Crash idempotence: the data write lands before the state file advances,
     and re-writing ``gen=<v>`` is a deterministic overwrite — a retry after
-    a crash between the two steps converges to the same bytes.
+    a crash between the two steps converges to the same bytes. The
+    watermark-idempotent ``refresh()`` also satisfies the streaming sinks'
+    duck-typed ``maintain=`` post-commit hook (streaming/pipeline.py
+    ``_refresh_all``), so a live ingest stream can export each micro-batch
+    as a shard generation in the same foreachBatch.
 
     Cites the reference's change-feed-driven downstream pattern
     (db/query_scd1_table.sql:157-158) re-targeted at dataset export.

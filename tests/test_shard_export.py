@@ -97,3 +97,48 @@ def test_crash_replay_converges(spark, corpus, tmp_path):
     st = ex._state()
     assert st["generations"] == sorted(set(st["generations"]))
     assert _ids(ex.live_docs()) == _ids(t.read())
+
+
+def test_shard_exporter_as_streaming_maintain_hook(spark, tmp_path):
+    """ShardExporter satisfies the duck-typed post-commit maintain contract
+    (watermark-idempotent refresh()): plugged into documents_ingest_stream,
+    every micro-batch commit lands as one O(delta) shard generation and the
+    union of live generations tracks the table snapshot."""
+    import json as _json
+
+    from pyspark_cdc_engine.streaming.pipeline import documents_ingest_stream
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    t = DeltaliteTable(spark, str(tmp_path / "docs"))
+    t.overwrite(docs.filter("doc_id % 3 = 0"))
+    ex = ShardExporter(spark, t, str(tmp_path / "shards"), n_shards=4)
+    ex.refresh()
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    rest = docs.filter("doc_id % 3 != 0").collect()
+    half = len(rest) // 2
+    for i, part in enumerate((rest[:half], rest[half:])):
+        with open(src_dir / f"batch{i}.json", "w") as fh:
+            for r in part:
+                fh.write(_json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src_dir))
+    )
+    q = documents_ingest_stream(
+        spark, stream, t, str(tmp_path / "ck"), maintain=[ex]
+    )
+    q.awaitTermination(180)
+
+    assert t.read().count() == 60
+    st = ex._state()
+    assert len(st["generations"]) == 3  # base + one gen per micro-batch
+    assert st["superseded"] == []
+    assert _ids(ex.live_docs()) == _ids(t.read())
