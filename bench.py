@@ -218,7 +218,7 @@ HEAVY_QUERIES = [
     "dedup_clusters", "dedup_keep_best", "dedup_clusters_lsh",
     "copurchase_triangles", "containment_near_dup", "pagerank3_near_dup",
     "above_avg_orders", "bloom_decontaminate", "simhash_near_dup",
-    "exact_substring_dedup",
+    "exact_substring_dedup", "shard_manifest",
 ]
 
 

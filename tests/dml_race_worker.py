@@ -62,7 +62,24 @@ def build_program(wid: int, seed: int) -> list[dict]:
     return ops
 
 
-def apply_op(spark, table, o: dict, wid: int, i: int, retries: int = 40) -> int:
+def _rows_df(spark, rows, partitioned: bool):
+    """(id, v) rows, plus the derived grp partition column when the table
+    is partitioned (grp = id // 1000 — each writer's range is one
+    partition, the shared 9000s range another)."""
+    if partitioned:
+        return spark.createDataFrame(
+            [(int(r[0]), float(r[1]), int(r[0]) // 1000) for r in rows],
+            ["id", "v", "grp"],
+        )
+    return spark.createDataFrame(
+        [(int(r[0]), float(r[1])) for r in rows], ["id", "v"]
+    )
+
+
+def apply_op(
+    spark, table, o: dict, wid: int, i: int, retries: int = 40,
+    partitioned: bool = False,
+) -> int:
     """One op with caller-level retry: an abandoned OCC re-resolution
     (shared-file conflict) re-runs against the fresh snapshot. Returns the
     number of clean aborts absorbed. (txn_app, txn_version) tag every
@@ -81,9 +98,7 @@ def apply_op(spark, table, o: dict, wid: int, i: int, retries: int = 40) -> int:
                 table.update(o["set"], o["where"], mode=o["mode"],
                              prune_bounds={"id": tuple(o["bounds"])}, **txn)
             elif o["op"] == "merge":
-                src = spark.createDataFrame(
-                    [(int(r[0]), float(r[1])) for r in o["rows"]], ["id", "v"]
-                )
+                src = _rows_df(spark, o["rows"], partitioned)
                 table.merge(
                     src, "target.id = source.id",
                     [MergeClause("update", None, {"v": "source.v"}),
@@ -91,10 +106,7 @@ def apply_op(spark, table, o: dict, wid: int, i: int, retries: int = 40) -> int:
                     prune_on="id", broadcast_source=True, **txn,
                 )
             elif o["op"] == "append":
-                df = spark.createDataFrame(
-                    [(int(r[0]), float(r[1])) for r in o["rows"]], ["id", "v"]
-                )
-                table.append(df, **txn)
+                table.append(_rows_df(spark, o["rows"], partitioned), **txn)
             else:  # pragma: no cover
                 raise AssertionError(o)
             return aborts
@@ -139,6 +151,7 @@ def main() -> None:
     path, wid, seed, result = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    partitioned = len(sys.argv) > 5 and sys.argv[5] == "part"
     from pyspark.sql import SparkSession
 
     spark = (
@@ -158,7 +171,7 @@ def main() -> None:
     program = build_program(wid, seed)
     total_aborts = 0
     for i, o in enumerate(program):
-        total_aborts += apply_op(spark, table, o, wid, i)
+        total_aborts += apply_op(spark, table, o, wid, i, partitioned=partitioned)
     Path(result).write_text(
         json.dumps({"wid": wid, "program": program, "aborts": total_aborts})
     )

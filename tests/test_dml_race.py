@@ -8,6 +8,12 @@ Claims under genuine concurrency (the deployment shape on a cluster):
 - zero commits lost or doubled (txn markers prove exactly-once per step),
 - the end state converges to the serial-oracle replay of the same programs.
 
+Runs in BOTH layouts: unpartitioned (every writer shares one physical
+file population) and partitioned by grp = id // 1000 (each writer owns a
+partition, the shared range is a contended partition — the layout where
+compact() takes the partition-scoped path and disjoint-partition DML
+should land with near-zero contention).
+
 The in-process `_interleave` tests (tests/test_maintenance.py) pin the
 deterministic conflict matrix; this lane proves the same contract survives
 real OS-level interleaving end to end."""
@@ -19,6 +25,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 from pyspark_cdc_engine import log as txlog
 from pyspark_cdc_engine.tables import DeltaliteTable
 
@@ -28,27 +36,32 @@ WRITERS = 3
 SEED = 20260815
 
 
-def _setup(spark, path: str) -> DeltaliteTable:
-    """One SHARED data dir (id 9000..9099 — every writer hits this file) plus
-    one dir per writer's own id range (disjoint files)."""
+def _setup(spark, path: str, partitioned: bool) -> DeltaliteTable:
+    """One SHARED data population (id 9000..9099 — every writer hits it)
+    plus one per writer's own id range. Unpartitioned: shared rows are one
+    file every writer rewrites. Partitioned (grp = id // 1000): each
+    writer's range is its own partition dir, the shared range a contended
+    one."""
     t = DeltaliteTable(spark, path)
+
+    def rows(lo, hi):
+        df = spark.range(lo, hi).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        if partitioned:
+            df = df.withColumn("grp", (F.col("id") / 1000).cast("bigint"))
+        return df
+
     t.overwrite(
-        spark.range(worker.SHARED_LO, worker.SHARED_HI + 1).selectExpr(
-            "id", "CAST(id AS DOUBLE) AS v"
-        )
+        rows(worker.SHARED_LO, worker.SHARED_HI + 1),
+        partition_by=["grp"] if partitioned else None,
     )
     for w in range(WRITERS):
-        t.append(
-            spark.range(w * 1000, w * 1000 + worker.OWN_SPAN).selectExpr(
-                "id", "CAST(id AS DOUBLE) AS v"
-            )
-        )
+        t.append(rows(w * 1000, w * 1000 + worker.OWN_SPAN))
     return t
 
 
-def test_os_process_dml_race_converges_to_serial_oracle(spark, tmp_path):
+def _race(spark, tmp_path, partitioned: bool) -> None:
     path = str(tmp_path / "t")
-    t = _setup(spark, path)
+    t = _setup(spark, path, partitioned)
     setup_versions = t.latest_version() + 1
 
     # WRITERS DML processes plus ONE maintenance process (wid < 0 =
@@ -57,10 +70,11 @@ def test_os_process_dml_race_converges_to_serial_oracle(spark, tmp_path):
     # logically no-ops, so the serial oracle below never sees them
     roles = [(w, SEED + w) for w in range(WRITERS)] + [(-4, 0)]
     results = [tmp_path / f"w{i}.json" for i in range(len(roles))]
+    flag = ["part"] if partitioned else []
     procs = [
         subprocess.Popen(
             [sys.executable, str(Path(worker.__file__)), path, str(w),
-             str(seed), str(results[i])],
+             str(seed), str(results[i]), *flag],
             stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
         )
         for i, (w, seed) in enumerate(roles)
@@ -99,10 +113,11 @@ def test_os_process_dml_race_converges_to_serial_oracle(spark, tmp_path):
 
     # --- convergence: serial replay of the same programs, writer by writer
     # (valid because every op is row-disjoint across writers — see worker)
-    oracle = _setup(spark, str(tmp_path / "oracle"))
+    oracle = _setup(spark, str(tmp_path / "oracle"), partitioned)
     for p in programs:
         for i, o in enumerate(p["program"]):
-            worker.apply_op(spark, oracle, o, p["wid"], i)
+            worker.apply_op(spark, oracle, o, p["wid"], i,
+                            partitioned=partitioned)
     got = sorted((r.id, r.v) for r in t.read().collect())
     want = sorted((r.id, r.v) for r in oracle.read().collect())
     assert got == want
@@ -110,7 +125,8 @@ def test_os_process_dml_race_converges_to_serial_oracle(spark, tmp_path):
     # --- the racing writers really did contend for the shared file
     # (clean aborts absorbed by caller retry; 0 is legal on a quiet box,
     # but the shared-dir ops make it vanishingly unlikely — don't assert)
-    print("aborts per writer:", [p["aborts"] for p in programs],
+    print("partitioned:", partitioned,
+          "aborts per writer:", [p["aborts"] for p in programs],
           "compactions:", maint["compactions"], "compact aborts:",
           maint["aborts"])
 
@@ -120,3 +136,11 @@ def test_os_process_dml_race_converges_to_serial_oracle(spark, tmp_path):
     )
     t.vacuum(retain_hours=0.0)
     assert t.read().count() == len(want)
+
+
+def test_os_process_dml_race_converges_to_serial_oracle(spark, tmp_path):
+    _race(spark, tmp_path, partitioned=False)
+
+
+def test_os_process_dml_race_partitioned(spark, tmp_path):
+    _race(spark, tmp_path, partitioned=True)
