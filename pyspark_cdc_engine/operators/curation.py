@@ -1178,18 +1178,30 @@ _SHARDS = 16  # test-scale shard count; production uses thousands (see docstring
 _FP_P = 2_147_483_647  # Mersenne prime 2^31 - 1: checksum modulus
 
 
-def _shard_keys(id_col: str) -> tuple[str, str]:
+def _shard_keys(id_col: str, epoch: str = "") -> tuple[str, str]:
     """Spark SQL exprs for the (shard-hash, order-key) 48-bit md5 slices of
     any id column. 48 bits (12 hex digits) rather than a short slice so that
     (a) shard counts in the thousands stay hash-balanced — ``2^48 mod N`` is
     a negligible skew for any realistic N, where a 16-bit slice would load
     shards 0..(65536 mod N) ~17% heavier at N=10000 — and (b) the order key
     is collision-free enough that the within-shard pseudo-shuffle never
-    degrades into long id-order runs on corpus-scale shards."""
+    degrades into long id-order runs on corpus-scale shards.
+
+    ``epoch`` (a seed string) salts the ORDER key only: each training epoch
+    gets a fresh within-shard shuffle while shard MEMBERSHIP stays
+    content-independent and epoch-invariant — re-exports touch the same
+    shard a doc has always lived in."""
     base = f"md5(CAST(CAST({id_col} AS STRING) AS BINARY))"
+    if epoch:
+        esc = epoch.replace("'", "''")
+        obase = (
+            f"md5(CAST(CONCAT('{esc}', ':', CAST({id_col} AS STRING)) AS BINARY))"
+        )
+    else:
+        obase = base
     return (
         f"CAST(conv(substr({base}, 1, 12), 16, 10) AS BIGINT)",
-        f"CAST(conv(substr({base}, 13, 12), 16, 10) AS BIGINT)",
+        f"CAST(conv(substr({obase}, 13, 12), 16, 10) AS BIGINT)",
     )
 
 
@@ -1296,6 +1308,7 @@ def write_training_shards(
     path: str,
     n_shards: int = _SHARDS,
     id_col: str = "doc_id",
+    epoch: str = "",
 ) -> DataFrame:
     """Materialize a curated corpus as ``n_shards`` deterministic training
     shards under ``path`` plus a verifiable manifest — the export half of
@@ -1324,9 +1337,13 @@ def write_training_shards(
     (column-pruned parquet scan — never a second pass over the corpus text,
     and the checksum attests what is actually on disk).
 
+    ``epoch`` seeds the within-shard order (see :func:`_shard_keys`): write
+    one export per training epoch and each gets a fresh deterministic
+    shuffle with identical shard membership.
+
     Returns the written manifest, re-read from ``path/_manifest``.
     """
-    h_expr, o_expr = _shard_keys(id_col)
+    h_expr, o_expr = _shard_keys(id_col, epoch)
     keyed = (
         df.withColumn("_order_key", F.expr(o_expr))
         .withColumn("shard", (F.expr(h_expr) % n_shards).cast("int"))

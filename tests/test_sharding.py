@@ -103,3 +103,27 @@ def test_multiple_part_files_keep_global_order(spark, tmp_path):
         assert keys == sorted(keys), f"{len(files)} files, order broken"
         m = {r["shard"]: r for r in manifest.collect()}[shard]
         assert len(rows) == m["n_docs"]
+
+
+def test_epoch_seed_reshuffles_order_not_membership(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    m1 = write_training_shards(docs, str(tmp_path / "e1"), n_shards=4, epoch="ep1")
+    m2 = write_training_shards(docs, str(tmp_path / "e2"), n_shards=4, epoch="ep2")
+
+    def members(base):
+        out = {}
+        for shard in range(4):
+            rows = _read_shard_in_file_order(os.path.join(base, f"shard={shard}"))
+            out[shard] = [r["doc_id"] for r in rows]
+        return out
+
+    a, b = members(str(tmp_path / "e1")), members(str(tmp_path / "e2"))
+    # identical shard MEMBERSHIP (epoch never moves a doc across shards) ...
+    assert {s: sorted(v) for s, v in a.items()} == {s: sorted(v) for s, v in b.items()}
+    # ... but a different within-shard order in at least most shards
+    assert sum(a[s] != b[s] for s in a) >= 3
+    # and the manifests agree on counts but not on order checksums
+    c1 = {r["shard"]: r for r in m1.collect()}
+    c2 = {r["shard"]: r for r in m2.collect()}
+    assert all(c1[s]["n_docs"] == c2[s]["n_docs"] for s in c1)
+    assert any(c1[s]["order_fp"] != c2[s]["order_fp"] for s in c1)
