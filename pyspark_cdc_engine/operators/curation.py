@@ -1193,9 +1193,18 @@ def _shard_keys(id_col: str, epoch: str = "") -> tuple[str, str]:
     shard a doc has always lived in."""
     base = f"md5(CAST(CAST({id_col} AS STRING) AS BINARY))"
     if epoch:
-        esc = epoch.replace("'", "''")
+        import re as _re
+
+        # the seed lands inside a Spark SQL string literal where backslash
+        # escapes are live — whitelist label-shaped seeds instead of playing
+        # escaping games (a consumer re-deriving order keys must be able to
+        # splice the same literal)
+        if not _re.fullmatch(r"[A-Za-z0-9._:-]+", epoch):
+            raise ValueError(
+                f"epoch seed must match [A-Za-z0-9._:-]+, got {epoch!r}"
+            )
         obase = (
-            f"md5(CAST(CONCAT('{esc}', ':', CAST({id_col} AS STRING)) AS BINARY))"
+            f"md5(CAST(CONCAT('{epoch}', ':', CAST({id_col} AS STRING)) AS BINARY))"
         )
     else:
         obase = base
@@ -1220,6 +1229,29 @@ _FP_TERM_DUCK = (
 def _fp_term(pos: Column, h1: Column, okey: Column) -> Column:
     dochash = ((h1 % _FP_P) * F.lit(65537) + okey) % _FP_P
     return ((pos % _FP_P) * dochash) % _FP_P
+
+
+def _with_fp_term(
+    df: DataFrame, shard_col: str, order_col: str, id_col: str, h1: Column
+) -> DataFrame:
+    """ONE definition of the per-row checksum term: within-shard position =
+    row_number over (order key, id), term = _fp_term(pos, h1, okey). Both
+    the report query and the writer derive their manifests from this —
+    editing the window or the term in one place keeps them in lockstep."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(shard_col).orderBy(order_col, id_col)
+    pos = F.row_number().over(w).cast("bigint")
+    return df.withColumn("_term", _fp_term(pos, h1, F.col(order_col)))
+
+
+def _fp_agg() -> Column:
+    """The matching aggregate: exact decimal sum of terms, mod P."""
+    return (
+        F.pmod(F.sum(F.col("_term").cast("decimal(38,0)")), F.lit(_FP_P))
+        .cast("bigint")
+        .alias("order_fp")
+    )
 
 
 @register(
@@ -1274,8 +1306,6 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum is exact integer math (products < 2^62, summed as
     decimal(38,0) before the final mod), so Spark and DuckDB agree
     bit-for-bit regardless of reduction order."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",
@@ -1289,17 +1319,13 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_H1_SPARK).alias("h1"),
         F.expr(_OK_SPARK).alias("okey"),
     ).withColumn("shard", (F.col("h1") % _SHARDS).cast("int"))
-    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
-    positioned = keyed.withColumn("pos", F.row_number().over(w).cast("bigint"))
-    term = _fp_term(F.col("pos"), F.col("h1"), F.col("okey"))
+    positioned = _with_fp_term(keyed, "shard", "okey", "doc_id", F.col("h1"))
     return positioned.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
-        F.pmod(F.sum(term.cast("decimal(38,0)")), F.lit(_FP_P))
-        .cast("bigint")
-        .alias("order_fp"),
+        _fp_agg(),
     )
 
 
@@ -1343,6 +1369,13 @@ def write_training_shards(
 
     Returns the written manifest, re-read from ``path/_manifest``.
     """
+    reserved = {"shard", "_shard", "_order_key"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input df already has reserved shard-writer columns {sorted(reserved)}"
+            " — rename them before exporting (silently clobbering them would"
+            " lose data and break the union==snapshot contract)"
+        )
     h_expr, o_expr = _shard_keys(id_col, epoch)
     keyed = (
         df.withColumn("_order_key", F.expr(o_expr))
@@ -1362,22 +1395,12 @@ def write_training_shards(
         .parquet(path)
     )
 
-    from pyspark.sql import Window
-
     spark = df.sparkSession
     written = spark.read.parquet(path).select("_shard", "_order_key", id_col)
-    w = Window.partitionBy("_shard").orderBy("_order_key", id_col)
-    pos = F.row_number().over(w).cast("bigint")
-    term = _fp_term(pos, F.expr(h_expr), F.col("_order_key"))
     manifest = (
-        written.withColumn("_term", term)
+        _with_fp_term(written, "_shard", "_order_key", id_col, F.expr(h_expr))
         .groupBy(F.col("_shard").alias("shard"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.pmod(F.sum(F.col("_term").cast("decimal(38,0)")), F.lit(_FP_P))
-            .cast("bigint")
-            .alias("order_fp"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_docs"), _fp_agg())
     )
     manifest_path = path.rstrip("/") + "/_manifest"
     manifest.write.mode("overwrite").parquet(manifest_path)
@@ -1452,6 +1475,28 @@ class ShardExporter:
     def _gen_dir(self, version: int) -> str:
         return f"{self.path}/gen={version}"
 
+    def _adopt_orphans(self, state: dict, upto: int) -> None:
+        """A crash between a generation's data write and the state advance,
+        followed by NEW base commits before the retry, leaves a gen dir the
+        state never recorded (the exact-same-upto replay overwrites it; a
+        different upto would orphan it). Sweep such dirs into ``superseded``
+        so the documented drain-then-remove GC protocol covers them and a
+        ``gen=*/shard=K`` glob consumer knows not to read them."""
+        from pathlib import Path
+
+        known = set(state["generations"]) | set(state["superseded"])
+        orphans = []
+        for p in Path(self.path).glob("gen=*"):
+            try:
+                v = int(p.name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if v not in known and v != upto:
+                orphans.append(v)
+        if orphans:
+            state["superseded"] = sorted(set(state["superseded"]) | set(orphans))
+            self._write_state(state)
+
     # -- export --------------------------------------------------------
     def _export_full(self, upto: int, state: dict) -> DataFrame:
         manifest = write_training_shards(
@@ -1483,15 +1528,19 @@ class ShardExporter:
         since = state["last_version"]
         if since >= upto:
             return since
+        self._adopt_orphans(state, upto)
 
         # the export ships EVERY column, so any schema commit touching any
-        # current column breaks additive folding (schema introspection only
-        # — .columns triggers no job)
+        # column visible at EITHER end of the window breaks additive folding:
+        # the upto-side set alone misses drop_column (the dropped name is no
+        # longer in it, yet earlier generations shipped it — folding would
+        # write schema-divergent generations). Schema introspection only —
+        # .columns triggers no job.
+        referenced = set(self.base.read(version=upto).columns)
+        if since >= 0:
+            referenced |= set(self.base.read(version=since).columns)
         fold_safe = since >= 0 and incremental_fold_safe(
-            self.base.history(),
-            since,
-            upto,
-            set(self.base.read(version=upto).columns),
+            self.base.history(), since, upto, referenced
         )
         if not fold_safe:
             self._export_full(upto, state)
@@ -1520,6 +1569,10 @@ class ShardExporter:
         """Union of all live (non-superseded) generations — must equal the
         base table's snapshot at the watermark (tested contract)."""
         state = self._state()
+        if not state["generations"]:
+            raise ValueError(
+                f"nothing exported yet under {self.path} — call refresh() first"
+            )
         dfs = [
             self.spark.read.parquet(self._gen_dir(g)).drop("_shard", "_order_key", "shard")
             for g in state["generations"]

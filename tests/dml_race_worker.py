@@ -129,12 +129,15 @@ def run_maintenance(spark, path: str, rounds: int, result: str) -> None:
     committed, aborts = 0, 0
     for _ in range(rounds):
         try:
+            before = table.latest_version()
             v = table.compact(target_partitions=2)
             # compact() can return WITHOUT committing (the partitioned
-            # nothing-fragmented path returns the rival-authored base):
-            # count only versions whose commit doc this compactor authored,
-            # or the parent's version accounting over-reports
-            if table._read_commit(v).get("operation") == "compact":
+            # nothing-fragmented path returns the base) — and that base may
+            # be a rival's commit OR this loop's own previous compact, so
+            # neither the version bump nor the op name alone discriminates.
+            # Both together do: a NEW version whose doc says 'compact' can
+            # only be a commit this (sole) compactor just authored.
+            if v > before and table._read_commit(v).get("operation") == "compact":
                 committed += 1
         except ConcurrentWriteError:
             aborts += 1

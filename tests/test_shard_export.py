@@ -142,3 +142,52 @@ def test_shard_exporter_as_streaming_maintain_hook(spark, tmp_path):
     assert len(st["generations"]) == 3  # base + one gen per micro-batch
     assert st["superseded"] == []
     assert _ids(ex.live_docs()) == _ids(t.read())
+
+
+def test_drop_column_in_window_forces_full_reexport(spark, corpus, tmp_path):
+    """drop_column makes the upto-side column set BLIND to the dropped name;
+    the gate must still rebuild (earlier generations shipped the column —
+    folding would union-break live_docs)."""
+    t, docs = corpus
+    ex = ShardExporter(spark, t, str(tmp_path / "shards"), n_shards=4)
+    v0 = ex.refresh()
+    t.drop_column("lang")
+    t.append(
+        docs.filter("doc_id >= 30 AND doc_id < 35").drop("lang")
+    )
+    v2 = ex.refresh()
+    st = ex._state()
+    assert st["generations"] == [v2]
+    assert v0 in st["superseded"]
+    live = ex.live_docs()
+    assert "lang" not in live.columns
+    assert _ids(live) == _ids(t.read())
+
+
+def test_orphaned_generation_is_adopted_as_superseded(spark, corpus, tmp_path):
+    """Crash after the gen write but before the state advance, then NEW
+    commits before the retry: the unrecorded gen dir must land in
+    superseded, not float unreferenced."""
+    t, docs = corpus
+    ex = ShardExporter(spark, t, str(tmp_path / "shards"), n_shards=4)
+    v0 = ex.refresh()
+
+    t.append(docs.filter("doc_id >= 30 AND doc_id < 35"))
+    state_before = ex._state()
+    v1 = ex.refresh()           # writes gen=v1 ...
+    ex._write_state(state_before)  # ... crash: state never advanced
+
+    t.append(docs.filter("doc_id >= 35 AND doc_id < 40"))  # new commit
+    v2 = ex.refresh()
+    st = ex._state()
+    assert v2 > v1
+    assert v1 in st["superseded"]          # the orphan is now governed
+    assert st["generations"] == [v0, v2]
+    assert _ids(ex.live_docs()) == _ids(t.read())
+
+
+def test_live_docs_before_any_refresh_raises(spark, corpus, tmp_path):
+    t, _ = corpus
+    ex = ShardExporter(spark, t, str(tmp_path / "shards"))
+    with pytest.raises(ValueError, match="nothing exported yet"):
+        ex.live_docs()

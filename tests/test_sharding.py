@@ -127,3 +127,25 @@ def test_epoch_seed_reshuffles_order_not_membership(spark, tmp_path):
     c2 = {r["shard"]: r for r in m2.collect()}
     assert all(c1[s]["n_docs"] == c2[s]["n_docs"] for s in c1)
     assert any(c1[s]["order_fp"] != c2[s]["order_fp"] for s in c1)
+
+
+def test_reserved_columns_are_rejected(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    with pytest.raises(ValueError, match="reserved shard-writer columns"):
+        write_training_shards(
+            docs.withColumn("shard", F.lit(1)), str(tmp_path / "x")
+        )
+    with pytest.raises(ValueError, match="reserved shard-writer columns"):
+        write_training_shards(
+            docs.withColumn("_order_key", F.lit(1)), str(tmp_path / "y")
+        )
+
+
+def test_epoch_seed_is_validated(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError, match="epoch seed"):
+        write_training_shards(docs, str(tmp_path / "z"), epoch="bad'seed")
+    with pytest.raises(ValueError, match="epoch seed"):
+        write_training_shards(docs, str(tmp_path / "z"), epoch="back\\slash")
