@@ -191,3 +191,17 @@ def test_live_docs_before_any_refresh_raises(spark, corpus, tmp_path):
     ex = ShardExporter(spark, t, str(tmp_path / "shards"))
     with pytest.raises(ValueError, match="nothing exported yet"):
         ex.live_docs()
+
+
+def test_dv_delete_also_forces_full_reexport(spark, corpus, tmp_path):
+    """A deletion-vector delete preserves FILES but not rows — it must
+    classify as a rewrite (append-only shards can't subtract)."""
+    t, _ = corpus
+    ex = ShardExporter(spark, t, str(tmp_path / "shards"), n_shards=4)
+    v0 = ex.refresh()
+    t.delete("doc_id % 5 = 0", mode="dv")
+    v1 = ex.refresh()
+    st = ex._state()
+    assert st["generations"] == [v1] and v0 in st["superseded"]
+    ids = _ids(ex.live_docs())
+    assert ids == _ids(t.read()) and all(i % 5 != 0 for i in ids)
