@@ -1335,6 +1335,7 @@ def write_training_shards(
     n_shards: int = _SHARDS,
     id_col: str = "doc_id",
     epoch: str = "",
+    max_records_per_file: int = 0,
 ) -> DataFrame:
     """Materialize a curated corpus as ``n_shards`` deterministic training
     shards under ``path`` plus a verifiable manifest — the export half of
@@ -1382,7 +1383,7 @@ def write_training_shards(
         .withColumn("shard", (F.expr(h_expr) % n_shards).cast("int"))
         .withColumn("_shard", F.col("shard"))
     )
-    (
+    writer = (
         keyed.repartitionByRange(
             max(df.sparkSession.sparkContext.defaultParallelism, n_shards),
             "shard",
@@ -1392,8 +1393,13 @@ def write_training_shards(
         .sortWithinPartitions("shard", "_order_key", id_col)
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
     )
+    if max_records_per_file:
+        # bound file sizes for the consumer (dataloader workers stream one
+        # file at a time); splits preserve order — maxRecordsPerFile rolls
+        # files within a task's already-sorted row stream
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
 
     spark = df.sparkSession
     written = spark.read.parquet(path).select("_shard", "_order_key", id_col)
@@ -1564,6 +1570,25 @@ class ShardExporter:
         state["last_version"] = upto
         self._write_state(state)
         return upto
+
+    def gc_superseded(self) -> list[int]:
+        """Delete superseded generation dirs (the drain-then-remove half of
+        the protocol: call once every consumer has restarted onto the
+        current base generation). Returns the versions removed. Live
+        generations are never touched."""
+        import shutil
+        from pathlib import Path
+
+        state = self._state()
+        removed = []
+        for g in state["superseded"]:
+            p = Path(self._gen_dir(g))
+            if p.exists():
+                shutil.rmtree(p)
+            removed.append(g)
+        state["superseded"] = []
+        self._write_state(state)
+        return removed
 
     def live_docs(self) -> DataFrame:
         """Union of all live (non-superseded) generations — must equal the

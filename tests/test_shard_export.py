@@ -205,3 +205,22 @@ def test_dv_delete_also_forces_full_reexport(spark, corpus, tmp_path):
     assert st["generations"] == [v1] and v0 in st["superseded"]
     ids = _ids(ex.live_docs())
     assert ids == _ids(t.read()) and all(i % 5 != 0 for i in ids)
+
+
+def test_gc_superseded_removes_only_stale_generations(spark, corpus, tmp_path):
+    t, docs = corpus
+    ex = ShardExporter(spark, t, str(tmp_path / "shards"), n_shards=4)
+    v0 = ex.refresh()
+    t.append(docs.filter("doc_id >= 30 AND doc_id < 35"))
+    v1 = ex.refresh()
+    t.delete("doc_id % 7 = 0")   # forces full re-export: v0, v1 superseded
+    v2 = ex.refresh()
+
+    removed = ex.gc_superseded()
+    assert sorted(removed) == [v0, v1]
+    assert not os.path.exists(ex._gen_dir(v0))
+    assert not os.path.exists(ex._gen_dir(v1))
+    assert os.path.exists(ex._gen_dir(v2))
+    st = ex._state()
+    assert st["superseded"] == [] and st["generations"] == [v2]
+    assert _ids(ex.live_docs()) == _ids(t.read())

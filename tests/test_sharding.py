@@ -149,3 +149,25 @@ def test_epoch_seed_is_validated(spark, tmp_path):
         write_training_shards(docs, str(tmp_path / "z"), epoch="bad'seed")
     with pytest.raises(ValueError, match="epoch seed"):
         write_training_shards(docs, str(tmp_path / "z"), epoch="back\\slash")
+
+
+def test_max_records_per_file_splits_keep_order(spark, tmp_path):
+    out = str(tmp_path / "cap")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    manifest = write_training_shards(
+        docs, out, n_shards=2, max_records_per_file=5
+    )
+    m = {r["shard"]: r.asDict() for r in manifest.collect()}
+    for shard in (0, 1):
+        files = sorted(glob.glob(os.path.join(out, f"shard={shard}", "part-*.parquet")))
+        assert len(files) > m[shard]["n_docs"] // 10, "cap did not split files"
+        for f in files:
+            assert pq.read_metadata(f).num_rows <= 5
+        rows = _read_shard_in_file_order(os.path.join(out, f"shard={shard}"))
+        keys = [(r["_order_key"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys), "file splits broke name-sorted order"
+        fp = 0
+        for pos, r in enumerate(rows, start=1):
+            h1, okey = _md5_slices(r["doc_id"])
+            fp = (fp + _fp_term(pos, h1, okey)) % _FP_P
+        assert fp == m[shard]["order_fp"]
