@@ -1354,10 +1354,15 @@ def write_training_shards(
     before the partitioned write, so within every ``shard=K`` dir the
     lexicographic part-file order IS the shard's sample order (range
     partitions ascend with the sort key and part numbers ascend with
-    partition id). Caveat: Spark zero-pads part numbers to 5 digits, so
-    name-sorted streaming is only valid below 100 000 output tasks — the
-    authoritative consumer protocol is re-sorting on the persisted
-    ``(_order_key, id)``, which has no such bound. Scale shape: one range
+    partition id). ``max_records_per_file`` (0 = unbounded) caps file sizes
+    for file-at-a-time dataloader workers; splits roll within a task's
+    already-sorted stream, so order survives. Caveats on name-sorted
+    streaming: Spark zero-pads part numbers to 5 digits (invalid at
+    >=100 000 output tasks) and split-file counters to 3 digits (invalid
+    past 999 splits in one task — size the cap so a range partition rolls
+    fewer than 1000 files); the authoritative consumer protocol is
+    re-sorting on the persisted ``(_order_key, id)``, which has no such
+    bounds. Scale shape: one range
     shuffle + write (each output task writes one contiguous slice of one
     shard — no single-task-per-shard bottleneck), then the manifest is
     derived by re-reading the three narrow key columns OF THE WRITTEN FILES
@@ -1451,12 +1456,21 @@ class ShardExporter:
 
     _STATE = "_export_state.json"
 
-    def __init__(self, spark: SparkSession, base, path: str, n_shards: int = _SHARDS, id_col: str = "doc_id") -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base,
+        path: str,
+        n_shards: int = _SHARDS,
+        id_col: str = "doc_id",
+        max_records_per_file: int = 0,
+    ) -> None:
         self.spark = spark
         self.base = base
         self.path = path.rstrip("/")
         self.n_shards = n_shards
         self.id_col = id_col
+        self.max_records_per_file = max_records_per_file
 
     # -- state ---------------------------------------------------------
     def _state(self) -> dict:
@@ -1510,6 +1524,7 @@ class ShardExporter:
             self._gen_dir(upto),
             n_shards=self.n_shards,
             id_col=self.id_col,
+            max_records_per_file=self.max_records_per_file,
         )
         state["superseded"] = sorted(
             set(state["superseded"]) | {g for g in state["generations"] if g != upto}
@@ -1565,6 +1580,7 @@ class ShardExporter:
             self._gen_dir(upto),
             n_shards=self.n_shards,
             id_col=self.id_col,
+            max_records_per_file=self.max_records_per_file,
         )
         state["generations"] = sorted(set(state["generations"]) | {upto})
         state["last_version"] = upto
@@ -1575,19 +1591,27 @@ class ShardExporter:
         """Delete superseded generation dirs (the drain-then-remove half of
         the protocol: call once every consumer has restarted onto the
         current base generation). Returns the versions removed. Live
-        generations are never touched."""
+        generations are never touched.
+
+        Concurrency: the state write touches ONLY the superseded list, and
+        it is re-read AFTER the deletes — a refresh() committing in between
+        keeps its generations/last_version advance. The one remaining
+        window (a full re-export superseding new versions between the
+        re-read and the write) is self-healing: the dirs survive on disk
+        and the next refresh()'s ``_adopt_orphans`` re-adopts them."""
         import shutil
         from pathlib import Path
 
-        state = self._state()
         removed = []
-        for g in state["superseded"]:
+        for g in self._state()["superseded"]:
             p = Path(self._gen_dir(g))
             if p.exists():
                 shutil.rmtree(p)
             removed.append(g)
-        state["superseded"] = []
-        self._write_state(state)
+        fresh = self._state()
+        done = set(removed)
+        fresh["superseded"] = [g for g in fresh["superseded"] if g not in done]
+        self._write_state(fresh)
         return removed
 
     def live_docs(self) -> DataFrame:

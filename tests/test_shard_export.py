@@ -224,3 +224,15 @@ def test_gc_superseded_removes_only_stale_generations(spark, corpus, tmp_path):
     st = ex._state()
     assert st["superseded"] == [] and st["generations"] == [v2]
     assert _ids(ex.live_docs()) == _ids(t.read())
+
+
+def test_exporter_forwards_file_cap_to_generations(spark, corpus, tmp_path):
+    t, _ = corpus
+    ex = ShardExporter(
+        spark, t, str(tmp_path / "shards"), n_shards=2, max_records_per_file=4
+    )
+    v0 = ex.refresh()
+    for shard in (0, 1):
+        for f in glob.glob(os.path.join(ex._gen_dir(v0), f"shard={shard}", "part-*.parquet")):
+            import pyarrow.parquet as pq
+            assert pq.read_metadata(f).num_rows <= 4
