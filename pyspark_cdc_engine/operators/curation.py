@@ -1630,3 +1630,71 @@ class ShardExporter:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+
+@register(
+    "shard_export_scenario",
+    survey="§2.12,A2,W1,beyond-ref",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, 0 AS gen FROM documents
+      WHERE doc_id % 2 = 0 AND doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id, 1 AS gen FROM documents WHERE doc_id % 2 = 1
+    ),
+    keyed AS (
+      SELECT gen, doc_id, {_H1_DUCK} AS h1, {_OK_DUCK} AS okey FROM src
+    ),
+    positioned AS (
+      SELECT *,
+             CAST(h1 % {_SHARDS} AS INT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY gen, h1 % {_SHARDS}
+                                ORDER BY okey, doc_id) AS pos
+      FROM keyed
+    )
+    SELECT gen, shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST({_FP_TERM_DUCK} AS HUGEINT)) % {_FP_P} AS BIGINT)
+             AS order_fp
+    FROM positioned
+    GROUP BY gen, shard
+    """,
+)
+def shard_export_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental shard exporter's WHOLE lifecycle under driver
+    certification (the dml_orders_scenario pattern applied to export):
+    materialize the even-id documents as a deltalite table and export the
+    base generation; DELETE the id%7==0 rows (a history rewrite — the
+    exporter must FULLY re-export and supersede the base); APPEND the
+    odd-id documents (an append-only window — the exporter must fold it as
+    one O(delta) generation). The returned frame is the on-disk manifests
+    of the two LIVE generations (gen 0 = re-exported evens minus deleted,
+    gen 1 = appended odds), which must match the oracle's from-scratch
+    per-generation shard/checksum derivation over raw ``documents`` —
+    certifying shard assignment, within-shard order, the position-weighted
+    checksum, the rewrite-vs-fold decision, and the superseded bookkeeping
+    in one driver-checked number set."""
+    from pyspark_cdc_engine.operators.dedup_incremental import _fresh_scratch_dir
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    d = load_table(spark, sf_dir, "documents")
+    tmp = _fresh_scratch_dir(f"shardexp:{sf_dir}")
+    t = DeltaliteTable(spark, f"{tmp}/docs")
+    t.overwrite(d.filter("doc_id % 2 = 0"))
+    ex = ShardExporter(spark, t, f"{tmp}/shards")
+    ex.refresh()
+    t.delete("doc_id % 7 = 0")
+    ex.refresh()  # full re-export: base generation superseded
+    t.append(d.filter("doc_id % 2 = 1"))
+    ex.refresh()  # append-only window: one incremental generation
+    gens = sorted(ex._state()["generations"])
+    assert len(gens) == 2, gens
+    parts = [
+        spark.read.parquet(ex._gen_dir(g) + "/_manifest").withColumn(
+            "gen", F.lit(i)
+        )
+        for i, g in enumerate(gens)
+    ]
+    return parts[0].unionByName(parts[1]).select(
+        "gen", "shard", "n_docs", "order_fp"
+    )
