@@ -1539,3 +1539,123 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "pq_recall_at_k",
+    survey="M5-ann,J3,A2,beyond-ref",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cex AS (SELECT vec_id AS k, pos, val AS cval FROM ex WHERE vec_id < {_PQ_K}),
+    d2 AS (
+      SELECT e.vec_id, e.pos // {_PQ_SUB} AS m, c.k,
+             SUM(CAST((e.val - c.cval) * (e.val - c.cval) AS {_DEC})) AS dist2
+      FROM ex e JOIN cex c ON c.pos = e.pos
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY CAST(dist2 AS DOUBLE), k) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    dtab AS (SELECT vec_id AS q_id, m, k, dist2 FROM d2 WHERE vec_id < {_PQ_Q}),
+    pq_scored AS (
+      SELECT d.q_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(d.dist2) AS DOUBLE) AS adist
+      FROM codes c JOIN dtab d ON d.m = c.m AND d.k = c.code
+      WHERE c.vec_id <> d.q_id
+      GROUP BY 1, 2
+    ),
+    pq_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist, neighbor_id) AS rank
+        FROM pq_scored
+      ) WHERE rank <= {_PQ_TOPK}
+    ),
+    exact_d2 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST((CAST(q.embedding[i] AS DOUBLE)
+                            - CAST(c.embedding[i] AS DOUBLE))
+                           * (CAST(q.embedding[i] AS DOUBLE)
+                              - CAST(c.embedding[i] AS DOUBLE)) AS {_DEC}))
+                  AS DOUBLE) AS d2
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id,
+      UNNEST(range(1, len(q.embedding) + 1)) AS t(i)
+      WHERE q.vec_id < {_PQ_Q}
+      GROUP BY 1, 2
+    ),
+    exact_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2, neighbor_id) AS rank
+        FROM exact_d2
+      ) WHERE rank <= {_PQ_TOPK}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(p.neighbor_id) AS DOUBLE) / {_PQ_TOPK} AS recall
+    FROM exact_topk b
+    LEFT JOIN pq_topk p
+      ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ-ADC index against EXACT squared-L2 ground truth —
+    the companion eval to ``ann_recall_at_k`` for the lossy index family:
+    PQ quantizes every vector to {_PQ_M} codebook ids, so its distances are
+    approximations BY DESIGN and recall against the exact metric is the
+    number that decides whether a codebook is usable. Composes the
+    registered :func:`pq_search` verbatim as the candidate; the truth side
+    is a broadcast {_PQ_Q}-query exact L2 top-k over the raw floats
+    (decimal-folded, bit-identical across engines; ties broken on
+    neighbor_id so both top-k SETS are deterministic and the recall is an
+    exact oracle-checkable number). 100 TB shape: truth over a small fixed
+    query panel only; the PQ side reads {_PQ_M} ints per corpus vector."""
+    pqk = pq_search(spark, sf_dir).select("query_id", "neighbor_id").withColumn(
+        "hit", F.lit(1)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _PQ_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cemb")
+    )
+    d2_expr = (
+        f"CAST(aggregate(zip_with(qemb, cemb, (x, y) -> "
+        f"CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS {_DEC})), "
+        f"CAST(0 AS {_DEC}), (acc, p) -> CAST(acc + p AS {_DEC})) AS DOUBLE)"
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(d2_expr).alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact_topk = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact_topk.join(pqk, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / _PQ_TOPK
+            ).alias("recall"),
+        )
+    )
