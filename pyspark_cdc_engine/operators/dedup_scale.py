@@ -1659,3 +1659,117 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "lsh_recall_at_k",
+    survey="M5-ann,J3,A2,beyond-ref",
+    oracle=f"""
+    WITH hp AS (
+      SELECT h, i, {_HP_W_DUCK} AS w
+      FROM range({_LSH_H}) t(h), range(64) u(i)
+    ),
+    comp AS (
+      SELECT vec_id, i - 1 AS i, embedding[i] AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    sig AS (
+      SELECT c.vec_id, hp.h,
+             SUM(CAST(CAST(c.val AS DOUBLE) * CAST(hp.w AS DOUBLE) AS {_DEC})) AS d
+      FROM comp c JOIN hp ON hp.i = c.i
+      GROUP BY c.vec_id, hp.h
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN d > 0 THEN CAST(POWER(2, h) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM sig GROUP BY vec_id
+    ),
+    norms AS (
+      SELECT vec_id, embedding,
+             CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {_DEC}))
+                   FROM UNNEST(embedding) AS t(x)) AS DOUBLE) AS norm2
+      FROM embeddings
+    ),
+    lsh_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot_duck('qn.embedding', 'cn.embedding')}
+               / SQRT(qn.norm2 * cn.norm2) AS cos_sim
+      FROM buckets q
+      JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      JOIN norms qn ON qn.vec_id = q.vec_id
+      JOIN norms cn ON cn.vec_id = c.vec_id
+      WHERE q.vec_id < {_LSH_Q}
+    ),
+    lsh_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM lsh_scored
+      ) WHERE rank <= {_LSH_TOPK}
+    ),
+    bf_dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                           * CAST(c.embedding[i] AS DOUBLE) AS {_DEC}))
+                  AS DOUBLE) AS dot
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id,
+      UNNEST(range(1, len(q.embedding) + 1)) AS t(i)
+      WHERE q.vec_id < {_LSH_Q}
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    bf_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.query_id, d.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                  ORDER BY d.dot / SQRT(nq.norm2 * nc.norm2) DESC,
+                                           d.neighbor_id) AS rank
+        FROM bf_dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.neighbor_id
+      ) WHERE rank <= {_LSH_TOPK}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(l.neighbor_id) AS DOUBLE) / {_LSH_TOPK} AS recall
+    FROM bf_topk b
+    LEFT JOIN lsh_topk l
+      ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the sign-LSH index against brute-force cosine ground
+    truth — the third leg of the index-eval trio (IVF: ``ann_recall_at_k``,
+    PQ: ``pq_recall_at_k``). Sign-LSH is the weakest of the three (a query
+    sees ONLY its own 2^H bucket, which may hold fewer than k candidates),
+    so this is the eval that actually decides H. Composes the registered
+    kernels verbatim; both tie-break on neighbor_id, so the recall is an
+    exact oracle-checkable number — including queries whose bucket starves
+    (they simply score hits over whatever the bucket returned)."""
+    from pyspark_cdc_engine.operators.vectors import (
+        _N_QUERIES,
+        _TOP_K,
+        cosine_topk_bruteforce,
+    )
+
+    assert _N_QUERIES == _LSH_Q and _TOP_K == _LSH_TOPK
+
+    bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = (
+        ann_lsh_hyperplane(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / _LSH_TOPK
+            ).alias("recall"),
+        )
+    )

@@ -432,6 +432,7 @@ _SWEEP_CROSS_OK = {
     "cosine_topk_bruteforce",   # broadcast 8-query set: BNLJ by construction
     "ann_recall_at_k",          # composes the gated brute-force kernel
     "pq_recall_at_k",           # broadcast 4-query exact-L2 truth side
+    "lsh_recall_at_k",          # composes the gated BF + hyperplane kernels
     "ann_lsh_hyperplane",       # broadcast 512-row hyperplane table
     "above_avg_orders",         # broadcast 1-row global aggregate
     "spender_activity_reconciliation",  # broadcast 1-row thresholds (same class)
