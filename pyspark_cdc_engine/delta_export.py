@@ -821,23 +821,29 @@ def _commit_schema_meta(commit, table, v):
 
 
 def _write_delta_checkpoint(log_dir: Path, version: int, actions: list[dict]):
-    """Write ``actions`` (protocol/metaData/add dicts) as a single-file Delta
-    checkpoint parquet at ``version`` and point ``_last_checkpoint`` at it —
-    the shape a metadata-cleaned real Delta log has at its oldest retained
-    version. One row per action, null struct cells for the other kinds;
-    map-typed fields (partitionValues, configuration) are real parquet MAPs,
-    matching what Spark's checkpoint writer emits and what
-    :func:`read_delta_snapshot`'s batched reader normalizes."""
+    """Write ``actions`` (protocol/metaData/add/remove dicts) as a
+    single-file Delta checkpoint parquet at ``version`` and point
+    ``_last_checkpoint`` at it — the shape a metadata-cleaned real Delta log
+    has at its oldest retained version. One row per action, null struct
+    cells for the other kinds; map-typed fields (partitionValues,
+    configuration) are real parquet MAPs, matching what Spark's checkpoint
+    writer emits and what :func:`read_delta_snapshot`'s batched reader
+    normalizes. Remove rows are the spec-required unexpired tombstones; the
+    column appears only when the caller passes any (boundary checkpoints of
+    pruned histories start with a clean slate and stay minimal)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     mapt = pa.map_(pa.string(), pa.string())
-    # the DV-struct column appears only when some add actually carries a
-    # descriptor (a native-DV export) — plain exports keep the minimal
-    # layout any reader accepts
+    # the DV-struct column appears only when some add/remove actually
+    # carries a descriptor (a native-DV export) — plain exports keep the
+    # minimal layout any reader accepts
     has_dv = any(
-        (a.get("add") or {}).get("deletionVector") for a in actions
+        (a.get("add") or {}).get("deletionVector")
+        or (a.get("remove") or {}).get("deletionVector")
+        for a in actions
     )
+    has_rm = any(a.get("remove") for a in actions)
     dv_t = pa.struct(
         [
             ("storageType", pa.string()),
@@ -883,13 +889,23 @@ def _write_delta_checkpoint(log_dir: Path, version: int, actions: list[dict]):
             else []
         )
     )
-    tbl = pa.table(
-        {
-            "protocol": pa.array([a.get("protocol") for a in actions], proto_t),
-            "metaData": pa.array([a.get("metaData") for a in actions], meta_t),
-            "add": pa.array([a.get("add") for a in actions], add_t),
-        }
-    )
+    cols = {
+        "protocol": pa.array([a.get("protocol") for a in actions], proto_t),
+        "metaData": pa.array([a.get("metaData") for a in actions], meta_t),
+        "add": pa.array([a.get("add") for a in actions], add_t),
+    }
+    if has_rm:
+        rm_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("deletionTimestamp", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("partitionValues", mapt),
+            ]
+            + ([("deletionVector", dv_t)] if has_dv else [])
+        )
+        cols["remove"] = pa.array([a.get("remove") for a in actions], rm_t)
+    tbl = pa.table(cols)
     pq.write_table(tbl, log_dir / f"{version:020d}.checkpoint.parquet")
     (log_dir / "_last_checkpoint").write_text(
         json.dumps({"version": version, "size": len(actions)})
@@ -1040,6 +1056,13 @@ def export_delta_history(
     ] = {}
     # src file -> (tombs, delta path | None, size, desc) currently exported
     exported: dict[str, tuple[frozenset, str | None, int, dict | None]] = {}
+    # export path -> its latest remove action: the unexpired tombstones the
+    # Delta spec requires checkpoints to carry (a real client reconstructing
+    # tombstone state from a checkpoint — e.g. for VACUUM — must see files
+    # removed just before it, or it could delete files still referenced by
+    # earlier exported versions). A re-add of the same path clears its entry
+    # (last action per path wins under Delta's log reconciliation).
+    tombstones: dict[str, dict] = {}
     n_dv_files = 0
     sidecar_memo: dict[str, dict[str, list[int]]] = {}  # dv rel -> file -> pos
     ct = {"n_files": 0, "total": 0}
@@ -1193,23 +1216,21 @@ def export_delta_history(
         for sf, (tombs, pth, _sz, old_desc) in sorted(exported.items()):
             nd = desired.get(sf)
             if (nd is None or nd[1] != tombs) and pth is not None:
-                actions.append(
-                    {
-                        "remove": {
-                            "path": pth,
-                            "deletionTimestamp": ts_ms,
-                            "dataChange": data_change,
-                            # partitionValues on removes (delta-spark writes
-                            # them): without these, a feed deriving deletes
-                            # from a partitioned remove has no way to attach
-                            # the partition-key values (not in file bytes)
-                            "partitionValues": _partition_values(
-                                urllib.parse.unquote(pth), partition_cols
-                            ),
-                            **({"deletionVector": old_desc} if old_desc else {}),
-                        }
-                    }
-                )
+                rm = {
+                    "path": pth,
+                    "deletionTimestamp": ts_ms,
+                    "dataChange": data_change,
+                    # partitionValues on removes (delta-spark writes
+                    # them): without these, a feed deriving deletes
+                    # from a partitioned remove has no way to attach
+                    # the partition-key values (not in file bytes)
+                    "partitionValues": _partition_values(
+                        urllib.parse.unquote(pth), partition_cols
+                    ),
+                    **({"deletionVector": old_desc} if old_desc else {}),
+                }
+                actions.append({"remove": rm})
+                tombstones[pth] = rm
         new_exported: dict[
             str, tuple[frozenset, str | None, int, dict | None]
         ] = {}
@@ -1221,6 +1242,7 @@ def export_delta_history(
             pth, sz, desc = _variant(sf, dl_rel, tombs)
             new_exported[sf] = (tombs, pth, sz, desc)
             if pth is not None:
+                tombstones.pop(pth, None)
                 actions.append(
                     {
                         "add": {
@@ -1419,6 +1441,13 @@ def export_delta_history(
                             }
                         }
                     )
+                # unexpired remove tombstones (Delta spec: checkpoints must
+                # carry them so clients reconstructing tombstone state —
+                # VACUUM in particular — see files removed just before the
+                # checkpoint). Every deletionTimestamp here is this export
+                # run's commit timestamp, well inside any retention window.
+                for rm in tombstones.values():
+                    snap.append({"remove": dict(rm)})
                 _write_delta_checkpoint(log_dir, v, snap)
         prev_dv_rels = set(dv_rels)
         prev_live_set = set(live)

@@ -1518,9 +1518,28 @@ class ShardExporter:
             self._write_state(state)
 
     # -- export --------------------------------------------------------
-    def _export_full(self, upto: int, state: dict) -> DataFrame:
+    def _export_full(self, upto: int, state: dict) -> DataFrame | None:
+        try:
+            snap = self.base.read(version=upto)
+            empty = snap.isEmpty()
+        except ValueError:
+            # "empty table at version N" (a CoW rewrite left no live dirs)
+            empty = True
+        if empty:
+            # nothing to export (also reached when a DV delete tombstoned
+            # every row): supersede every earlier generation so consumers
+            # converge on the empty corpus, and advance the watermark —
+            # write_training_shards on zero rows would emit a dataless
+            # parquet dir a consumer's reader cannot even open
+            state["superseded"] = sorted(
+                set(state["superseded"]) | set(state["generations"])
+            )
+            state["generations"] = []
+            state["last_version"] = upto
+            self._write_state(state)
+            return None
         manifest = write_training_shards(
-            self.base.read(version=upto),
+            snap,
             self._gen_dir(upto),
             n_shards=self.n_shards,
             id_col=self.id_col,
@@ -1557,12 +1576,21 @@ class ShardExporter:
         # longer in it, yet earlier generations shipped it — folding would
         # write schema-divergent generations). Schema introspection only —
         # .columns triggers no job.
-        referenced = set(self.base.read(version=upto).columns)
-        if since >= 0:
-            referenced |= set(self.base.read(version=since).columns)
-        fold_safe = since >= 0 and incremental_fold_safe(
-            self.base.history(), since, upto, referenced
-        )
+        # These reads themselves can refuse: cleanup_log pruning the
+        # watermark version makes state_at raise FileNotFoundError ("no
+        # commit at version"), and an empty snapshot at either window end
+        # raises ValueError ("empty table at version N"). Both mean additive
+        # folding is impossible — exactly the full re-export cases, so the
+        # decision must not crash before reaching that fallback.
+        try:
+            referenced = set(self.base.read(version=upto).columns)
+            if since >= 0:
+                referenced |= set(self.base.read(version=since).columns)
+            fold_safe = since >= 0 and incremental_fold_safe(
+                self.base.history(), since, upto, referenced
+            )
+        except (FileNotFoundError, ValueError):
+            fold_safe = False
         if not fold_safe:
             self._export_full(upto, state)
             return upto
@@ -1688,7 +1716,10 @@ def shard_export_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(d.filter("doc_id % 2 = 1"))
     ex.refresh()  # append-only window: one incremental generation
     gens = sorted(ex._state()["generations"])
-    assert len(gens) == 2, gens
+    if len(gens) != 2:  # explicit raise — survives `python -O`
+        raise ValueError(
+            f"shard_export_scenario expected 2 live generations, got {gens}"
+        )
     parts = [
         spark.read.parquet(ex._gen_dir(g) + "/_manifest").withColumn(
             "gen", F.lit(i)

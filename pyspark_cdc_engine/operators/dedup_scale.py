@@ -1520,8 +1520,14 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk_bruteforce,
     )
 
-    # the two kernels must agree on panel + k for set-intersection recall
-    assert _N_QUERIES == _IVF_QUERIES and _TOP_K == _IVF_K
+    # the two kernels must agree on panel + k for set-intersection recall;
+    # explicit raise (not assert) so `python -O` can't strip the guard and
+    # silently produce wrong recall denominators
+    if _N_QUERIES != _IVF_QUERIES or _TOP_K != _IVF_K:
+        raise ValueError(
+            f"recall panel drift: brute-force ({_N_QUERIES} queries, k={_TOP_K})"
+            f" vs IVF ({_IVF_QUERIES}, k={_IVF_K}) — keep the constants equal"
+        )
 
     bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = (
@@ -1755,7 +1761,11 @@ def lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk_bruteforce,
     )
 
-    assert _N_QUERIES == _LSH_Q and _TOP_K == _LSH_TOPK
+    if _N_QUERIES != _LSH_Q or _TOP_K != _LSH_TOPK:
+        raise ValueError(
+            f"recall panel drift: brute-force ({_N_QUERIES} queries, k={_TOP_K})"
+            f" vs LSH ({_LSH_Q}, k={_LSH_TOPK}) — keep the constants equal"
+        )
 
     bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     lsh = (

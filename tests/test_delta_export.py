@@ -2089,3 +2089,99 @@ def test_hive_dir_multibyte_escape_compares_byte_wise(spark, tmp_path):
     )
     got = sorted((r.id, r.g) for r in read_delta_snapshot(spark, str(dest)).collect())
     assert got == [(1, "é"), (2, "é")]
+
+
+def test_periodic_checkpoint_carries_remove_tombstones(spark, tmp_path):
+    """ADVICE r9: the Delta spec requires unexpired remove tombstones in
+    checkpoints — a real client reconstructing tombstone state from the
+    checkpoint (VACUUM) must see files removed just before it, or it could
+    delete files still referenced by earlier exported versions."""
+    from pyspark_cdc_engine.delta_export import (
+        _iter_parquet_actions,
+        export_delta_history,
+        read_delta_snapshot,
+    )
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(6).selectExpr("id", "id * 2 AS v"))  # v0
+    for i in range(8):  # v1..v8
+        t.append(spark.range(100 + i, 101 + i).selectExpr("id", "id * 2 AS v"))
+    t.delete("id = 2")  # v9: the pre-delete variant becomes a tombstone
+    t.append(spark.range(200, 201).selectExpr("id", "id * 2 AS v"))  # v10
+    hist = tmp_path / "hist"
+    export_delta_history(t, str(hist))
+
+    ckpt = hist / "_delta_log" / f"{10:020d}.checkpoint.parquet"
+    assert ckpt.is_file()
+    adds, removes = set(), []
+    for a in _iter_parquet_actions(ckpt):
+        if a.get("add"):
+            adds.add(a["add"]["path"])
+        if a.get("remove"):
+            removes.append(a["remove"])
+    assert removes, "checkpoint carries no remove tombstones"
+    for rm in removes:
+        assert rm["path"] not in adds  # tombstones are disjoint from live
+        assert rm["deletionTimestamp"] is not None
+        # empty parquet MAP normalizes to [] in the batched reader
+        assert rm.get("partitionValues") in ({}, [])
+    # tombstone state matches what replaying the JSON commits yields
+    live, gone = {}, set()
+    for jv in range(0, 11):
+        for ln in (hist / "_delta_log" / f"{jv:020d}.json").read_text().splitlines():
+            a = json.loads(ln)
+            if a.get("add"):
+                live[a["add"]["path"]] = True
+                gone.discard(a["add"]["path"])
+            elif a.get("remove"):
+                live.pop(a["remove"]["path"], None)
+                gone.add(a["remove"]["path"])
+    assert {rm["path"] for rm in removes} == gone
+    assert adds == set(live)
+    # snapshot reads (checkpoint-seeded and below) stay byte-identical
+    for v in (0, 9, 10):
+        got = sorted(
+            (r.id, r.v) for r in read_delta_snapshot(spark, str(hist), v).collect()
+        )
+        want = sorted((r.id, r.v) for r in t.read(version=v).collect())
+        assert got == want, f"version {v}"
+
+
+def test_native_dv_checkpoint_remove_keeps_descriptor(spark, tmp_path):
+    """Native-DV mode: a remove of a path whose prior add carried a
+    deletionVector descriptor keeps that descriptor in the checkpoint's
+    remove struct (delta-spark writes it; a DV-aware VACUUM frees the
+    sidecar only once its tombstone expires)."""
+    from pyspark_cdc_engine.delta_export import (
+        _iter_parquet_actions,
+        export_delta_history,
+        read_delta_snapshot,
+    )
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    t = DeltaliteTable(spark, str(tmp_path / "src"))
+    t.overwrite(spark.range(8).selectExpr("id", "id * 2 AS v"))  # v0
+    for i in range(6):  # v1..v6
+        t.append(spark.range(100 + i, 101 + i).selectExpr("id", "id * 2 AS v"))
+    t.delete("id = 1", mode="dv")  # v7: DV -> the add carries a descriptor
+    # v8: the overwrite removes the DV-bearing file outright — its tombstone
+    # must keep the descriptor (a DV delete alone re-adds the same path, so
+    # reconciliation correctly clears that tombstone instead)
+    t.overwrite(spark.range(50, 54).selectExpr("id", "id * 2 AS v"))
+    t.append(spark.range(300, 301).selectExpr("id", "id * 2 AS v"))  # v9
+    t.append(spark.range(301, 302).selectExpr("id", "id * 2 AS v"))  # v10
+    hist = tmp_path / "hist"
+    export_delta_history(t, str(hist), dv="native")
+
+    ckpt = hist / "_delta_log" / f"{10:020d}.checkpoint.parquet"
+    assert ckpt.is_file()
+    removes = [
+        a["remove"] for a in _iter_parquet_actions(ckpt) if a.get("remove")
+    ]
+    assert any(rm.get("deletionVector") for rm in removes), (
+        "superseded DV generation lost its descriptor in the checkpoint"
+    )
+    got = sorted((r.id, r.v) for r in read_delta_snapshot(spark, str(hist)).collect())
+    want = sorted((r.id, r.v) for r in t.read().collect())
+    assert got == want

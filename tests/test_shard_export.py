@@ -236,3 +236,51 @@ def test_exporter_forwards_file_cap_to_generations(spark, corpus, tmp_path):
         for f in glob.glob(os.path.join(ex._gen_dir(v0), f"shard={shard}", "part-*.parquet")):
             import pyarrow.parquet as pq
             assert pq.read_metadata(f).num_rows <= 4
+
+
+def test_pruned_watermark_falls_back_to_full_reexport(spark, corpus, tmp_path):
+    """ADVICE r9 (medium): cleanup_log pruning the watermark version makes
+    the fold-safety schema introspection itself raise (state_at has no
+    commit at `since`) — refresh() must reach the documented full-re-export
+    fallback instead of crashing before it."""
+    t, docs = corpus
+    ex = ShardExporter(spark, t, str(tmp_path / "shards"), n_shards=4)
+    v0 = ex.refresh()
+    for i in range(24):  # v1..v24; deltalite checkpoints every 20 commits
+        t.append(docs.filter(f"doc_id = {30 + i}"))
+    assert t.cleanup_log(retain_last=4)
+    assert t._oldest_retained() > v0  # the watermark version is gone
+
+    v = ex.refresh()  # must not raise
+    st = ex._state()
+    assert v == t.latest_version()
+    assert st["generations"] == [v]
+    assert v0 in st["superseded"]
+    assert _ids(ex.live_docs()) == _ids(t.read())
+
+
+def test_delete_all_rows_exports_empty_corpus(spark, corpus, tmp_path):
+    """ADVICE r9 (medium, second half): an EMPTY snapshot at the window end
+    raises ValueError('empty table at version N') from read() — the
+    exporter converges on an empty corpus (all generations superseded,
+    watermark advanced) and recovers when rows come back."""
+    t, docs = corpus
+    ex = ShardExporter(spark, t, str(tmp_path / "shards"), n_shards=4)
+    v0 = ex.refresh()
+
+    t.delete("doc_id >= 0")  # rewrite window ending on an empty snapshot
+    v1 = ex.refresh()  # must not raise
+    st = ex._state()
+    assert v1 == t.latest_version()
+    assert st["generations"] == []
+    assert v0 in st["superseded"]
+    with pytest.raises(ValueError):
+        ex.live_docs()
+
+    # corpus comes back: the next window's `since` side is the empty
+    # snapshot (read(version=since) raises) -> full re-export, fresh base
+    t.append(docs.filter("doc_id < 10"))
+    v2 = ex.refresh()
+    assert v2 == t.latest_version()
+    assert ex._state()["generations"] == [v2]
+    assert _ids(ex.live_docs()) == _ids(t.read())
