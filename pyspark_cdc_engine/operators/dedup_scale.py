@@ -626,6 +626,7 @@ _COS_TAU = 0.35      # near-dup cosine threshold (corpus max ≈ 0.44)
 _IVF_C = 16          # centroid count (deterministic seed: first C vectors)
 _IVF_QUERIES = 8
 _IVF_K = 5
+_IVF_NPROBE = 3      # multi-probe width: rank-P nearest centroids per query
 # Skew guard for the candidate stage: buckets larger than this are hash-split
 # into chunks and compared as bounded triangle tasks. The default lives in
 # config: engine.ivf-bucket-cap (env IVF_BUCKET_CAP).
@@ -1091,6 +1092,225 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_query_probes(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """(query_id, qemb, qn2, centroid_id): each query-panel vector paired
+    with its ``nprobe`` NEAREST centroids (rank-P coarse quantization, the
+    IVF ``nprobe`` knob). Same fixed-point argmax kernel as
+    :func:`_ivf_assigned_df`, but ranked with a window instead of max_by so
+    ranks 1..P survive. The query panel is a fixed small set, so the whole
+    probe table is Q x P rows — always the broadcast side."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
+    )
+    q = emb.filter(F.col("vec_id") < _IVF_QUERIES)
+    ex = q.select("vec_id", "norm2", F.posexplode("embedding").alias("pos", "val"))
+    cex = emb.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("norm2").alias("cn2"),
+        F.posexplode("embedding").alias("pos", "cval"),
+    )
+    term = F.expr(
+        f"CAST(floor(CAST(val AS DOUBLE) * CAST(cval AS DOUBLE) * {_IDOT_SCALE}) AS BIGINT)"
+    )
+    dots = (
+        ex.join(F.broadcast(cex), "pos")
+        .groupBy("vec_id", "centroid_id")
+        .agg(
+            F.sum(term).cast("double").alias("dot"),
+            F.first("norm2").alias("norm2"),
+            F.first("cn2").alias("cn2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        (F.col("dot") / F.sqrt(F.col("norm2") * F.col("cn2"))).desc(),
+        F.col("centroid_id"),
+    )
+    probes = (
+        dots.withColumn("prank", F.row_number().over(w))
+        .filter(F.col("prank") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+    )
+    return q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("norm2").alias("qn2"),
+    ).join(probes, "query_id")
+
+
+@register(
+    "ann_ivf_multiprobe",
+    survey="M5-ann,W1,O1,beyond-ref",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))},
+    qp AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+           FROM assign_scored
+           WHERE vec_id < {_IVF_QUERIES} AND rn <= {_IVF_NPROBE}),
+    scored AS (
+      SELECT qp.query_id, c.vec_id AS neighbor_id,
+             {_dot_duck('qp.qemb', 'c.embedding')} / SQRT(qp.qn2 * c.norm2) AS cos_sim
+      FROM qp JOIN assigned c
+        ON c.centroid_id = qp.centroid_id AND c.vec_id <> qp.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_IVF_K}
+    """,
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with ``nprobe``={_IVF_NPROBE}: each query searches its
+    {_IVF_NPROBE} nearest centroids' buckets instead of exactly one — the
+    knob every production IVF deployment turns when single-probe recall
+    (measured by ``ann_recall_at_k``) is too weak. Candidates stay unique
+    without a dedup pass: a corpus vector lives in exactly ONE rank-1
+    bucket and a query's probed centroids are distinct. Scan cost per query
+    is ~P·N/C; the probe table is Q x P rows broadcast to the corpus, so
+    the 100 TB shape is unchanged from single-probe (one broadcast join +
+    one per-query top-k, no new shuffle)."""
+    assigned = _ivf_assigned_df(spark, sf_dir)
+    probes = _ivf_query_probes(spark, sf_dir, _IVF_NPROBE)
+    dot_qc = _DOT_DEC_SPARK.format(a="qemb", b="embedding")
+    scored = (
+        assigned.join(
+            F.broadcast(probes),
+            (assigned["centroid_id"] == probes["centroid_id"])
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cos_sim", F.expr(dot_qc) / F.sqrt(F.col("qn2") * F.col("norm2")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+@register(
+    "ann_multiprobe_recall_at_k",
+    survey="M5-ann,J3,A2,beyond-ref",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))},
+    iq AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+           FROM assigned WHERE vec_id < {_IVF_QUERIES}),
+    ivf_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT iq.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY iq.query_id
+                 ORDER BY {_dot_duck('iq.qemb', 'c.embedding')}
+                            / SQRT(iq.qn2 * c.norm2) DESC,
+                          c.vec_id) AS rank
+        FROM iq JOIN assigned c
+          ON c.centroid_id = iq.centroid_id AND c.vec_id <> iq.query_id
+      ) WHERE rank <= {_IVF_K}
+    ),
+    qp AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+           FROM assign_scored
+           WHERE vec_id < {_IVF_QUERIES} AND rn <= {_IVF_NPROBE}),
+    mp_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qp.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qp.query_id
+                 ORDER BY {_dot_duck('qp.qemb', 'c.embedding')}
+                            / SQRT(qp.qn2 * c.norm2) DESC,
+                          c.vec_id) AS rank
+        FROM qp JOIN assigned c
+          ON c.centroid_id = qp.centroid_id AND c.vec_id <> qp.query_id
+      ) WHERE rank <= {_IVF_K}
+    ),
+    bf_dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                           * CAST(c.embedding[i] AS DOUBLE) AS {_DEC}))
+                  AS DOUBLE) AS dot
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id,
+      UNNEST(range(1, len(q.embedding) + 1)) AS t(i)
+      WHERE q.vec_id < {_IVF_QUERIES}
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    bf_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.query_id, d.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                  ORDER BY d.dot / SQRT(nq.norm2 * nc.norm2) DESC,
+                                           d.neighbor_id) AS rank
+        FROM bf_dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.neighbor_id
+      ) WHERE rank <= {_IVF_K}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits_single,
+           CAST(COUNT(m.neighbor_id) AS BIGINT) AS hits_multi,
+           CAST(COUNT(i.neighbor_id) AS DOUBLE) / {_IVF_K} AS recall_single,
+           CAST(COUNT(m.neighbor_id) AS DOUBLE) / {_IVF_K} AS recall_multi
+    FROM bf_topk b
+    LEFT JOIN ivf_topk i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    LEFT JOIN mp_topk m
+      ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_multiprobe_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of single-probe vs multi-probe IVF on the SAME query panel
+    and ground truth — the certification that turning ``nprobe`` up
+    actually buys recall (and never loses any: a query's rank-1 centroid is
+    always among its rank-P probes, so the multi-probe candidate set is a
+    superset and recall_multi >= recall_single HOLDS BY CONSTRUCTION,
+    asserted per-row in tests). Composes the three registered kernels
+    (:func:`cosine_topk_bruteforce` truth, :func:`ann_ivf_bucketed`
+    single-probe, :func:`ann_ivf_multiprobe` nprobe={_IVF_NPROBE})
+    verbatim; deterministic neighbor_id tie-breaks make both recalls exact
+    oracle-checkable numbers."""
+    from pyspark_cdc_engine.operators.vectors import (
+        _N_QUERIES,
+        _TOP_K,
+        cosine_topk_bruteforce,
+    )
+
+    if _N_QUERIES != _IVF_QUERIES or _TOP_K != _IVF_K:
+        raise ValueError(
+            f"recall panel drift: brute-force ({_N_QUERIES} queries, k={_TOP_K})"
+            f" vs IVF ({_IVF_QUERIES}, k={_IVF_K}) — keep the constants equal"
+        )
+
+    bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    single = (
+        ann_ivf_bucketed(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit1", F.lit(1))
+    )
+    multi = (
+        ann_ivf_multiprobe(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hitp", F.lit(1))
+    )
+    h1 = F.sum(F.coalesce(F.col("hit1"), F.lit(0)))
+    hp = F.sum(F.coalesce(F.col("hitp"), F.lit(0)))
+    return (
+        bf.join(single, ["query_id", "neighbor_id"], "left")
+        .join(multi, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            h1.cast("bigint").alias("hits_single"),
+            hp.cast("bigint").alias("hits_multi"),
+            (h1.cast("double") / _IVF_K).alias("recall_single"),
+            (hp.cast("double") / _IVF_K).alias("recall_multi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane (sign) LSH ANN — the LSH-bucketed scale path
 # ---------------------------------------------------------------------------
@@ -1209,6 +1429,254 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _LSH_TOPK)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+# Shared DuckDB CTE block for the sign-LSH family: hyperplanes -> per-plane
+# decimal sign sums -> 2^H bucket signature, plus the exact norms table.
+_LSH_BUCKETS_CTES_DUCK = f"""
+    hp AS (
+      SELECT h, i, {_HP_W_DUCK} AS w
+      FROM range({_LSH_H}) t(h), range(64) u(i)
+    ),
+    comp AS (
+      SELECT vec_id, i - 1 AS i, embedding[i] AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    sig AS (
+      SELECT c.vec_id, hp.h,
+             SUM(CAST(CAST(c.val AS DOUBLE) * CAST(hp.w AS DOUBLE) AS {_DEC})) AS d
+      FROM comp c JOIN hp ON hp.i = c.i
+      GROUP BY c.vec_id, hp.h
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN d > 0 THEN CAST(POWER(2, h) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM sig GROUP BY vec_id
+    ),
+    norms AS (
+      SELECT vec_id, embedding,
+             CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {_DEC}))
+                   FROM UNNEST(embedding) AS t(x)) AS DOUBLE) AS norm2
+      FROM embeddings
+    )
+"""
+
+
+@register(
+    "ann_lsh_multiprobe",
+    survey="M5-ann,W1,O1,beyond-ref",
+    oracle=f"""
+    WITH {_LSH_BUCKETS_CTES_DUCK},
+    probes AS (
+      SELECT vec_id AS query_id, bucket AS pbucket
+      FROM buckets WHERE vec_id < {_LSH_Q}
+      UNION ALL
+      SELECT b.vec_id, xor(b.bucket, CAST(POWER(2, h) AS BIGINT))
+      FROM buckets b, range({_LSH_H}) t(h) WHERE b.vec_id < {_LSH_Q}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_dot_duck('qn.embedding', 'cn.embedding')}
+               / SQRT(qn.norm2 * cn.norm2) AS cos_sim
+      FROM probes p
+      JOIN buckets c ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
+      JOIN norms qn ON qn.vec_id = p.query_id
+      JOIN norms cn ON cn.vec_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_LSH_TOPK}
+    """,
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: each query searches its own signature bucket
+    PLUS every flip-1-bit neighbor bucket (H+1={_LSH_H + 1} probes) — the
+    standard multi-probe LSH move (Lv et al. 2007): a near neighbor that
+    landed on the wrong side of ONE hyperplane is exactly one Hamming bit
+    away, so bit-flip probing recovers most of what single-bucket probing
+    loses without adding tables. Candidates stay unique without a dedup
+    pass: a corpus vector has ONE signature and a query's H+1 probed
+    signatures are pairwise distinct. 100 TB shape unchanged: the probe
+    list is Q x (H+1) rows broadcast to the corpus-side bucket table; the
+    per-item shuffle payload is still (vec_id, bucket)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
+    )
+    hp = (
+        spark.range(_LSH_H).toDF("h")
+        .crossJoin(spark.range(64).toDF("i"))
+        .withColumn("w", F.expr(_HP_W_SPARK))
+    )
+    comp = emb.select("vec_id", F.posexplode("embedding").alias("i", "val"))
+    term = (F.col("val").cast("double") * F.col("w").cast("double")).cast(_DEC)
+    sig = (
+        comp.join(F.broadcast(hp), "i")
+        .groupBy("vec_id", "h")
+        .agg(F.sum(term).alias("d"))
+    )
+    buckets = sig.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("d") > 0, F.expr("CAST(POWER(2, h) AS BIGINT)")).otherwise(0)
+        ).cast("bigint").alias("bucket")
+    )
+    tagged = emb.join(buckets, "vec_id")
+    probes = (
+        tagged.filter(F.col("vec_id") < _LSH_Q)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qemb"),
+            F.col("norm2").alias("qn2"),
+            F.explode(
+                F.expr(
+                    f"concat(array(bucket), transform(sequence(0, {_LSH_H - 1}),"
+                    f" h -> bucket ^ shiftleft(CAST(1 AS BIGINT), h)))"
+                )
+            ).alias("pbucket"),
+        )
+    )
+    dot = _DOT_DEC_SPARK.format(a="qemb", b="embedding")
+    scored = (
+        tagged.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cos_sim", F.expr(dot) / F.sqrt(F.col("qn2") * F.col("norm2")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _LSH_TOPK)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+@register(
+    "lsh_multiprobe_recall_at_k",
+    survey="M5-ann,J3,A2,beyond-ref",
+    oracle=f"""
+    WITH {_LSH_BUCKETS_CTES_DUCK},
+    lsh_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_dot_duck('qn.embedding', 'cn.embedding')}
+                            / SQRT(qn.norm2 * cn.norm2) DESC,
+                          c.vec_id) AS rank
+        FROM buckets q
+        JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        JOIN norms qn ON qn.vec_id = q.vec_id
+        JOIN norms cn ON cn.vec_id = c.vec_id
+        WHERE q.vec_id < {_LSH_Q}
+      ) WHERE rank <= {_LSH_TOPK}
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, bucket AS pbucket
+      FROM buckets WHERE vec_id < {_LSH_Q}
+      UNION ALL
+      SELECT b.vec_id, xor(b.bucket, CAST(POWER(2, h) AS BIGINT))
+      FROM buckets b, range({_LSH_H}) t(h) WHERE b.vec_id < {_LSH_Q}
+    ),
+    mp_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {_dot_duck('qn.embedding', 'cn.embedding')}
+                            / SQRT(qn.norm2 * cn.norm2) DESC,
+                          c.vec_id) AS rank
+        FROM probes p
+        JOIN buckets c ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
+        JOIN norms qn ON qn.vec_id = p.query_id
+        JOIN norms cn ON cn.vec_id = c.vec_id
+      ) WHERE rank <= {_LSH_TOPK}
+    ),
+    bf_dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                           * CAST(c.embedding[i] AS DOUBLE) AS {_DEC}))
+                  AS DOUBLE) AS dot
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id,
+      UNNEST(range(1, len(q.embedding) + 1)) AS t(i)
+      WHERE q.vec_id < {_LSH_Q}
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    bf_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.query_id, d.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                  ORDER BY d.dot / SQRT(nq.norm2 * nc.norm2) DESC,
+                                           d.neighbor_id) AS rank
+        FROM bf_dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.neighbor_id
+      ) WHERE rank <= {_LSH_TOPK}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS hits_single,
+           CAST(COUNT(m.neighbor_id) AS BIGINT) AS hits_multi,
+           CAST(COUNT(l.neighbor_id) AS DOUBLE) / {_LSH_TOPK} AS recall_single,
+           CAST(COUNT(m.neighbor_id) AS DOUBLE) / {_LSH_TOPK} AS recall_multi
+    FROM bf_topk b
+    LEFT JOIN lsh_topk l
+      ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+    LEFT JOIN mp_topk m
+      ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def lsh_multiprobe_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of single-bucket vs flip-1-bit multi-probe sign-LSH on the
+    same panel and ground truth — quantifies exactly what the extra H
+    probes buy (on this corpus: single-bucket recall is near zero because
+    a 2^{_LSH_H}-bucket table over a few thousand vectors starves most
+    buckets; bit-flip probing recovers a measurable fraction). The probe
+    set is a superset of the single bucket, so recall_multi >=
+    recall_single by construction. Composes :func:`cosine_topk_bruteforce`,
+    :func:`ann_lsh_hyperplane`, and :func:`ann_lsh_multiprobe` verbatim;
+    deterministic tie-breaks keep both recalls exact."""
+    from pyspark_cdc_engine.operators.vectors import (
+        _N_QUERIES,
+        _TOP_K,
+        cosine_topk_bruteforce,
+    )
+
+    if _N_QUERIES != _LSH_Q or _TOP_K != _LSH_TOPK:
+        raise ValueError(
+            f"recall panel drift: brute-force ({_N_QUERIES} queries, k={_TOP_K})"
+            f" vs LSH ({_LSH_Q}, k={_LSH_TOPK}) — keep the constants equal"
+        )
+
+    bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    single = (
+        ann_lsh_hyperplane(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit1", F.lit(1))
+    )
+    multi = (
+        ann_lsh_multiprobe(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hitp", F.lit(1))
+    )
+    h1 = F.sum(F.coalesce(F.col("hit1"), F.lit(0)))
+    hp = F.sum(F.coalesce(F.col("hitp"), F.lit(0)))
+    return (
+        bf.join(single, ["query_id", "neighbor_id"], "left")
+        .join(multi, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            h1.cast("bigint").alias("hits_single"),
+            hp.cast("bigint").alias("hits_multi"),
+            (h1.cast("double") / _LSH_TOPK).alias("recall_single"),
+            (hp.cast("double") / _LSH_TOPK).alias("recall_multi"),
+        )
     )
 
 

@@ -114,6 +114,35 @@ def test_ivf_assignment_broadcasts_centroids(spark):
     assert node_counts(plan)["CartesianProduct"] == 0
 
 
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe>1 (IVF) / flip-1-bit probing (LSH): the probed candidate set
+    is a SUPERSET of the single-probe one, so recall_multi >= recall_single
+    must hold on every query row — and multi-probing actually buys hits on
+    this corpus (strict aggregate lift across the two families)."""
+    ivf = REGISTRY["ann_multiprobe_recall_at_k"].spark(spark, SF_DIR).collect()
+    lsh = REGISTRY["lsh_multiprobe_recall_at_k"].spark(spark, SF_DIR).collect()
+    for rows in (ivf, lsh):
+        assert rows
+        assert all(r.hits_multi >= r.hits_single for r in rows), [
+            (r.query_id, r.hits_single, r.hits_multi) for r in rows
+        ]
+    lift = sum(r.hits_multi - r.hits_single for r in ivf) + sum(
+        r.hits_multi - r.hits_single for r in lsh
+    )
+    assert lift > 0
+
+
+def test_multiprobe_plans_broadcast_probe_tables(spark):
+    """The Q x P probe tables are always the broadcast side — multi-probe
+    must not change the single-probe 100 TB shape (no corpus shuffle join)."""
+    c = node_counts(plan_of(spark, "ann_ivf_multiprobe"))
+    assert c["SortMergeJoin"] == 0
+    assert c["CartesianProduct"] == 0
+    # LSH keeps its constant 512-row hyperplane crossJoin (whitelisted);
+    # the corpus-side joins must still never sort-merge
+    assert node_counts(plan_of(spark, "ann_lsh_multiprobe"))["SortMergeJoin"] == 0
+
+
 def test_approx_distinct_error_bound(spark):
     """The HLL sketch must land within 3x its configured rsd (2%) of the exact
     count on every group. The bound check is computed IN-ROW (within_bound),
@@ -434,6 +463,9 @@ _SWEEP_CROSS_OK = {
     "pq_recall_at_k",           # broadcast 4-query exact-L2 truth side
     "lsh_recall_at_k",          # composes the gated BF + hyperplane kernels
     "ann_lsh_hyperplane",       # broadcast 512-row hyperplane table
+    "ann_lsh_multiprobe",       # same hyperplane table + Qx(H+1) probe list
+    "lsh_multiprobe_recall_at_k",   # composes the gated BF + LSH kernels
+    "ann_multiprobe_recall_at_k",   # composes the gated brute-force kernel
     "above_avg_orders",         # broadcast 1-row global aggregate
     "spender_activity_reconciliation",  # broadcast 1-row thresholds (same class)
     "bigram_pmi_top",           # broadcast 1-row bigram total
