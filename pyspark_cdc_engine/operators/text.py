@@ -1407,6 +1407,171 @@ def train_bpe_merges(
     return merges
 
 
+_BPE_TRAIN_K = 20  # trained-merge count for the certified trained-apply query
+
+
+def _bpe_trained_oracle(k: int) -> str:
+    """DuckDB oracle for :func:`bpe_trained_apply`: TRUE iterative BPE
+    training re-derived IN SQL as a k-times-unrolled CTE chain (one
+    pair-count + argmax + sentinel-REPLACE rewrite per step — no recursion,
+    no spliced literals: both engines train from scratch under the same
+    (count DESC, x, y) total order, so the oracle certifies the trainer's
+    rank-for-rank output as well as the apply). The rewrite uses the same
+    sentinel string form as the apply; greedy-leftmost non-overlapping
+    ``replace`` is exactly the trainer's fold semantics (a merged token
+    never re-matches its own pair)."""
+    US = _BPE_US
+    parts = [
+        f"""
+    wf AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+      ) WHERE len(w) >= 2 GROUP BY w
+    ),
+    tenc0 AS MATERIALIZED (
+      SELECT w, cnt,
+             array_to_string(list_transform(range(1, length(w) + 1),
+               i -> {US} || substr(w, CAST(i AS INT), 1) || {US}), '') AS enc
+      FROM wf
+    )"""
+    ]
+    for n in range(k):
+        parts.append(
+            f""",
+    pr{n} AS MATERIALIZED (
+      SELECT syms[CAST(i AS INT)] AS x, syms[CAST(i AS INT) + 1] AS y,
+             CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt,
+                   string_split(substr(enc, 2, length(enc) - 2),
+                                {US} || {US}) AS syms
+            FROM tenc{n}) t,
+           UNNEST(range(1, len(syms))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    best{n} AS MATERIALIZED (SELECT x, y FROM pr{n} ORDER BY c DESC, x, y LIMIT 1),
+    tenc{n + 1} AS MATERIALIZED (
+      SELECT w, cnt,
+             replace(enc,
+               coalesce((SELECT {US} || x || {US} || {US} || y || {US}
+                         FROM best{n}), chr(0)),
+               coalesce((SELECT {US} || x || y || {US} FROM best{n}), ''))
+               AS enc
+      FROM tenc{n}
+    )"""
+        )
+    parts.append(
+        f""",
+    dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    ),
+    app0 AS MATERIALIZED (
+      SELECT word,
+             array_to_string(list_transform(range(1, length(word) + 1),
+               i -> {US} || substr(word, CAST(i AS INT), 1) || {US}), '') AS enc
+      FROM (SELECT DISTINCT word FROM dw)
+    )"""
+    )
+    for n in range(k):
+        parts.append(
+            f""",
+    app{n + 1} AS MATERIALIZED (
+      SELECT word,
+             replace(enc,
+               coalesce((SELECT {US} || x || {US} || {US} || y || {US}
+                         FROM best{n}), chr(0)),
+               coalesce((SELECT {US} || x || y || {US} FROM best{n}), ''))
+               AS enc
+      FROM app{n}
+    )"""
+        )
+    parts.append(
+        f""",
+    tok AS MATERIALIZED (
+      SELECT word,
+             CAST((LENGTH(enc) - LENGTH(REPLACE(enc, {US}, ''))) / 2
+                  AS BIGINT) AS bpe
+      FROM app{k}
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(t.bpe) AS BIGINT) AS bpe_tokens
+    FROM dw JOIN tok t USING (word)
+    GROUP BY dw.doc_id"""
+    )
+    return "WITH" + "".join(parts)
+
+
+@register(
+    "bpe_trained_apply",
+    survey="M5-text,W1,A2,beyond-ref",
+    oracle=_bpe_trained_oracle(_BPE_TRAIN_K),
+)
+def bpe_trained_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the TRUE-trained BPE merge list —
+    the certified other half of ``bpe_apply_token_count`` (whose merge
+    table is the first-iteration single-char pair ranking, documented
+    honestly there): :func:`train_bpe_merges` trains k={_BPE_TRAIN_K}
+    iterative merges on the vocabulary (later ranks see merged symbols, so
+    the list contains MULTI-CHAR symbols — e.g. (m,er), (par,k) on this
+    corpus), and the learned list is applied as the same rank-ordered
+    sentinel-REPLACE chain over the distinct-word table. The DuckDB oracle
+    does not receive the trained list — it RE-DERIVES the identical
+    training as a k-times-unrolled SQL chain under the same
+    (count DESC, x, y) tie-break, so a single hash match certifies trainer
+    and apply together, rank for rank.
+
+    100 TB shape unchanged from the untrained apply: training is k jobs
+    over the VOCABULARY (one best-pair row per step to the driver —
+    Sennrich et al.'s published loop), the apply runs once per distinct
+    word, and only (word -> count) joins back to the corpus-sized
+    explode."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges = train_bpe_merges(wf, k=_BPE_TRAIN_K)
+    US = "\x1f"
+    dw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = dw.select("word").distinct()
+    enc = F.expr(
+        "CASE WHEN length(word) = 0 THEN '' ELSE "
+        "concat_ws('', transform(sequence(1, length(word)), "
+        f"i -> concat({_BPE_US}, substring(word, i, 1), {_BPE_US}))) END"
+    )
+    for x, y in merges:
+        # trained symbols are corpus text — they reach the plan as typed
+        # literals (F.lit), never spliced into an expression string
+        enc = F.call_function(
+            "replace",
+            enc,
+            F.lit(US + x + US + US + y + US),
+            F.lit(US + x + y + US),
+        )
+    tok = vocab.select(
+        "word",
+        (
+            (
+                F.length(enc)
+                - F.length(F.call_function("replace", enc, F.lit(US), F.lit("")))
+            )
+            / 2
+        )
+        .cast("bigint")
+        .alias("bpe"),
+    )
+    return dw.join(tok, "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter decontamination (bounded-broadcast benchmark membership)
 # ---------------------------------------------------------------------------
