@@ -348,7 +348,8 @@ _ESD_L = 8  # exact-substring window length (tokens); Lee et al. use 50 BPE
              md5(array_to_string(list_slice(t, i, i + {_ESD_L} - 1), ' ')) AS h
       FROM w, UNNEST(range(1, len(t) - {_ESD_L} + 2)) AS x(i)
     ),
-    freq AS (SELECT h FROM sh GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+    freq AS (SELECT h FROM sh GROUP BY h
+             HAVING MIN(doc_id) <> MAX(doc_id) OR COUNT(*) > 1),
     dup AS (SELECT s.doc_id, s.pos FROM sh s JOIN freq f USING (h)),
     isl AS (
       SELECT doc_id, pos,
@@ -377,10 +378,12 @@ _ESD_L = 8  # exact-substring window length (tokens); Lee et al. use 50 BPE
 def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better"): mark every maximal token span that
-    appears verbatim in MORE THAN ONE document — arbitrary-position long
-    common substrings that fixed-window chunking (``chunk_dedup_c4``) and
-    whole-doc near-dup both miss. Published pipelines delete the marked
-    spans and keep the rest of the document.
+    appears verbatim MORE THAN ONCE in the corpus — across documents OR
+    repeated inside a single document (Lee et al.'s removal set covers
+    both) — arbitrary-position long common substrings that fixed-window
+    chunking (``chunk_dedup_c4``) and whole-doc near-dup both miss.
+    Published pipelines delete the marked spans and keep the rest of the
+    document.
 
     Distributed shape (never the paper's single-node suffix array): every
     overlapping L-token (_ESD_L=8) window hashes (the Rabin-Karp rolling-hash
@@ -406,12 +409,18 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "pos", F.md5(F.col("sh").cast("binary")).alias("h")
     )
-    # "hash occurs in >= 2 distinct docs" as one single-pass agg: min/max of
-    # doc_id differ — exact, and avoids countDistinct's expand stage
+    # "hash occurs >= 2 times in the corpus" as one single-pass agg:
+    # min/max doc_id differing catches cross-document copies, count > 1
+    # catches within-document repeats — exact for both halves of the Lee
+    # et al. removal set, and avoids countDistinct's expand stage
     freq = (
         shingled.groupBy("h")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-        .filter(F.col("lo") != F.col("hi"))
+        .agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter((F.col("lo") != F.col("hi")) | (F.col("cnt") > 1))
         .select("h")
     )
     dup = shingled.join(freq, "h").select("doc_id", "pos")
