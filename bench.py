@@ -351,6 +351,41 @@ def bench_heavy_scaling(spark, sf_dir: str, factor: int) -> dict:
         _sh.rmtree(dest, ignore_errors=True)
 
 
+def rerun_outliers(
+    prev: dict,
+    median3: dict[str, float],
+    sample_fn,
+    threshold: float = 2.0,
+) -> dict:
+    """Bench outlier re-run guard (r9 verdict ask #6): a warmed median-of-3
+    that lands >= ``threshold``x its previously COMMITTED artifact value is
+    far more often box interference than a real regression (r9 shipped
+    left_join_order_items at 2.18 s med3 vs 0.50 s measured clean an hour
+    later — same code). Each such entry re-measures ONCE after the rest of
+    the run (a fresh loop, past whatever co-tenant burst inflated it) and
+    keeps the MIN of the two medians — noise only ever inflates a median,
+    so min is the faithful estimator. Mutates ``median3`` in place and
+    returns {name: {prev, first, remeasured}} for the artifact's
+    ``outlier_reruns`` section (empty when nothing triggered).
+
+    ``sample_fn(name) -> list[float]`` supplies the fresh warmed samples —
+    injected so the guard is unit-testable without a Spark session."""
+    prev_m3 = prev.get("queries_median3") or {}
+    reruns: dict = {}
+    for name in sorted(median3):
+        old = prev_m3.get(name)
+        if not old or old <= 0 or median3[name] < threshold * old:
+            continue
+        fresh = statistics.median(sample_fn(name))
+        reruns[name] = {
+            "prev_artifact": old,
+            "first_median3": median3[name],
+            "remeasured": round(fresh, 3),
+        }
+        median3[name] = round(min(median3[name], fresh), 3)
+    return reruns
+
+
 def merge_artifact(prev: dict, out: dict, partial: bool) -> dict:
     """Fold one bench run into the committed BENCH_full.json record.
 
@@ -399,6 +434,10 @@ def merge_artifact(prev: dict, out: dict, partial: bool) -> dict:
             # median3 section would describe queries of an older run
             merged.pop("queries_median3", None)
             merged.pop("value_median3", None)
+        if "outlier_reruns" not in out:
+            # a full run with zero triggered reruns clears the old report —
+            # preserving it would attribute stale noise to fresh timings
+            merged.pop("outlier_reruns", None)
     return merged
 
 
@@ -439,6 +478,32 @@ def main() -> None:
                 median3[name] = round(statistics.median(samples[1:]), 3)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:500]
+
+    # Outlier guard: re-measure any med3 that landed >=2x its committed
+    # artifact value, AFTER the whole loop (a fresh pass clear of whatever
+    # interference burst inflated it). See rerun_outliers.
+    full_path = Path(__file__).resolve().parent / "BENCH_full.json"
+    try:
+        prev_artifact = (
+            json.loads(full_path.read_text()) if full_path.exists() else {}
+        )
+    except ValueError:
+        prev_artifact = {}
+
+    def _fresh_samples(name: str) -> list[float]:
+        q = REGISTRY[name]
+        walls = []
+        for _ in range(4):  # run 0 re-warms, 1-3 form the median
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            walls.append(time.perf_counter() - t0)
+        return walls[1:]
+
+    outlier_reruns = (
+        rerun_outliers(prev_artifact, median3, _fresh_samples)
+        if median3_on and median3
+        else {}
+    )
 
     # Under BENCH_ONLY (a partial, merge-into-artifact run) the pipeline
     # lanes default OFF, but an explicit BENCH_CDC=1 / BENCH_REPL=1 forces a
@@ -504,6 +569,8 @@ def main() -> None:
     if median3:
         out["queries_median3"] = median3
         out["value_median3"] = round(sum(median3.values()), 3)
+    if outlier_reruns:
+        out["outlier_reruns"] = outlier_reruns
     if errors:
         out["errors"] = errors
     if cdc is not None:
@@ -518,8 +585,9 @@ def main() -> None:
     # artifact to a committed file and (b) end stdout with a COMPACT summary
     # line (total, slowest-10, cdc) that always fits the capture window and
     # parses. Full per-query timings live in BENCH_full.json.
-    full_path = Path(__file__).resolve().parent / "BENCH_full.json"
     try:
+        # Re-read rather than reuse prev_artifact: the pipeline lanes above
+        # run for minutes and a concurrent partial run may have landed.
         # ValueError too: a truncated artifact (prior run killed mid-write)
         # must not abort THIS run's result line — fall back to out alone
         try:

@@ -1427,6 +1427,87 @@ def write_training_shards(
     return spark.read.parquet(manifest_path)
 
 
+class ShardVerificationError(ValueError):
+    """A delivered shard export failed manifest verification."""
+
+
+def verify_training_shards(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The consumer half of the manifest contract: re-derive every shard's
+    position-weighted order checksum from the files actually on disk and
+    compare it to ``path/_manifest``. :func:`write_training_shards` promises
+    a consumer can verify both MEMBERSHIP and ORDER of a delivered shard —
+    this is the helper that does it, sharing the exact ``_with_fp_term`` /
+    ``_fp_agg`` definitions the writer used (one definition, zero drift).
+
+    Protocol: rows re-sort on the persisted ``(_order_key, id)`` — the
+    authoritative consumption order — and the per-row term re-derives ``h1``
+    from the id itself (epoch-invariant by :func:`_shard_keys`, so one
+    verifier covers every epoch's export). A dropped/duplicated/foreign row
+    moves ``n_docs`` and the checksum; a tampered id moves ``h1``; a
+    tampered ``_order_key`` re-pairs positions with the wrong doc hashes —
+    all land in ``ok = false``.
+
+    Returns one row per shard: ``(shard, n_docs_expected, n_docs_actual,
+    order_fp_expected, order_fp_actual, ok)``, full-outer joined so a shard
+    missing from either side (deleted dir, forged manifest row) still
+    reports. Scale shape: a 3-column pruned parquet scan of the export plus
+    one hash aggregate — never touches payload columns; the manifest side
+    is n_shards rows."""
+    h_expr, _ = _shard_keys(id_col)
+    manifest = spark.read.parquet(path.rstrip("/") + "/_manifest").select(
+        "shard",
+        F.col("n_docs").alias("n_docs_expected"),
+        F.col("order_fp").alias("order_fp_expected"),
+    )
+    written = spark.read.parquet(path).select("_shard", "_order_key", id_col)
+    actual = (
+        _with_fp_term(written, "_shard", "_order_key", id_col, F.expr(h_expr))
+        .groupBy(F.col("_shard").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n_docs_actual"), _fp_agg())
+        .withColumnRenamed("order_fp", "order_fp_actual")
+    )
+    return (
+        manifest.join(actual, "shard", "full_outer")
+        .select(
+            "shard",
+            "n_docs_expected",
+            "n_docs_actual",
+            "order_fp_expected",
+            "order_fp_actual",
+            (
+                F.col("n_docs_expected").eqNullSafe(F.col("n_docs_actual"))
+                & F.col("order_fp_expected").eqNullSafe(
+                    F.col("order_fp_actual")
+                )
+            ).alias("ok"),
+        )
+    )
+
+
+def assert_training_shards_ok(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> None:
+    """Raise :class:`ShardVerificationError` naming every failing shard if
+    ``path`` does not verify against its manifest (bounded collect: one row
+    per shard)."""
+    bad = (
+        verify_training_shards(spark, path, id_col=id_col)
+        .filter(~F.col("ok"))
+        .collect()
+    )
+    if bad:
+        detail = ", ".join(
+            f"shard {r['shard']}: docs {r['n_docs_expected']}!={r['n_docs_actual']}"
+            f" or fp {r['order_fp_expected']}!={r['order_fp_actual']}"
+            for r in bad
+        )
+        raise ShardVerificationError(
+            f"shard export at {path} failed verification — {detail}"
+        )
+
+
 class ShardExporter:
     """Incremental training-shard export of a deltalite corpus table.
 
@@ -1473,6 +1554,7 @@ class ShardExporter:
         n_shards: int = _SHARDS,
         id_col: str = "doc_id",
         max_records_per_file: int = 0,
+        verify: bool = False,
     ) -> None:
         self.spark = spark
         self.base = base
@@ -1480,6 +1562,11 @@ class ShardExporter:
         self.n_shards = n_shards
         self.id_col = id_col
         self.max_records_per_file = max_records_per_file
+        # opt-in verify-after-export: every generation write is immediately
+        # re-read through verify_training_shards and refresh() raises
+        # ShardVerificationError before advancing any consumer-visible state
+        # beyond what the (already crash-idempotent) retry would redo
+        self.verify = verify
 
     # -- state ---------------------------------------------------------
     def _state(self) -> dict:
@@ -1554,6 +1641,10 @@ class ShardExporter:
             id_col=self.id_col,
             max_records_per_file=self.max_records_per_file,
         )
+        if self.verify:
+            assert_training_shards_ok(
+                self.spark, self._gen_dir(upto), id_col=self.id_col
+            )
         state["superseded"] = sorted(
             set(state["superseded"]) | {g for g in state["generations"] if g != upto}
         )
@@ -1619,6 +1710,10 @@ class ShardExporter:
             id_col=self.id_col,
             max_records_per_file=self.max_records_per_file,
         )
+        if self.verify:
+            assert_training_shards_ok(
+                self.spark, self._gen_dir(upto), id_col=self.id_col
+            )
         state["generations"] = sorted(set(state["generations"]) | {upto})
         state["last_version"] = upto
         self._write_state(state)
@@ -1737,4 +1832,52 @@ def shard_export_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return parts[0].unionByName(parts[1]).select(
         "gen", "shard", "n_docs", "order_fp"
+    )
+
+
+@register(
+    "shard_verify_roundtrip",
+    survey="A2,W1,F14,beyond-ref",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, {_H1_DUCK} AS h1, {_OK_DUCK} AS okey FROM documents
+    ),
+    positioned AS (
+      SELECT *,
+             CAST(h1 % {_SHARDS} AS INT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY h1 % {_SHARDS}
+                                ORDER BY okey, doc_id) AS pos
+      FROM keyed
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST({_FP_TERM_DUCK} AS HUGEINT)) % {_FP_P} AS BIGINT)
+             AS order_fp,
+           TRUE AS ok
+    FROM positioned
+    GROUP BY shard
+    """,
+)
+def shard_verify_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-then-verify round trip of the shard manifest contract under
+    driver certification: export ``documents`` with
+    :func:`write_training_shards` into scratch, run the CONSUMER-side
+    :func:`verify_training_shards` against the files on disk, and return the
+    verifier's re-derived per-shard (count, checksum, ok). The oracle
+    re-derives the same numbers from raw ``documents`` from scratch — so a
+    hash match certifies writer and verifier agree with an independent
+    third derivation, and ``ok`` is pinned TRUE for every shard."""
+    from pyspark_cdc_engine.operators.dedup_incremental import (
+        _fresh_scratch_dir,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tmp = _fresh_scratch_dir(f"shardverify:{sf_dir}")
+    write_training_shards(d, f"{tmp}/shards")
+    report = verify_training_shards(spark, f"{tmp}/shards")
+    return report.select(
+        "shard",
+        F.col("n_docs_actual").alias("n_docs"),
+        F.col("order_fp_actual").alias("order_fp"),
+        "ok",
     )

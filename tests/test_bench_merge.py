@@ -106,3 +106,53 @@ def test_full_run_without_median3_clears_stale_median_sections():
     assert "queries_median3" not in merged and "value_median3" not in merged
     # ... but the unknown sections still survive
     assert merged["heavy_scaling_30x"]["median_exponent"] == 0.38
+
+
+# ---- outlier re-run guard (r9 verdict ask #6) -------------------------------
+
+
+def test_outlier_guard_triggers_on_injected_noise():
+    """A med3 >=2x its committed artifact value re-measures once and keeps
+    the min — the injected-noise scenario from the r9 verdict."""
+    prev = {"queries_median3": {"left_join": 0.50, "quiet": 1.0}}
+    median3 = {"left_join": 2.18, "quiet": 1.05}
+    calls = []
+
+    def sample_fn(name):
+        calls.append(name)
+        return [0.52, 0.49, 0.51]  # clean fresh loop
+
+    reruns = bench.rerun_outliers(prev, median3, sample_fn)
+    assert calls == ["left_join"], "only the outlier re-measures"
+    assert median3["left_join"] == 0.51  # min(2.18, median(fresh))
+    assert median3["quiet"] == 1.05  # untouched
+    assert reruns == {
+        "left_join": {
+            "prev_artifact": 0.50,
+            "first_median3": 2.18,
+            "remeasured": 0.51,
+        }
+    }
+
+
+def test_outlier_guard_keeps_real_regressions():
+    """If the re-measure CONFIRMS the slowdown, the new number stands —
+    the guard filters noise, it must not hide a real regression."""
+    prev = {"queries_median3": {"q": 1.0}}
+    median3 = {"q": 3.0}
+    reruns = bench.rerun_outliers(prev, median3, lambda n: [3.1, 2.9, 3.0])
+    assert median3["q"] == 3.0
+    assert reruns["q"]["remeasured"] == 3.0
+
+
+def test_outlier_guard_noops_without_prior_artifact():
+    median3 = {"q": 5.0}
+    assert bench.rerun_outliers({}, median3, lambda n: 1 / 0) == {}
+    assert median3 == {"q": 5.0}
+
+
+def test_full_run_without_reruns_clears_stale_section():
+    prev = {"queries": {"a": 1.0}, "outlier_reruns": {"a": {"prev_artifact": 1}}}
+    out = {"queries": {"a": 0.9}, "value": 0.9}
+    merged = bench.merge_artifact(prev, out, partial=False)
+    assert "outlier_reruns" not in merged

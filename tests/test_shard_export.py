@@ -284,3 +284,46 @@ def test_delete_all_rows_exports_empty_corpus(spark, corpus, tmp_path):
     assert v2 == t.latest_version()
     assert ex._state()["generations"] == [v2]
     assert _ids(ex.live_docs()) == _ids(t.read())
+
+
+def test_verify_after_export_lifecycle(spark, corpus, tmp_path):
+    """verify=True re-checks every generation through the consumer verifier
+    at both export call sites (full re-export AND incremental fold) and
+    raises ShardVerificationError on a tampered generation."""
+    from pyspark_cdc_engine.operators.curation import (
+        ShardVerificationError,
+        verify_training_shards,
+    )
+
+    t, docs = corpus
+    ex = ShardExporter(
+        spark, t, str(tmp_path / "shards"), n_shards=4, verify=True
+    )
+    v0 = ex.refresh()  # full export path, verified
+    t.append(docs.filter("doc_id >= 30 AND doc_id < 40"))
+    v1 = ex.refresh()  # incremental fold path, verified
+    t.delete("doc_id % 5 = 0")
+    v2 = ex.refresh()  # rewrite -> full re-export path, verified
+    assert ex._state()["generations"] == [v2]
+
+    # tamper with the live generation's manifest: verifier must refuse
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mdir = ex._gen_dir(v2) + "/_manifest"
+    f = sorted(glob.glob(os.path.join(mdir, "part-*.parquet")))[0]
+    tbl = pq.read_table(f)
+    rows = tbl.to_pylist()
+    rows[0]["order_fp"] = (rows[0]["order_fp"] + 1) % 2_147_483_647
+    pq.write_table(pa.Table.from_pylist(rows, schema=tbl.schema), f)
+    crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    report = verify_training_shards(spark, ex._gen_dir(v2))
+    assert report.filter("NOT ok").count() == 1
+    with pytest.raises(ShardVerificationError):
+        from pyspark_cdc_engine.operators.curation import (
+            assert_training_shards_ok,
+        )
+
+        assert_training_shards_ok(spark, ex._gen_dir(v2))

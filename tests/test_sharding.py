@@ -15,7 +15,10 @@ import pytest
 from pyspark_cdc_engine.operators.curation import (
     _FP_P,
     _SHARDS,
+    ShardVerificationError,
+    assert_training_shards_ok,
     shard_manifest,
+    verify_training_shards,
     write_training_shards,
 )
 from tests.conftest import SF_DIR
@@ -149,6 +152,107 @@ def test_epoch_seed_is_validated(spark, tmp_path):
         write_training_shards(docs, str(tmp_path / "z"), epoch="bad'seed")
     with pytest.raises(ValueError, match="epoch seed"):
         write_training_shards(docs, str(tmp_path / "z"), epoch="back\\slash")
+
+
+def test_verifier_passes_on_fresh_export(spark, written):
+    out, _, manifest = written
+    report = {r["shard"]: r.asDict() for r in verify_training_shards(spark, out).collect()}
+    assert set(report) == set(manifest)
+    for shard, r in report.items():
+        assert r["ok"], f"fresh export failed verification at shard {shard}"
+        assert r["n_docs_actual"] == manifest[shard]["n_docs"]
+        assert r["order_fp_actual"] == manifest[shard]["order_fp"]
+    assert_training_shards_ok(spark, out)  # must not raise
+
+
+def test_verifier_passes_on_epoch_seeded_export(spark, tmp_path):
+    """h1 in the checksum term is epoch-invariant, so one verifier covers
+    every epoch's export without knowing the seed."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "ep")
+    write_training_shards(docs, out, n_shards=4, epoch="ep7")
+    assert all(r["ok"] for r in verify_training_shards(spark, out).collect())
+
+
+def _corrupt_one_file(shard_dir: str, mutate):
+    """Rewrite the first part file of a shard through pyarrow after applying
+    ``mutate(rows) -> rows`` to its row dicts."""
+    import pyarrow as pa
+
+    f = sorted(glob.glob(os.path.join(shard_dir, "part-*.parquet")))[0]
+    t = pq.read_table(f)
+    rows = mutate(t.to_pylist())
+    pq.write_table(pa.Table.from_pylist(rows, schema=t.schema), f)
+    # drop Hadoop's CRC sidecar: the point is simulating a tampered file
+    # the CHECKSUM layer does not catch, so the manifest layer must
+    crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_verifier_catches_reordered_shard(spark, tmp_path):
+    """Swapping two rows' _order_key values keeps membership and counts but
+    re-pairs positions with the wrong doc hashes — the checksum must move."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "re")
+    write_training_shards(docs, out, n_shards=2)
+
+    def swap_keys(rows):
+        assert len(rows) >= 2
+        rows[0]["_order_key"], rows[1]["_order_key"] = (
+            rows[1]["_order_key"],
+            rows[0]["_order_key"],
+        )
+        return rows
+
+    _corrupt_one_file(os.path.join(out, "shard=0"), swap_keys)
+    report = {r["shard"]: r.asDict() for r in verify_training_shards(spark, out).collect()}
+    assert not report[0]["ok"]
+    assert report[0]["n_docs_expected"] == report[0]["n_docs_actual"]
+    assert report[0]["order_fp_expected"] != report[0]["order_fp_actual"]
+    assert report[1]["ok"], "untouched shard must still verify"
+    with pytest.raises(ShardVerificationError, match="shard 0"):
+        assert_training_shards_ok(spark, out)
+
+
+def test_verifier_catches_dropped_row(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "drop")
+    write_training_shards(docs, out, n_shards=2)
+    _corrupt_one_file(os.path.join(out, "shard=1"), lambda rows: rows[1:])
+    report = {r["shard"]: r.asDict() for r in verify_training_shards(spark, out).collect()}
+    assert not report[1]["ok"]
+    assert report[1]["n_docs_actual"] == report[1]["n_docs_expected"] - 1
+    assert report[0]["ok"]
+
+
+def test_verifier_catches_tampered_id(spark, tmp_path):
+    """Changing a doc_id without touching _order_key moves h1 only — the
+    membership count stays, the checksum must not."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "id")
+    write_training_shards(docs, out, n_shards=2)
+
+    def forge_id(rows):
+        rows[0]["doc_id"] = rows[0]["doc_id"] + 10_000_000
+        return rows
+
+    _corrupt_one_file(os.path.join(out, "shard=0"), forge_id)
+    report = {r["shard"]: r.asDict() for r in verify_training_shards(spark, out).collect()}
+    assert not report[0]["ok"]
+    assert report[0]["n_docs_expected"] == report[0]["n_docs_actual"]
+
+
+def test_verifier_reports_missing_shard_dir(spark, tmp_path):
+    import shutil
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "gone")
+    write_training_shards(docs, out, n_shards=2)
+    shutil.rmtree(os.path.join(out, "shard=1"))
+    report = {r["shard"]: r.asDict() for r in verify_training_shards(spark, out).collect()}
+    assert not report[1]["ok"]
+    assert report[1]["n_docs_actual"] is None
 
 
 def test_max_records_per_file_splits_keep_order(spark, tmp_path):
