@@ -62,6 +62,7 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -209,12 +210,18 @@ def _read_slice(sl: _CdfSlice) -> Iterator[tuple]:
             ct = tbl.column("__change_type").to_pylist()
         else:
             ct = [sl.change_type] * tbl.num_rows
-        from datetime import datetime, timezone
+        from datetime import datetime, timedelta, timezone
 
         # tz-AWARE: a naive datetime would be re-interpreted in the session
         # timezone, shifting streamed _commit_timestamp away from the batch
-        # feed's timestamp_seconds(epoch) under a non-UTC session tz
-        cts = datetime.fromtimestamp(sl.commit_ts, tz=timezone.utc)
+        # feed's timestamp_seconds(epoch) under a non-UTC session tz.
+        # TRUNCATE to the microsecond (int()) rather than fromtimestamp's
+        # round-to-nearest: the arrow path and the JVM's timestamp_seconds
+        # both floor, and a 1µs disagreement between the two slice paths
+        # breaks verbatim feed parity.
+        cts = datetime.fromtimestamp(0, tz=timezone.utc) + timedelta(
+            microseconds=int(sl.commit_ts * 1_000_000)
+        )
         for i in range(tbl.num_rows):
             yield tuple(cols[n][i] for n, _ in sl.phys_fields) + (
                 ct[i],
@@ -612,6 +619,56 @@ class DeltaliteCdfMetaStreamReader(DeltaliteCdfStreamReader):
             yield (v,)
 
 
+class DeltaliteCdfBatchReader(DataSourceReader):
+    """BATCH Change Data Feed read — the SQL-only user's distributed
+    surface, Delta's ``table_changes(tbl, from, to)`` analog
+    (db/query_scd1_table.sql:157-158)::
+
+        CREATE TEMPORARY VIEW changes
+        USING deltalite_cdf
+        OPTIONS (path '/path/to/table',
+                 startingVersion '0', endingVersion '3');
+        SELECT * FROM changes;
+
+    Window semantics mirror Delta's table_changes: ``startingVersion`` is
+    INCLUSIVE (default 0 = genesis), ``endingVersion`` inclusive and
+    clamped to the latest commit (default latest) — i.e. exactly
+    ``DeltaliteTable.read_changes(startingVersion - 1, endingVersion)``.
+    Planning and slice reads are the streaming reader's own (one plan pass
+    over the window's commits, change rows enumerated executor-side as
+    Arrow batches), so the same commit-type contract applies: DV DML,
+    append/overwrite, and CDF-materialized cow DML stream; a RESTORE or a
+    bare cow rewrite in the window refuses loudly — use the Python API
+    (``read_changes``) whose JVM data path derives those diffs."""
+
+    def __init__(self, options, fields) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("deltalite_cdf requires option 'path'")
+        vs = _versions(path)
+        latest = vs[-1] if vs else -1
+        sv = options.get("startingVersion")
+        ev = options.get("endingVersion")
+        self._start = int(sv) if sv is not None else 0
+        self._end = min(int(ev), latest) if ev is not None else latest
+        # delegate planning/reading to the streaming reader: one contract,
+        # one implementation. startingVersion=N delivers N and after, so
+        # the half-open stream window starts at N-1.
+        self._inner = DeltaliteCdfStreamReader(
+            {"path": path, "startingVersion": str(self._start)}, fields
+        )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return list(
+            self._inner.partitions(
+                {"v": self._start - 1}, {"v": self._end}
+            )
+        )
+
+    def read(self, partition: _CdfSlice):
+        return self._inner.read(partition)
+
+
 class DeltaliteCdfDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -663,6 +720,15 @@ class DeltaliteCdfDataSource(DataSource):
             return DeltaliteCdfMetaStreamReader(self.options, [])
         _, fields = self._table_fields()
         return DeltaliteCdfStreamReader(self.options, fields)
+
+    def reader(self, schema) -> DeltaliteCdfBatchReader:
+        if self._metadata_only():
+            raise ValueError(
+                "metadataOnly is a streaming-replication option; batch "
+                "consumers read the change rows directly"
+            )
+        _, fields = self._table_fields()
+        return DeltaliteCdfBatchReader(self.options, fields)
 
 
 def register_cdf_source(spark) -> None:

@@ -491,6 +491,14 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
     # explicit read schema this importer always passes (verified in
     # tests); an unsupported exotic widening fails loudly in the scan,
     # never reads wrong.
+    # variantType(-preview): schemaString's "variant" parses straight to
+    # Spark 4's VariantType and the parquet scan reads the VARIANT
+    # logical-typed group (value/metadata binaries) natively under the
+    # explicit read schema this importer always passes — Spark itself is
+    # the reference implementation of the open variant encoding Delta 4.0
+    # adopted, so the round trip is engine-native (verified in tests with
+    # Spark-written variant parquet + a hand-built Delta log; realjars
+    # smoke covers delta-spark-written tables when jars exist).
     SUPPORTED_FEATURES = {
         "columnMapping",
         "v2Checkpoint",
@@ -498,6 +506,8 @@ def read_delta_snapshot(spark, path: str, version: int | None = None):
         "timestampNtz",
         "typeWidening",
         "typeWidening-preview",
+        "variantType",
+        "variantType-preview",
     }
     if min_reader == 3:
         # v3 tables MUST enumerate readerFeatures; an absent/empty list means

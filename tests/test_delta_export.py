@@ -1949,13 +1949,21 @@ def test_periodic_checkpoints_disabled_and_custom_interval(spark, tmp_path):
     assert got == [5, 10]
 
 
-def _write_feature_table(dest, schema_fields, feature, arrow_table):
+def _write_feature_table(dest, schema_fields, feature, arrow_table,
+                         parquet_src=None):
     """A minimal hand-written real-Delta table: one parquet file, protocol
-    at reader 3 with the given feature, one metaData + add commit."""
+    at reader 3 with the given feature, one metaData + add commit.
+    ``parquet_src`` (a path) substitutes an externally-written data file —
+    needed for types this pyarrow can't write (VARIANT)."""
     import pyarrow.parquet as pq_
 
     (dest / "_delta_log").mkdir(parents=True)
-    pq_.write_table(arrow_table, str(dest / "part-0.parquet"))
+    if parquet_src is not None:
+        import shutil as _sh
+
+        _sh.copy2(parquet_src, dest / "part-0.parquet")
+    else:
+        pq_.write_table(arrow_table, str(dest / "part-0.parquet"))
     schema = {"type": "struct", "fields": schema_fields}
     lines = [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
@@ -2003,6 +2011,54 @@ def test_import_timestamp_ntz_tables(spark, tmp_path):
     assert got == [
         (1, datetime.datetime(2024, 1, 2, 3, 4, 5)),
         (2, datetime.datetime(2030, 6, 7, 8, 9, 10)),
+    ]
+
+
+def test_import_variant_tables(spark, tmp_path):
+    """variantType (Delta 4.0 / Spark 4.0 readerFeature) import:
+    schemaString's "variant" maps to Spark's VariantType and the scan reads
+    the VARIANT-encoded value/metadata binaries natively. The fixture's data
+    file is written by Spark itself (the reference implementation of the
+    open variant encoding Delta adopted) because this pyarrow predates the
+    VARIANT logical type; shredded values round-trip through to_json and
+    variant_get."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    stage = str(tmp_path / "stage")
+    spark.range(3).select(
+        "id",
+        F.parse_json(
+            F.concat(F.lit('{"a":'), F.col("id").cast("string"),
+                     F.lit(',"b":"x"}'))
+        ).alias("v"),
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    dest = tmp_path / "delta"
+    _write_feature_table(
+        dest,
+        [{"name": "id", "type": "long", "nullable": True, "metadata": {}},
+         {"name": "v", "type": "variant", "nullable": True, "metadata": {}}],
+        "variantType",
+        None,
+        parquet_src=glob.glob(stage + "/part-*.parquet")[0],
+    )
+    df = read_delta_snapshot(spark, str(dest))
+    assert dict(df.dtypes)["v"] == "variant"
+    got = sorted(
+        (r["id"], r["j"], r["a"])
+        for r in df.select(
+            "id",
+            F.expr("to_json(v)").alias("j"),
+            F.expr("CAST(variant_get(v, '$.a') AS BIGINT)").alias("a"),
+        ).collect()
+    )
+    assert got == [
+        (0, '{"a":0,"b":"x"}', 0),
+        (1, '{"a":1,"b":"x"}', 1),
+        (2, '{"a":2,"b":"x"}', 2),
     ]
 
 

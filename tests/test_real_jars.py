@@ -291,3 +291,28 @@ def test_real_delta_opens_periodic_checkpoint_export(spark, tmp_path):
     assert sorted(r.id for r in v15.collect()) == sorted(
         r.id for r in t.read(version=15).collect()
     )
+
+
+@pytest.mark.realjars
+def test_we_read_real_delta_variant(spark, tmp_path):
+    """A real delta-spark table with a VARIANT column (readerFeature
+    variantType) imports through the jar-free reader value-exact — the
+    open variant encoding Delta 4.0 adopted is Spark's own."""
+    if not _delta_present(spark):
+        pytest.skip("delta-spark not installed / Delta classes absent")
+    from pyspark_cdc_engine.delta_export import read_delta_snapshot
+
+    real = tmp_path / "real_variant"
+    (spark.range(4)
+     .selectExpr("id", "parse_json(concat('{\"a\":', id, '}')) AS v")
+     .write.format("delta").save(str(real)))
+    back = read_delta_snapshot(spark, str(real))
+    assert dict(back.dtypes)["v"] == "variant"
+    want = sorted(
+        (r.id, r.j) for r in spark.read.format("delta").load(str(real))
+        .selectExpr("id", "to_json(v) AS j").collect()
+    )
+    got = sorted(
+        (r.id, r.j) for r in back.selectExpr("id", "to_json(v) AS j").collect()
+    )
+    assert got == want
