@@ -219,6 +219,13 @@ HEAVY_QUERIES = [
     "copurchase_triangles", "containment_near_dup", "pagerank3_near_dup",
     "above_avg_orders", "bloom_decontaminate", "simhash_near_dup",
     "exact_substring_dedup", "shard_manifest",
+    # eval-shape members (r9 verdict ask #7): the recall evals pair a
+    # fixed-panel ground truth with a corpus-sized index side — their
+    # scaling is the index side's, measured rather than assumed; the
+    # leakage-free split carries the banded-LSH + connected-components
+    # pipeline end to end.
+    "ann_recall_at_k", "pq_recall_at_k", "lsh_recall_at_k",
+    "ann_multiprobe_recall_at_k", "leakage_free_split",
 ]
 
 

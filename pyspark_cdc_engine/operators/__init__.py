@@ -11,6 +11,7 @@ from pyspark_cdc_engine.operators import text  # noqa: F401,E402
 from pyspark_cdc_engine.operators import vectors  # noqa: F401,E402
 from pyspark_cdc_engine.operators import dedup_scale  # noqa: F401,E402
 from pyspark_cdc_engine.operators import dedup_incremental  # noqa: F401,E402
+from pyspark_cdc_engine.operators import ann_incremental  # noqa: F401,E402
 from pyspark_cdc_engine.operators import multimodal  # noqa: F401,E402
 from pyspark_cdc_engine.operators import analytics2  # noqa: F401,E402
 from pyspark_cdc_engine.operators import curation  # noqa: F401,E402

@@ -1,0 +1,352 @@
+"""Incremental IVF ANN index maintenance — the vector-search sibling of
+:class:`pyspark_cdc_engine.operators.dedup_incremental.IncrementalLshIndex`.
+
+A similarity-search deployment over a growing embedding corpus must not
+re-assign 100 TB of vectors because one day's embeddings arrived.
+:class:`IncrementalIvfIndex` keeps a deltalite ASSIGNMENT TABLE
+(``vec_id, centroid_id`` — two integers per vector, the inverted-file lists
+of IVF) current from a deltalite embeddings table's change feed: the
+centroid set is FROZEN at build time (trained once, persisted next to the
+index — exactly how production IVF works: FAISS trains the coarse quantizer
+once and add() never moves it), so each refresh folds ONLY the rows new
+commits appended (``read_changes`` reads just the added data dirs), assigns
+them to their nearest frozen centroid, and APPENDS their assignment rows —
+O(delta) compute and write, never a corpus rescan. A non-append commit
+(overwrite/delete/merge/restore — rewrites additive deltas can't express)
+forces one full rebuild WITH RE-TRAINED centroids, the same contract as
+``IncrementalLshIndex``, whose crash-idempotent watermark pattern
+(``refresh_upto`` commits + txn tags) this class reuses.
+
+Correctness anchor: a vector's assignment depends only on its own embedding
+and the frozen centroids, so per-commit assignment composes — the
+incrementally built assignment table is ROW-IDENTICAL to one recomputed
+from scratch against the same centroids. The registered
+``ann_ivf_incremental`` query exploits exactly that: it builds the index
+over a base corpus (which contains the centroid seed vectors), appends a
+late delta, refreshes, and answers the fixed query panel with an
+``nprobe``-probe search over the maintained index — certified against the
+SAME from-scratch multiprobe DuckDB oracle as ``ann_ivf_multiprobe``.
+
+Index sizing at scale: one (int64, int32) row per vector — ~12 bytes,
+hash-partitionable on ``centroid_id`` so each probe reads only its
+inverted lists; candidate re-ranking joins embeddings back from the BASE
+table by id (the index never duplicates vector payloads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_cdc_engine.operators.dedup_scale import (
+    _ASSIGN_CTE_DUCK,
+    _DOT_DEC_SPARK,
+    _IDOT_SCALE,
+    _IVF_C,
+    _IVF_K,
+    _IVF_NPROBE,
+    _IVF_QUERIES,
+    _NORMS_CTE_DUCK,
+    _dot_duck,
+    _idot_duck,
+    _norm2_dec,
+)
+from pyspark_cdc_engine.operators.registry import load_table, register
+from pyspark_cdc_engine.tables import (
+    DeltaliteTable,
+    NoChangesInWindow,
+    RetentionPrunedWindow,
+)
+
+
+def assign_to_centroids(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): every vector of ``vectors`` (vec_id, embedding)
+    tagged with its nearest centroid from ``centroids`` (centroid_id, cemb) —
+    the generalized form of ``_ivf_assigned_df``'s kernel, against an
+    EXPLICIT centroid frame instead of the first-C convention.
+
+    Same fully-relational fixed-point argmax: posexplode components,
+    broadcast-join the exploded centroids on position, integer-sum the
+    floor-scaled term products, ``max_by`` with the (similarity desc,
+    centroid_id asc) tie-break — whole-stage codegen end to end, and
+    bit-identical to the oracle's window-over-cross-join formulation."""
+    ex = vectors.select(
+        "vec_id",
+        F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)").alias("norm2"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    cex = centroids.select(
+        "centroid_id",
+        F.expr(f"CAST({_norm2_dec('cemb')} AS DOUBLE)").alias("cn2"),
+        F.posexplode("cemb").alias("pos", "cval"),
+    )
+    term = F.expr(
+        f"CAST(floor(CAST(val AS DOUBLE) * CAST(cval AS DOUBLE) * {_IDOT_SCALE}) AS BIGINT)"
+    )
+    dots = (
+        ex.join(F.broadcast(cex), "pos")
+        .groupBy("vec_id", "centroid_id")
+        .agg(
+            F.sum(term).cast("double").alias("dot"),
+            F.first("norm2").alias("norm2"),
+            F.first("cn2").alias("cn2"),
+        )
+    )
+    return (
+        dots.withColumn("csim", F.col("dot") / F.sqrt(F.col("norm2") * F.col("cn2")))
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(centroid_id, named_struct('s', csim, 'c', -centroid_id))"
+            ).alias("centroid_id")
+        )
+    )
+
+
+class IncrementalIvfIndex:
+    """Maintains the IVF assignment table of a deltalite embeddings table
+    incrementally from its change feed (module docstring has the contract).
+
+    ``n_centroids`` vectors are sampled deterministically at (re)build time
+    — the first C ``vec_id``s of the snapshot, the same training-free seed
+    as ``ann_ivf_bucketed`` — and persisted under ``<index>/centroids`` so
+    every later fold assigns against the exact set the existing lists used.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: DeltaliteTable,
+        index_path: str,
+        n_centroids: int = _IVF_C,
+    ) -> None:
+        self.spark = spark
+        self.base = base
+        self.n_centroids = n_centroids
+        self.assign = DeltaliteTable(spark, index_path.rstrip("/") + "/assign")
+        self.cents = DeltaliteTable(spark, index_path.rstrip("/") + "/centroids")
+
+    @property
+    def _txn_app(self) -> str:
+        return f"ivf:{self.assign.path}"
+
+    def last_refreshed_version(self) -> int:
+        if not self.assign.exists():
+            return -1
+        upto = -1
+        for commit in self.assign.history():
+            if "refresh_upto" in commit:
+                upto = int(commit["refresh_upto"])
+                break
+        folded = self.assign.last_txn_version(self._txn_app)
+        if folded is not None:
+            upto = max(upto, folded)
+        return upto
+
+    def _record_watermark(self, upto: int) -> None:
+        base_v, commit = self.assign._snapshot()
+        extra = {"refresh_upto": upto}
+        if commit.get("schema"):
+            extra["schema"] = commit["schema"]
+        self.assign._write_commit(
+            "refresh", commit["live"], extra, base_v, commit
+        )
+
+    def centroids(self) -> DataFrame:
+        return self.cents.read()
+
+    def _rebuild(self, upto: int) -> None:
+        """Full rebuild: re-train (re-seed) centroids from the snapshot,
+        overwrite both tables. Centroids land FIRST — a crash between the
+        two overwrites leaves assignments stale behind the watermark, and
+        the retry re-runs both (overwrites are idempotent)."""
+        snap = self.base.read(version=upto).select("vec_id", "embedding")
+        w = Window.orderBy("vec_id")
+        seed = (
+            snap.orderBy("vec_id")
+            .limit(self.n_centroids)
+            .withColumn("centroid_id", F.row_number().over(w) - 1)
+            .select("centroid_id", F.col("embedding").alias("cemb"))
+        )
+        self.cents.overwrite(seed)
+        self.assign.overwrite(
+            assign_to_centroids(snap, self.cents.read()),
+            txn_app=self._txn_app,
+            txn_version=upto,
+        )
+        self._record_watermark(upto)
+
+    def refresh(self) -> int:
+        """Index every base commit newer than the watermark. Appends fold as
+        assignment APPENDS against the frozen centroids (O(delta)); any
+        history-rewriting commit forces one full rebuild (with re-seeded
+        centroids). Returns the new watermark."""
+        from pyspark_cdc_engine.incremental import incremental_fold_safe
+
+        upto = self.base.latest_version()
+        since = self.last_refreshed_version()
+        if since >= upto:
+            return since
+        incremental_safe = since >= 0 and incremental_fold_safe(
+            self.base.history(), since, upto, {"vec_id", "embedding"}
+        )
+        if not incremental_safe:
+            self._rebuild(upto)
+            return upto
+        try:
+            changed = self.base.read_changes(since, upto)
+        except NoChangesInWindow:  # physical-only commits: nothing to fold
+            self._record_watermark(upto)
+            return upto
+        except RetentionPrunedWindow:
+            # pruned feed window: the safety gate walked only surviving
+            # history, so rebuilding is the only sound move (same contract
+            # as IncrementalLshIndex.refresh)
+            self._rebuild(upto)
+            return upto
+        self.assign.append(
+            assign_to_centroids(
+                changed.select("vec_id", "embedding"), self.cents.read()
+            ),
+            txn_app=self._txn_app,
+            txn_version=upto,
+        )
+        self._record_watermark(upto)
+        return upto
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = _IVF_K,
+        nprobe: int = _IVF_NPROBE,
+    ) -> DataFrame:
+        """Top-``k`` cosine neighbors for each row of ``queries``
+        (query_id, qemb) via ``nprobe``-probe IVF over the MAINTAINED index:
+        rank-P nearest frozen centroids per query (the probe table is
+        |queries| x P rows — always the broadcast side), inverted-list
+        candidates from the assignment table, embeddings re-joined from the
+        BASE table by id, exact-decimal cosine re-rank. A query that is
+        itself an indexed vector never returns itself. Deterministic
+        (cos desc, neighbor_id) tie-break — oracle-checkable like every ANN
+        kernel here."""
+        q = queries.select(
+            "query_id",
+            "qemb",
+            F.expr(f"CAST({_norm2_dec('qemb')} AS DOUBLE)").alias("qn2"),
+        )
+        cex = self.cents.read().select(
+            "centroid_id",
+            F.expr(f"CAST({_norm2_dec('cemb')} AS DOUBLE)").alias("cn2"),
+            F.posexplode("cemb").alias("pos", "cval"),
+        )
+        ex = q.select(
+            "query_id", "qn2", F.posexplode("qemb").alias("pos", "val")
+        )
+        term = F.expr(
+            f"CAST(floor(CAST(val AS DOUBLE) * CAST(cval AS DOUBLE) * {_IDOT_SCALE}) AS BIGINT)"
+        )
+        dots = (
+            ex.join(F.broadcast(cex), "pos")
+            .groupBy("query_id", "centroid_id")
+            .agg(
+                F.sum(term).cast("double").alias("dot"),
+                F.first("qn2").alias("qn2"),
+                F.first("cn2").alias("cn2"),
+            )
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            (F.col("dot") / F.sqrt(F.col("qn2") * F.col("cn2"))).desc(),
+            F.col("centroid_id"),
+        )
+        probes = (
+            dots.withColumn("prank", F.row_number().over(wp))
+            .filter(F.col("prank") <= nprobe)
+            .select("query_id", "centroid_id")
+        )
+        probe_q = q.join(probes, "query_id")
+        cand_ids = self.assign.read().join(
+            F.broadcast(probe_q), "centroid_id"
+        )
+        emb = self.base.read().withColumn(
+            "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
+        )
+        dot_qc = _DOT_DEC_SPARK.format(a="qemb", b="embedding")
+        scored = (
+            cand_ids.join(emb.select("vec_id", "embedding", "norm2"), "vec_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "cos_sim", F.expr(dot_qc) / F.sqrt(F.col("qn2") * F.col("norm2"))
+            )
+            .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_sim")
+        )
+
+
+@register(
+    "ann_ivf_incremental",
+    survey="M5-ann,beyond-ref,S3,W1,O1",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))},
+    qp AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+           FROM assign_scored
+           WHERE vec_id < {_IVF_QUERIES} AND rn <= {_IVF_NPROBE}),
+    scored AS (
+      SELECT qp.query_id, c.vec_id AS neighbor_id,
+             {_dot_duck('qp.qemb', 'c.embedding')} / SQRT(qp.qn2 * c.norm2) AS cos_sim
+      FROM qp JOIN assigned c
+        ON c.centroid_id = qp.centroid_id AND c.vec_id <> qp.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_IVF_K}
+    """,
+)
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe ANN answered from an INCREMENTALLY MAINTAINED IVF index:
+    the corpus lands as a deltalite table in two commits — a base (3/4,
+    containing the first-C centroid seed) and a late-arriving delta
+    (vec_id % 4 == 0 above the seed) — the index is built over the base,
+    and a second refresh folds ONLY the delta's data dirs into the
+    inverted lists against the FROZEN centroids. The query panel's answers
+    over the maintained index must equal a from-scratch multiprobe
+    derivation over the full corpus, which is exactly what the oracle does
+    (same CTE chain as ``ann_ivf_multiprobe``) — certifying centroid
+    freezing, O(delta) assignment folding, the watermark bookkeeping, and
+    the probe/re-rank search path in one driver-checked number set. This
+    is the CDC-side MV-refresh machinery driving the ANN-side index, the
+    vector twin of ``minhash_lsh_incremental``."""
+    from pyspark_cdc_engine.operators.dedup_incremental import (
+        _fresh_scratch_dir,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = _fresh_scratch_dir(f"ivf:{sf_dir}")
+    base_tbl = DeltaliteTable(spark, f"{tmp}/embs")
+    base_tbl.overwrite(
+        e.filter((F.col("vec_id") % 4 != 0) | (F.col("vec_id") < _IVF_C))
+    )
+    idx = IncrementalIvfIndex(spark, base_tbl, f"{tmp}/ivf_index")
+    idx.refresh()
+    base_tbl.append(
+        e.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") >= _IVF_C))
+    )
+    idx.refresh()
+    queries = (
+        base_tbl.read()
+        .filter(F.col("vec_id") < _IVF_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+        )
+    )
+    return idx.search(queries, k=_IVF_K, nprobe=_IVF_NPROBE)

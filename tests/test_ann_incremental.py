@@ -1,0 +1,104 @@
+"""IncrementalIvfIndex: O(delta) assignment folding against frozen
+centroids, full rebuild (with re-seeded centroids) on history rewrites,
+and search-over-maintained-index correctness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_cdc_engine.operators.ann_incremental import (
+    IncrementalIvfIndex,
+    assign_to_centroids,
+)
+from pyspark_cdc_engine.tables import DeltaliteTable
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    t = DeltaliteTable(spark, str(tmp_path / "embs"))
+    t.overwrite(e.filter((F.col("vec_id") % 4 != 0) | (F.col("vec_id") < 16)))
+    return t, e
+
+
+def _assignments(idx):
+    return sorted(
+        (r["vec_id"], r["centroid_id"]) for r in idx.assign.read().collect()
+    )
+
+
+def test_incremental_fold_equals_rebuild(spark, corpus, tmp_path):
+    t, e = corpus
+    idx = IncrementalIvfIndex(spark, t, str(tmp_path / "ivf"))
+    v0 = idx.refresh()
+    assert v0 == t.latest_version()
+    n_base = t.read().count()
+    assert idx.assign.read().count() == n_base
+    assert idx.cents.read().count() == 16
+
+    t.append(e.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") >= 16)))
+    v1 = idx.refresh()
+    assert v1 > v0
+    # the fold appended exactly the delta's assignments ...
+    assert idx.assign.read().count() == t.read().count()
+    # ... and the result is row-identical to a from-scratch index over the
+    # same table with the same (frozen) centroid seed
+    fresh = IncrementalIvfIndex(spark, t, str(tmp_path / "ivf_fresh"))
+    fresh.refresh()
+    assert _assignments(idx) == _assignments(fresh)
+    # idempotent: nothing new -> watermark unchanged, no extra rows
+    assert idx.refresh() == v1
+    assert idx.assign.read().count() == t.read().count()
+
+
+def test_rewrite_forces_rebuild_with_reseeded_centroids(spark, corpus, tmp_path):
+    t, e = corpus
+    idx = IncrementalIvfIndex(spark, t, str(tmp_path / "ivf"))
+    idx.refresh()
+    t.delete("vec_id % 10 = 3")  # cow rewrite: additive folding impossible
+    v = idx.refresh()
+    assert v == t.latest_version()
+    live = {r["vec_id"] for r in t.read().select("vec_id").collect()}
+    indexed = {r["vec_id"] for r in idx.assign.read().collect()}
+    assert indexed == live, "rebuild must drop deleted vectors"
+    assert idx.cents.read().count() == 16
+
+
+def test_search_matches_multiprobe_kernel(spark, corpus, tmp_path):
+    """On a fully-indexed corpus, search == the registered from-scratch
+    multiprobe kernel (same panel, k, nprobe, tie-breaks)."""
+    from pyspark_cdc_engine.operators.dedup_scale import ann_ivf_multiprobe
+
+    t, e = corpus
+    t.append(e.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") >= 16)))
+    idx = IncrementalIvfIndex(spark, t, str(tmp_path / "ivf"))
+    idx.refresh()
+    queries = (
+        t.read()
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb"))
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in idx.search(queries).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ann_ivf_multiprobe(spark, SF_DIR).collect()
+    )
+    assert got == want
+
+
+def test_assign_to_centroids_tie_breaks_low_id(spark):
+    """Equal similarity must pick the LOWEST centroid_id (the oracle's
+    window tie-break)."""
+    vecs = spark.createDataFrame(
+        [(100, [1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    cents = spark.createDataFrame(
+        [(2, [2.0, 0.0]), (1, [3.0, 0.0])], ["centroid_id", "cemb"]
+    )
+    got = assign_to_centroids(vecs, cents).collect()
+    assert [(r["vec_id"], r["centroid_id"]) for r in got] == [(100, 1)]
