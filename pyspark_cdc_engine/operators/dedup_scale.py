@@ -2251,3 +2251,218 @@ def lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-quality evals (MRR / nDCG) — recall counts SET overlap; these score
+# WHERE in the index's list the right answers land.
+# ---------------------------------------------------------------------------
+
+# DCG position weights: the metric is DEFINED on 12-dp roundings of
+# 1/log2(rank+1), carried as x1e12 INTEGERS so every engine sums them
+# exactly (a double log2 can differ in the last bit between libms; an
+# integer-weighted DCG cannot). _NDCG_IDCG_E12[n] = ideal DCG of n relevant
+# items (prefix sums), indexed 0..k.
+_NDCG_W_E12 = (1_000_000_000_000, 630_929_753_571, 500_000_000_000,
+               430_676_558_073, 386_852_807_235)
+_NDCG_IDCG_E12 = (0, 1_000_000_000_000, 1_630_929_753_571,
+                  2_130_929_753_571, 2_561_606_311_644, 2_948_459_118_879)
+
+_MP_BF_RANKED_CTES = f"""
+    {_NORMS_CTE_DUCK},
+    {{assign}},
+    qp AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+           FROM assign_scored
+           WHERE vec_id < {_IVF_QUERIES} AND rn <= {_IVF_NPROBE}),
+    mp_ranked AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT qp.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qp.query_id
+                 ORDER BY {_dot_duck('qp.qemb', 'c.embedding')}
+                            / SQRT(qp.qn2 * c.norm2) DESC,
+                          c.vec_id) AS rank
+        FROM qp JOIN assigned c
+          ON c.centroid_id = qp.centroid_id AND c.vec_id <> qp.query_id
+      ) WHERE rank <= {_IVF_K}
+    ),
+    bf_dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                           * CAST(c.embedding[i] AS DOUBLE) AS {_DEC}))
+                  AS DOUBLE) AS dot
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id,
+      UNNEST(range(1, len(q.embedding) + 1)) AS t(i)
+      WHERE q.vec_id < {_IVF_QUERIES}
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    bf_ranked AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT d.query_id, d.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                  ORDER BY d.dot / SQRT(nq.norm2 * nc.norm2) DESC,
+                                           d.neighbor_id) AS rank
+        FROM bf_dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.neighbor_id
+      ) WHERE rank <= {_IVF_K}
+    )
+"""
+
+
+@register(
+    "ann_mrr_at_k",
+    survey="M5-ann,J3,W1,beyond-ref",
+    oracle=f"""
+    WITH {_MP_BF_RANKED_CTES.format(
+        assign=_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))
+    )}
+    SELECT b.query_id,
+           CAST(COALESCE(m.rank, 0) AS BIGINT) AS found_rank,
+           CASE WHEN m.rank IS NULL THEN CAST(0 AS DOUBLE)
+                ELSE CAST(1 AS DOUBLE) / m.rank END AS rr
+    FROM bf_ranked b
+    LEFT JOIN mp_ranked m
+      ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+    WHERE b.rank = 1
+    """,
+)
+def ann_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@k of the multiprobe IVF index: per query, the reciprocal of the
+    rank at which the index's list contains the TRUE nearest neighbor
+    (brute-force rank 1), 0 when the list misses it entirely. Recall@k says
+    whether the right answers show up; MRR says whether the single best one
+    shows up FIRST — the metric retrieval/RAG stacks actually report.
+    Composes the registered kernels verbatim; both tie-break on
+    neighbor_id, so found_rank is exact and rr is one double division of
+    identical operands in either engine."""
+    from pyspark_cdc_engine.operators.vectors import (
+        _N_QUERIES,
+        _TOP_K,
+        cosine_topk_bruteforce,
+    )
+
+    if _N_QUERIES != _IVF_QUERIES or _TOP_K != _IVF_K:
+        raise ValueError(
+            f"eval panel drift: brute-force ({_N_QUERIES} queries, k={_TOP_K})"
+            f" vs IVF ({_IVF_QUERIES}, k={_IVF_K}) — keep the constants equal"
+        )
+    bf1 = (
+        cosine_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select("query_id", "neighbor_id")
+    )
+    idx = ann_ivf_multiprobe(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    return (
+        bf1.join(idx, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("rank"), F.lit(0)).cast("bigint").alias("found_rank"),
+            F.when(F.col("rank").isNotNull(), F.lit(1.0) / F.col("rank"))
+            .otherwise(F.lit(0.0))
+            .alias("rr"),
+        )
+    )
+
+
+@register(
+    "ann_ndcg_at_k",
+    survey="M5-ann,J3,A2,W1,beyond-ref",
+    oracle=f"""
+    WITH {_MP_BF_RANKED_CTES.format(
+        assign=_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))
+    )},
+    gains AS (
+      SELECT m.query_id,
+             CAST(COUNT(b.neighbor_id) AS BIGINT) AS n_rel,
+             CAST(SUM(CASE WHEN b.neighbor_id IS NULL THEN 0
+                  ELSE CASE m.rank WHEN 1 THEN {_NDCG_W_E12[0]}
+                                   WHEN 2 THEN {_NDCG_W_E12[1]}
+                                   WHEN 3 THEN {_NDCG_W_E12[2]}
+                                   WHEN 4 THEN {_NDCG_W_E12[3]}
+                                   WHEN 5 THEN {_NDCG_W_E12[4]} END END)
+                  AS BIGINT) AS dcg_e12
+      FROM mp_ranked m
+      LEFT JOIN bf_ranked b
+        ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+      GROUP BY m.query_id
+    )
+    SELECT query_id, n_rel, dcg_e12,
+           CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(dcg_e12 AS DOUBLE) / CAST(
+                  CASE n_rel WHEN 1 THEN {_NDCG_IDCG_E12[1]}
+                             WHEN 2 THEN {_NDCG_IDCG_E12[2]}
+                             WHEN 3 THEN {_NDCG_IDCG_E12[3]}
+                             WHEN 4 THEN {_NDCG_IDCG_E12[4]}
+                             WHEN 5 THEN {_NDCG_IDCG_E12[5]} END AS DOUBLE)
+           END AS ndcg
+    FROM gains
+    """,
+)
+def ann_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k of the multiprobe IVF index with binary relevance (an index
+    hit is relevant iff it is in the brute-force top-k): DCG sums the
+    position weights 1/log2(rank+1) over the RELEVANT entries of the
+    index's list, normalized by the ideal DCG of packing all n_rel relevant
+    items at the top. The weights are DEFINED as their 12-dp roundings
+    carried x1e12 as exact integers — a double log2 differs across libms in
+    the last bit, an integer-weighted DCG cannot — so dcg_e12 is exact and
+    ndcg is one int->double conversion (exact below 2^53) plus one division
+    of identical operands in either engine. Queries whose index list is
+    empty (every probed bucket held only the query) have no row — same as
+    the oracle, which also derives from the index side."""
+    from pyspark_cdc_engine.operators.vectors import (
+        _N_QUERIES,
+        _TOP_K,
+        cosine_topk_bruteforce,
+    )
+
+    if _N_QUERIES != _IVF_QUERIES or _TOP_K != _IVF_K:
+        raise ValueError(
+            f"eval panel drift: brute-force ({_N_QUERIES} queries, k={_TOP_K})"
+            f" vs IVF ({_IVF_QUERIES}, k={_IVF_K}) — keep the constants equal"
+        )
+    bf = (
+        cosine_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("rel", F.lit(1))
+    )
+    idx = ann_ivf_multiprobe(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    w_case = (
+        "CASE rank WHEN 1 THEN {} WHEN 2 THEN {} WHEN 3 THEN {} "
+        "WHEN 4 THEN {} WHEN 5 THEN {} END"
+    ).format(*_NDCG_W_E12)
+    idcg_case = (
+        "CASE n_rel WHEN 1 THEN {} WHEN 2 THEN {} WHEN 3 THEN {} "
+        "WHEN 4 THEN {} WHEN 5 THEN {} END"
+    ).format(*_NDCG_IDCG_E12[1:])
+    gains = (
+        idx.join(bf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.col("rel")).cast("bigint").alias("n_rel"),
+            F.sum(
+                F.when(F.col("rel").isNull(), F.lit(0)).otherwise(
+                    F.expr(w_case)
+                )
+            )
+            .cast("bigint")
+            .alias("dcg_e12"),
+        )
+    )
+    return gains.select(
+        "query_id",
+        "n_rel",
+        "dcg_e12",
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("dcg_e12").cast("double")
+            / F.expr(idcg_case).cast("double")
+        )
+        .alias("ndcg"),
+    )

@@ -466,6 +466,8 @@ _SWEEP_CROSS_OK = {
     "ann_lsh_multiprobe",       # same hyperplane table + Qx(H+1) probe list
     "lsh_multiprobe_recall_at_k",   # composes the gated BF + LSH kernels
     "ann_multiprobe_recall_at_k",   # composes the gated brute-force kernel
+    "ann_mrr_at_k",             # composes the gated brute-force kernel
+    "ann_ndcg_at_k",            # composes the gated brute-force kernel
     "above_avg_orders",         # broadcast 1-row global aggregate
     "spender_activity_reconciliation",  # broadcast 1-row thresholds (same class)
     "bigram_pmi_top",           # broadcast 1-row bigram total
