@@ -437,7 +437,8 @@ def state_at(log_dir: Path, version: int) -> dict:
     for v in [u for u in versions(log_dir) if start <= u <= version]:
         state = apply_doc(carry, raw_doc(log_dir, v))
         carry = carry_of(state)
-    assert state is not None  # the target version file exists
+    if state is None:  # unreachable while raw_doc(version) exists; explicit
+        raise FileNotFoundError(f"no commit at version {version}")
     _cache_put(log_dir, version, state)
     return _copy_state(state)
 

@@ -370,7 +370,11 @@ def mv_incremental_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.update({"l_quantity": "l_quantity + 1"}, "l_linenumber = 1", mode="dv")
     mv.refresh()                                                 # signed fold
     ops = [h["operation"] for h in mv.summary.history()]
-    assert ops.count("overwrite") == 1, "fold must not have rebuilt"
+    if ops.count("overwrite") != 1:  # explicit raise — survives `python -O`
+        raise ValueError(
+            f"mv_incremental_scenario expected exactly one bootstrap "
+            f"overwrite (signed DV fold must not rebuild), got history {ops}"
+        )
     return mv.read()
 
 
