@@ -226,6 +226,7 @@ HEAVY_QUERIES = [
     # pipeline end to end.
     "ann_recall_at_k", "pq_recall_at_k", "lsh_recall_at_k",
     "ann_multiprobe_recall_at_k", "leakage_free_split",
+    "ann_ivfpq_search",
 ]
 
 

@@ -902,6 +902,115 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivfpq_search",
+    survey="M5-ann,J3,A2,W1,beyond-ref",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))},
+    qp AS (SELECT vec_id AS query_id, centroid_id
+           FROM assign_scored
+           WHERE vec_id < {_PQ_Q} AND rn <= {_IVF_NPROBE}),
+    cand AS (
+      SELECT qp.query_id, a.vec_id
+      FROM qp JOIN assigned a ON a.centroid_id = qp.centroid_id
+      WHERE a.vec_id <> qp.query_id
+    ),
+    ex AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cex AS (SELECT vec_id AS k, pos, val AS cval FROM ex WHERE vec_id < {_PQ_K}),
+    d2 AS (
+      SELECT e.vec_id, e.pos // {_PQ_SUB} AS m, c.k,
+             SUM(CAST((e.val - c.cval) * (e.val - c.cval) AS {_DEC})) AS dist2
+      FROM ex e JOIN cex c ON c.pos = e.pos
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY CAST(dist2 AS DOUBLE), k) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    dtab AS (SELECT vec_id AS q_id, m, k, dist2 FROM d2 WHERE vec_id < {_PQ_Q}),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+             CAST(SUM(d.dist2) AS DOUBLE) AS adist
+      FROM cand
+      JOIN codes c ON c.vec_id = cand.vec_id
+      JOIN dtab d ON d.q_id = cand.query_id AND d.m = c.m AND d.k = c.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, adist FROM (
+      SELECT query_id, neighbor_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_PQ_TOPK}
+    """,
+)
+def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the two quantizers composed the way FAISS composes
+    its production index (Jégou et al.): a query probes its
+    {_IVF_NPROBE} nearest COARSE centroids (IVF, rank-P quantization), and
+    candidates inside the probed inverted lists are ranked by PQ ADC — the
+    sum of {_PQ_M} distance-table lookups selected by each candidate's
+    code, never touching the raw corpus floats at search time.
+
+    100 TB shape = the intersection of both parts' shapes: the probe table
+    is Q x P rows and the ADC distance table Q x M x K rows (both broadcast);
+    the corpus side touches only its (vec_id, centroid_id) list entries and
+    (vec_id, m, code) code table — ~{_PQ_M} ints + one bucket id per vector
+    regardless of dimensionality. One broadcast join narrows the corpus to
+    probed buckets, one hash agg folds the M lookups, one per-query top-k.
+    Composes the registered kernels' exact derivations verbatim
+    (:func:`_ivf_assigned_df` lists, :func:`_ivf_query_probes` probes,
+    :func:`_pq_d2` codes + tables), so every ADC distance is
+    oracle-checkable exact decimal; ties break on neighbor_id as across the
+    whole ANN family. Query panel = the PQ panel ({_PQ_Q} queries,
+    k={_PQ_TOPK})."""
+    assigned = _ivf_assigned_df(spark, sf_dir).select("vec_id", "centroid_id")
+    probes = (
+        _ivf_query_probes(spark, sf_dir, _IVF_NPROBE)
+        .filter(F.col("query_id") < _PQ_Q)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    d2 = _pq_d2(spark, sf_dir)
+    codes = d2.groupBy("vec_id", "m").agg(
+        F.expr(
+            "min_by(k, named_struct('d', CAST(dist2 AS DOUBLE), 'k', k))"
+        ).alias("code")
+    )
+    dtab = d2.filter(F.col("vec_id") < _PQ_Q).select(
+        F.col("vec_id").alias("q_id"), "m", "k", F.col("dist2").alias("qd2")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(dtab),
+            (F.col("q_id") == F.col("query_id"))
+            & (dtab["m"] == codes["m"])
+            & (dtab["k"] == F.col("code")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd2").cast("double").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )
+
+
 def _triangle_tasks(assigned: DataFrame, cap: int) -> DataFrame:
     """Tag every (bucket) row with its chunk and replicate it to each triangle
     task its chunk participates in.
@@ -2131,6 +2240,160 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / _PQ_TOPK
             ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "ivfpq_recall_at_k",
+    survey="M5-ann,J3,A2,beyond-ref",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))},
+    qp AS (SELECT vec_id AS query_id, centroid_id
+           FROM assign_scored
+           WHERE vec_id < {_PQ_Q} AND rn <= {_IVF_NPROBE}),
+    cand AS (
+      SELECT qp.query_id, a.vec_id
+      FROM qp JOIN assigned a ON a.centroid_id = qp.centroid_id
+      WHERE a.vec_id <> qp.query_id
+    ),
+    ex AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cex AS (SELECT vec_id AS k, pos, val AS cval FROM ex WHERE vec_id < {_PQ_K}),
+    d2 AS (
+      SELECT e.vec_id, e.pos // {_PQ_SUB} AS m, c.k,
+             SUM(CAST((e.val - c.cval) * (e.val - c.cval) AS {_DEC})) AS dist2
+      FROM ex e JOIN cex c ON c.pos = e.pos
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY CAST(dist2 AS DOUBLE), k) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    dtab AS (SELECT vec_id AS q_id, m, k, dist2 FROM d2 WHERE vec_id < {_PQ_Q}),
+    pq_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.q_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY d.q_id
+                                  ORDER BY CAST(SUM(d.dist2) AS DOUBLE),
+                                           c.vec_id) AS rank
+        FROM codes c JOIN dtab d ON d.m = c.m AND d.k = c.code
+        WHERE c.vec_id <> d.q_id
+        GROUP BY d.q_id, c.vec_id
+      ) WHERE rank <= {_PQ_TOPK}
+    ),
+    ivfpq_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT cand.query_id, cand.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                  ORDER BY CAST(SUM(d.dist2) AS DOUBLE),
+                                           cand.vec_id) AS rank
+        FROM cand
+        JOIN codes c ON c.vec_id = cand.vec_id
+        JOIN dtab d ON d.q_id = cand.query_id AND d.m = c.m AND d.k = c.code
+        GROUP BY cand.query_id, cand.vec_id
+      ) WHERE rank <= {_PQ_TOPK}
+    ),
+    exact_d2 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST((CAST(q.embedding[i] AS DOUBLE)
+                            - CAST(c.embedding[i] AS DOUBLE))
+                           * (CAST(q.embedding[i] AS DOUBLE)
+                              - CAST(c.embedding[i] AS DOUBLE)) AS {_DEC}))
+                  AS DOUBLE) AS d2e
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id,
+      UNNEST(range(1, len(q.embedding) + 1)) AS t(i)
+      WHERE q.vec_id < {_PQ_Q}
+      GROUP BY 1, 2
+    ),
+    exact_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2e, neighbor_id) AS rank
+        FROM exact_d2
+      ) WHERE rank <= {_PQ_TOPK}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS hits_pq,
+           CAST(COUNT(v.neighbor_id) AS BIGINT) AS hits_ivfpq,
+           CAST(COUNT(p.neighbor_id) AS DOUBLE) / {_PQ_TOPK} AS recall_pq,
+           CAST(COUNT(v.neighbor_id) AS DOUBLE) / {_PQ_TOPK} AS recall_ivfpq
+    FROM exact_topk b
+    LEFT JOIN pq_topk p
+      ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+    LEFT JOIN ivfpq_topk v
+      ON v.query_id = b.query_id AND v.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of exhaustive PQ-ADC vs IVF-PQ on the same panel and exact
+    squared-L2 ground truth — the eval that separates the TWO approximation
+    effects a production index stacks: quantization (recall_pq, what the
+    codebook costs when every vector is still scanned) and coarse
+    bucketing. The relation between the columns is NOT one-sided: IVF-PQ
+    ranks a subset of the candidates, which loses any true neighbor outside
+    the probed buckets — but it also EXCLUDES quantization distractors
+    (vectors whose ADC distance collapses below their true distance), so
+    bucketing can RAISE recall when true neighbors share the query's
+    buckets and distractors don't (this corpus shows both directions;
+    per-query rows make the trade visible instead of assumed). Composes
+    :func:`pq_search` and :func:`ann_ivfpq_search` verbatim; deterministic
+    neighbor_id tie-breaks keep both recalls exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _PQ_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cemb")
+    )
+    d2_expr = (
+        f"CAST(aggregate(zip_with(qemb, cemb, (x, y) -> "
+        f"CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS {_DEC})), "
+        f"CAST(0 AS {_DEC}), (acc, p) -> CAST(acc + p AS {_DEC})) AS DOUBLE)"
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(d2_expr).alias("d2e"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2e", "neighbor_id")
+    exact = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    pq = (
+        pq_search(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit_pq", F.lit(1))
+    )
+    ivfpq = (
+        ann_ivfpq_search(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit_v", F.lit(1))
+    )
+    hp = F.sum(F.coalesce(F.col("hit_pq"), F.lit(0)))
+    hv = F.sum(F.coalesce(F.col("hit_v"), F.lit(0)))
+    return (
+        exact.join(pq, ["query_id", "neighbor_id"], "left")
+        .join(ivfpq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            hp.cast("bigint").alias("hits_pq"),
+            hv.cast("bigint").alias("hits_ivfpq"),
+            (hp.cast("double") / _PQ_TOPK).alias("recall_pq"),
+            (hv.cast("double") / _PQ_TOPK).alias("recall_ivfpq"),
         )
     )
 

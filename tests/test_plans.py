@@ -132,6 +132,32 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert lift > 0
 
 
+def test_ivfpq_eval_consistency(spark):
+    """ivfpq_recall_at_k: one row per panel query, hit counts within
+    [0, k] on both columns. (No one-sided bound exists between the two:
+    bucketing loses out-of-bucket true neighbors but also EXCLUDES
+    quantization distractors, so recall_ivfpq can land either side of
+    recall_pq — this corpus exhibits both directions.) MRR found_rank/rr
+    are consistent; nDCG stays in [0, 1]."""
+    from pyspark_cdc_engine.operators.dedup_scale import _PQ_Q, _PQ_TOPK
+
+    rows = REGISTRY["ivfpq_recall_at_k"].spark(spark, SF_DIR).collect()
+    assert len(rows) == _PQ_Q
+    assert all(0 <= r.hits_pq <= _PQ_TOPK for r in rows)
+    assert all(0 <= r.hits_ivfpq <= _PQ_TOPK for r in rows)
+    mrr = REGISTRY["ann_mrr_at_k"].spark(spark, SF_DIR).collect()
+    assert mrr
+    for r in mrr:
+        if r.found_rank == 0:
+            assert r.rr == 0.0
+        else:
+            assert abs(r.rr - 1.0 / r.found_rank) < 1e-15
+    ndcg = REGISTRY["ann_ndcg_at_k"].spark(spark, SF_DIR).collect()
+    assert ndcg
+    assert all(0.0 <= r.ndcg <= 1.0 for r in ndcg)
+    assert all((r.n_rel == 0) == (r.dcg_e12 == 0) or r.dcg_e12 > 0 for r in ndcg)
+
+
 def test_multiprobe_plans_broadcast_probe_tables(spark):
     """The Q x P probe tables are always the broadcast side — multi-probe
     must not change the single-probe 100 TB shape (no corpus shuffle join)."""
@@ -468,6 +494,7 @@ _SWEEP_CROSS_OK = {
     "ann_multiprobe_recall_at_k",   # composes the gated brute-force kernel
     "ann_mrr_at_k",             # composes the gated brute-force kernel
     "ann_ndcg_at_k",            # composes the gated brute-force kernel
+    "ivfpq_recall_at_k",        # broadcast 4-query exact-L2 truth side
     "above_avg_orders",         # broadcast 1-row global aggregate
     "spender_activity_reconciliation",  # broadcast 1-row thresholds (same class)
     "bigram_pmi_top",           # broadcast 1-row bigram total
