@@ -279,11 +279,11 @@ def test_reader_rejects_unsupported_features_and_dvs(spark, tmp_path):
     actions = [json.loads(ln) for ln in commit.read_text().splitlines()]
 
     # reader-version-3 feature set beyond our support (deletionVectors,
-    # columnMapping, timestampNtz and typeWidening are implemented now —
-    # variantType is not)
+    # columnMapping, timestampNtz, typeWidening and variantType are
+    # implemented now — collations is not)
     mutated = list(actions)
     mutated[1] = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                               "readerFeatures": ["variantType"]}}
+                               "readerFeatures": ["collations"]}}
     commit.write_text("\n".join(json.dumps(a) for a in mutated) + "\n")
     with pytest.raises(ValueError, match="readerFeatures"):
         read_delta_snapshot(spark, str(dest))
@@ -2099,10 +2099,10 @@ def test_unknown_reader_features_still_refused(spark, tmp_path):
     _write_feature_table(
         dest,
         [{"name": "id", "type": "long", "nullable": True, "metadata": {}}],
-        "variantType",
+        "collations",
         pa.table({"id": pa.array([1], pa.int64())}),
     )
-    with pytest.raises(ValueError, match="variantType"):
+    with pytest.raises(ValueError, match="collations"):
         read_delta_snapshot(spark, str(dest))
 
 
