@@ -659,11 +659,15 @@ class DeltaliteCdfBatchReader(DataSourceReader):
         )
 
     def partitions(self) -> Sequence[InputPartition]:
-        return list(
+        out = list(
             self._inner.partitions(
                 {"v": self._start - 1}, {"v": self._end}
             )
         )
+        # Spark maps an EMPTY partition list to a single read(None) call —
+        # represent the empty window as one zero-file slice instead, which
+        # both read paths drain to zero rows
+        return out or [_CdfSlice([], None, [], "insert", -1)]
 
     def read(self, partition: _CdfSlice):
         return self._inner.read(partition)

@@ -127,3 +127,19 @@ def test_sql_surface_refuses_restore_windows(spark, table):
     # but a window NOT covering the restore still works
     got = spark.sql(f"SELECT * FROM deltalite_changes('{table.path}', 0, 3)")
     assert _key(got.collect()) == _key(table.read_changes(-1, 3).collect())
+
+
+def test_batch_read_empty_window_yields_zero_rows(spark, table):
+    """startingVersion beyond the latest commit plans zero slices — an
+    empty frame with the full schema, not an error."""
+    from pyspark_cdc_engine.cdf_source import FORMAT_NAME, register_cdf_source
+
+    register_cdf_source(spark)
+    got = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", table.path)
+        .option("startingVersion", str(table.latest_version() + 1))
+        .load()
+    )
+    assert got.count() == 0
+    assert "_change_type" in got.columns
