@@ -6,6 +6,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from pyspark_cdc_engine.maintenance import (
     register_cdc_views,
@@ -962,6 +963,34 @@ def test_deltalite_history_udtf_via_spark_sql(spark, tmp_path):
         "WHERE operation = 'append'"
     ).collect()[0].c
     assert n == 1
+
+
+def test_table_changes_sql_over_scd1_table(spark, populated_tables):
+    """The reference's table_changes usage (db/query_scd1_table.sql:157-158)
+    re-expressed over the SCD1 table through the deltalite_changes UDTF —
+    an auditor counts the feed's change types in plain SQL and gets exactly
+    what the Python API reports."""
+    from pyspark_cdc_engine.maintenance import register_sql_maintenance_functions
+
+    _, scd1 = populated_tables
+    register_sql_maintenance_functions(spark)
+    latest = scd1.latest_version()
+    got = {
+        (r.ct, r.n)
+        for r in spark.sql(
+            f"SELECT _change_type AS ct, COUNT(*) AS n "
+            f"FROM deltalite_changes('{scd1.path}', 0, {latest}) "
+            f"GROUP BY _change_type"
+        ).collect()
+    }
+    want = {
+        (r.ct, r.n)
+        for r in scd1.read_changes(-1, latest)
+        .groupBy(F.col("_change_type").alias("ct"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
 
 
 def test_zorder_bit_interleaved_prunes_on_every_key(spark, tmp_path):
