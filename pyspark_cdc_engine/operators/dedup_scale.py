@@ -1011,6 +1011,203 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the third codebook family FAISS ships
+# (IndexScalarQuantizer): per-DIMENSION linear int8 quantization. Codes are
+# dim bytes per vector; the "codebook" is just 2 doubles per dimension.
+# ---------------------------------------------------------------------------
+
+
+def _sq8_stats_cte_duck() -> str:
+    return f"""
+    comp8 AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    dstats AS (
+      SELECT pos, MIN(val) AS dmin, MAX(val) AS dmax
+      FROM comp8 GROUP BY pos
+    ),
+    coded AS (
+      SELECT c.vec_id, c.pos, c.val, s.dmin, s.dmax,
+             CASE WHEN s.dmax > s.dmin
+                  THEN CAST(floor((c.val - s.dmin) / (s.dmax - s.dmin)
+                                  * 255 + 0.5) AS INT)
+                  ELSE 0 END AS code
+      FROM comp8 c JOIN dstats s ON s.pos = c.pos
+    ),
+    deq AS (
+      SELECT vec_id, pos, val, code,
+             CASE WHEN dmax > dmin
+                  THEN dmin + CAST(code AS DOUBLE) / 255 * (dmax - dmin)
+                  ELSE dmin END AS dval
+      FROM coded
+    )"""
+
+
+@register(
+    "sq8_encode",
+    survey="M5-ann,A2,beyond-ref",
+    oracle=f"""
+    WITH {_sq8_stats_cte_duck()}
+    SELECT vec_id,
+           md5(string_agg(lpad(CAST(code AS VARCHAR), 3, '0'), ','
+                          ORDER BY lpad(CAST(pos AS VARCHAR), 2, '0'))) AS codes_md5,
+           CAST(SUM(CAST(ABS(val - dval) AS {_DEC})) AS DOUBLE) AS qerr
+    FROM deq GROUP BY vec_id
+    """,
+)
+def sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization encode — FAISS's IndexScalarQuantizer
+    recipe: each DIMENSION gets a linear 0..255 grid between its corpus-wide
+    min and max (the whole "codebook" is 2 doubles per dimension — one
+    64-row broadcast), and every vector's component rounds to its grid
+    point. Emits per vector a canonical md5 of the zero-padded code list
+    (pure-string ordering, identical in both engines) and the exact-decimal
+    total dequantization error — the number that decides whether 8 bits per
+    dimension is enough for this corpus.
+
+    100 TB shape: one explode + per-dimension agg for the stats (dim-sized
+    result, broadcast back), one map-side join to code every component —
+    no shuffle larger than (vec_id, pos, code). All double arithmetic is
+    per-component IEEE ops identical across engines; rounding is an
+    explicit floor(x + 0.5), never a libm/banker's round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    stats = comp.groupBy("pos").agg(
+        F.min("val").alias("dmin"), F.max("val").alias("dmax")
+    )
+    coded = comp.join(F.broadcast(stats), "pos").withColumn(
+        "code",
+        F.when(
+            F.col("dmax") > F.col("dmin"),
+            F.floor(
+                (F.col("val") - F.col("dmin"))
+                / (F.col("dmax") - F.col("dmin"))
+                * 255
+                + 0.5
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    deq = coded.withColumn(
+        "dval",
+        F.when(
+            F.col("dmax") > F.col("dmin"),
+            F.col("dmin")
+            + F.col("code").cast("double") / 255 * (F.col("dmax") - F.col("dmin")),
+        ).otherwise(F.col("dmin")),
+    )
+    key = F.expr(
+        "named_struct('o', lpad(CAST(pos AS STRING), 2, '0'),"
+        " 'c', lpad(CAST(code AS STRING), 3, '0'))"
+    )
+    return deq.groupBy("vec_id").agg(
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(named_struct("
+                    "'o', lpad(CAST(pos AS STRING), 2, '0'),"
+                    " 'c', lpad(CAST(code AS STRING), 3, '0')))), x -> x.c)"
+                ),
+                ",",
+            ).cast("binary")
+        ).alias("codes_md5"),
+        F.sum(F.expr(f"CAST(ABS(val - dval) AS {_DEC})"))
+        .cast("double")
+        .alias("qerr"),
+    )
+
+
+@register(
+    "sq8_search",
+    survey="M5-ann,J3,W1,O1,beyond-ref",
+    oracle=f"""
+    WITH {_sq8_stats_cte_duck()},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(q.val * c.dval AS {_DEC})) AS DOUBLE) AS adot
+      FROM comp8 q
+      JOIN deq c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_PQ_Q}
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, adot FROM (
+      SELECT query_id, neighbor_id, adot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adot DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_PQ_TOPK}
+    """,
+)
+def sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric top-k inner-product search over SQ8 codes: the query keeps
+    its raw floats, candidates dequantize on the fly from their int8 codes
+    (dmin + code/255*(dmax-dmin)) — the SQ analog of PQ's ADC, trading 4x
+    memory for a per-dimension multiply instead of a table lookup. Query
+    panel = the PQ panel ({_PQ_Q} queries, k={_PQ_TOPK}); exact-decimal dot
+    fold and neighbor_id tie-breaks keep the ranking oracle-checkable.
+
+    100 TB shape: the per-dim stats are a 64-row broadcast; the corpus side
+    shuffles only (vec_id, pos, code) triples into the per-(query, vector)
+    fold — at dim bytes per vector this is the smallest index in the family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    stats = comp.groupBy("pos").agg(
+        F.min("val").alias("dmin"), F.max("val").alias("dmax")
+    )
+    deq = (
+        comp.join(F.broadcast(stats), "pos")
+        .withColumn(
+            "code",
+            F.when(
+                F.col("dmax") > F.col("dmin"),
+                F.floor(
+                    (F.col("val") - F.col("dmin"))
+                    / (F.col("dmax") - F.col("dmin"))
+                    * 255
+                    + 0.5
+                ).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "dval",
+            F.when(
+                F.col("dmax") > F.col("dmin"),
+                F.col("dmin")
+                + F.col("code").cast("double")
+                / 255
+                * (F.col("dmax") - F.col("dmin")),
+            ).otherwise(F.col("dmin")),
+        )
+        .select("vec_id", "pos", "dval")
+    )
+    q = comp.filter(F.col("vec_id") < _PQ_Q).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("val").alias("qval")
+    )
+    scored = (
+        deq.join(F.broadcast(q), "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.expr(f"CAST(qval * dval AS {_DEC})"))
+            .cast("double")
+            .alias("adot")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "rank", "adot")
+    )
+
+
 def _triangle_tasks(assigned: DataFrame, cap: int) -> DataFrame:
     """Tag every (bucket) row with its chunk and replicate it to each triangle
     task its chunk participates in.
