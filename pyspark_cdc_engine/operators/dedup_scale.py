@@ -1208,6 +1208,104 @@ def sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sq8_recall_at_k",
+    survey="M5-ann,J3,A2,beyond-ref",
+    oracle=f"""
+    WITH {_sq8_stats_cte_duck()},
+    sq_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adot DESC, neighbor_id) AS rank
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(SUM(CAST(q.val * c.dval AS {_DEC})) AS DOUBLE) AS adot
+          FROM comp8 q
+          JOIN deq c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < {_PQ_Q}
+          GROUP BY 1, 2
+        )
+      ) WHERE rank <= {_PQ_TOPK}
+    ),
+    exact_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY xdot DESC, neighbor_id) AS rank
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(SUM(CAST(q.val * c.val AS {_DEC})) AS DOUBLE) AS xdot
+          FROM comp8 q
+          JOIN comp8 c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < {_PQ_Q}
+          GROUP BY 1, 2
+        )
+      ) WHERE rank <= {_PQ_TOPK}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(s.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(s.neighbor_id) AS DOUBLE) / {_PQ_TOPK} AS recall
+    FROM exact_topk b
+    LEFT JOIN sq_topk s
+      ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def sq8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the SQ8 index against exact inner-product ground truth —
+    the eval that decides whether 8 bits per dimension preserves the
+    RANKING, not just the values (the quantization error sq8_encode reports
+    bounds values; ranking inversions are what search actually loses).
+    Same exact-decimal dot fold on both sides — the only difference is the
+    candidate's dequantized vs raw components — and neighbor_id tie-breaks
+    keep both top-k sets deterministic. Completes the per-index eval
+    pattern: every quantizer family in the engine (IVF, multiprobe, PQ,
+    IVF-PQ, sign-LSH, SQ8) ships with its measured recall, not an assumed
+    one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = (
+        sq8_search(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    q = emb.filter(F.col("vec_id") < _PQ_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cemb")
+    )
+    dot_expr = (
+        f"CAST(aggregate(zip_with(qemb, cemb, (x, y) -> "
+        f"CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {_DEC})), "
+        f"CAST(0 AS {_DEC}), (acc, p) -> CAST(acc + p AS {_DEC})) AS DOUBLE)"
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(dot_expr).alias("xdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("xdot").desc(), F.col("neighbor_id")
+    )
+    exact_topk = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact_topk.join(sq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / _PQ_TOPK
+            ).alias("recall"),
+        )
+    )
+
+
 def _triangle_tasks(assigned: DataFrame, cap: int) -> DataFrame:
     """Tag every (bucket) row with its chunk and replicate it to each triangle
     task its chunk participates in.

@@ -495,6 +495,7 @@ _SWEEP_CROSS_OK = {
     "ann_mrr_at_k",             # composes the gated brute-force kernel
     "ann_ndcg_at_k",            # composes the gated brute-force kernel
     "ivfpq_recall_at_k",        # broadcast 4-query exact-L2 truth side
+    "sq8_recall_at_k",          # broadcast 4-query exact-dot truth side
     "above_avg_orders",         # broadcast 1-row global aggregate
     "spender_activity_reconciliation",  # broadcast 1-row thresholds (same class)
     "bigram_pmi_top",           # broadcast 1-row bigram total
