@@ -419,9 +419,23 @@ def merge_artifact(prev: dict, out: dict, partial: bool) -> dict:
             )
         for sect, val in out.items():
             if sect in ("queries", "queries_median3", "value",
-                        "value_median3", "errors"):
+                        "value_median3", "errors", "outlier_reruns"):
                 continue
             merged[sect] = val
+        # outlier_reruns merges per-query like queries_median3: a partial run
+        # is authoritative for every query it TIMED (a clean re-time clears
+        # that query's stale rerun entry; a triggered rerun replaces it) and
+        # silent about queries it never touched — wholesale replacement would
+        # attribute stale noise reports to fresh timings and vice versa.
+        reruns = {
+            k: v for k, v in (prev.get("outlier_reruns") or {}).items()
+            if k not in out.get("queries", {})
+        }
+        reruns.update(out.get("outlier_reruns") or {})
+        if reruns:
+            merged["outlier_reruns"] = reruns
+        else:
+            merged.pop("outlier_reruns", None)
         # a partial rerun of a previously-broken query CLEARS its stale
         # error entry; fresh errors replace per-query
         errs = {

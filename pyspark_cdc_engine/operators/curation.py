@@ -1432,7 +1432,10 @@ class ShardVerificationError(ValueError):
 
 
 def verify_training_shards(
-    spark: SparkSession, path: str, id_col: str = "doc_id"
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """The consumer half of the manifest contract: re-derive every shard's
     position-weighted order checksum from the files actually on disk and
@@ -1449,23 +1452,48 @@ def verify_training_shards(
     tampered ``_order_key`` re-pairs positions with the wrong doc hashes —
     all land in ``ok = false``.
 
+    MEMBERSHIP is re-derived, not trusted: rows group by the ``shard=K``
+    DIRECTORY key (what a directory-walking dataloader actually reads), and
+    every row re-checks ``h1 % n_shards == shard`` and ``_shard == shard``
+    from the id itself. A part file moved between shard dirs therefore
+    lands in the receiving dir's count/checksum (mismatch) AND its rows
+    flag as misplaced — a forged ``_shard`` column consistent with its rows
+    cannot launder a move past the verifier. ``n_shards`` defaults to the
+    manifest row count (exact whenever every shard got >=1 doc, which the
+    48-bit balanced hash guarantees at any realistic corpus/shard ratio);
+    pass it explicitly when verifying a deliberately tiny export.
+
     Returns one row per shard: ``(shard, n_docs_expected, n_docs_actual,
-    order_fp_expected, order_fp_actual, ok)``, full-outer joined so a shard
-    missing from either side (deleted dir, forged manifest row) still
-    reports. Scale shape: a 3-column pruned parquet scan of the export plus
-    one hash aggregate — never touches payload columns; the manifest side
-    is n_shards rows."""
+    order_fp_expected, order_fp_actual, n_misplaced, ok)``, full-outer
+    joined so a shard missing from either side (deleted dir, forged
+    manifest row) still reports. Scale shape: a pruned parquet scan of the
+    export (partition key + 3 narrow columns, never payload) plus one hash
+    aggregate; the manifest side is n_shards rows."""
     h_expr, _ = _shard_keys(id_col)
     manifest = spark.read.parquet(path.rstrip("/") + "/_manifest").select(
         "shard",
         F.col("n_docs").alias("n_docs_expected"),
         F.col("order_fp").alias("order_fp_expected"),
     )
-    written = spark.read.parquet(path).select("_shard", "_order_key", id_col)
+    if n_shards is None:
+        n_shards = manifest.count()  # bounded: one row per shard
+    written = spark.read.parquet(path).select(
+        F.col("shard").cast("int").alias("shard"),
+        "_shard",
+        "_order_key",
+        id_col,
+    )
+    misplaced = (
+        F.pmod(F.expr(h_expr), F.lit(n_shards)) != F.col("shard").cast("bigint")
+    ) | (F.col("_shard") != F.col("shard"))
     actual = (
-        _with_fp_term(written, "_shard", "_order_key", id_col, F.expr(h_expr))
-        .groupBy(F.col("_shard").alias("shard"))
-        .agg(F.count(F.lit(1)).alias("n_docs_actual"), _fp_agg())
+        _with_fp_term(written, "shard", "_order_key", id_col, F.expr(h_expr))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_actual"),
+            _fp_agg(),
+            F.sum(misplaced.cast("bigint")).alias("n_misplaced"),
+        )
         .withColumnRenamed("order_fp", "order_fp_actual")
     )
     return (
@@ -1476,24 +1504,29 @@ def verify_training_shards(
             "n_docs_actual",
             "order_fp_expected",
             "order_fp_actual",
+            "n_misplaced",
             (
                 F.col("n_docs_expected").eqNullSafe(F.col("n_docs_actual"))
                 & F.col("order_fp_expected").eqNullSafe(
                     F.col("order_fp_actual")
                 )
+                & (F.coalesce(F.col("n_misplaced"), F.lit(0)) == 0)
             ).alias("ok"),
         )
     )
 
 
 def assert_training_shards_ok(
-    spark: SparkSession, path: str, id_col: str = "doc_id"
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int | None = None,
 ) -> None:
     """Raise :class:`ShardVerificationError` naming every failing shard if
     ``path`` does not verify against its manifest (bounded collect: one row
     per shard)."""
     bad = (
-        verify_training_shards(spark, path, id_col=id_col)
+        verify_training_shards(spark, path, id_col=id_col, n_shards=n_shards)
         .filter(~F.col("ok"))
         .collect()
     )
@@ -1501,6 +1534,7 @@ def assert_training_shards_ok(
         detail = ", ".join(
             f"shard {r['shard']}: docs {r['n_docs_expected']}!={r['n_docs_actual']}"
             f" or fp {r['order_fp_expected']}!={r['order_fp_actual']}"
+            f" or {r['n_misplaced']} misplaced rows"
             for r in bad
         )
         raise ShardVerificationError(

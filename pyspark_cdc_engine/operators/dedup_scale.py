@@ -1099,10 +1099,6 @@ def sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("code").cast("double") / 255 * (F.col("dmax") - F.col("dmin")),
         ).otherwise(F.col("dmin")),
     )
-    key = F.expr(
-        "named_struct('o', lpad(CAST(pos AS STRING), 2, '0'),"
-        " 'c', lpad(CAST(code AS STRING), 3, '0'))"
-    )
     return deq.groupBy("vec_id").agg(
         F.md5(
             F.array_join(
@@ -2982,6 +2978,16 @@ def ann_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             f"eval panel drift: brute-force ({_N_QUERIES} queries, k={_TOP_K})"
             f" vs IVF ({_IVF_QUERIES}, k={_IVF_K}) — keep the constants equal"
+        )
+    if _IVF_K != len(_NDCG_W_E12) or len(_NDCG_IDCG_E12) != _IVF_K + 1:
+        # the rank CASE below enumerates exactly len(_NDCG_W_E12) weights on
+        # BOTH the Spark and DuckDB sides — a raised _IVF_K with a stale
+        # weight table would NULL ranks past the table and sum() would
+        # silently drop those hits in lockstep, invisible to oracle parity
+        raise ValueError(
+            f"nDCG weight-table drift: k={_IVF_K} but {len(_NDCG_W_E12)} rank"
+            f" weights / {len(_NDCG_IDCG_E12) - 1} IDCG prefixes — extend"
+            " _NDCG_W_E12/_NDCG_IDCG_E12 (12-dp 1/log2(rank+1) x1e12) to k"
         )
     bf = (
         cosine_topk_bruteforce(spark, sf_dir)

@@ -156,3 +156,38 @@ def test_full_run_without_reruns_clears_stale_section():
     out = {"queries": {"a": 0.9}, "value": 0.9}
     merged = bench.merge_artifact(prev, out, partial=False)
     assert "outlier_reruns" not in merged
+
+
+def test_partial_run_merges_outlier_reruns_per_query():
+    """r10 advisor: a partial run is authoritative per TIMED query only —
+    a clean re-time clears that query's stale rerun entry, a triggered
+    rerun replaces it, and untouched queries keep theirs."""
+    prev = {
+        "queries": {"a": 1.0, "b": 2.0, "c": 3.0},
+        "outlier_reruns": {
+            "a": {"prev_artifact": 0.5, "first_median3": 1.2, "remeasured": 1.0},
+            "c": {"prev_artifact": 1.5, "first_median3": 3.2, "remeasured": 3.0},
+        },
+    }
+    # partial run re-times a (cleanly: no rerun) and b (rerun triggered)
+    out = {
+        "queries": {"a": 0.9, "b": 2.1},
+        "outlier_reruns": {
+            "b": {"prev_artifact": 1.0, "first_median3": 2.5, "remeasured": 2.1}
+        },
+    }
+    merged = bench.merge_artifact(prev, out, partial=True)
+    assert set(merged["outlier_reruns"]) == {"b", "c"}, (
+        "a's stale entry cleared by its clean re-time; b's fresh entry"
+        " lands; c untouched keeps its entry"
+    )
+    assert merged["outlier_reruns"]["b"]["remeasured"] == 2.1
+
+
+def test_partial_clean_run_can_clear_last_rerun_entry():
+    prev = {
+        "queries": {"a": 1.0},
+        "outlier_reruns": {"a": {"prev_artifact": 0.5}},
+    }
+    merged = bench.merge_artifact(prev, {"queries": {"a": 0.9}}, partial=True)
+    assert "outlier_reruns" not in merged

@@ -243,6 +243,50 @@ def test_verifier_catches_tampered_id(spark, tmp_path):
     assert report[0]["n_docs_expected"] == report[0]["n_docs_actual"]
 
 
+def test_verifier_catches_moved_part_file(spark, tmp_path):
+    """A part file physically moved between shard dirs carries a _shard
+    column perfectly consistent with its own rows — trusting _shard would
+    reproduce the original manifest and verify OK (r10 advisor finding).
+    The verifier groups by the DIRECTORY key and re-derives membership from
+    the id, so BOTH shards must fail: the source lost rows, the receiver
+    gained rows that hash elsewhere (n_misplaced > 0)."""
+    import shutil
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "mv")
+    write_training_shards(docs, out, n_shards=2)
+    src = sorted(glob.glob(os.path.join(out, "shard=0", "part-*.parquet")))[0]
+    shutil.move(
+        src, os.path.join(out, "shard=1", "smuggled-" + os.path.basename(src))
+    )
+    crc = os.path.join(os.path.dirname(src), f".{os.path.basename(src)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    report = {
+        r["shard"]: r.asDict()
+        for r in verify_training_shards(spark, out, n_shards=2).collect()
+    }
+    assert not report[0]["ok"], "source shard lost rows"
+    assert not report[1]["ok"], "receiving shard gained foreign rows"
+    assert report[1]["n_misplaced"] > 0, (
+        "moved rows must flag as misplaced — membership re-derived from the"
+        " id, not the persisted _shard column"
+    )
+    with pytest.raises(ShardVerificationError, match="misplaced"):
+        assert_training_shards_ok(spark, out, n_shards=2)
+
+
+def test_verifier_infers_n_shards_from_manifest(spark, tmp_path):
+    """Default n_shards (manifest row count) matches the writer's whenever
+    every shard is non-empty — a fresh export verifies without the caller
+    restating the shard count."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "infer")
+    write_training_shards(docs, out, n_shards=4)
+    report = verify_training_shards(spark, out).collect()
+    assert len(report) == 4 and all(r["ok"] for r in report)
+
+
 def test_verifier_reports_missing_shard_dir(spark, tmp_path):
     import shutil
 
