@@ -111,6 +111,10 @@ class IncrementalIvfIndex:
     — the first C ``vec_id``s of the snapshot, the same training-free seed
     as ``ann_ivf_bucketed`` — and persisted under ``<index>/centroids`` so
     every later fold assigns against the exact set the existing lists used.
+    ``train_iters > 0`` runs that many Lloyd's iterations
+    (:func:`~pyspark_cdc_engine.operators.dedup_scale.train_kmeans`) over
+    the snapshot at (re)build time — the FAISS train-once contract with an
+    actually TRAINED coarse quantizer; folds still never move it.
     """
 
     def __init__(
@@ -119,10 +123,12 @@ class IncrementalIvfIndex:
         base: DeltaliteTable,
         index_path: str,
         n_centroids: int = _IVF_C,
+        train_iters: int = 0,
     ) -> None:
         self.spark = spark
         self.base = base
         self.n_centroids = n_centroids
+        self.train_iters = train_iters
         self.assign = DeltaliteTable(spark, index_path.rstrip("/") + "/assign")
         self.cents = DeltaliteTable(spark, index_path.rstrip("/") + "/centroids")
 
@@ -156,19 +162,17 @@ class IncrementalIvfIndex:
         return self.cents.read()
 
     def _rebuild(self, upto: int) -> None:
-        """Full rebuild: re-train (re-seed) centroids from the snapshot,
+        """Full rebuild: re-train centroids from the snapshot (first-C seed
+        + ``train_iters`` Lloyd's rounds — 0 keeps the training-free seed),
         overwrite both tables. Centroids land FIRST — a crash between the
         two overwrites leaves assignments stale behind the watermark, and
         the retry re-runs both (overwrites are idempotent)."""
+        from pyspark_cdc_engine.operators.dedup_scale import train_kmeans
+
         snap = self.base.read(version=upto).select("vec_id", "embedding")
-        w = Window.orderBy("vec_id")
-        seed = (
-            snap.orderBy("vec_id")
-            .limit(self.n_centroids)
-            .withColumn("centroid_id", F.row_number().over(w) - 1)
-            .select("centroid_id", F.col("embedding").alias("cemb"))
+        self.cents.overwrite(
+            train_kmeans(snap, self.n_centroids, self.train_iters)
         )
-        self.cents.overwrite(seed)
         self.assign.overwrite(
             assign_to_centroids(snap, self.cents.read()),
             txn_app=self._txn_app,

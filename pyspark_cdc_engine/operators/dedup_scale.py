@@ -2118,6 +2118,495 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Trained coarse quantizer: k-means = kmeans_update_step iterated by a
+# driver loop (the train_bpe_merges pattern — k Spark jobs, one tiny table
+# back to the driver-side lineage per round, oracle re-derives the loop as
+# unrolled CTEs).
+# ---------------------------------------------------------------------------
+
+_KM_ITERS = 3  # Lloyd's iterations for the certified trained quantizer
+
+
+def train_kmeans(
+    vectors: DataFrame,
+    n_centroids: int = _IVF_C,
+    n_iters: int = _KM_ITERS,
+) -> DataFrame:
+    """Lloyd's k-means over ``vectors`` (vec_id, embedding): seed = first
+    ``n_centroids`` vec_ids (the training-free convention every first-C
+    kernel here uses, so ``n_iters=0`` IS that convention), then
+    ``n_iters`` update rounds, each one :func:`kmeans_update_step` shape —
+    assign every vector to its nearest centroid (cosine, the fixed-point
+    argmax kernel), recompute each centroid as the decimal-exact
+    per-dimension mean of its cluster, keep a centroid unchanged if its
+    cluster went empty (the standard Lloyd's convention). Returns
+    (centroid_id, cemb array<double>).
+
+    100 TB shape: the corpus is scanned once per iteration (assignment =
+    the proven broadcast-join kernel, update = one hash agg to C x dim
+    cells); the only thing that crosses iterations is the C-row centroid
+    table, ``localCheckpoint``-ed so iteration N's plan never replays
+    iterations 1..N-1 — exactly how ``train_bpe_merges`` bounds its
+    lineage. FAISS trains its coarse quantizer the same way (few Lloyd's
+    rounds over a sample); here the "sample" is the full test corpus so
+    the DuckDB oracle can re-derive training bit-for-bit."""
+    return _train_kmeans_history(vectors, n_centroids, n_iters)[-1]
+
+
+def _train_kmeans_history(
+    vectors: DataFrame,
+    n_centroids: int = _IVF_C,
+    n_iters: int = _KM_ITERS,
+) -> list[DataFrame]:
+    """:func:`train_kmeans` returning every intermediate centroid table
+    [cent0 .. cent{n_iters}] — cent0 is the seed, cent{n} the table after
+    n Lloyd's updates. Each is localCheckpoint-ed (C rows), so reading the
+    whole history costs nothing beyond the training run itself; the
+    distortion report uses it to certify per-iteration improvement without
+    re-training per iteration."""
+    from pyspark_cdc_engine.operators.ann_incremental import (
+        assign_to_centroids,
+    )
+
+    w = Window.orderBy("vec_id")
+    vecs = vectors.select("vec_id", "embedding").localCheckpoint(eager=True)
+    cents = (
+        vecs.orderBy("vec_id")
+        .limit(n_centroids)
+        .withColumn("centroid_id", F.row_number().over(w) - 1)
+        .select(
+            "centroid_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "cemb"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    history = [cents]
+    for _ in range(n_iters):
+        assigned = assign_to_centroids(vecs, cents)
+        means = (
+            vecs.join(assigned, "vec_id")
+            .select(
+                "centroid_id", F.posexplode("embedding").alias("pos", "val")
+            )
+            .withColumn("val", F.col("val").cast("double"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast(_DEC)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cval")
+            )
+        )
+        new = means.groupBy("centroid_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cval))),"
+                " x -> x.cval)"
+            ).alias("cemb_new")
+        )
+        cents = (
+            cents.join(new, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("cemb_new", "cemb").alias("cemb"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        history.append(cents)
+    return history
+
+
+def _kmeans_ctes_duck(n_iters: int = _KM_ITERS) -> str:
+    """DuckDB re-derivation of :func:`train_kmeans` as an unrolled CTE
+    chain (requires ``norms`` from ``_NORMS_CTE_DUCK`` in scope): cent0 =
+    first-C seed cast to double, each round one fixed-point-argmax
+    assignment + decimal-exact per-dim mean + keep-old-on-empty — the same
+    total order and the same arithmetic as the Spark loop, so the trained
+    centroids (and everything downstream of them) certify rank-for-rank.
+    Also emits ``tassign_scored`` / ``tassigned``: the final assignment of
+    every vector against the TRAINED centroids, mirroring
+    ``_ASSIGN_CTE_DUCK``'s shape so search queries read identically."""
+    parts = [
+        f"""
+    cent0 AS MATERIALIZED (
+      SELECT vec_id AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb,
+             norm2 AS cn2
+      FROM norms WHERE vec_id < {_IVF_C})"""
+    ]
+    for n in range(n_iters):
+        parts.append(
+            f""",
+    kasg{n} AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT n.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY CAST({_idot_duck('n.embedding', 'c.cemb')} AS DOUBLE)
+                            / SQRT(n.norm2 * c.cn2) DESC,
+                          c.centroid_id) AS rn
+        FROM norms n CROSS JOIN cent{n} c
+      ) WHERE rn = 1
+    ),
+    kmean{n} AS MATERIALIZED (
+      SELECT a.centroid_id, i - 1 AS pos,
+             CAST(SUM(CAST(CAST(v.embedding[i] AS DOUBLE) AS {_DEC})) AS DOUBLE)
+               / COUNT(*) AS cval
+      FROM kasg{n} a JOIN norms v USING (vec_id),
+           UNNEST(range(1, len(v.embedding) + 1)) AS t(i)
+      GROUP BY 1, 2
+    ),
+    cent{n + 1} AS MATERIALIZED (
+      SELECT p.centroid_id,
+             COALESCE(m.cemb, p.cemb) AS cemb,
+             CAST((SELECT SUM(CAST(x * x AS {_DEC}))
+                   FROM UNNEST(COALESCE(m.cemb, p.cemb)) AS t(x)) AS DOUBLE)
+               AS cn2
+      FROM cent{n} p LEFT JOIN (
+        SELECT centroid_id, list(cval ORDER BY pos) AS cemb
+        FROM kmean{n} GROUP BY centroid_id) m USING (centroid_id)
+    )"""
+        )
+    parts.append(
+        f""",
+    tassign_scored AS MATERIALIZED (
+      SELECT n.vec_id, n.embedding, n.norm2, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY CAST({_idot_duck('n.embedding', 'c.cemb')} AS DOUBLE)
+                          / SQRT(n.norm2 * c.cn2) DESC,
+                        c.centroid_id) AS rn
+      FROM norms n CROSS JOIN cent{n_iters} c
+    ),
+    tassigned AS (SELECT vec_id, embedding, norm2, centroid_id
+                  FROM tassign_scored WHERE rn = 1)"""
+    )
+    return "".join(parts)
+
+
+def _probes_vs_centroids(
+    q: DataFrame, cents: DataFrame, nprobe: int
+) -> DataFrame:
+    """(query_id, qemb, qn2, centroid_id): each query row of ``q``
+    (query_id, qemb, qn2) paired with its ``nprobe`` nearest centroids
+    from an EXPLICIT centroid frame (centroid_id, cemb) — the trained-
+    centroid generalization of :func:`_ivf_query_probes`, same fixed-point
+    window ranking. The probe table stays Q x P rows, always broadcast."""
+    cex = cents.select(
+        "centroid_id",
+        F.expr(f"CAST({_norm2_dec('cemb')} AS DOUBLE)").alias("cn2"),
+        F.posexplode("cemb").alias("pos", "cval"),
+    )
+    ex = q.select("query_id", "qn2", F.posexplode("qemb").alias("pos", "val"))
+    term = F.expr(
+        f"CAST(floor(CAST(val AS DOUBLE) * CAST(cval AS DOUBLE)"
+        f" * {_IDOT_SCALE}) AS BIGINT)"
+    )
+    dots = (
+        ex.join(F.broadcast(cex), "pos")
+        .groupBy("query_id", "centroid_id")
+        .agg(
+            F.sum(term).cast("double").alias("dot"),
+            F.first("qn2").alias("qn2"),
+            F.first("cn2").alias("cn2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        (F.col("dot") / F.sqrt(F.col("qn2") * F.col("cn2"))).desc(),
+        F.col("centroid_id"),
+    )
+    probes = (
+        dots.withColumn("prank", F.row_number().over(w))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    return q.join(probes, "query_id")
+
+
+@register(
+    "ann_ivf_trained",
+    survey="M5-ann,W1,O1,beyond-ref",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_kmeans_ctes_duck(_KM_ITERS)},
+    qp AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+           FROM tassign_scored
+           WHERE vec_id < {_IVF_QUERIES} AND rn <= {_IVF_NPROBE}),
+    scored AS (
+      SELECT qp.query_id, c.vec_id AS neighbor_id,
+             {_dot_duck('qp.qemb', 'c.embedding')} / SQRT(qp.qn2 * c.norm2)
+               AS cos_sim
+      FROM qp JOIN tassigned c
+        ON c.centroid_id = qp.centroid_id AND c.vec_id <> qp.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_IVF_K}
+    """,
+)
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe IVF ANN over a TRAINED coarse quantizer: {_KM_ITERS}
+    Lloyd's iterations of :func:`train_kmeans` replace the first-C seed
+    every other IVF kernel here uses, then the usual nprobe={_IVF_NPROBE}
+    search (rank-P probes per query, inverted-list candidates,
+    exact-decimal cosine re-rank). The oracle re-derives the ENTIRE
+    training loop as unrolled CTEs — both engines train from scratch under
+    the same argmax/mean arithmetic, so a hash match certifies the trainer
+    itself, not just the search. Recall lift over the untrained seed is
+    measured by ``ann_trained_recall_at_k``."""
+    from pyspark_cdc_engine.operators.ann_incremental import (
+        assign_to_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
+    )
+    vecs = emb.select("vec_id", "embedding")
+    cents = train_kmeans(vecs, _IVF_C, _KM_ITERS)
+    assigned = emb.join(assign_to_centroids(vecs, cents), "vec_id")
+    q = emb.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("norm2").alias("qn2"),
+    )
+    probes = _probes_vs_centroids(q, cents, _IVF_NPROBE)
+    dot_qc = _DOT_DEC_SPARK.format(a="qemb", b="embedding")
+    scored = (
+        assigned.join(
+            F.broadcast(probes),
+            (assigned["centroid_id"] == probes["centroid_id"])
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cos_sim", F.expr(dot_qc) / F.sqrt(F.col("qn2") * F.col("norm2"))
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+@register(
+    "ann_trained_recall_at_k",
+    survey="M5-ann,J3,A2,beyond-ref",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))},
+    {_kmeans_ctes_duck(_KM_ITERS)},
+    qp AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+           FROM assign_scored
+           WHERE vec_id < {_IVF_QUERIES} AND rn <= {_IVF_NPROBE}),
+    fc_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qp.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qp.query_id
+                 ORDER BY {_dot_duck('qp.qemb', 'c.embedding')}
+                            / SQRT(qp.qn2 * c.norm2) DESC,
+                          c.vec_id) AS rank
+        FROM qp JOIN assigned c
+          ON c.centroid_id = qp.centroid_id AND c.vec_id <> qp.query_id
+      ) WHERE rank <= {_IVF_K}
+    ),
+    tqp AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+            FROM tassign_scored
+            WHERE vec_id < {_IVF_QUERIES} AND rn <= {_IVF_NPROBE}),
+    tr_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT tqp.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY tqp.query_id
+                 ORDER BY {_dot_duck('tqp.qemb', 'c.embedding')}
+                            / SQRT(tqp.qn2 * c.norm2) DESC,
+                          c.vec_id) AS rank
+        FROM tqp JOIN tassigned c
+          ON c.centroid_id = tqp.centroid_id AND c.vec_id <> tqp.query_id
+      ) WHERE rank <= {_IVF_K}
+    ),
+    bf_dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                           * CAST(c.embedding[i] AS DOUBLE) AS {_DEC}))
+                  AS DOUBLE) AS dot
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id,
+      UNNEST(range(1, len(q.embedding) + 1)) AS t(i)
+      WHERE q.vec_id < {_IVF_QUERIES}
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    bf_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.query_id, d.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                  ORDER BY d.dot / SQRT(nq.norm2 * nc.norm2) DESC,
+                                           d.neighbor_id) AS rank
+        FROM bf_dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.neighbor_id
+      ) WHERE rank <= {_IVF_K}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(f.neighbor_id) AS BIGINT) AS hits_firstc,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS hits_trained,
+           CAST(COUNT(f.neighbor_id) AS DOUBLE) / {_IVF_K} AS recall_firstc,
+           CAST(COUNT(t.neighbor_id) AS DOUBLE) / {_IVF_K} AS recall_trained
+    FROM bf_topk b
+    LEFT JOIN fc_topk f
+      ON f.query_id = b.query_id AND f.neighbor_id = b.neighbor_id
+    LEFT JOIN tr_topk t
+      ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the TRAINED coarse quantizer vs the first-C seed, same
+    query panel and brute-force ground truth — the FAISS-style measurement
+    that must accompany any quantizer change. Measured honestly: on THIS
+    panel the first-C seed wins slightly (37 vs 32 hits/40 at sf0.01, 40
+    vs 39 at sf0.1) because the 8 panel queries ARE first-C seed centroids
+    — each query's rank-1 probe is its own bucket, an oracle-like
+    quantizer for exactly those queries. Training optimizes DISTORTION
+    (``kmeans_distortion_report`` certifies the monotone improvement),
+    which generalizes to arbitrary queries; the seed's panel edge does
+    not. Composes :func:`cosine_topk_bruteforce`,
+    :func:`ann_ivf_multiprobe` (first-C), and :func:`ann_ivf_trained`
+    verbatim; every side is deterministic, so both recalls are exact
+    oracle-checkable numbers."""
+    from pyspark_cdc_engine.operators.vectors import (
+        _N_QUERIES,
+        _TOP_K,
+        cosine_topk_bruteforce,
+    )
+
+    if _N_QUERIES != _IVF_QUERIES or _TOP_K != _IVF_K:
+        raise ValueError(
+            f"recall panel drift: brute-force ({_N_QUERIES} queries, k={_TOP_K})"
+            f" vs IVF ({_IVF_QUERIES}, k={_IVF_K}) — keep the constants equal"
+        )
+
+    bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    firstc = (
+        ann_ivf_multiprobe(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hitf", F.lit(1))
+    )
+    trained = (
+        ann_ivf_trained(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hitt", F.lit(1))
+    )
+    hf = F.sum(F.coalesce(F.col("hitf"), F.lit(0)))
+    ht = F.sum(F.coalesce(F.col("hitt"), F.lit(0)))
+    return (
+        bf.join(firstc, ["query_id", "neighbor_id"], "left")
+        .join(trained, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            hf.cast("bigint").alias("hits_firstc"),
+            ht.cast("bigint").alias("hits_trained"),
+            (hf.cast("double") / _IVF_K).alias("recall_firstc"),
+            (ht.cast("double") / _IVF_K).alias("recall_trained"),
+        )
+    )
+
+
+def _kmeans_distortion_oracle(n_iters: int = _KM_ITERS) -> str:
+    """DuckDB oracle for :func:`kmeans_distortion_report`: one row per
+    training iteration, mean exact-decimal cosine of every vector to its
+    assigned centroid — iteration n reads the kasg{{n}}/cent{{n}} CTEs the
+    kmeans chain already materializes (tassigned for the final table)."""
+    parts = []
+    for n in range(n_iters + 1):
+        asg = (
+            f"kasg{n}"
+            if n < n_iters
+            else "(SELECT vec_id, centroid_id FROM tassigned)"
+        )
+        parts.append(
+            f"""
+      SELECT CAST({n} AS INT) AS iter,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(CAST(sim AS {_DEC})) AS DOUBLE) / COUNT(*) AS mean_sim
+      FROM (
+        SELECT {_dot_duck('v.embedding', 'c.cemb')} / SQRT(v.norm2 * c.cn2)
+          AS sim
+        FROM {asg} a
+        JOIN norms v USING (vec_id)
+        JOIN cent{n} c USING (centroid_id)
+      )"""
+        )
+    return (
+        f"WITH {_NORMS_CTE_DUCK}, {_kmeans_ctes_duck(n_iters)}"
+        + " UNION ALL ".join(parts)
+    )
+
+
+@register(
+    "kmeans_distortion_report",
+    survey="M5-ann,A2,U2,beyond-ref",
+    oracle=_kmeans_distortion_oracle(_KM_ITERS),
+)
+def kmeans_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-iteration quantizer quality of :func:`train_kmeans`: mean
+    cosine similarity of every corpus vector to its assigned centroid,
+    one row per Lloyd's iteration 0..{_KM_ITERS} (0 = the untrained
+    first-C seed). This is the objective k-means actually improves —
+    Lloyd's monotonicity means mean_sim rises (or holds) every iteration,
+    asserted in tests — and the number that justifies training even where
+    the 8-query panel recall (``ann_trained_recall_at_k``) doesn't move:
+    lower distortion is what generalizes to arbitrary future queries.
+    Exact-decimal cosines and sums keep all {_KM_ITERS + 1} means
+    oracle-checkable to the bit. Scale shape: one assignment broadcast
+    join + one hash agg per iteration — the training run's own cost
+    profile, nothing extra."""
+    from pyspark_cdc_engine.operators.ann_incremental import (
+        assign_to_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
+    )
+    vecs = emb.select("vec_id", "embedding")
+    history = _train_kmeans_history(vecs, _IVF_C, _KM_ITERS)
+    dot_vc = _DOT_DEC_SPARK.format(a="embedding", b="cemb")
+    parts = []
+    for it, cents in enumerate(history):
+        cn = cents.withColumn(
+            "cn2", F.expr(f"CAST({_norm2_dec('cemb')} AS DOUBLE)")
+        )
+        sims = (
+            emb.join(assign_to_centroids(vecs, cents), "vec_id")
+            .join(F.broadcast(cn), "centroid_id")
+            .withColumn(
+                "sim",
+                F.expr(dot_vc) / F.sqrt(F.col("norm2") * F.col("cn2")),
+            )
+        )
+        parts.append(
+            sims.agg(
+                F.lit(it).cast("int").alias("iter"),
+                F.count(F.lit(1)).alias("n_vectors"),
+                (
+                    F.sum(F.col("sim").cast(_DEC)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mean_sim"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @register(
     "semantic_dedup",
     survey="M5-dedup,W1,A2,beyond-ref",

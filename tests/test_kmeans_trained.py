@@ -1,0 +1,133 @@
+"""Trained IVF coarse quantizer (train_kmeans): seed convention,
+composition with kmeans_update_step, Lloyd's monotone distortion, and
+trained centroids inside IncrementalIvfIndex."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_cdc_engine.operators.ann_incremental import (
+    IncrementalIvfIndex,
+    assign_to_centroids,
+)
+from pyspark_cdc_engine.operators.dedup_scale import (
+    _IVF_C,
+    _KM_ITERS,
+    _train_kmeans_history,
+    kmeans_distortion_report,
+    kmeans_update_step,
+    train_kmeans,
+)
+from pyspark_cdc_engine.tables import DeltaliteTable
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def vecs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _cent_map(cents_df):
+    return {
+        r["centroid_id"]: [float(x) for x in r["cemb"]]
+        for r in cents_df.collect()
+    }
+
+
+def test_zero_iters_is_the_first_c_seed(spark, vecs):
+    """n_iters=0 IS the training-free convention every first-C kernel
+    uses: centroid_id i holds the i-th lowest vec_id's embedding."""
+    got = _cent_map(train_kmeans(vecs, n_iters=0))
+    first = {
+        i: [float(x) for x in r["embedding"]]
+        for i, r in enumerate(
+            vecs.orderBy("vec_id").limit(_IVF_C).collect()
+        )
+    }
+    assert got == first
+
+
+def test_one_iter_composes_kmeans_update_step(spark, vecs):
+    """cent1 must be EXACTLY the registered kmeans_update_step output
+    (same assignment kernel, same decimal-exact means) — the trainer is
+    the certified step iterated, not a reimplementation."""
+    cent1 = _cent_map(_train_kmeans_history(vecs, _IVF_C, 1)[1])
+    step = kmeans_update_step(spark, SF_DIR).collect()
+    want = {}
+    for r in step:
+        want.setdefault(r["centroid_id"], {})[r["pos"]] = r["new_val"]
+    for cid, dims in want.items():
+        expect = [dims[p] for p in sorted(dims)]
+        assert cent1[cid] == expect, f"centroid {cid} diverges from step"
+    # clusters the step never saw (empty) keep their seed embedding
+    seed = _cent_map(train_kmeans(vecs, n_iters=0))
+    for cid in set(seed) - set(want):
+        assert cent1[cid] == seed[cid]
+
+
+def test_distortion_is_monotone_nondecreasing(spark):
+    """Lloyd's monotonicity on the spherical objective: mean cosine to the
+    assigned centroid never drops across iterations (tiny epsilon for the
+    fixed-point argmax resolution)."""
+    rows = sorted(
+        kmeans_distortion_report(spark, SF_DIR).collect(),
+        key=lambda r: r["iter"],
+    )
+    assert [r["iter"] for r in rows] == list(range(_KM_ITERS + 1))
+    assert len({r["n_vectors"] for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b["mean_sim"] >= a["mean_sim"] - 1e-9, (
+            f"distortion regressed at iter {b['iter']}: "
+            f"{a['mean_sim']} -> {b['mean_sim']}"
+        )
+    assert rows[-1]["mean_sim"] > rows[0]["mean_sim"], (
+        "training must actually improve the seed on this corpus"
+    )
+
+
+def test_incremental_index_with_trained_centroids(spark, vecs, tmp_path):
+    """train_iters>0 trains at build, then folds stay O(delta) against the
+    FROZEN trained centroids: the incrementally-built assignment table is
+    row-identical to a from-scratch assignment of the full corpus against
+    the same trained set."""
+    t = DeltaliteTable(spark, str(tmp_path / "embs"))
+    base = vecs.filter((F.col("vec_id") % 4 != 0) | (F.col("vec_id") < 16))
+    t.overwrite(base)
+    idx = IncrementalIvfIndex(
+        spark, t, str(tmp_path / "ivf"), train_iters=2
+    )
+    idx.refresh()
+    # the persisted centroids are exactly train_kmeans over the base snapshot
+    want_cents = _cent_map(train_kmeans(base, _IVF_C, 2))
+    assert _cent_map(idx.centroids()) == want_cents
+
+    t.append(vecs.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") >= 16)))
+    idx.refresh()
+    got = sorted(
+        (r["vec_id"], r["centroid_id"]) for r in idx.assign.read().collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in assign_to_centroids(t.read(), idx.centroids()).collect()
+    )
+    assert got == want
+    # centroids did NOT retrain on the fold (frozen contract)
+    assert _cent_map(idx.centroids()) == want_cents
+
+    # search returns k ranked rows per query, never the query itself
+    queries = (
+        t.read()
+        .filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qemb"),
+        )
+    )
+    res = idx.search(queries, k=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))

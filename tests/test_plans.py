@@ -492,6 +492,7 @@ _SWEEP_CROSS_OK = {
     "ann_lsh_multiprobe",       # same hyperplane table + Qx(H+1) probe list
     "lsh_multiprobe_recall_at_k",   # composes the gated BF + LSH kernels
     "ann_multiprobe_recall_at_k",   # composes the gated brute-force kernel
+    "ann_trained_recall_at_k",      # composes the gated brute-force kernel
     "ann_mrr_at_k",             # composes the gated brute-force kernel
     "ann_ndcg_at_k",            # composes the gated brute-force kernel
     "ivfpq_recall_at_k",        # broadcast 4-query exact-L2 truth side
