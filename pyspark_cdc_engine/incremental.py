@@ -88,9 +88,11 @@ def signed_fold_safe(
     added row (2×|table|) where a rebuild reads only the new table (1×) —
     rebuild strictly wins. Cow MERGE without CDF and RESTORE (history
     rewind) force a rebuild for expressibility, as do schema commits
-    touching a referenced column. Append-only consumers that cannot
-    subtract (e.g. the LSH band index) must keep using
-    :func:`incremental_fold_safe`."""
+    touching a referenced column. Truly append-only consumers (e.g. the
+    training-shard exporter, whose generations are immutable artifacts)
+    must keep using :func:`incremental_fold_safe`; keyed consumers that
+    can delete/re-derive per key (the aggregate MV, both incremental
+    indexes) fold this whole surface."""
     for c in history:
         if not (since < c["version"] <= upto):
             continue

@@ -8,14 +8,16 @@ re-assign 100 TB of vectors because one day's embeddings arrived.
 of IVF) current from a deltalite embeddings table's change feed: the
 centroid set is FROZEN at build time (trained once, persisted next to the
 index — exactly how production IVF works: FAISS trains the coarse quantizer
-once and add() never moves it), so each refresh folds ONLY the rows new
-commits appended (``read_changes`` reads just the added data dirs), assigns
-them to their nearest frozen centroid, and APPENDS their assignment rows —
-O(delta) compute and write, never a corpus rescan. A non-append commit
-(overwrite/delete/merge/restore — rewrites additive deltas can't express)
-forces one full rebuild WITH RE-TRAINED centroids, the same contract as
-``IncrementalLshIndex``, whose crash-idempotent watermark pattern
-(``refresh_upto`` commits + txn tags) this class reuses.
+once and add() never moves it), so each refresh folds ONLY what new commits
+changed. Appends fold as assignment APPENDS; DV/predicate DELETEs fold as
+assignment-row DELETIONS (the feed enumerates the tombstoned vec_ids
+row-exactly — one broadcast MERGE, never a corpus rescan); UPDATEs and DV
+MERGEs fold as re-assignments of the postimage rows (the
+``signed_fold_safe`` surface). Only a commit the feed cannot express — cow
+MERGE without CDF, RESTORE — or an OVERWRITE (one rebuild scan beats a
+2x-table signed fold) forces one full rebuild WITH RE-TRAINED centroids,
+the same contract as ``IncrementalLshIndex``, whose crash-idempotent
+watermark pattern (``refresh_upto`` commits + txn tags) this class reuses.
 
 Correctness anchor: a vector's assignment depends only on its own embedding
 and the frozen centroids, so per-commit assignment composes — the
@@ -54,6 +56,7 @@ from pyspark_cdc_engine.operators.dedup_scale import (
 from pyspark_cdc_engine.operators.registry import load_table, register
 from pyspark_cdc_engine.tables import (
     DeltaliteTable,
+    MergeClause,
     NoChangesInWindow,
     RetentionPrunedWindow,
 )
@@ -181,17 +184,24 @@ class IncrementalIvfIndex:
         self._record_watermark(upto)
 
     def refresh(self) -> int:
-        """Index every base commit newer than the watermark. Appends fold as
-        assignment APPENDS against the frozen centroids (O(delta)); any
-        history-rewriting commit forces one full rebuild (with re-seeded
-        centroids). Returns the new watermark."""
-        from pyspark_cdc_engine.incremental import incremental_fold_safe
+        """Index every base commit newer than the watermark. Every commit
+        whose exact change rows the feed reconstructs folds O(delta)
+        against the frozen centroids (``signed_fold_safe``): appends fold
+        as assignment APPENDS; DV/predicate DELETEs fold as assignment-row
+        DELETIONS (the deleted vec_ids are enumerated row-exactly by the
+        change feed — no reason to rescan 100 TB because one commit
+        tombstoned a day of vectors); UPDATEs and DV MERGEs fold as
+        re-assignments of the postimage rows. Only commits the feed cannot
+        express — cow MERGE without CDF, RESTORE — or an OVERWRITE (where
+        one rebuild scan beats a 2x-table signed fold) force a full
+        rebuild with re-trained centroids. Returns the new watermark."""
+        from pyspark_cdc_engine.incremental import signed_fold_safe
 
         upto = self.base.latest_version()
         since = self.last_refreshed_version()
         if since >= upto:
             return since
-        incremental_safe = since >= 0 and incremental_fold_safe(
+        incremental_safe = since >= 0 and signed_fold_safe(
             self.base.history(), since, upto, {"vec_id", "embedding"}
         )
         if not incremental_safe:
@@ -208,15 +218,83 @@ class IncrementalIvfIndex:
             # as IncrementalLshIndex.refresh)
             self._rebuild(upto)
             return upto
-        self.assign.append(
-            assign_to_centroids(
-                changed.select("vec_id", "embedding"), self.cents.read()
-            ),
-            txn_app=self._txn_app,
-            txn_version=upto,
-        )
+        self._fold_changes(changed, upto)
         self._record_watermark(upto)
         return upto
+
+    def _fold_changes(self, changed: DataFrame, upto: int) -> None:
+        """One MERGE folding a change-feed window into the assignment
+        table: per-vec_id net effect (the replication netting — last state
+        wins, preimages dropped), surviving upserts assigned against the
+        FROZEN centroids, net deletes removed. An append-only window
+        degenerates to pure inserts — the same O(delta) append as before,
+        now one code path for the whole signed surface."""
+        from pyspark_cdc_engine.streaming.replicate import net_changes
+
+        # Insert-only windows (the overwhelmingly common case: appends)
+        # keep the plain APPEND path — one write, base assignment dirs
+        # never touched. The bounded distinct (<= 4 change kinds) is how
+        # the fold knows whether the window carries signed rows at all.
+        kinds = {
+            r["_change_type"]
+            for r in changed.select("_change_type").distinct().collect()
+        }
+        if kinds <= {"insert"}:
+            self.assign.append(
+                assign_to_centroids(
+                    changed.select("vec_id", "embedding"), self.cents.read()
+                ),
+                txn_app=self._txn_app,
+                txn_version=upto,
+            )
+            return
+        net = net_changes(
+            changed.select(
+                "vec_id", "embedding",
+                "_change_type", "_commit_version", "_commit_timestamp",
+            ),
+            ["vec_id"],
+        ).persist()
+        try:
+            ctype = dict(self.cents.read().dtypes)["centroid_id"]
+            ups = assign_to_centroids(
+                net.filter(F.col("__op") == "U").select("vec_id", "embedding"),
+                self.cents.read(),
+            ).withColumn("__op", F.lit("U"))
+            dels = (
+                net.filter(F.col("__op") == "D")
+                .select("vec_id")
+                .withColumn("centroid_id", F.lit(None).cast(ctype))
+                .withColumn("__op", F.lit("D"))
+            )
+            delta = ups.unionByName(dels)
+            self.assign.merge(
+                delta,
+                "target.vec_id = source.vec_id",
+                [
+                    MergeClause("delete", condition="source.__op = 'D'"),
+                    MergeClause(
+                        "update",
+                        condition=None,
+                        assignments={"centroid_id": "source.centroid_id"},
+                    ),
+                    # an unmatched 'D' (vector inserted and deleted within
+                    # the window) correctly applies as nothing
+                    MergeClause(
+                        "insert",
+                        condition="source.__op = 'U'",
+                        assignments={
+                            "vec_id": "source.vec_id",
+                            "centroid_id": "source.centroid_id",
+                        },
+                    ),
+                ],
+                prune_on="vec_id",
+                txn_app=self._txn_app,
+                txn_version=upto,
+            )
+        finally:
+            net.unpersist()
 
     def search(
         self,
@@ -345,6 +423,71 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_tbl.append(
         e.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") >= _IVF_C))
     )
+    idx.refresh()
+    queries = (
+        base_tbl.read()
+        .filter(F.col("vec_id") < _IVF_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+        )
+    )
+    return idx.search(queries, k=_IVF_K, nprobe=_IVF_NPROBE)
+
+
+_DEL_OFFSET = 10_000_000  # synthetic vec_ids for the delete-fold scenario
+
+
+@register(
+    "ann_ivf_incremental_delete",
+    survey="M5-ann,beyond-ref,S3,J4,W1,O1",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))},
+    qp AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+           FROM assign_scored
+           WHERE vec_id < {_IVF_QUERIES} AND rn <= {_IVF_NPROBE}),
+    scored AS (
+      SELECT qp.query_id, c.vec_id AS neighbor_id,
+             {_dot_duck('qp.qemb', 'c.embedding')} / SQRT(qp.qn2 * c.norm2) AS cos_sim
+      FROM qp JOIN assigned c
+        ON c.centroid_id = qp.centroid_id AND c.vec_id <> qp.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_IVF_K}
+    """,
+)
+def ann_ivf_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) DELETE folding in the maintained IVF index: the corpus
+    plus a batch of synthetic distractor vectors (shifted copies at
+    vec_id >= {_DEL_OFFSET}) lands as one table, the index is built over
+    all of it, then a DV DELETE tombstones the distractors and the next
+    refresh FOLDS those deletions — the change feed enumerates the
+    deleted vec_ids row-exactly, so the fold is one broadcast MERGE
+    removing their assignment rows, never a corpus rescan or a centroid
+    re-train (the distractors' ids sit above the first-C seed, so the
+    frozen centroids are the corpus' own). The post-delete index answers
+    the query panel; the oracle is the from-scratch multiprobe derivation
+    over the PLAIN corpus — a hash match certifies the deletions really
+    left the inverted lists and nothing else moved. Rebuild-fallback for
+    feeds the netting cannot express stays covered by pytest."""
+    from pyspark_cdc_engine.operators.dedup_incremental import (
+        _fresh_scratch_dir,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    extras = e.filter(F.col("vec_id") % 3 == 1).select(
+        (F.col("vec_id") + _DEL_OFFSET).alias("vec_id"), "embedding"
+    )
+    tmp = _fresh_scratch_dir(f"ivfdel:{sf_dir}")
+    base_tbl = DeltaliteTable(spark, f"{tmp}/embs")
+    base_tbl.overwrite(e.unionByName(extras))
+    idx = IncrementalIvfIndex(spark, base_tbl, f"{tmp}/ivf_index")
+    idx.refresh()
+    base_tbl.delete(f"vec_id >= {_DEL_OFFSET}", mode="dv")
     idx.refresh()
     queries = (
         base_tbl.read()

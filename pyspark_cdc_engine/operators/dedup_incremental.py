@@ -5,11 +5,13 @@ A dedup pipeline over a growing corpus must not re-shingle and re-hash 100 TB
 because one day's documents arrived. :class:`IncrementalLshIndex` keeps a
 deltalite BAND TABLE (``doc_id, band_id, band_hash`` — the join key of MinHash
 LSH candidate generation) current from a deltalite documents table's change
-feed: each refresh folds ONLY the rows new commits appended (``read_changes``
-reads just the added data dirs), computes their signatures, and APPENDS their
-band rows — O(delta) compute and write, never a corpus rescan. A non-append
-commit (overwrite/merge/restore rewrites history additive deltas can't
-express) forces one full rebuild, the same contract as
+feed: each refresh folds ONLY what new commits changed — appends compute the
+new rows' signatures and APPEND their band rows; DV/predicate DELETEs remove
+the tombstoned docs' band rows (the feed enumerates them row-exactly);
+UPDATEs re-band the postimage text — O(delta) compute and write, never a
+corpus rescan (the ``signed_fold_safe`` surface). Only a commit the feed
+cannot express (cow MERGE without CDF, RESTORE) or an OVERWRITE forces one
+full rebuild, the same contract as
 :class:`pyspark_cdc_engine.incremental.IncrementalAggregate`, whose
 crash-idempotent two-commit watermark pattern this class reuses.
 
@@ -32,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_cdc_engine.operators.dedup_scale import (
+    _LSH_B,
     _MH_CTES_DUCK,
     lsh_band_table,
     minhash_shingle_sets,
@@ -41,6 +44,7 @@ from pyspark_cdc_engine.operators.dedup_scale import (
 from pyspark_cdc_engine.operators.registry import load_table, register
 from pyspark_cdc_engine.tables import (
     DeltaliteTable,
+    MergeClause,
     NoChangesInWindow,
     RetentionPrunedWindow,
 )
@@ -88,18 +92,21 @@ class IncrementalLshIndex:
         return lsh_band_table(minhash_signatures(docs.select("doc_id", "text")))
 
     def refresh(self) -> int:
-        """Index every base commit newer than the watermark. Appends fold as
-        signature APPENDS (O(delta)); any history-rewriting commit forces one
-        full rebuild. Returns the new watermark."""
+        """Index every base commit newer than the watermark. Every commit
+        whose exact change rows the feed reconstructs folds O(delta)
+        (``signed_fold_safe``): appends fold as band APPENDS; DV/predicate
+        DELETEs fold as band-row DELETIONS (the feed enumerates the
+        tombstoned doc_ids row-exactly); UPDATEs re-band the postimage
+        text. Only commits the feed cannot express — cow MERGE without
+        CDF, RESTORE — or an OVERWRITE force one full rebuild. Returns the
+        new watermark."""
         upto = self.base.latest_version()
         since = self.last_refreshed_version()
         if since >= upto:
             return since
-        from pyspark_cdc_engine.incremental import incremental_fold_safe
+        from pyspark_cdc_engine.incremental import signed_fold_safe
 
-        # Row-preserving commits fold incrementally; history rewrites — and
-        # schema commits touching the columns the index reads — rebuild.
-        incremental_safe = since >= 0 and incremental_fold_safe(
+        incremental_safe = since >= 0 and signed_fold_safe(
             self.base.history(), since, upto, {"doc_id", "text"}
         )
         txn_app = self._txn_app
@@ -123,11 +130,100 @@ class IncrementalLshIndex:
             self.index.overwrite(snap, txn_app=txn_app, txn_version=upto)
             self._record_watermark(upto)
             return upto
-        self.index.append(
-            self._bands_of(changed), txn_app=txn_app, txn_version=upto
-        )
+        self._fold_changes(changed, upto)
         self._record_watermark(upto)
         return upto
+
+    def _fold_changes(self, changed: DataFrame, upto: int) -> None:
+        """One MERGE folding a change-feed window into the band table:
+        per-doc net effect (replication netting — last state wins,
+        preimages dropped), surviving upserts re-banded, net deletes —
+        plus updated docs whose new text yields NO shingles (shorter than
+        a shingle window: no signature, no band rows) — removed for every
+        band_id. The band table's key is (doc_id, band_id) with exactly
+        ``_LSH_B`` rows per banded doc, so delete rows synthesize the full
+        band_id range per vanishing doc. An append-only window degenerates
+        to pure inserts — one code path for the whole signed surface."""
+        from pyspark_cdc_engine.streaming.replicate import net_changes
+
+        # Insert-only windows (the common case: appends) keep the plain
+        # APPEND path — one write, base band dirs never touched. Bounded
+        # distinct: <= 4 change kinds.
+        kinds = {
+            r["_change_type"]
+            for r in changed.select("_change_type").distinct().collect()
+        }
+        if kinds <= {"insert"}:
+            self.index.append(
+                self._bands_of(changed),
+                txn_app=self._txn_app,
+                txn_version=upto,
+            )
+            return
+        net = net_changes(
+            changed.select(
+                "doc_id", "text",
+                "_change_type", "_commit_version", "_commit_timestamp",
+            ),
+            ["doc_id"],
+        ).persist()
+        try:
+            ups_docs = net.filter(F.col("__op") == "U").select(
+                "doc_id", "text"
+            )
+            new_bands = self._bands_of(ups_docs).withColumn(
+                "__op", F.lit("U")
+            )
+            del_docs = (
+                net.filter(F.col("__op") == "D")
+                .select("doc_id")
+                .unionByName(
+                    ups_docs.select("doc_id").join(
+                        new_bands.select("doc_id").distinct(),
+                        "doc_id",
+                        "left_anti",
+                    )
+                )
+            )
+            dels = (
+                del_docs.withColumn(
+                    "band_id",
+                    F.explode(
+                        F.array(*[F.lit(b) for b in range(_LSH_B)])
+                    ),
+                )
+                .withColumn("band_hash", F.lit(None).cast("string"))
+                .withColumn("__op", F.lit("D"))
+            )
+            self.index.merge(
+                new_bands.unionByName(dels),
+                "target.doc_id = source.doc_id"
+                " AND target.band_id = source.band_id",
+                [
+                    MergeClause("delete", condition="source.__op = 'D'"),
+                    MergeClause(
+                        "update",
+                        condition=None,
+                        assignments={"band_hash": "source.band_hash"},
+                    ),
+                    # an unmatched 'D' (doc inserted and deleted within the
+                    # window, or a never-banded doc) applies as nothing
+                    MergeClause(
+                        "insert",
+                        condition="source.__op = 'U'",
+                        assignments={
+                            "doc_id": "source.doc_id",
+                            "band_id": "source.band_id",
+                            "band_hash": "source.band_hash",
+                        },
+                    ),
+                ],
+                prune_on="doc_id",
+                txn_app=self._txn_app,
+                txn_version=upto,
+            )
+        finally:
+            net.unpersist()
 
     def near_dup_pairs(self) -> DataFrame:
         """(doc_a, doc_b, jaccard) for the indexed corpus: candidates from the

@@ -294,6 +294,85 @@ def test_incremental_lsh_rebuilds_on_non_append(spark, tmp_path):
         == {r.doc_id for r in docs.filter("doc_id % 2 = 0").collect()}
 
 
+def test_incremental_lsh_delete_folds_without_rebuild(spark, tmp_path):
+    """A DELETE folds as band-row removal — the feed enumerates the
+    tombstoned doc_ids row-exactly, so no re-shingling of the surviving
+    corpus and no rebuild (r10 verdict ask #3)."""
+    from pyspark_cdc_engine.operators.dedup_incremental import (
+        IncrementalLshIndex,
+        lsh_band_table,
+        minhash_signatures,
+    )
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(40)
+    t = DeltaliteTable(spark, str(tmp_path / "docs"))
+    t.overwrite(docs)
+    idx = IncrementalLshIndex(spark, t, str(tmp_path / "lsh"))
+    idx.refresh()
+    n_bands_of = lambda: idx.index.read().count()
+    before = n_bands_of()
+
+    calls = []
+    orig = idx._bands_of
+
+    def spy(d):
+        out = orig(d)
+        calls.append(d.count())
+        return out
+
+    idx._bands_of = spy
+    t.delete("doc_id % 5 = 1", mode="dv")
+    idx.refresh()
+    # a pure-delete window re-bands NOTHING (zero upsert docs)
+    assert calls == [0], f"fold re-shingled {calls} docs on a pure delete"
+    live = {r.doc_id for r in t.read().select("doc_id").collect()}
+    indexed = {
+        r.doc_id for r in idx.index.read().select("doc_id").distinct().collect()
+    }
+    assert indexed == live
+    assert n_bands_of() < before
+    # row-identical to a from-scratch recompute of the surviving corpus
+    full = lsh_band_table(minhash_signatures(t.read()))
+    inc = idx.index.read()
+    assert inc.exceptAll(full).count() == 0 and full.exceptAll(inc).count() == 0
+
+
+def test_incremental_lsh_update_rebands_postimage(spark, tmp_path):
+    """A DV UPDATE folds as re-banding of the postimage text; an update
+    that makes a doc too short to shingle (< 8 words) must REMOVE its band
+    rows — the vanishing-bands edge."""
+    from pyspark_cdc_engine.operators.dedup_incremental import (
+        IncrementalLshIndex,
+        lsh_band_table,
+        minhash_signatures,
+    )
+    from pyspark_cdc_engine.tables import DeltaliteTable
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(30)
+    t = DeltaliteTable(spark, str(tmp_path / "docs"))
+    t.overwrite(docs)
+    idx = IncrementalLshIndex(spark, t, str(tmp_path / "lsh"))
+    idx.refresh()
+    assert idx.index.read().filter("doc_id = 1").count() > 0
+
+    # doc 1 shrinks below the shingle window; doc 2 gets rewritten text
+    t.update({"text": "'too short now'"}, "doc_id = 1", mode="dv")
+    t.update({"text": "concat(text, ' rewritten tail of doc two')"},
+             "doc_id = 2", mode="dv")
+    idx.refresh()
+    assert idx.index.read().filter("doc_id = 1").count() == 0, (
+        "a no-longer-shingleable doc must leave the band table"
+    )
+    full = lsh_band_table(minhash_signatures(t.read()))
+    inc = idx.index.read()
+    assert inc.exceptAll(full).count() == 0 and full.exceptAll(inc).count() == 0
+
+
 def test_incremental_lsh_refresh_is_idempotent(spark, tmp_path):
     from pyspark_cdc_engine.operators.dedup_incremental import IncrementalLshIndex
     from pyspark_cdc_engine.tables import DeltaliteTable
