@@ -83,6 +83,14 @@ _SKIP_OPS = {
 }
 
 
+def _norm_path_opt(p: str | None) -> str | None:
+    """Catalog-supplied ``path`` options arrive java.net.URI-form
+    (``file:/warehouse/t%20bl``) when a table is CREATEd USING this source
+    (Spark canonicalizes the location); direct readers pass raw paths.
+    Normalize once at every option intake so both bind."""
+    return _strip_scheme(p) if p else p
+
+
 def _read_commit(table_path: str, version: int) -> dict:
     """Reconstructed snapshot at ``version`` (shared delta-encoded log
     protocol, :mod:`pyspark_cdc_engine.log`)."""
@@ -303,7 +311,7 @@ class DeltaliteCdfStreamReader(DataSourceStreamReader):
     sink is idempotent (the same contract as every Spark source)."""
 
     def __init__(self, options, schema_fields):
-        self._path = options.get("path")
+        self._path = _norm_path_opt(options.get("path"))
         if not self._path:
             raise ValueError("deltalite_cdf requires option 'path'")
         sv = options.get("startingVersion")
@@ -642,7 +650,7 @@ class DeltaliteCdfBatchReader(DataSourceReader):
     (``read_changes``) whose JVM data path derives those diffs."""
 
     def __init__(self, options, fields) -> None:
-        path = options.get("path")
+        path = _norm_path_opt(options.get("path"))
         if not path:
             raise ValueError("deltalite_cdf requires option 'path'")
         vs = _versions(path)
@@ -679,7 +687,7 @@ class DeltaliteCdfDataSource(DataSource):
         return FORMAT_NAME
 
     def _table_fields(self):
-        path = self.options.get("path")
+        path = _norm_path_opt(self.options.get("path"))
         if not path:
             raise ValueError("deltalite_cdf requires option 'path'")
         vs = _versions(path)

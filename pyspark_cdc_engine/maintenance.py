@@ -42,60 +42,110 @@ def run_sql_scripts(
     return executed
 
 
+# The reference's three consumer views (db/create_table.deltalake.sql:93-129,
+# db/create_scd1_table.deltalake.sql:94-108). try_element_at replaces the
+# reference's orders[0] subscripts (ANSI-safe, SURVEY §2.8 F3/F4). Bodies
+# only — one definition serves the session-scoped registration AND the
+# persisted binding registry.
+_VIEW_BODIES = {
+    "order_stream_current": """
+    SELECT orderId, xid, csn, dwhProcessedTs,
+           try_element_at(orders, 1).orderRef AS orderRef,
+           try_element_at(orders, 1).orderStatus AS orderStatus,
+           try_element_at(orders, 1).totalAmount AS totalAmount,
+           try_element_at(orders, 1).currency AS currency,
+           try_element_at(orders, 1).orderDate AS orderDate,
+           try_element_at(orders, 1).version AS orderVersion,
+           size(orderDetails) AS detail_count,
+           size(lineItems) AS line_item_count
+    FROM order_stream
+    """,
+    "order_stream_changes": """
+    SELECT orderId, xid, csn, dwhProcessedTs,
+           o.orderRef, o.orderStatus, o.totalAmount,
+           o.version AS orderVersion,
+           o.before.totalAmount AS previous_total_amount,
+           o.before.orderStatus AS previous_status,
+           o.before.version AS previous_version,
+           CASE WHEN o.before IS NOT NULL THEN 'UPDATED'
+                ELSE 'INSERTED' END AS change_type
+    FROM order_stream
+    LATERAL VIEW explode(orders) orders_table AS o
+    WHERE o.before IS NOT NULL
+    """,
+    "orders_current_view": """
+    SELECT orderId, orderRef, orderStatus, totalAmount, currency,
+           orderDate, version AS orderVersion, dwhProcessedTs,
+           orderDetails.shippingMethod, orderDetails.carrier,
+           orderDetails.deliveryStatus,
+           size(lineItems) AS line_item_count
+    FROM orders_current
+    """,
+}
+
+
+def _temp_view(spark: SparkSession, name: str) -> None:
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {_VIEW_BODIES[name]}"
+    )
+
+
 def register_cdc_views(
     spark: SparkSession,
     order_stream: DeltaliteTable | None = None,
     orders_current: DeltaliteTable | None = None,
 ) -> None:
-    """Expose the CDC tables + the reference's three consumer views
-    (db/create_table.deltalake.sql:93-129, db/create_scd1_table.deltalake.sql:94-108)
-    as temp views. try_element_at replaces the reference's orders[0] subscripts
-    (ANSI-safe, SURVEY §2.8 F3/F4)."""
+    """Expose the CDC tables + the reference's three consumer views as
+    SESSION-SCOPED temp views (the zero-infrastructure binding). For a
+    binding every later ``get_spark`` session resolves by NAME, use
+    :func:`register_cdc_tables`."""
     if order_stream is not None:
         order_stream.read().createOrReplaceTempView("order_stream")
-        spark.sql(
-            """
-            CREATE OR REPLACE TEMPORARY VIEW order_stream_current AS
-            SELECT orderId, xid, csn, dwhProcessedTs,
-                   try_element_at(orders, 1).orderRef AS orderRef,
-                   try_element_at(orders, 1).orderStatus AS orderStatus,
-                   try_element_at(orders, 1).totalAmount AS totalAmount,
-                   try_element_at(orders, 1).currency AS currency,
-                   try_element_at(orders, 1).orderDate AS orderDate,
-                   try_element_at(orders, 1).version AS orderVersion,
-                   size(orderDetails) AS detail_count,
-                   size(lineItems) AS line_item_count
-            FROM order_stream
-            """
-        )
-        spark.sql(
-            """
-            CREATE OR REPLACE TEMPORARY VIEW order_stream_changes AS
-            SELECT orderId, xid, csn, dwhProcessedTs,
-                   o.orderRef, o.orderStatus, o.totalAmount,
-                   o.version AS orderVersion,
-                   o.before.totalAmount AS previous_total_amount,
-                   o.before.orderStatus AS previous_status,
-                   o.before.version AS previous_version,
-                   CASE WHEN o.before IS NOT NULL THEN 'UPDATED'
-                        ELSE 'INSERTED' END AS change_type
-            FROM order_stream
-            LATERAL VIEW explode(orders) orders_table AS o
-            WHERE o.before IS NOT NULL
-            """
-        )
+        _temp_view(spark, "order_stream_current")
+        _temp_view(spark, "order_stream_changes")
     if orders_current is not None:
         orders_current.read().createOrReplaceTempView("orders_current")
-        spark.sql(
-            """
-            CREATE OR REPLACE TEMPORARY VIEW orders_current_view AS
-            SELECT orderId, orderRef, orderStatus, totalAmount, currency,
-                   orderDate, version AS orderVersion, dwhProcessedTs,
-                   orderDetails.shippingMethod, orderDetails.carrier,
-                   orderDetails.deliveryStatus,
-                   size(lineItems) AS line_item_count
-            FROM orders_current
-            """
+        _temp_view(spark, "orders_current_view")
+
+
+def register_cdc_tables(
+    spark: SparkSession,
+    order_stream_path: str | None = None,
+    orders_current_path: str | None = None,
+) -> None:
+    """PERSISTENT name binding of the CDC tables + consumer views — the
+    reference's consumption model (``writeStream...toTable`` + ad-hoc
+    ``spark-sql -f db/query_table.sql`` against NAMES,
+    TransactionalCdcProcessingApp.scala:75-79 / README.md:186-194).
+
+    Implemented over the ``deltalite`` snapshot data source's bindings
+    registry (:mod:`pyspark_cdc_engine.dl_source` — which also documents
+    WHY Spark 4.1's Python DS API rules out a literal ``CREATE TABLE ...
+    USING deltalite``): each table binds as ``CREATE TEMPORARY VIEW name
+    USING deltalite OPTIONS (path ...)`` and the binding is recorded under
+    the warehouse dir, so every later :func:`get_spark` session resolves
+    ``order_stream`` / ``orders_current`` (and the three consumer views)
+    by name with no Python setup — ``spark.catalog.tableExists`` answers
+    the reference's bootstrap probe (ScdType1MergeApp.scala:74). Each
+    session sees the tables as of ITS binding replay; call
+    ``dl_source.restore_bindings(spark)`` to refresh mid-session."""
+    from pyspark_cdc_engine.dl_source import bind_table, bind_view
+
+    if order_stream_path is not None:
+        bind_table(spark, "order_stream", order_stream_path)
+        bind_view(
+            spark, "order_stream_current",
+            _VIEW_BODIES["order_stream_current"],
+        )
+        bind_view(
+            spark, "order_stream_changes",
+            _VIEW_BODIES["order_stream_changes"],
+        )
+    if orders_current_path is not None:
+        bind_table(spark, "orders_current", orders_current_path)
+        bind_view(
+            spark, "orders_current_view",
+            _VIEW_BODIES["orders_current_view"],
         )
 
 

@@ -109,4 +109,21 @@ def get_spark(
         builder = builder.enableHiveSupport()
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(cfg.get_str("spark.log-level"))
+    # Register the Python data sources on every session so CATALOG-bound
+    # tables (CREATE TABLE t USING deltalite / deltalite_cdf) resolve in a
+    # fresh process with no per-session Python view registration — the
+    # reference's spark-sql-by-name consumption model. Python data sources
+    # are session-scoped in Spark, so this is the one registration point.
+    from pyspark_cdc_engine.cdf_source import register_cdf_source
+    from pyspark_cdc_engine.dl_source import (
+        register_snapshot_source,
+        restore_bindings,
+    )
+
+    register_cdf_source(spark)
+    register_snapshot_source(spark)
+    # Replay the warehouse-dir name bindings (bind_table) so this session
+    # resolves persistent table names immediately — the reference's
+    # query-by-name consumption model.
+    restore_bindings(spark)
     return spark
