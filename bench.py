@@ -227,6 +227,9 @@ HEAVY_QUERIES = [
     "ann_recall_at_k", "pq_recall_at_k", "lsh_recall_at_k",
     "ann_multiprobe_recall_at_k", "leakage_free_split",
     "ann_ivfpq_search",
+    # r11: the removal half of ExactSubstr — token-level span join back,
+    # the heaviest per-doc stage of the family
+    "exact_substring_clean",
 ]
 
 

@@ -337,12 +337,11 @@ _ESD_L = 8  # exact-substring window length (tokens); Lee et al. use 50 BPE
 # tokens on web corpora — 8 words fits this corpus's ~50-word documents
 # while exercising the identical plan shape.
 
-
-@register(
-    "exact_substring_dedup",
-    survey="M5-dedup,W1,A2,J5,beyond-ref",
-    oracle=f"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# Shared CTE block: maximal duplicated spans per doc — one definition for
+# the marker query (exact_substring_dedup) and the cleaner
+# (exact_substring_clean), so the two certify against the same span set.
+_ESD_SPANS_CTES = f"""
+    w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (
       SELECT doc_id, i - 1 AS pos,
              md5(array_to_string(list_slice(t, i, i + {_ESD_L} - 1), ' ')) AS h
@@ -364,42 +363,16 @@ _ESD_L = 8  # exact-substring window length (tokens); Lee et al. use 50 BPE
       SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_ESD_L} - 1 AS e
       FROM isl GROUP BY doc_id, island
     )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
-           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
-           md5(string_agg(
-                 lpad(CAST(s AS VARCHAR), 6, '0') || ':'
-                   || lpad(CAST(e AS VARCHAR), 6, '0'),
-                 ',' ORDER BY lpad(CAST(s AS VARCHAR), 6, '0') || ':'
-                   || lpad(CAST(e AS VARCHAR), 6, '0'))) AS spans_md5
-    FROM spans GROUP BY doc_id
-    """,
-)
-def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training Data
-    Makes Language Models Better"): mark every maximal token span that
-    appears verbatim MORE THAN ONCE in the corpus — across documents OR
-    repeated inside a single document (Lee et al.'s removal set covers
-    both) — arbitrary-position long common substrings that fixed-window
-    chunking (``chunk_dedup_c4``) and whole-doc near-dup both miss.
-    Published pipelines delete the marked spans and keep the rest of the
-    document.
+"""
 
-    Distributed shape (never the paper's single-node suffix array): every
-    overlapping L-token (_ESD_L=8) window hashes (the Rabin-Karp rolling-hash
-    role — equal windows collide by construction), window hashes BUCKET by
-    value into a corpus-wide distinct-doc count, and only windows whose
-    hash occurs in >= 2 documents survive back to their (doc, position)
-    slots, where one per-doc window pass merges overlapping windows into
-    maximal spans (gaps > L start a new span — classic island
-    detection). Output per affected doc: span count, tokens covered by the
-    span union, and a canonical md5 of the span list (zero-padded pure
-    string sort, identical in both engines).
 
-    100 TB: only (16-byte hash, doc_id, pos) triples shuffle — text never
-    leaves the scan stage; the frequency agg partial-aggregates map-side;
-    the hash join back is bucketed by hash value (no all-pairs anywhere);
-    span merging partitions by doc_id — embarrassingly parallel."""
+def _esd_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s, e): maximal duplicated token spans per document — the
+    Spark side of ``_ESD_SPANS_CTES`` (hash every overlapping L-token
+    window, keep corpus-wide >=2-occurrence hashes, merge surviving
+    positions into islands). Spans within a doc are DISJOINT and
+    non-adjacent by construction (a gap > L starts a new island), so a
+    token position falls in at most one span."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -438,9 +411,53 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("island"),
     )
-    spans = isl.groupBy("doc_id", "island").agg(
+    return isl.groupBy("doc_id", "island").agg(
         F.min("pos").alias("s"), (F.max("pos") + _ESD_L - 1).alias("e")
-    )
+    ).select("doc_id", "s", "e")
+
+
+@register(
+    "exact_substring_dedup",
+    survey="M5-dedup,W1,A2,J5,beyond-ref",
+    oracle=f"""
+    WITH {_ESD_SPANS_CTES}
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+           md5(string_agg(
+                 lpad(CAST(s AS VARCHAR), 6, '0') || ':'
+                   || lpad(CAST(e AS VARCHAR), 6, '0'),
+                 ',' ORDER BY lpad(CAST(s AS VARCHAR), 6, '0') || ':'
+                   || lpad(CAST(e AS VARCHAR), 6, '0'))) AS spans_md5
+    FROM spans GROUP BY doc_id
+    """,
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): mark every maximal token span that
+    appears verbatim MORE THAN ONCE in the corpus — across documents OR
+    repeated inside a single document (Lee et al.'s removal set covers
+    both) — arbitrary-position long common substrings that fixed-window
+    chunking (``chunk_dedup_c4``) and whole-doc near-dup both miss.
+    Published pipelines delete the marked spans and keep the rest of the
+    document.
+
+    Distributed shape (never the paper's single-node suffix array): every
+    overlapping L-token (_ESD_L=8) window hashes (the Rabin-Karp rolling-hash
+    role — equal windows collide by construction), window hashes BUCKET by
+    value into a corpus-wide distinct-doc count, and only windows whose
+    hash occurs in >= 2 documents survive back to their (doc, position)
+    slots, where one per-doc window pass merges overlapping windows into
+    maximal spans (gaps > L start a new span — classic island
+    detection). Output per affected doc: span count, tokens covered by the
+    span union, and a canonical md5 of the span list (zero-padded pure
+    string sort, identical in both engines).
+
+    100 TB: only (16-byte hash, doc_id, pos) triples shuffle — text never
+    leaves the scan stage; the frequency agg partial-aggregates map-side;
+    the hash join back is bucketed by hash value (no all-pairs anywhere);
+    span merging partitions by doc_id — embarrassingly parallel."""
+    spans = _esd_spans(spark, sf_dir)
     key = F.expr(
         "concat(lpad(CAST(s AS STRING), 6, '0'), ':', "
         "lpad(CAST(e AS STRING), 6, '0'))"
@@ -451,6 +468,106 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.array_join(F.sort_array(F.collect_list(key)), ",").cast("binary")
         ).alias("spans_md5"),
+    )
+
+
+def _esd_flagged_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, tok, keep): every token of every document flagged by
+    whether it survives span removal. Spans within a doc are disjoint, so
+    the range LEFT JOIN matches each token at most once (no duplication).
+    The join is doc_id-equi with a range residual — tokens never leave
+    their doc's hash partition at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    spans = _esd_spans(spark, sf_dir).select(
+        F.col("doc_id").alias("s_doc"), "s", "e"
+    )
+    return toks.join(
+        spans,
+        (F.col("doc_id") == F.col("s_doc"))
+        & (F.col("pos") >= F.col("s"))
+        & (F.col("pos") <= F.col("e")),
+        "left",
+    ).select("doc_id", "pos", "tok", F.col("s").isNull().alias("keep"))
+
+
+@register(
+    "exact_substring_clean",
+    survey="M5-dedup,W1,A2,J3,beyond-ref",
+    oracle=f"""
+    WITH {_ESD_SPANS_CTES},
+    toks AS (
+      SELECT doc_id, i - 1 AS pos, t[CAST(i AS INT)] AS tok
+      FROM w, UNNEST(range(1, len(t) + 1)) AS x(i)
+    ),
+    flagged AS (
+      SELECT tk.doc_id, tk.pos, tk.tok, sp.s IS NULL AS keep
+      FROM toks tk LEFT JOIN spans sp
+        ON sp.doc_id = tk.doc_id AND tk.pos BETWEEN sp.s AND sp.e
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dup_tokens,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS clean_tokens,
+           md5(COALESCE(string_agg(CASE WHEN keep THEN tok END,
+                                   ' ' ORDER BY pos), '')) AS clean_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022's ExactSubstr pipeline:
+    ``exact_substring_dedup`` MARKS the maximal duplicated spans; this
+    operator deletes them and keeps the rest of each document — per-doc
+    surviving-token accounting (n_tokens / dup_tokens / clean_tokens,
+    EVERY doc reported, clean docs survive whole) plus a canonical md5 of
+    the cleaned text (space-joined surviving tokens in position order;
+    empty-survivor docs hash the empty string in both engines), so the
+    oracle certifies the exact bytes a downstream tokenizer would see,
+    not just the counts. Composes the shared span derivation verbatim —
+    marker and cleaner certify against the same span set by construction.
+
+    100 TB: spans join back to tokens doc_id-equi (range residual inside
+    the doc's partition) — the TEXT stays executor-side end to end; the
+    cleaned-corpus emitter (:func:`exact_substring_clean_text`) is the
+    same plan with the hash stage swapped for the string rebuild."""
+    flagged = _esd_flagged_tokens(spark, sf_dir)
+    kept = F.when(F.col("keep"), F.struct("pos", "tok"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("dup_tokens"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("clean_tokens"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN keep THEN "
+                    "struct(pos, tok) END)), x -> x.tok)"
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("clean_md5"),
+    )
+
+
+def exact_substring_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, clean_text): the actual cleaned corpus — every document
+    with its duplicated spans deleted (possibly empty). The pipeline API
+    the registry entry certifies; write this to the curated table and the
+    downstream tokenizer sees exactly the bytes ``clean_md5`` hashed."""
+    flagged = _esd_flagged_tokens(spark, sf_dir)
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN keep THEN "
+                "struct(pos, tok) END)), x -> x.tok)"
+            ),
+            " ",
+        ).alias("clean_text")
     )
 
 
