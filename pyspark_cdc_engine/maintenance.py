@@ -90,6 +90,108 @@ def _temp_view(spark: SparkSession, name: str) -> None:
     )
 
 
+def run_delta_ddl(
+    spark: SparkSession, script_path: str | Path, base_dir: str | Path
+) -> list[str]:
+    """Execute a reference ``*.deltalake.sql`` DDL script VERBATIM — the
+    SeedJob's exact input text (db/create_table.deltalake.sql,
+    db/create_scd1_table.deltalake.sql), unmodified — against deltalite:
+
+    - ``DROP TABLE [IF EXISTS] [db.]name`` -> drop the name binding.
+    - ``CREATE TABLE [IF NOT EXISTS] [db.]name (cols...) USING DELTA
+      [TBLPROPERTIES (...)]`` -> an EMPTY deltalite table at
+      ``base_dir/name`` with the statement's exact schema (nested
+      ARRAY<STRUCT<...>> types and column COMMENTs parse through Spark's
+      own DDL parser), persistently bound to ``name`` via
+      :func:`~pyspark_cdc_engine.dl_source.bind_table`;
+      ``delta.enableChangeDataFeed=true`` maps to ``enable_cdf()``, any
+      other property raises (nothing silently no-ops). IF NOT EXISTS skips
+      the overwrite when the table already has commits.
+    - ``CREATE [OR REPLACE] VIEW [db.]name AS body`` -> a persistent view
+      binding (:func:`~pyspark_cdc_engine.dl_source.bind_view`) with the
+      catalog qualifier stripped (bindings are single-namespace). The
+      reference views' ``orders[0]`` subscripts are valid Spark SQL
+      (0-based) and execute as written — note under ANSI mode an empty
+      array would raise at query time; the PORTED views in ``sql/`` use
+      ``try_element_at`` instead, which is the recommended form.
+    - Anything else passes through ``spark.sql`` unchanged.
+
+    Returns the executed statements. Together with the registry replay in
+    ``get_spark`` this is the reference's bootstrap flow: run the DDL file
+    once, then every session queries the names."""
+    import re
+
+    from pyspark.sql.types import StructType
+
+    from pyspark_cdc_engine.dl_source import (
+        bind_table,
+        bind_view,
+        unbind_table,
+    )
+
+    executed: list[str] = []
+    for stmt in split_sql_statements(Path(script_path).read_text()):
+        s = stmt.strip()
+        if m := re.match(r"(?is)DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", s):
+            unbind_table(spark, m.group(1).split(".")[-1])
+        elif m := re.match(
+            r"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(", s
+        ):
+            name = m.group(2).split(".")[-1]
+            i0 = m.end() - 1
+            depth = 0
+            close = -1
+            for i in range(i0, len(s)):
+                if s[i] == "(":
+                    depth += 1
+                elif s[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = i
+                        break
+            if close < 0:
+                raise ValueError(f"unbalanced CREATE TABLE parens: {s[:80]}...")
+            cols, tail = s[i0 + 1 : close], s[close + 1 :]
+            if not re.match(r"(?is)\s*USING\s+DELTA\b", tail):
+                raise ValueError(
+                    f"run_delta_ddl only executes USING DELTA tables: {s[:80]}..."
+                )
+            schema = StructType.fromDDL(cols)
+            path = str(Path(base_dir) / name)
+            tbl = DeltaliteTable(spark, path)
+            if not (m.group(1) and tbl.exists()):
+                tbl.overwrite(spark.createDataFrame([], schema))
+            if pm := re.search(r"(?is)TBLPROPERTIES\s*\(([^)]*)\)", tail):
+                for k, v in re.findall(
+                    r"['\"]([^'\"]+)['\"]\s*=\s*['\"]?([^,'\"]+)['\"]?",
+                    pm.group(1),
+                ):
+                    if (
+                        k.lower() == "delta.enablechangedatafeed"
+                        and v.strip().lower() == "true"
+                    ):
+                        tbl.enable_cdf()
+                    else:
+                        raise ValueError(
+                            f"unsupported TBLPROPERTIES entry {k}={v} — "
+                            "refusing to silently drop it"
+                        )
+            bind_table(spark, name, path)
+        elif m := re.match(
+            r"(?is)CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$", s
+        ):
+            name = m.group(1).split(".")[-1]
+            body = re.sub(r"(?i)\bdefault\.", "", m.group(2))
+            bind_view(spark, name, body)
+        else:
+            # passthrough (DESCRIBE EXTENDED, sanity SELECTs, ...) with the
+            # same single-namespace rewrite the views get — bindings are
+            # unqualified temp views, default.x would miss them
+            spark.sql(re.sub(r"(?i)\bdefault\.", "", s))
+        executed.append(s)
+    return executed
+
+
 def register_cdc_views(
     spark: SparkSession,
     order_stream: DeltaliteTable | None = None,

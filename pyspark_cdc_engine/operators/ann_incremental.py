@@ -48,9 +48,11 @@ from pyspark_cdc_engine.operators.dedup_scale import (
     _IVF_K,
     _IVF_NPROBE,
     _IVF_QUERIES,
+    _KM_ITERS,
     _NORMS_CTE_DUCK,
     _dot_duck,
     _idot_duck,
+    _kmeans_ctes_duck,
     _norm2_dec,
 )
 from pyspark_cdc_engine.operators.registry import load_table, register
@@ -488,6 +490,73 @@ def ann_ivf_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = IncrementalIvfIndex(spark, base_tbl, f"{tmp}/ivf_index")
     idx.refresh()
     base_tbl.delete(f"vec_id >= {_DEL_OFFSET}", mode="dv")
+    idx.refresh()
+    queries = (
+        base_tbl.read()
+        .filter(F.col("vec_id") < _IVF_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+        )
+    )
+    return idx.search(queries, k=_IVF_K, nprobe=_IVF_NPROBE)
+
+
+@register(
+    "ann_ivf_trained_incremental",
+    survey="M5-ann,beyond-ref,S3,W1,O1",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    norms_base AS (
+      SELECT * FROM norms WHERE (vec_id % 4 <> 0) OR vec_id < {_IVF_C}
+    ),
+    {_kmeans_ctes_duck(_KM_ITERS, train_src="norms_base")},
+    qp AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+           FROM tassign_scored
+           WHERE vec_id < {_IVF_QUERIES} AND rn <= {_IVF_NPROBE}),
+    scored AS (
+      SELECT qp.query_id, c.vec_id AS neighbor_id,
+             {_dot_duck('qp.qemb', 'c.embedding')} / SQRT(qp.qn2 * c.norm2)
+               AS cos_sim
+      FROM qp JOIN tassigned c
+        ON c.centroid_id = qp.centroid_id AND c.vec_id <> qp.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_IVF_K}
+    """,
+)
+def ann_ivf_trained_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained quantizer under the FAISS train-once contract, end to
+    end: the index builds over a base corpus (3/4, containing the first-C
+    seed) with ``train_iters`` Lloyd's rounds, a late delta appends, and
+    the refresh folds the delta's assignments against the FROZEN TRAINED
+    centroids — never re-training on a fold. The oracle re-derives the
+    exact split: the unrolled k-means CTE chain TRAINS on the base subset
+    (``train_src="norms_base"``) while the final assignment covers the
+    whole corpus, then answers the query panel with the trained multiprobe
+    search. A hash match certifies trainer, centroid freezing, O(delta)
+    folding, and the probe/re-rank path in one driver-checked number set —
+    the composition of ``ann_ivf_trained`` and ``ann_ivf_incremental``."""
+    from pyspark_cdc_engine.operators.dedup_incremental import (
+        _fresh_scratch_dir,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = _fresh_scratch_dir(f"ivftrained:{sf_dir}")
+    base_tbl = DeltaliteTable(spark, f"{tmp}/embs")
+    base_tbl.overwrite(
+        e.filter((F.col("vec_id") % 4 != 0) | (F.col("vec_id") < _IVF_C))
+    )
+    idx = IncrementalIvfIndex(
+        spark, base_tbl, f"{tmp}/ivf_index", train_iters=_KM_ITERS
+    )
+    idx.refresh()
+    base_tbl.append(
+        e.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") >= _IVF_C))
+    )
     idx.refresh()
     queries = (
         base_tbl.read()

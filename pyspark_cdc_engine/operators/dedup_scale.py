@@ -1012,6 +1012,357 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trained PQ codebooks: per-subspace L2 Lloyd's — the PQ half of the FAISS
+# training story (train_kmeans trains the coarse quantizer; this trains the
+# sub-quantizers). All M subspaces train IN ONE JOB per iteration — the
+# codebook state is M x K x SUB rows (512 here), broadcast every round.
+# ---------------------------------------------------------------------------
+
+_PQ_T = 2  # Lloyd's iterations for the certified trained codebooks
+
+
+def _pq_ex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .withColumn("val", F.col("val").cast("double"))
+    )
+
+
+def _pq_d2_vs(ex: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, k, dist2): exact-decimal squared L2 against an EXPLICIT
+    long-form codebook (m, k, pos, cval) — the generalization of
+    :func:`_pq_d2` beyond the first-K seed."""
+    term = (
+        (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+    ).cast(_DEC)
+    return (
+        ex.join(F.broadcast(cb), "pos")
+        .groupBy("vec_id", "m", "k")
+        .agg(F.sum(term).alias("dist2"))
+    )
+
+
+def train_pq_codebooks(
+    spark: SparkSession, sf_dir: str, n_iters: int = _PQ_T
+) -> DataFrame:
+    """Per-subspace L2 k-means over the embeddings table: seed = the first
+    ``_PQ_K`` vectors' subvectors (``n_iters=0`` IS ``_pq_d2``'s
+    training-free convention), then ``n_iters`` Lloyd's rounds — assign
+    every (vector, subspace) to its nearest sub-centroid (exact-decimal
+    squared L2, ``(dist, k)`` argmin tie-break), recompute each
+    sub-centroid as the decimal-exact per-dim mean of its cell, keep a
+    sub-centroid unchanged if its cell went empty. ALL ``_PQ_M`` subspaces
+    train inside the same jobs (the codebook is one broadcast frame keyed
+    (m, k, pos)). Returns the long-form codebook (m, k, pos, cval).
+
+    100 TB shape: one corpus scan per iteration (broadcast-join distance +
+    two hash aggs); only the M x K x SUB codebook crosses iterations,
+    localCheckpoint-ed like :func:`train_kmeans`."""
+    ex = _pq_ex(spark, sf_dir).localCheckpoint(eager=True)
+    cb = (
+        ex.filter(F.col("vec_id") < _PQ_K)
+        .select(
+            F.expr(f"pos div {_PQ_SUB}").alias("m"),
+            F.col("vec_id").alias("k"),
+            "pos",
+            F.col("val").alias("cval"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iters):
+        asg = (
+            _pq_d2_vs(ex, cb)
+            .groupBy("vec_id", "m")
+            .agg(
+                F.expr(
+                    "min_by(k, named_struct('d', CAST(dist2 AS DOUBLE), 'k', k))"
+                ).alias("code")
+            )
+        )
+        means = (
+            ex.withColumn("m", F.expr(f"pos div {_PQ_SUB}"))
+            .join(asg, ["vec_id", "m"])
+            .groupBy("m", F.col("code").alias("k"), "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast(_DEC)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cval_new")
+            )
+        )
+        cb = (
+            cb.join(means, ["m", "k", "pos"], "left")
+            .select(
+                "m", "k", "pos",
+                F.coalesce("cval_new", "cval").alias("cval"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+def _pq_train_ctes_duck(n_iters: int = _PQ_T) -> str:
+    """DuckDB re-derivation of :func:`train_pq_codebooks` as unrolled CTEs:
+    emits ``pex`` (components), ``pcb{{n}}`` codebooks, and ``pd2t`` — the
+    distance table of every vector against the TRAINED codebook, mirroring
+    ``_pq_d2``'s shape so encode/search queries read identically."""
+    parts = [
+        f"""
+    pex AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    pcb0 AS MATERIALIZED (
+      SELECT pos // {_PQ_SUB} AS m, vec_id AS k, pos, val AS cval
+      FROM pex WHERE vec_id < {_PQ_K})"""
+    ]
+    for n in range(n_iters):
+        parts.append(
+            f""",
+    pd2_{n} AS MATERIALIZED (
+      SELECT e.vec_id, c.m, c.k,
+             SUM(CAST((e.val - c.cval) * (e.val - c.cval) AS {_DEC})) AS dist2
+      FROM pex e JOIN pcb{n} c ON c.pos = e.pos
+      GROUP BY 1, 2, 3
+    ),
+    pasg_{n} AS MATERIALIZED (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY CAST(dist2 AS DOUBLE), k) AS rn
+        FROM pd2_{n}
+      ) WHERE rn = 1
+    ),
+    pmean_{n} AS MATERIALIZED (
+      SELECT a.m, a.code AS k, e.pos,
+             CAST(SUM(CAST(e.val AS {_DEC})) AS DOUBLE) / COUNT(*) AS cval_new
+      FROM pasg_{n} a
+      JOIN pex e ON e.vec_id = a.vec_id AND e.pos // {_PQ_SUB} = a.m
+      GROUP BY 1, 2, 3
+    ),
+    pcb{n + 1} AS MATERIALIZED (
+      SELECT p.m, p.k, p.pos, COALESCE(m2.cval_new, p.cval) AS cval
+      FROM pcb{n} p LEFT JOIN pmean_{n} m2 USING (m, k, pos)
+    )"""
+        )
+    parts.append(
+        f""",
+    pd2t AS MATERIALIZED (
+      SELECT e.vec_id, c.m, c.k,
+             SUM(CAST((e.val - c.cval) * (e.val - c.cval) AS {_DEC})) AS dist2
+      FROM pex e JOIN pcb{n_iters} c ON c.pos = e.pos
+      GROUP BY 1, 2, 3
+    )"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "pq_trained_encode",
+    survey="M5-ann,A2,beyond-ref",
+    oracle=f"""
+    WITH {_pq_train_ctes_duck(_PQ_T)},
+    best AS (
+      SELECT vec_id, m, k AS code, dist2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                ORDER BY CAST(dist2 AS DOUBLE), k) AS rn
+      FROM pd2t
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS code_key,
+           CAST(SUM(dist2) AS DOUBLE) AS recon_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def pq_trained_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode under TRAINED sub-quantizers: {_PQ_T} per-subspace Lloyd's
+    rounds (:func:`train_pq_codebooks`) replace the first-K subvector seed
+    of ``pq_encode`` — the other half of the FAISS training discipline
+    (``ann_ivf_trained`` trains the coarse quantizer, this trains the
+    codebooks ADC actually looks up). Same output contract as
+    ``pq_encode`` (code key + exact-decimal reconstruction error), and the
+    DuckDB oracle re-derives the ENTIRE per-subspace training as unrolled
+    CTEs — one hash match certifies the trainer's every assignment and
+    mean, not just the final codes. Lloyd's monotonicity makes the total
+    recon_err provably <= the untrained encoder's (asserted in tests) —
+    the measured justification for paying the training scans."""
+    cb = train_pq_codebooks(spark, sf_dir, _PQ_T)
+    best = (
+        _pq_d2_vs(_pq_ex(spark, sf_dir), cb)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr(
+                "min_by(k, named_struct('d', CAST(dist2 AS DOUBLE), 'k', k))"
+            ).alias("code"),
+            F.min("dist2").alias("dist2"),
+        )
+    )
+    return best.groupBy("vec_id").agg(
+        F.expr(
+            "concat_ws('-', transform(array_sort(collect_list("
+            "named_struct('m', m, 'code', code))), x -> CAST(x.code AS STRING)))"
+        ).alias("code_key"),
+        F.sum("dist2").cast("double").alias("recon_err"),
+    )
+
+
+@register(
+    "pq_trained_recall_at_k",
+    survey="M5-ann,J3,A2,beyond-ref",
+    oracle=f"""
+    WITH {_pq_train_ctes_duck(_PQ_T)},
+    codes0 AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY CAST(dist2 AS DOUBLE), k) AS rn
+        FROM pd2_0
+      ) WHERE rn = 1
+    ),
+    fc_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY CAST(SUM(d.dist2) AS DOUBLE), c.vec_id) AS rank
+        FROM codes0 c JOIN pd2_0 d ON d.m = c.m AND d.k = c.code
+        WHERE d.vec_id < {_PQ_Q} AND c.vec_id <> d.vec_id
+        GROUP BY d.vec_id, c.vec_id
+      ) WHERE rank <= {_PQ_TOPK}
+    ),
+    codest AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY CAST(dist2 AS DOUBLE), k) AS rn
+        FROM pd2t
+      ) WHERE rn = 1
+    ),
+    tr_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY CAST(SUM(d.dist2) AS DOUBLE), c.vec_id) AS rank
+        FROM codest c JOIN pd2t d ON d.m = c.m AND d.k = c.code
+        WHERE d.vec_id < {_PQ_Q} AND c.vec_id <> d.vec_id
+        GROUP BY d.vec_id, c.vec_id
+      ) WHERE rank <= {_PQ_TOPK}
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(SUM(CAST((CAST(q.embedding[i] AS DOUBLE)
+                                          - CAST(c.embedding[i] AS DOUBLE))
+                                        * (CAST(q.embedding[i] AS DOUBLE)
+                                          - CAST(c.embedding[i] AS DOUBLE))
+                                        AS {_DEC})) AS DOUBLE), c.vec_id) AS rank
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id,
+        UNNEST(range(1, len(q.embedding) + 1)) AS t(i)
+        WHERE q.vec_id < {_PQ_Q}
+        GROUP BY q.vec_id, c.vec_id
+      ) WHERE rank <= {_PQ_TOPK}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(f.neighbor_id) AS BIGINT) AS hits_firstk,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS hits_trained,
+           CAST(COUNT(f.neighbor_id) AS DOUBLE) / {_PQ_TOPK} AS recall_firstk,
+           CAST(COUNT(t.neighbor_id) AS DOUBLE) / {_PQ_TOPK} AS recall_trained
+    FROM exact b
+    LEFT JOIN fc_topk f
+      ON f.query_id = b.query_id AND f.neighbor_id = b.neighbor_id
+    LEFT JOIN tr_topk t
+      ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC recall@k under TRAINED vs first-K codebooks against exact
+    squared-L2 ground truth over the fixed {_PQ_Q}-query panel — the
+    measurement that accompanies :func:`pq_trained_encode` (FAISS
+    discipline: never ship a quantizer change without its recall). Both
+    index sides run the identical ADC plan (distance table broadcast,
+    corpus joins only codes); only the codebook differs, so the delta IS
+    the training effect. Distortion improves provably (Lloyd's); recall on
+    a tiny panel may move either way — measured, not assumed."""
+    ex = _pq_ex(spark, sf_dir)
+    truth_term = (
+        (F.col("qval") - F.col("val")) * (F.col("qval") - F.col("val"))
+    ).cast(_DEC)
+    qex = ex.filter(F.col("vec_id") < _PQ_Q).select(
+        F.col("vec_id").alias("q_id"), "pos", F.col("val").alias("qval")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("d2").cast("double"), F.col("neighbor_id")
+    )
+    exact = (
+        ex.join(F.broadcast(qex), "pos")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum(truth_term).alias("d2"))
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+    def adc_topk(cb: DataFrame) -> DataFrame:
+        d2 = _pq_d2_vs(ex, cb)
+        codes = d2.groupBy("vec_id", "m").agg(
+            F.expr(
+                "min_by(k, named_struct('d', CAST(dist2 AS DOUBLE), 'k', k))"
+            ).alias("code")
+        )
+        dtab = d2.filter(F.col("vec_id") < _PQ_Q).select(
+            F.col("vec_id").alias("q_id"), "m", "k", F.col("dist2").alias("qd2")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adist").cast("double"), F.col("neighbor_id")
+        )
+        return (
+            codes.join(
+                F.broadcast(dtab),
+                (codes["m"] == dtab["m"]) & (codes["code"] == dtab["k"]),
+            )
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .groupBy(
+                F.col("q_id").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+            )
+            .agg(F.sum("qd2").alias("adist"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _PQ_TOPK)
+            .select("query_id", "neighbor_id")
+        )
+
+    firstk = adc_topk(train_pq_codebooks(spark, sf_dir, 0)).withColumn(
+        "hitf", F.lit(1)
+    )
+    trained = adc_topk(train_pq_codebooks(spark, sf_dir, _PQ_T)).withColumn(
+        "hitt", F.lit(1)
+    )
+    hf = F.sum(F.coalesce(F.col("hitf"), F.lit(0)))
+    ht = F.sum(F.coalesce(F.col("hitt"), F.lit(0)))
+    return (
+        exact.join(firstk, ["query_id", "neighbor_id"], "left")
+        .join(trained, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            hf.cast("bigint").alias("hits_firstk"),
+            ht.cast("bigint").alias("hits_trained"),
+            (hf.cast("double") / _PQ_TOPK).alias("recall_firstk"),
+            (ht.cast("double") / _PQ_TOPK).alias("recall_trained"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scalar quantization (SQ8) — the third codebook family FAISS ships
 # (IndexScalarQuantizer): per-DIMENSION linear int8 quantization. Codes are
 # dim bytes per vector; the "codebook" is just 2 doubles per dimension.
@@ -2218,7 +2569,7 @@ def _train_kmeans_history(
     return history
 
 
-def _kmeans_ctes_duck(n_iters: int = _KM_ITERS) -> str:
+def _kmeans_ctes_duck(n_iters: int = _KM_ITERS, train_src: str = "norms") -> str:
     """DuckDB re-derivation of :func:`train_kmeans` as an unrolled CTE
     chain (requires ``norms`` from ``_NORMS_CTE_DUCK`` in scope): cent0 =
     first-C seed cast to double, each round one fixed-point-argmax
@@ -2226,15 +2577,19 @@ def _kmeans_ctes_duck(n_iters: int = _KM_ITERS) -> str:
     total order and the same arithmetic as the Spark loop, so the trained
     centroids (and everything downstream of them) certify rank-for-rank.
     Also emits ``tassign_scored`` / ``tassigned``: the final assignment of
-    every vector against the TRAINED centroids, mirroring
-    ``_ASSIGN_CTE_DUCK``'s shape so search queries read identically."""
+    EVERY ``norms`` vector against the TRAINED centroids, mirroring
+    ``_ASSIGN_CTE_DUCK``'s shape so search queries read identically.
+    ``train_src`` names the CTE the TRAINING loop reads (default: the full
+    ``norms``) — the incremental scenario trains on a base-subset CTE
+    while the final assignment still covers the whole corpus, exactly the
+    build-then-fold split of ``IncrementalIvfIndex(train_iters=N)``."""
     parts = [
         f"""
     cent0 AS MATERIALIZED (
       SELECT vec_id AS centroid_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb,
              norm2 AS cn2
-      FROM norms WHERE vec_id < {_IVF_C})"""
+      FROM {train_src} WHERE vec_id < {_IVF_C})"""
     ]
     for n in range(n_iters):
         parts.append(
@@ -2246,14 +2601,14 @@ def _kmeans_ctes_duck(n_iters: int = _KM_ITERS) -> str:
                  ORDER BY CAST({_idot_duck('n.embedding', 'c.cemb')} AS DOUBLE)
                             / SQRT(n.norm2 * c.cn2) DESC,
                           c.centroid_id) AS rn
-        FROM norms n CROSS JOIN cent{n} c
+        FROM {train_src} n CROSS JOIN cent{n} c
       ) WHERE rn = 1
     ),
     kmean{n} AS MATERIALIZED (
       SELECT a.centroid_id, i - 1 AS pos,
              CAST(SUM(CAST(CAST(v.embedding[i] AS DOUBLE) AS {_DEC})) AS DOUBLE)
                / COUNT(*) AS cval
-      FROM kasg{n} a JOIN norms v USING (vec_id),
+      FROM kasg{n} a JOIN {train_src} v USING (vec_id),
            UNNEST(range(1, len(v.embedding) + 1)) AS t(i)
       GROUP BY 1, 2
     ),

@@ -86,7 +86,30 @@ def test_distortion_is_monotone_nondecreasing(spark):
     )
 
 
-def test_incremental_index_with_trained_centroids(spark, vecs, tmp_path):
+def test_trained_pq_reduces_reconstruction_error(spark):
+    """Lloyd's monotonicity per subspace: the trained codebooks' total
+    quantization error must be <= the first-K seed's (iteration 0), and
+    strictly better on this corpus. Codes stay the pq_encode contract."""
+    from pyspark_cdc_engine.operators.dedup_scale import (
+        pq_encode,
+        pq_trained_encode,
+    )
+
+    e0 = {
+        r["vec_id"]: r["recon_err"]
+        for r in pq_encode(spark, SF_DIR).collect()
+    }
+    et = {
+        r["vec_id"]: r["recon_err"]
+        for r in pq_trained_encode(spark, SF_DIR).collect()
+    }
+    assert set(e0) == set(et)
+    assert sum(et.values()) < sum(e0.values()), (
+        "training must reduce total quantization error"
+    )
+
+
+def test_trained_incremental_index_matches_direct_training(spark, vecs, tmp_path):
     """train_iters>0 trains at build, then folds stay O(delta) against the
     FROZEN trained centroids: the incrementally-built assignment table is
     row-identical to a from-scratch assignment of the full corpus against
