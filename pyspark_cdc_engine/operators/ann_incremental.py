@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from pyspark_cdc_engine.operators.dedup_scale import (
     _ASSIGN_CTE_DUCK,
+    _DEC,
     _DOT_DEC_SPARK,
     _IDOT_SCALE,
     _IVF_C,
@@ -74,16 +75,29 @@ def assign_to_centroids(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     broadcast-join the exploded centroids on position, integer-sum the
     floor-scaled term products, ``max_by`` with the (similarity desc,
     centroid_id asc) tie-break — whole-stage codegen end to end, and
-    bit-identical to the oracle's window-over-cross-join formulation."""
+    bit-identical to the oracle's window-over-cross-join formulation.
+
+    Norms come from a codegen DECIMAL hash agg over the SAME exploded
+    components (sum of the identical 12-dp x^2 terms — exactly equal to
+    the ``aggregate()`` HOF fold, order-independent decimal either way).
+    The HOF form is interpreted, and projection collapse pushes it BELOW
+    the explode, re-evaluating the whole fold once per exploded row —
+    measured 7.1 s vs 1.0 s per assignment on the sf0.1 corpus."""
+    sq = F.expr(f"CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS {_DEC})")
+    csq = F.expr(
+        f"CAST(CAST(cval AS DOUBLE) * CAST(cval AS DOUBLE) AS {_DEC})"
+    )
     ex = vectors.select(
-        "vec_id",
-        F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)").alias("norm2"),
-        F.posexplode("embedding").alias("pos", "val"),
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
     )
     cex = centroids.select(
-        "centroid_id",
-        F.expr(f"CAST({_norm2_dec('cemb')} AS DOUBLE)").alias("cn2"),
-        F.posexplode("cemb").alias("pos", "cval"),
+        "centroid_id", F.posexplode("cemb").alias("pos", "cval")
+    )
+    norms = ex.groupBy("vec_id").agg(
+        F.sum(sq).cast("double").alias("norm2")
+    )
+    cns = cex.groupBy("centroid_id").agg(
+        F.sum(csq).cast("double").alias("cn2")
     )
     term = F.expr(
         f"CAST(floor(CAST(val AS DOUBLE) * CAST(cval AS DOUBLE) * {_IDOT_SCALE}) AS BIGINT)"
@@ -91,14 +105,12 @@ def assign_to_centroids(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     dots = (
         ex.join(F.broadcast(cex), "pos")
         .groupBy("vec_id", "centroid_id")
-        .agg(
-            F.sum(term).cast("double").alias("dot"),
-            F.first("norm2").alias("norm2"),
-            F.first("cn2").alias("cn2"),
-        )
+        .agg(F.sum(term).cast("double").alias("dot"))
     )
     return (
-        dots.withColumn("csim", F.col("dot") / F.sqrt(F.col("norm2") * F.col("cn2")))
+        dots.join(F.broadcast(cns), "centroid_id")
+        .join(norms, "vec_id")
+        .withColumn("csim", F.col("dot") / F.sqrt(F.col("norm2") * F.col("cn2")))
         .groupBy("vec_id")
         .agg(
             F.expr(

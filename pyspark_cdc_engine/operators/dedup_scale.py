@@ -700,19 +700,25 @@ def _ivf_assigned_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     form: per-term IEEE double multiply (bit-identical across engines) →
     floor-scale → exact integer SUM. Order-independent like the decimal fold
     the kernel used before, ~5x cheaper, still bit-identical to the oracle's
-    window-over-cross-join formulation (which floors the same way)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
-    )
-    # norm2 rides with the exploded components (map-side constant per vector),
-    # so the only broadcast is the C centroids and the only shuffles are the
-    # two aggregations — nothing here requires an N-row broadcast at 100 TB.
-    ex = emb.select("vec_id", "norm2", F.posexplode("embedding").alias("pos", "val"))
+    window-over-cross-join formulation (which floors the same way).
+
+    Norms come from a codegen DECIMAL hash agg over the exploded components
+    (sum of the identical 12-dp x^2 terms — exactly equal to the
+    ``aggregate()`` HOF fold). The HOF form is interpreted, and projection
+    collapse pushes it below the explode, re-evaluating the fold per
+    exploded row — measured ~7x slower per assignment (r11)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the only broadcast is the C centroids (and the C-row cn2 table); the
+    # only shuffles are the aggregations and the vec_id-keyed joins —
+    # nothing here requires an N-row broadcast at 100 TB.
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
     cex = ex.filter(F.col("vec_id") < _IVF_C).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("norm2").alias("cn2"),
-        "pos",
-        F.col("val").alias("cval"),
+        F.col("vec_id").alias("centroid_id"), "pos", F.col("val").alias("cval")
+    )
+    sq = F.expr(f"CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS {_DEC})")
+    norms = ex.groupBy("vec_id").agg(F.sum(sq).cast("double").alias("norm2"))
+    cns = norms.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("centroid_id"), F.col("norm2").alias("cn2")
     )
     term = F.expr(
         f"CAST(floor(CAST(val AS DOUBLE) * CAST(cval AS DOUBLE) * {_IDOT_SCALE}) AS BIGINT)"
@@ -720,14 +726,12 @@ def _ivf_assigned_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots = (
         ex.join(F.broadcast(cex), "pos")
         .groupBy("vec_id", "centroid_id")
-        .agg(
-            F.sum(term).cast("double").alias("dot"),
-            F.first("norm2").alias("norm2"),
-            F.first("cn2").alias("cn2"),
-        )
+        .agg(F.sum(term).cast("double").alias("dot"))
     )
     best = (
-        dots.withColumn("csim", F.col("dot") / F.sqrt(F.col("norm2") * F.col("cn2")))
+        dots.join(F.broadcast(cns), "centroid_id")
+        .join(norms, "vec_id")
+        .withColumn("csim", F.col("dot") / F.sqrt(F.col("norm2") * F.col("cn2")))
         .groupBy("vec_id")
         .agg(
             F.expr(
@@ -1057,19 +1061,37 @@ def train_pq_codebooks(
     (m, k, pos)). Returns the long-form codebook (m, k, pos, cval).
 
     100 TB shape: one corpus scan per iteration (broadcast-join distance +
-    two hash aggs); only the M x K x SUB codebook crosses iterations,
-    localCheckpoint-ed like :func:`train_kmeans`."""
-    ex = _pq_ex(spark, sf_dir).localCheckpoint(eager=True)
-    cb = (
-        ex.filter(F.col("vec_id") < _PQ_K)
-        .select(
-            F.expr(f"pos div {_PQ_SUB}").alias("m"),
-            F.col("vec_id").alias("k"),
-            "pos",
-            F.col("val").alias("cval"),
-        )
-        .localCheckpoint(eager=True)
+    two hash aggs); only the M x K x SUB codebook crosses iterations —
+    COLLECTED per round and fed back as a literal frame, the same bounded
+    driver loop as :func:`train_kmeans` (512 doubles here; executor-side
+    lineage checkpoints measured several times slower)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
+
+    schema = StructType(
+        [
+            StructField("m", IntegerType(), False),
+            StructField("k", IntegerType(), False),
+            StructField("pos", IntegerType(), False),
+            StructField("cval", DoubleType(), False),
+        ]
+    )
+
+    def literal(cb_map: dict[tuple[int, int, int], float]) -> DataFrame:
+        return spark.createDataFrame(
+            [(m, k, p, v) for (m, k, p), v in sorted(cb_map.items())], schema
+        )
+
+    ex = _pq_ex(spark, sf_dir)
+    cb_map = {
+        (r["pos"] // _PQ_SUB, r["vec_id"], r["pos"]): float(r["val"])
+        for r in ex.filter(F.col("vec_id") < _PQ_K).collect()
+    }
+    cb = literal(cb_map)
     for _ in range(n_iters):
         asg = (
             _pq_d2_vs(ex, cb)
@@ -1090,15 +1112,13 @@ def train_pq_codebooks(
                     / F.count(F.lit(1))
                 ).alias("cval_new")
             )
+            .collect()  # bounded: M x K x SUB cells
         )
-        cb = (
-            cb.join(means, ["m", "k", "pos"], "left")
-            .select(
-                "m", "k", "pos",
-                F.coalesce("cval_new", "cval").alias("cval"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        new_map = dict(cb_map)  # keep-old for empty (m, k) cells
+        for r in means:
+            new_map[(r["m"], r["k"], r["pos"])] = r["cval_new"]
+        cb_map = new_map
+        cb = literal(cb_map)
     return cb
 
 
@@ -2512,31 +2532,54 @@ def _train_kmeans_history(
 ) -> list[DataFrame]:
     """:func:`train_kmeans` returning every intermediate centroid table
     [cent0 .. cent{n_iters}] — cent0 is the seed, cent{n} the table after
-    n Lloyd's updates. Each is localCheckpoint-ed (C rows), so reading the
-    whole history costs nothing beyond the training run itself; the
-    distortion report uses it to certify per-iteration improvement without
-    re-training per iteration."""
+    n Lloyd's updates.
+
+    The per-round state that crosses iterations is C x dim doubles (~1k
+    values here, a few MB at any realistic C) — so each round COLLECTS the
+    new means to the driver and feeds the next round a LITERAL centroid
+    frame, the classic Lloyd's driver loop and the same bounded-collect
+    discipline as ``train_bpe_merges`` (one tiny table per step, never
+    anything corpus-sized; an earlier executor-side localCheckpoint chain
+    accumulated one RDD per round per invocation). The collected doubles
+    round-trip exactly (Python floats ARE doubles), so oracle parity is
+    unaffected. The remaining cost is the honest one — one assignment
+    scan + one means scan per iteration (the r11 HOF-norm fix in
+    ``assign_to_centroids`` took the trained queries from 34-54 s to
+    9-16 s med3 at sf0.1; what's left is k corpus scans, which IS Lloyd's
+    at any scale)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     from pyspark_cdc_engine.operators.ann_incremental import (
         assign_to_centroids,
     )
 
-    w = Window.orderBy("vec_id")
-    vecs = vectors.select("vec_id", "embedding").localCheckpoint(eager=True)
-    cents = (
-        vecs.orderBy("vec_id")
-        .limit(n_centroids)
-        .withColumn("centroid_id", F.row_number().over(w) - 1)
-        .select(
-            "centroid_id",
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
-                "cemb"
-            ),
-        )
-        .localCheckpoint(eager=True)
+    spark = vectors.sparkSession
+    schema = StructType(
+        [
+            StructField("centroid_id", IntegerType(), False),
+            StructField("cemb", ArrayType(DoubleType(), False), False),
+        ]
     )
-    history = [cents]
+
+    def literal(cent_map: dict[int, list[float]]) -> DataFrame:
+        rows = [(cid, cent_map[cid]) for cid in sorted(cent_map)]
+        return spark.createDataFrame(rows, schema)
+
+    vecs = vectors.select("vec_id", "embedding")
+    seed_rows = vecs.orderBy("vec_id").limit(n_centroids).collect()
+    cent_map = {
+        i: [float(x) for x in r["embedding"]]
+        for i, r in enumerate(seed_rows)
+    }
+    history = [literal(cent_map)]
     for _ in range(n_iters):
-        assigned = assign_to_centroids(vecs, cents)
+        assigned = assign_to_centroids(vecs, history[-1])
         means = (
             vecs.join(assigned, "vec_id")
             .select(
@@ -2550,22 +2593,16 @@ def _train_kmeans_history(
                     / F.count(F.lit(1))
                 ).alias("cval")
             )
+            .collect()  # bounded: C x dim cells
         )
-        new = means.groupBy("centroid_id").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, cval))),"
-                " x -> x.cval)"
-            ).alias("cemb_new")
-        )
-        cents = (
-            cents.join(new, "centroid_id", "left")
-            .select(
-                "centroid_id",
-                F.coalesce("cemb_new", "cemb").alias("cemb"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        history.append(cents)
+        new_map = dict(cent_map)  # keep-old for empty clusters
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = r["cval"]
+        for cid, dims in by_cid.items():
+            new_map[cid] = [dims[p] for p in sorted(dims)]
+        cent_map = new_map
+        history.append(literal(cent_map))
     return history
 
 
