@@ -132,7 +132,11 @@ def run_delta_ddl(
     executed: list[str] = []
     for stmt in split_sql_statements(Path(script_path).read_text()):
         s = stmt.strip()
-        if m := re.match(r"(?is)DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", s):
+        if m := re.match(
+            r"(?is)DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", s
+        ):
+            # external-table semantics: drop the name binding (and its
+            # registry entry), never the data directory
             unbind_table(spark, m.group(1).split(".")[-1])
         elif m := re.match(
             r"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(", s
