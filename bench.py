@@ -392,9 +392,50 @@ def rerun_outliers(
             "prev_artifact": old,
             "first_median3": median3[name],
             "remeasured": round(fresh, 3),
+            # explicit adjudication record (r11 verdict ask #1): "confirmed"
+            # means the re-measure reproduced the slowdown — a real
+            # regression kept on purpose, not an unadjudicated outlier
+            "kept": "confirmed-regression"
+            if fresh >= threshold * old
+            else "cleared-as-noise",
         }
         median3[name] = round(min(median3[name], fresh), 3)
     return reruns
+
+
+def rerun_pipeline_if_slow(
+    prev: dict,
+    lane_key: str,
+    metric: str,
+    result: dict,
+    lane_fn,
+    threshold: float = 1.5,
+) -> dict:
+    """Pipeline-lane outlier guard (r11 verdict ask #2): the cdc/replication
+    lanes previously had no rerun adjudication, so a throughput drift (warm
+    CDC ingest fell 34% over three rounds) could ship unexamined. If this
+    run's ``metric`` (a HIGHER-is-better rate) lands below the committed
+    artifact's value / ``threshold``, re-run the whole lane once after the
+    first pass (clear of whatever interference burst slowed it) and keep
+    the FASTER result — noise only ever slows a lane down. The kept dict
+    carries an ``outlier_rerun`` record either way the adjudication goes."""
+    old = (prev.get(lane_key) or {}).get(metric)
+    rate = result.get(metric)
+    if not old or not rate or rate * threshold >= old:
+        return result
+    fresh = lane_fn()
+    fresh_rate = fresh.get(metric) or 0.0
+    keep = fresh if fresh_rate > rate else result
+    keep["outlier_rerun"] = {
+        "metric": metric,
+        "prev_artifact": old,
+        "first_run": rate,
+        "remeasured": fresh_rate,
+        "kept": "confirmed-regression"
+        if max(rate, fresh_rate) * threshold < old
+        else "cleared-as-noise",
+    }
+    return keep
 
 
 def merge_artifact(prev: dict, out: dict, partial: bool) -> dict:
@@ -538,10 +579,14 @@ def main() -> None:
         not only or os.environ.get("BENCH_CDC") == "1"
     ):
         try:
-            cdc = bench_cdc_pipeline(
+            _run_cdc = lambda: bench_cdc_pipeline(  # noqa: E731
                 spark,
                 n_tx=int(os.environ.get("BENCH_CDC_TX", "2000")),
                 impl=os.environ.get("BENCH_CDC_IMPL", "v1"),
+            )
+            cdc = rerun_pipeline_if_slow(
+                prev_artifact, "cdc_pipeline", "scd2_events_per_sec_warm",
+                _run_cdc(), _run_cdc,
             )
         except Exception as e:  # noqa: BLE001
             cdc = {"err": f"{type(e).__name__}: {e}"[:500]}
@@ -551,8 +596,12 @@ def main() -> None:
         not only or os.environ.get("BENCH_REPL") == "1"
     ):
         try:
-            repl = bench_replication(
+            _run_repl = lambda: bench_replication(  # noqa: E731
                 spark, n_rows=int(os.environ.get("BENCH_REPL_ROWS", "100000"))
+            )
+            repl = rerun_pipeline_if_slow(
+                prev_artifact, "replication_pipeline", "rows_per_sec",
+                _run_repl(), _run_repl,
             )
         except Exception as e:  # noqa: BLE001
             repl = {"err": f"{type(e).__name__}: {e}"[:500]}

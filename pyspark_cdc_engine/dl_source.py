@@ -265,13 +265,58 @@ def _load_bindings(spark) -> dict:
         return {}
 
 
+def _update_bindings(spark, mutate) -> None:
+    """Apply ``mutate(bindings_dict)`` under an O_EXCL lock file so two
+    sessions updating the registry concurrently can't lose each other's
+    entries — the atomic tmp-rename alone only prevents torn reads, not
+    lost updates from a racing load-mutate-replace."""
+    import os
+    import time
+
+    p = _bindings_path(spark)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    lock = p.with_suffix(".json.lock")
+    deadline = time.monotonic() + 30.0
+    while True:
+        try:
+            fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            # a crashed holder must not wedge every future session
+            try:
+                if time.monotonic() - lock.stat().st_mtime > 60.0:
+                    lock.unlink(missing_ok=True)
+                    continue
+            except OSError:
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"could not acquire bindings lock {lock} in 30s"
+                )
+            time.sleep(0.05)
+    try:
+        bindings = _load_bindings(spark)
+        mutate(bindings)
+        tmp = p.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(bindings, indent=1, sort_keys=True))
+        tmp.replace(p)  # atomic: a concurrent reader never sees a torn file
+    finally:
+        lock.unlink(missing_ok=True)
+
+
 def _create_binding_view(spark, name: str, entry: dict) -> None:
     if entry.get("kind") == "view":
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {entry['sql']}"
         )
         return
-    opts = [f"path '{entry['path']}'"]
+    # the path is spliced into DDL as a single-quoted literal: double any
+    # embedded quote (SQL string-escape) so a quoted path can't break the
+    # statement or inject SQL — the registry file is executable SQL at
+    # every session start
+    path_lit = str(entry["path"]).replace("'", "''")
+    opts = [f"path '{path_lit}'"]
     if entry.get("versionAsOf") is not None:
         opts.append(f"versionAsOf '{int(entry['versionAsOf'])}'")
     spark.sql(
@@ -299,13 +344,7 @@ def bind_table(
     if version_as_of is not None:
         entry["versionAsOf"] = int(version_as_of)
     _create_binding_view(spark, name, entry)
-    p = _bindings_path(spark)
-    p.parent.mkdir(parents=True, exist_ok=True)
-    bindings = _load_bindings(spark)
-    bindings[name] = entry
-    tmp = p.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps(bindings, indent=1, sort_keys=True))
-    tmp.replace(p)  # atomic: a concurrent session never reads a torn file
+    _update_bindings(spark, lambda b: b.__setitem__(name, entry))
 
 
 def bind_view(spark, name: str, body_sql: str) -> None:
@@ -319,23 +358,12 @@ def bind_view(spark, name: str, body_sql: str) -> None:
         raise ValueError(f"binding name must be a bare identifier: {name!r}")
     entry = {"kind": "view", "sql": body_sql}
     _create_binding_view(spark, name, entry)
-    p = _bindings_path(spark)
-    p.parent.mkdir(parents=True, exist_ok=True)
-    bindings = _load_bindings(spark)
-    bindings[name] = entry
-    tmp = p.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps(bindings, indent=1, sort_keys=True))
-    tmp.replace(p)
+    _update_bindings(spark, lambda b: b.__setitem__(name, entry))
 
 
 def unbind_table(spark, name: str) -> None:
     """Remove a binding from the registry and drop its view (if any)."""
-    p = _bindings_path(spark)
-    bindings = _load_bindings(spark)
-    if bindings.pop(name, None) is not None:
-        tmp = p.with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(bindings, indent=1, sort_keys=True))
-        tmp.replace(p)
+    _update_bindings(spark, lambda b: b.pop(name, None))
     spark.sql(f"DROP VIEW IF EXISTS {name}")
 
 
@@ -359,6 +387,16 @@ def restore_bindings(spark) -> list[str]:
         try:
             _create_binding_view(spark, name, entry)
             restored.append(name)
-        except Exception:
-            continue  # one broken binding must not break session startup
+        except Exception as e:
+            # one broken binding must not break session startup, but a
+            # silently-vanished name gives a confusing missing-name error
+            # downstream — say which binding was skipped and why
+            import warnings
+
+            warnings.warn(
+                f"deltalite: skipping binding {name!r} during registry "
+                f"replay: {type(e).__name__}: {e}",
+                stacklevel=2,
+            )
+            continue
     return restored

@@ -163,7 +163,18 @@ def run_delta_ddl(
             schema = StructType.fromDDL(cols)
             path = str(Path(base_dir) / name)
             tbl = DeltaliteTable(spark, path)
-            if not (m.group(1) and tbl.exists()):
+            if tbl.exists():
+                # Spark/Delta semantics: plain CREATE TABLE on an existing
+                # table raises TABLE_ALREADY_EXISTS — never silently
+                # overwrite committed data with an empty snapshot. Only
+                # IF NOT EXISTS makes an existing table a no-op.
+                if not m.group(1):
+                    raise ValueError(
+                        f"[TABLE_OR_VIEW_ALREADY_EXISTS] table {name!r} "
+                        f"already exists at {path}; use CREATE TABLE IF "
+                        "NOT EXISTS or DROP it first"
+                    )
+            else:
                 tbl.overwrite(spark.createDataFrame([], schema))
             if pm := re.search(r"(?is)TBLPROPERTIES\s*\(([^)]*)\)", tail):
                 for k, v in re.findall(

@@ -1538,6 +1538,11 @@ def write_training_shards(
         _with_fp_term(written, "_shard", "_order_key", id_col, F.expr(h_expr))
         .groupBy(F.col("_shard").alias("shard"))
         .agg(F.count(F.lit(1)).alias("n_docs"), _fp_agg())
+        # persist the export's modulus: the manifest rows only cover
+        # NON-EMPTY shards, so a verifier inferring n_shards from the row
+        # count would use the wrong modulus whenever any shard got zero
+        # docs (tiny corpus, large n_shards) and report false tampering
+        .withColumn("n_shards", F.lit(int(n_shards)))
     )
     manifest_path = path.rstrip("/") + "/_manifest"
     manifest.write.mode("overwrite").parquet(manifest_path)
@@ -1576,9 +1581,10 @@ def verify_training_shards(
     lands in the receiving dir's count/checksum (mismatch) AND its rows
     flag as misplaced — a forged ``_shard`` column consistent with its rows
     cannot launder a move past the verifier. ``n_shards`` defaults to the
-    manifest row count (exact whenever every shard got >=1 doc, which the
-    48-bit balanced hash guarantees at any realistic corpus/shard ratio);
-    pass it explicitly when verifying a deliberately tiny export.
+    modulus the writer persisted in the manifest (``n_shards`` column);
+    for pre-column exports it falls back to the manifest row count (exact
+    whenever every shard got >=1 doc). Pass it explicitly only to
+    override a legacy export where some shard got zero docs.
 
     Returns one row per shard: ``(shard, n_docs_expected, n_docs_actual,
     order_fp_expected, order_fp_actual, n_misplaced, ok)``, full-outer
@@ -1587,13 +1593,31 @@ def verify_training_shards(
     export (partition key + 3 narrow columns, never payload) plus one hash
     aggregate; the manifest side is n_shards rows."""
     h_expr, _ = _shard_keys(id_col)
-    manifest = spark.read.parquet(path.rstrip("/") + "/_manifest").select(
+    raw_manifest = spark.read.parquet(path.rstrip("/") + "/_manifest")
+    manifest = raw_manifest.select(
         "shard",
         F.col("n_docs").alias("n_docs_expected"),
         F.col("order_fp").alias("order_fp_expected"),
     )
     if n_shards is None:
-        n_shards = manifest.count()  # bounded: one row per shard
+        if "n_shards" in raw_manifest.columns:
+            # the writer persists its modulus (manifest rows only cover
+            # non-empty shards, so row count under-reports when a shard
+            # got zero docs); one-row bounded collect
+            vals = [
+                r[0]
+                for r in raw_manifest.select("n_shards").distinct().collect()
+            ]
+            if len(vals) != 1:
+                raise ShardVerificationError(
+                    f"manifest carries conflicting n_shards values: {vals}"
+                )
+            n_shards = int(vals[0])
+        else:
+            # pre-n_shards-column export: exact whenever every shard got
+            # >=1 doc (the balanced 48-bit hash guarantees this at any
+            # realistic corpus/shard ratio)
+            n_shards = manifest.count()  # bounded: one row per shard
     written = spark.read.parquet(path).select(
         F.col("shard").cast("int").alias("shard"),
         "_shard",

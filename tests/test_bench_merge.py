@@ -131,6 +131,7 @@ def test_outlier_guard_triggers_on_injected_noise():
             "prev_artifact": 0.50,
             "first_median3": 2.18,
             "remeasured": 0.51,
+            "kept": "cleared-as-noise",
         }
     }
 
@@ -143,6 +144,51 @@ def test_outlier_guard_keeps_real_regressions():
     reruns = bench.rerun_outliers(prev, median3, lambda n: [3.1, 2.9, 3.0])
     assert median3["q"] == 3.0
     assert reruns["q"]["remeasured"] == 3.0
+    assert reruns["q"]["kept"] == "confirmed-regression"
+
+
+def test_pipeline_lane_guard_reruns_slow_lane_and_keeps_faster():
+    """A lane whose higher-is-better rate fell >=1.5x below the committed
+    artifact re-runs once and keeps the faster result (r11 verdict #2)."""
+    prev = {"cdc_pipeline": {"scd2_events_per_sec_warm": 3000.0}}
+    first = {"scd2_events_per_sec_warm": 1500.0, "n_tx": 10}
+    fresh = {"scd2_events_per_sec_warm": 2900.0, "n_tx": 10}
+    kept = bench.rerun_pipeline_if_slow(
+        prev, "cdc_pipeline", "scd2_events_per_sec_warm", first, lambda: fresh
+    )
+    assert kept["scd2_events_per_sec_warm"] == 2900.0
+    assert kept["outlier_rerun"]["kept"] == "cleared-as-noise"
+    assert kept["outlier_rerun"]["prev_artifact"] == 3000.0
+
+
+def test_pipeline_lane_guard_confirms_real_regression():
+    prev = {"replication_pipeline": {"rows_per_sec": 9000.0}}
+    first = {"rows_per_sec": 4000.0}
+    calls = []
+
+    def lane():
+        calls.append(1)
+        return {"rows_per_sec": 4100.0}
+
+    kept = bench.rerun_pipeline_if_slow(
+        prev, "replication_pipeline", "rows_per_sec", first, lane
+    )
+    assert calls == [1]
+    assert kept["rows_per_sec"] == 4100.0
+    assert kept["outlier_rerun"]["kept"] == "confirmed-regression"
+
+
+def test_pipeline_lane_guard_noops_when_healthy_or_unbaselined():
+    healthy = {"rows_per_sec": 8800.0}
+    out = bench.rerun_pipeline_if_slow(
+        {"replication_pipeline": {"rows_per_sec": 9000.0}},
+        "replication_pipeline", "rows_per_sec", healthy, lambda: 1 / 0,
+    )
+    assert out is healthy and "outlier_rerun" not in out
+    out = bench.rerun_pipeline_if_slow(
+        {}, "replication_pipeline", "rows_per_sec", healthy, lambda: 1 / 0
+    )
+    assert out is healthy
 
 
 def test_outlier_guard_noops_without_prior_artifact():

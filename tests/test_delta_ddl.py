@@ -123,3 +123,30 @@ def test_reference_seed_scripts_execute_verbatim(spark, tmp_path):
         assert t.read_schema() if hasattr(t, "read_schema") else True
     finally:
         _cleanup(spark, names)
+
+
+def test_plain_create_table_on_existing_raises(spark, tmp_path):
+    """Spark/Delta semantics: CREATE TABLE (no IF NOT EXISTS) on an
+    existing table raises TABLE_ALREADY_EXISTS instead of silently
+    overwriting committed data with an empty snapshot (r11 ADVICE)."""
+    script = tmp_path / "seed.sql"
+    script.write_text(
+        "CREATE TABLE ddl_exists_probe (a BIGINT) USING DELTA;"
+    )
+    base = tmp_path / "t"
+    try:
+        run_delta_ddl(spark, script, base)
+        t = DeltaliteTable(spark, str(base / "ddl_exists_probe"))
+        t.append(spark.range(3).withColumnRenamed("id", "a"))
+        with pytest.raises(ValueError, match="ALREADY_EXISTS"):
+            run_delta_ddl(spark, script, base)
+        # committed data survived the refused re-create
+        assert t.read().count() == 3
+        # IF NOT EXISTS remains a clean no-op on the same table
+        script.write_text(
+            "CREATE TABLE IF NOT EXISTS ddl_exists_probe (a BIGINT) USING DELTA;"
+        )
+        run_delta_ddl(spark, script, base)
+        assert t.read().count() == 3
+    finally:
+        _cleanup(spark, ["ddl_exists_probe"])

@@ -277,3 +277,85 @@ def test_binding_persists_across_sessions(tmp_path):
         capture_output=True, text=True, timeout=600, env=env, cwd=repo,
     )
     assert "READER_OK 42" in r.stdout, r.stdout + r.stderr
+
+
+def test_bind_table_path_with_quote_is_escaped(spark, tmp_path):
+    """A path containing a single quote must not break the spliced
+    CREATE TEMPORARY VIEW ... USING deltalite statement (or inject SQL) —
+    the path literal is SQL-escaped (r11 ADVICE)."""
+    qdir = tmp_path / "o'brien"
+    t = DeltaliteTable(spark, str(qdir / "tbl"))
+    t.overwrite(spark.range(5).withColumnRenamed("id", "a"))
+    try:
+        bind_table(spark, "quoted_path_tbl", t.path)
+        assert spark.sql("SELECT COUNT(*) c FROM quoted_path_tbl").first().c == 5
+        # and registry replay (the startup path) handles it too
+        spark.sql("DROP VIEW IF EXISTS quoted_path_tbl")
+        assert "quoted_path_tbl" in restore_bindings(spark)
+        assert spark.sql("SELECT COUNT(*) c FROM quoted_path_tbl").first().c == 5
+    finally:
+        unbind_table(spark, "quoted_path_tbl")
+
+
+def test_restore_bindings_warns_on_broken_binding(spark, tmp_path):
+    """A binding whose view body no longer parses is skipped WITH a warning
+    naming it — not silently vanished (r11 ADVICE)."""
+    import warnings
+
+    from pyspark_cdc_engine.dl_source import bind_view
+
+    bind_view(spark, "ok_probe_view", "SELECT 1 AS one")
+    # corrupt a second binding directly in the registry
+    from pyspark_cdc_engine.dl_source import _bindings_path, _update_bindings
+
+    _update_bindings(
+        spark,
+        lambda b: b.__setitem__(
+            "broken_probe_view", {"kind": "view", "sql": "SELEC oops FROM"}
+        ),
+    )
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            restored = restore_bindings(spark)
+        assert "ok_probe_view" in restored
+        assert "broken_probe_view" not in restored
+        msgs = [str(w.message) for w in caught]
+        assert any("broken_probe_view" in m for m in msgs), msgs
+    finally:
+        unbind_table(spark, "ok_probe_view")
+        unbind_table(spark, "broken_probe_view")
+
+
+def test_concurrent_binding_updates_do_not_lose_entries(spark, tmp_path, nation_tbl):
+    """The registry read-modify-write is serialized by a lock file: many
+    concurrent binders all land in the file (last-writer-wins previously
+    dropped entries; r11 ADVICE)."""
+    import threading
+
+    from pyspark_cdc_engine.dl_source import _load_bindings, _update_bindings
+
+    names = [f"race_bind_{i}" for i in range(16)]
+    errs = []
+
+    def add(n):
+        try:
+            _update_bindings(
+                spark, lambda b: b.__setitem__(n, {"path": nation_tbl.path})
+            )
+        except Exception as e:  # surface in main thread
+            errs.append(e)
+
+    threads = [threading.Thread(target=add, args=(n,)) for n in names]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    try:
+        bound = _load_bindings(spark)
+        missing = [n for n in names if n not in bound]
+        assert not missing, f"lost concurrent bindings: {missing}"
+    finally:
+        for n in names:
+            unbind_table(spark, n)

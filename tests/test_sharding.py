@@ -319,3 +319,23 @@ def test_max_records_per_file_splits_keep_order(spark, tmp_path):
             h1, okey = _md5_slices(r["doc_id"])
             fp = (fp + _fp_term(pos, h1, okey)) % _FP_P
         assert fp == m[shard]["order_fp"]
+
+
+def test_verifier_uses_persisted_n_shards_with_empty_shards(spark, tmp_path):
+    """A tiny corpus exported with a large n_shards leaves some shards
+    empty; the manifest only carries non-empty shards, so inferring the
+    modulus from the row count would flag legitimate rows as misplaced.
+    The writer persists n_shards in the manifest and the verifier reads
+    it back (r11 ADVICE)."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(6)
+    )
+    out = str(tmp_path / "sparse")
+    manifest = write_training_shards(docs, out, n_shards=64)
+    assert "n_shards" in manifest.columns
+    n_live = manifest.count()
+    assert n_live < 64, "expected some empty shards in this scenario"
+    report = verify_training_shards(spark, out).collect()
+    assert len(report) == n_live
+    assert all(r["ok"] for r in report), [r.asDict() for r in report]
+    assert all(r["n_misplaced"] == 0 for r in report)
