@@ -14,9 +14,11 @@ This is the Python analog over public stdlib pieces only:
        on every ``get`` so test monkeypatching and operator-level overrides
        keep working.
     2. **Programmatic overrides** passed to :func:`load` (a job's inline conf).
-    3. **Job config file** — JSON (flat or nested), the
-       ``transactional-cdc-processing.conf`` analog.  Located explicitly via
-       ``config_file=`` or by job name under ``$CDC_CONFIG_DIR`` / ``./conf``.
+    3. **Job config file** — HOCON ``.conf`` (the reference's own format,
+       including ``include "reference"`` chains — parsed by
+       :mod:`pyspark_cdc_engine.hocon`) or JSON (flat or nested).  Located
+       explicitly via ``config_file=`` or by job name under
+       ``$CDC_CONFIG_DIR`` / ``./conf`` (``.conf`` probed before ``.json``).
     4. **DEFAULTS** below — the packaged ``reference.conf`` analog.
 
 Keys mirror the reference's HOCON paths where a counterpart exists
@@ -212,9 +214,12 @@ def load(
 ) -> AppConfig:
     """Build an :class:`AppConfig` (AppConfig.load analog).
 
-    ``config_file`` names a JSON file directly; otherwise ``job_name`` is
-    searched as ``<job_name>.json`` under ``$CDC_CONFIG_DIR`` then ``./conf``.
-    A missing job file is not an error — defaults still apply, matching the
+    ``config_file`` names a job file directly — HOCON ``.conf`` (the
+    reference's own format, parsed by :mod:`pyspark_cdc_engine.hocon`
+    including its ``include "reference"`` chains) or JSON (anything else).
+    Otherwise ``job_name`` is searched as ``<job_name>.conf`` then
+    ``<job_name>.json`` under ``$CDC_CONFIG_DIR`` then ``./conf``. A
+    missing job file is not an error — defaults still apply, matching the
     reference where every key has a reference.conf fallback."""
     path: Path | None = None
     if config_file is not None:
@@ -223,12 +228,22 @@ def load(
             raise FileNotFoundError(f"config file not found: {path}")
     elif job_name:
         for d in (os.environ.get("CDC_CONFIG_DIR"), "conf"):
-            if d and (Path(d) / f"{job_name}.json").is_file():
-                path = Path(d) / f"{job_name}.json"
+            if not d:
+                continue
+            for ext in (".conf", ".json"):
+                if (Path(d) / f"{job_name}{ext}").is_file():
+                    path = Path(d) / f"{job_name}{ext}"
+                    break
+            if path is not None:
                 break
     file_layer: dict[str, Any] = {}
     if path is not None:
-        file_layer = _flatten(json.loads(path.read_text()))
+        if path.suffix == ".conf":
+            from pyspark_cdc_engine.hocon import load_hocon_file
+
+            file_layer = _flatten(load_hocon_file(path))
+        else:
+            file_layer = _flatten(json.loads(path.read_text()))
     return AppConfig(file_layer, overrides, source=str(path) if path else None)
 
 

@@ -132,6 +132,9 @@ class IncrementalIvfIndex:
     (:func:`~pyspark_cdc_engine.operators.dedup_scale.train_kmeans`) over
     the snapshot at (re)build time — the FAISS train-once contract with an
     actually TRAINED coarse quantizer; folds still never move it.
+    ``train_sample_stride > 1`` trains on the deterministic
+    every-stride-th subsample (the FAISS train-on-a-sample scale path —
+    see ``train_kmeans``); assignment always covers the full snapshot.
     """
 
     def __init__(
@@ -141,11 +144,13 @@ class IncrementalIvfIndex:
         index_path: str,
         n_centroids: int = _IVF_C,
         train_iters: int = 0,
+        train_sample_stride: int = 1,
     ) -> None:
         self.spark = spark
         self.base = base
         self.n_centroids = n_centroids
         self.train_iters = train_iters
+        self.train_sample_stride = train_sample_stride
         self.assign = DeltaliteTable(spark, index_path.rstrip("/") + "/assign")
         self.cents = DeltaliteTable(spark, index_path.rstrip("/") + "/centroids")
 
@@ -188,7 +193,12 @@ class IncrementalIvfIndex:
 
         snap = self.base.read(version=upto).select("vec_id", "embedding")
         self.cents.overwrite(
-            train_kmeans(snap, self.n_centroids, self.train_iters)
+            train_kmeans(
+                snap,
+                self.n_centroids,
+                self.train_iters,
+                sample_stride=self.train_sample_stride,
+            )
         )
         self.assign.overwrite(
             assign_to_centroids(snap, self.cents.read()),

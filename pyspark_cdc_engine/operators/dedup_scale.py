@@ -638,6 +638,36 @@ _DOT_DEC_SPARK = (
 )
 
 
+# Cluster-mean arithmetic is FLOOR-scaled fixed point, not a DECIMAL cast:
+# a float32 of the form odd/2^13 is an EXACT 12-dp midpoint (odd/2^13 *
+# 10^12 = odd*5^12/2), and Spark's double->DECIMAL cast rounds HALF_UP
+# while DuckDB rounds half-even — a real 1e-12 divergence observed at
+# sf0.01 (cell (centroid 2, dim 37) of the stride-4 training sample).
+# floor() is identical in both engines, and *2^40 is a pure exponent shift
+# (exact in IEEE), so the mean is bit-deterministic for ANY input:
+# term = floor(val*2^40) summed exactly, mean = sum/2^40/n.
+_MEAN_SCALE = 1 << 40  # fixed-point scale for cluster means (~9e-13 grain)
+
+
+def _mean_term_spark(val_expr: str) -> str:
+    """Floor-scaled mean term (Spark SQL), DECIMAL(38,0)-accumulated:
+    |val| <= ~100 gives terms < 2^47, so a BIGINT sum would overflow at
+    ~65k-row clusters — real 100 TB cluster sizes; the decimal never does."""
+    return (
+        f"CAST(floor(CAST({val_expr} AS DOUBLE) * {_MEAN_SCALE})"
+        f" AS DECIMAL(38,0))"
+    )
+
+
+def _mean_duck(val_expr: str, count_expr: str = "COUNT(*)") -> str:
+    """The whole mean expression (DuckDB): floor-scaled HUGEINT sum, then
+    /scale/count in double — same left-assoc order as the Spark side."""
+    return (
+        f"CAST(SUM(CAST(floor(CAST({val_expr} AS DOUBLE) * {_MEAN_SCALE})"
+        f" AS HUGEINT)) AS DOUBLE) / {_MEAN_SCALE} / {count_expr}"
+    )
+
+
 def _dot_duck(a: str, b: str) -> str:
     return (
         f"CAST((SELECT SUM(CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS {_DEC}))"
@@ -1055,7 +1085,7 @@ def train_pq_codebooks(
     training-free convention), then ``n_iters`` Lloyd's rounds — assign
     every (vector, subspace) to its nearest sub-centroid (exact-decimal
     squared L2, ``(dist, k)`` argmin tie-break), recompute each
-    sub-centroid as the decimal-exact per-dim mean of its cell, keep a
+    sub-centroid as the floor-scaled fixed-point per-dim mean of its cell, keep a
     sub-centroid unchanged if its cell went empty. ALL ``_PQ_M`` subspaces
     train inside the same jobs (the codebook is one broadcast frame keyed
     (m, k, pos)). Returns the long-form codebook (m, k, pos, cval).
@@ -1108,7 +1138,8 @@ def train_pq_codebooks(
             .groupBy("m", F.col("code").alias("k"), "pos")
             .agg(
                 (
-                    F.sum(F.col("val").cast(_DEC)).cast("double")
+                    F.sum(F.expr(_mean_term_spark("val"))).cast("double")
+                    / _MEAN_SCALE
                     / F.count(F.lit(1))
                 ).alias("cval_new")
             )
@@ -1156,7 +1187,7 @@ def _pq_train_ctes_duck(n_iters: int = _PQ_T) -> str:
     ),
     pmean_{n} AS MATERIALIZED (
       SELECT a.m, a.code AS k, e.pos,
-             CAST(SUM(CAST(e.val AS {_DEC})) AS DOUBLE) / COUNT(*) AS cval_new
+             {_mean_duck('e.val')} AS cval_new
       FROM pasg_{n} a
       JOIN pex e ON e.vec_id = a.vec_id AND e.pos // {_PQ_SUB} = a.m
       GROUP BY 1, 2, 3
@@ -2463,7 +2494,7 @@ def lsh_multiprobe_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT centroid_id, pos,
            COUNT(*) AS n,
-           CAST(SUM(CAST(val AS {_DEC})) AS DOUBLE) / COUNT(*) AS new_val
+           {_mean_duck('val')} AS new_val
     FROM comp GROUP BY 1, 2
     """,
 )
@@ -2474,8 +2505,10 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver loop would re-seed the centroid table from this output and repeat.
 
     100 TB shape: assignment is the proven broadcast-join kernel; the update
-    is one hash agg over (centroid, dim) — C x dim cells, each a decimal-exact
-    mean, so the new centroid table is tiny and exact. No vector ever moves
+    is one hash agg over (centroid, dim) — C x dim cells, each a
+    floor-scaled fixed-point mean (see _MEAN_SCALE: bit-deterministic
+    across engines, unlike a double->DECIMAL cast whose midpoint rounding
+    differs), so the new centroid table is tiny and deterministic. No vector ever moves
     between executors more than once per iteration."""
     assigned = _ivf_assigned_df(spark, sf_dir)
     comp = assigned.select(
@@ -2483,9 +2516,11 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("val", F.col("val").cast("double"))
     return comp.groupBy("centroid_id", "pos").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum(F.col("val").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
-            "new_val"
-        ),
+        (
+            F.sum(F.expr(_mean_term_spark("val"))).cast("double")
+            / _MEAN_SCALE
+            / F.count(F.lit(1))
+        ).alias("new_val"),
     )
 
 
@@ -2494,6 +2529,7 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver loop (the train_bpe_merges pattern — k Spark jobs, one tiny table
 # back to the driver-side lineage per round, oracle re-derives the loop as
 # unrolled CTEs).
+#
 # ---------------------------------------------------------------------------
 
 _KM_ITERS = 3  # Lloyd's iterations for the certified trained quantizer
@@ -2503,14 +2539,15 @@ def train_kmeans(
     vectors: DataFrame,
     n_centroids: int = _IVF_C,
     n_iters: int = _KM_ITERS,
+    sample_stride: int = 1,
 ) -> DataFrame:
     """Lloyd's k-means over ``vectors`` (vec_id, embedding): seed = first
     ``n_centroids`` vec_ids (the training-free convention every first-C
     kernel here uses, so ``n_iters=0`` IS that convention), then
     ``n_iters`` update rounds, each one :func:`kmeans_update_step` shape —
     assign every vector to its nearest centroid (cosine, the fixed-point
-    argmax kernel), recompute each centroid as the decimal-exact
-    per-dimension mean of its cluster, keep a centroid unchanged if its
+    argmax kernel), recompute each centroid as the floor-scaled
+    fixed-point per-dimension mean of its cluster (_MEAN_SCALE), keep a centroid unchanged if its
     cluster went empty (the standard Lloyd's convention). Returns
     (centroid_id, cemb array<double>).
 
@@ -2520,9 +2557,37 @@ def train_kmeans(
     table, ``localCheckpoint``-ed so iteration N's plan never replays
     iterations 1..N-1 — exactly how ``train_bpe_merges`` bounds its
     lineage. FAISS trains its coarse quantizer the same way (few Lloyd's
-    rounds over a sample); here the "sample" is the full test corpus so
-    the DuckDB oracle can re-derive training bit-for-bit."""
-    return _train_kmeans_history(vectors, n_centroids, n_iters)[-1]
+    rounds over a sample); here the "sample" defaults to the full test
+    corpus so the DuckDB oracle can re-derive training bit-for-bit.
+
+    ``sample_stride > 1`` is the 100 TB path: train on the deterministic
+    subset ``vec_id % stride == 0`` (seeds always included, so the seed is
+    identical to unsampled training), exactly FAISS's train-on-a-sample
+    contract — k-means centroids estimated from max(256*C, ~1M)-ish
+    vectors are statistically indistinguishable from full-corpus training,
+    and each Lloyd's iteration scans corpus/stride instead of the corpus.
+    The FINAL assignment (callers do it) still covers every vector. The
+    stride predicate is SQL-expressible, so sampled training stays fully
+    oracle-certifiable (``ann_ivf_trained_sampled``)."""
+    return _train_kmeans_history(
+        _train_sample(vectors, n_centroids, sample_stride),
+        n_centroids,
+        n_iters,
+    )[-1]
+
+
+def _train_sample(
+    vectors: DataFrame, n_centroids: int, sample_stride: int
+) -> DataFrame:
+    """The deterministic training sample: every ``sample_stride``-th
+    vec_id plus the first ``n_centroids`` (the seed must be stride-
+    invariant so sampled and unsampled training start identically)."""
+    if sample_stride <= 1:
+        return vectors
+    return vectors.filter(
+        (F.col("vec_id") < n_centroids)
+        | (F.col("vec_id") % sample_stride == 0)
+    )
 
 
 def _train_kmeans_history(
@@ -2589,7 +2654,8 @@ def _train_kmeans_history(
             .groupBy("centroid_id", "pos")
             .agg(
                 (
-                    F.sum(F.col("val").cast(_DEC)).cast("double")
+                    F.sum(F.expr(_mean_term_spark("val"))).cast("double")
+                    / _MEAN_SCALE
                     / F.count(F.lit(1))
                 ).alias("cval")
             )
@@ -2610,7 +2676,7 @@ def _kmeans_ctes_duck(n_iters: int = _KM_ITERS, train_src: str = "norms") -> str
     """DuckDB re-derivation of :func:`train_kmeans` as an unrolled CTE
     chain (requires ``norms`` from ``_NORMS_CTE_DUCK`` in scope): cent0 =
     first-C seed cast to double, each round one fixed-point-argmax
-    assignment + decimal-exact per-dim mean + keep-old-on-empty — the same
+    assignment + floor-scaled fixed-point per-dim mean + keep-old-on-empty — the same
     total order and the same arithmetic as the Spark loop, so the trained
     centroids (and everything downstream of them) certify rank-for-rank.
     Also emits ``tassign_scored`` / ``tassigned``: the final assignment of
@@ -2643,8 +2709,7 @@ def _kmeans_ctes_duck(n_iters: int = _KM_ITERS, train_src: str = "norms") -> str
     ),
     kmean{n} AS MATERIALIZED (
       SELECT a.centroid_id, i - 1 AS pos,
-             CAST(SUM(CAST(CAST(v.embedding[i] AS DOUBLE) AS {_DEC})) AS DOUBLE)
-               / COUNT(*) AS cval
+             {_mean_duck('v.embedding[i]')} AS cval
       FROM kasg{n} a JOIN {train_src} v USING (vec_id),
            UNNEST(range(1, len(v.embedding) + 1)) AS t(i)
       GROUP BY 1, 2
@@ -2869,7 +2934,11 @@ def ann_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer for exactly those queries. Training optimizes DISTORTION
     (``kmeans_distortion_report`` certifies the monotone improvement),
     which generalizes to arbitrary queries; the seed's panel edge does
-    not. Composes :func:`cosine_topk_bruteforce`,
+    not. ``ann_trained_recall_heldout`` is the eval that CAN show
+    generalization — a panel disjoint from the seeds, where the trained
+    quantizer wins (20 vs 17 hits/40 at sf0.01) — keep this query for the
+    by-construction contrast it documents. Composes
+    :func:`cosine_topk_bruteforce`,
     :func:`ann_ivf_multiprobe` (first-C), and :func:`ann_ivf_trained`
     verbatim; every side is deterministic, so both recalls are exact
     oracle-checkable numbers."""
@@ -2901,6 +2970,371 @@ def ann_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bf.join(firstc, ["query_id", "neighbor_id"], "left")
         .join(trained, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            hf.cast("bigint").alias("hits_firstc"),
+            ht.cast("bigint").alias("hits_trained"),
+            (hf.cast("double") / _IVF_K).alias("recall_firstc"),
+            (ht.cast("double") / _IVF_K).alias("recall_trained"),
+        )
+    )
+
+
+_KM_STRIDE = 4  # deterministic training-sample stride for the sampled trainer
+_KSAMPLE_CTE = (
+    f"ksample AS (SELECT * FROM norms WHERE vec_id < {_IVF_C}"
+    f" OR vec_id % {_KM_STRIDE} = 0)"
+)
+
+
+@register(
+    "ann_ivf_trained_sampled",
+    survey="M5-ann,W1,O1,beyond-ref",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_KSAMPLE_CTE},
+    {_kmeans_ctes_duck(_KM_ITERS, train_src="ksample")},
+    qp AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+           FROM tassign_scored
+           WHERE vec_id < {_IVF_QUERIES} AND rn <= {_IVF_NPROBE}),
+    scored AS (
+      SELECT qp.query_id, c.vec_id AS neighbor_id,
+             {_dot_duck('qp.qemb', 'c.embedding')} / SQRT(qp.qn2 * c.norm2)
+               AS cos_sim
+      FROM qp JOIN tassigned c
+        ON c.centroid_id = qp.centroid_id AND c.vec_id <> qp.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_IVF_K}
+    """,
+)
+def ann_ivf_trained_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_ivf_trained` with SAMPLE-based training — the 100 TB
+    quantizer-training path (r11 verdict: full-corpus Lloyd's scans the
+    corpus per iteration; FAISS trains on a bounded sample). Training
+    reads only ``vec_id % {_KM_STRIDE} == 0`` plus the seeds (a
+    deterministic, SQL-expressible stand-in for FAISS's random
+    max(256*C)-vector subsample), so each of the {_KM_ITERS} iterations
+    scans corpus/{_KM_STRIDE}; the final assignment and the
+    nprobe={_IVF_NPROBE} search still cover every vector. The oracle
+    re-derives sampled training as unrolled CTEs over the same subset —
+    identical argmax/mean arithmetic, so the hash certifies the sampled
+    trainer end-to-end. Quality retention vs the seed is certified by
+    ``kmeans_sampled_quality``."""
+    from pyspark_cdc_engine.operators.ann_incremental import (
+        assign_to_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
+    )
+    vecs = emb.select("vec_id", "embedding")
+    cents = train_kmeans(vecs, _IVF_C, _KM_ITERS, sample_stride=_KM_STRIDE)
+    assigned = emb.join(assign_to_centroids(vecs, cents), "vec_id")
+    q = emb.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("norm2").alias("qn2"),
+    )
+    probes = _probes_vs_centroids(q, cents, _IVF_NPROBE)
+    dot_qc = _DOT_DEC_SPARK.format(a="qemb", b="embedding")
+    scored = (
+        assigned.join(
+            F.broadcast(probes),
+            (assigned["centroid_id"] == probes["centroid_id"])
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cos_sim", F.expr(dot_qc) / F.sqrt(F.col("qn2") * F.col("norm2"))
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+@register(
+    "kmeans_sampled_quality",
+    survey="M5-ann,A2,beyond-ref",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))},
+    {_KSAMPLE_CTE},
+    {_kmeans_ctes_duck(_KM_ITERS, train_src="ksample")},
+    seed_sim AS (
+      SELECT {_dot_duck('a.embedding', 'c.cemb')} / SQRT(a.norm2 * c.cn2)
+        AS sim
+      FROM assigned a JOIN cents c USING (centroid_id)),
+    tr_sim AS (
+      SELECT {_dot_duck('a.embedding', 'c.cemb')} / SQRT(a.norm2 * c.cn2)
+        AS sim
+      FROM tassigned a JOIN cent{_KM_ITERS} c USING (centroid_id))
+    SELECT CAST((SELECT COUNT(*) FROM ksample) AS BIGINT) AS n_train,
+           CAST((SELECT COUNT(*) FROM norms) AS BIGINT) AS n_vectors,
+           (SELECT CAST(SUM(CAST(sim AS {_DEC})) AS DOUBLE) / COUNT(*)
+            FROM seed_sim) AS mean_sim_seed,
+           (SELECT CAST(SUM(CAST(sim AS {_DEC})) AS DOUBLE) / COUNT(*)
+            FROM tr_sim) AS mean_sim_sampled
+    """,
+)
+def kmeans_sampled_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distortion of the SAMPLE-trained quantizer vs the
+    untrained seed — the honesty check that must accompany
+    ``ann_ivf_trained_sampled``: training on corpus/{_KM_STRIDE} vectors
+    must still improve mean assigned-centroid cosine over the WHOLE
+    corpus (FAISS's empirical claim for its train-on-a-sample default).
+    One row: (n_train, n_vectors, mean_sim_seed, mean_sim_sampled), every
+    mean an exact-decimal sum so both engines agree to the bit."""
+    from pyspark_cdc_engine.operators.ann_incremental import (
+        assign_to_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
+    )
+    vecs = emb.select("vec_id", "embedding")
+    dot_vc = _DOT_DEC_SPARK.format(a="embedding", b="cemb")
+
+    def mean_sim(assigned: DataFrame, cents: DataFrame, out: str) -> DataFrame:
+        cn = cents.withColumn(
+            "cn2", F.expr(f"CAST({_norm2_dec('cemb')} AS DOUBLE)")
+        )
+        sims = assigned.join(F.broadcast(cn), "centroid_id").withColumn(
+            "sim", F.expr(dot_vc) / F.sqrt(F.col("norm2") * F.col("cn2"))
+        )
+        return sims.agg(
+            (
+                F.sum(F.col("sim").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias(out)
+        )
+
+    cents_seed = _train_kmeans_history(vecs, _IVF_C, 0)[-1]
+    seed_assigned = emb.join(
+        assign_to_centroids(vecs, cents_seed), "vec_id"
+    )
+    cents_tr = train_kmeans(vecs, _IVF_C, _KM_ITERS, sample_stride=_KM_STRIDE)
+    tr_assigned = emb.join(assign_to_centroids(vecs, cents_tr), "vec_id")
+
+    counts = _train_sample(vecs, _IVF_C, _KM_STRIDE).agg(
+        F.count(F.lit(1)).alias("n_train")
+    ).crossJoin(vecs.agg(F.count(F.lit(1)).alias("n_vectors")))
+    return (
+        counts.crossJoin(mean_sim(seed_assigned, cents_seed, "mean_sim_seed"))
+        .crossJoin(mean_sim(tr_assigned, cents_tr, "mean_sim_sampled"))
+        .select("n_train", "n_vectors", "mean_sim_seed", "mean_sim_sampled")
+    )
+
+
+# Held-out evaluation panel for the trained quantizer: the _IVF_QUERIES
+# vectors immediately AFTER the seed range, so the panel is disjoint from
+# the first-C seed centroids by construction (r11 verdict #3: the shared
+# panel IS the seed set, which hands the untrained quantizer an oracle-like
+# edge on exactly those queries and can't show generalization).
+_HELD_LO = _IVF_C
+_HELD_HI = _IVF_C + _IVF_QUERIES
+
+
+def _multiprobe_topk(assigned: DataFrame, probes: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id): top-{_IVF_K} inverted-list search given an
+    assignment table (vec_id, embedding, norm2, centroid_id) and a probe
+    table (query_id, qemb, qn2, centroid_id) — the shared search tail of
+    :func:`ann_ivf_multiprobe` / :func:`ann_ivf_trained`, factored so the
+    recall evals run first-C and trained through ONE search definition."""
+    dot_qc = _DOT_DEC_SPARK.format(a="qemb", b="embedding")
+    scored = (
+        assigned.join(
+            F.broadcast(probes),
+            (assigned["centroid_id"] == probes["centroid_id"])
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cos_sim", F.expr(dot_qc) / F.sqrt(F.col("qn2") * F.col("norm2"))
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+@register(
+    "ann_trained_recall_heldout",
+    survey="M5-ann,J3,A2,beyond-ref",
+    oracle=f"""
+    WITH {_NORMS_CTE_DUCK},
+    {_ASSIGN_CTE_DUCK.format(dot=_idot_duck('n.embedding', 'c.cemb'))},
+    {_kmeans_ctes_duck(_KM_ITERS)},
+    qp AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+           FROM assign_scored
+           WHERE vec_id >= {_HELD_LO} AND vec_id < {_HELD_HI}
+             AND rn <= {_IVF_NPROBE}),
+    fc_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qp.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qp.query_id
+                 ORDER BY {_dot_duck('qp.qemb', 'c.embedding')}
+                            / SQRT(qp.qn2 * c.norm2) DESC,
+                          c.vec_id) AS rank
+        FROM qp JOIN assigned c
+          ON c.centroid_id = qp.centroid_id AND c.vec_id <> qp.query_id
+      ) WHERE rank <= {_IVF_K}
+    ),
+    tqp AS (SELECT vec_id AS query_id, embedding AS qemb, norm2 AS qn2, centroid_id
+            FROM tassign_scored
+            WHERE vec_id >= {_HELD_LO} AND vec_id < {_HELD_HI}
+              AND rn <= {_IVF_NPROBE}),
+    tr_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT tqp.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY tqp.query_id
+                 ORDER BY {_dot_duck('tqp.qemb', 'c.embedding')}
+                            / SQRT(tqp.qn2 * c.norm2) DESC,
+                          c.vec_id) AS rank
+        FROM tqp JOIN tassigned c
+          ON c.centroid_id = tqp.centroid_id AND c.vec_id <> tqp.query_id
+      ) WHERE rank <= {_IVF_K}
+    ),
+    bf_dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                           * CAST(c.embedding[i] AS DOUBLE) AS {_DEC}))
+                  AS DOUBLE) AS dot
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id,
+      UNNEST(range(1, len(q.embedding) + 1)) AS t(i)
+      WHERE q.vec_id >= {_HELD_LO} AND q.vec_id < {_HELD_HI}
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    bf_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.query_id, d.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                  ORDER BY d.dot / SQRT(nq.norm2 * nc.norm2) DESC,
+                                           d.neighbor_id) AS rank
+        FROM bf_dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.neighbor_id
+      ) WHERE rank <= {_IVF_K}
+    )
+    SELECT b.query_id,
+           CAST(COUNT(f.neighbor_id) AS BIGINT) AS hits_firstc,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS hits_trained,
+           CAST(COUNT(f.neighbor_id) AS DOUBLE) / {_IVF_K} AS recall_firstc,
+           CAST(COUNT(t.neighbor_id) AS DOUBLE) / {_IVF_K} AS recall_trained
+    FROM bf_topk b
+    LEFT JOIN fc_topk f
+      ON f.query_id = b.query_id AND f.neighbor_id = b.neighbor_id
+    LEFT JOIN tr_topk t
+      ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_trained_recall_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_IVF_K} of the trained vs first-C coarse quantizer on a
+    HELD-OUT query panel (vec_ids {_HELD_LO}..{_HELD_HI - 1}) disjoint
+    from the seed centroids — the generalization measurement
+    ``ann_trained_recall_at_k`` structurally cannot make (its panel IS the
+    seed set, so each of its queries' rank-1 probe is its own bucket).
+    Here neither quantizer has seen the queries as centroids, so the
+    recall difference reflects partition quality alone — the number that
+    justifies (or indicts) training for arbitrary future queries, with
+    ``kmeans_distortion_report`` as the corpus-wide objective. Both
+    searches share one inverted-list tail (:func:`_multiprobe_topk`);
+    ground truth is the exact-decimal brute-force top-{_IVF_K} over the
+    same panel. The oracle re-derives the full training loop as unrolled
+    CTEs, so a hash match certifies trainer + both searches + the eval
+    join in one number set."""
+    from pyspark_cdc_engine.operators.ann_incremental import (
+        assign_to_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    panel = (F.col("vec_id") >= _HELD_LO) & (F.col("vec_id") < _HELD_HI)
+
+    # norms via the exploded codegen hash agg (the r11 HOF-norm lesson:
+    # interpreted aggregate() folds re-evaluate per exploded row)
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    sq = F.expr(f"CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS {_DEC})")
+    norms = ex.groupBy("vec_id").agg(F.sum(sq).cast("double").alias("norm2"))
+    embn = emb.join(norms, "vec_id")
+
+    q = embn.filter(panel).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("norm2").alias("qn2"),
+    )
+
+    # brute-force ground truth: 8 exploded queries broadcast against the
+    # exploded corpus, exact-decimal dot per (neighbor, query) pair
+    qex = ex.filter(panel).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("val").alias("qval")
+    )
+    bf_term = F.expr(
+        f"CAST(CAST(val AS DOUBLE) * CAST(qval AS DOUBLE) AS {_DEC})"
+    )
+    qn = norms.filter(panel).select(
+        F.col("vec_id").alias("query_id"), F.col("norm2").alias("qn2")
+    )
+    bf_dots = (
+        ex.join(F.broadcast(qex), "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("vec_id", "query_id")
+        .agg(F.sum(bf_term).cast("double").alias("dot"))
+    )
+    w_bf = Window.partitionBy("query_id").orderBy(
+        (F.col("dot") / F.sqrt(F.col("qn2") * F.col("norm2"))).desc(),
+        F.col("vec_id"),
+    )
+    bf = (
+        bf_dots.join(norms, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn("rank", F.row_number().over(w_bf))
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    # first-C search: the untrained-seed assignment every IVF kernel uses,
+    # probes ranked against the same first-C centroid frame
+    assigned_fc = _ivf_assigned_df(spark, sf_dir)
+    cents_fc = emb.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cemb"),
+    )
+    fc = _multiprobe_topk(
+        assigned_fc, _probes_vs_centroids(q, cents_fc, _IVF_NPROBE)
+    ).withColumn("hitf", F.lit(1))
+
+    # trained search: same Lloyd's training as ann_ivf_trained
+    vecs = emb.select("vec_id", "embedding")
+    cents_tr = train_kmeans(vecs, _IVF_C, _KM_ITERS)
+    assigned_tr = embn.join(assign_to_centroids(vecs, cents_tr), "vec_id")
+    tr = _multiprobe_topk(
+        assigned_tr, _probes_vs_centroids(q, cents_tr, _IVF_NPROBE)
+    ).withColumn("hitt", F.lit(1))
+
+    hf = F.sum(F.coalesce(F.col("hitf"), F.lit(0)))
+    ht = F.sum(F.coalesce(F.col("hitt"), F.lit(0)))
+    return (
+        bf.join(fc, ["query_id", "neighbor_id"], "left")
+        .join(tr, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             hf.cast("bigint").alias("hits_firstc"),

@@ -154,3 +154,73 @@ def test_trained_incremental_index_matches_direct_training(spark, vecs, tmp_path
         assert r["neighbor_id"] != r["query_id"]
     for q, rows in by_q.items():
         assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_sampled_training_trains_on_the_stride_subset(spark, vecs):
+    """sample_stride=S trains on exactly {vec_id < C or vec_id % S == 0}:
+    sampled train_kmeans equals full train_kmeans over that pre-filtered
+    frame, and differs from full-corpus training (it saw fewer vectors)."""
+    stride = 3
+    subset = vecs.filter(
+        (F.col("vec_id") < _IVF_C) | (F.col("vec_id") % stride == 0)
+    )
+    sampled = _cent_map(train_kmeans(vecs, sample_stride=stride))
+    explicit = _cent_map(train_kmeans(subset))
+    assert sampled == explicit
+    full = _cent_map(train_kmeans(vecs))
+    assert sampled != full, "stride sample should differ from full training"
+
+
+def test_sampled_seed_is_stride_invariant(spark, vecs):
+    """The seed (n_iters=0) is identical under any stride — the first C
+    vec_ids are always in the sample."""
+    a = _cent_map(train_kmeans(vecs, n_iters=0, sample_stride=7))
+    b = _cent_map(train_kmeans(vecs, n_iters=0))
+    assert a == b
+
+
+def test_sampled_training_still_improves_full_corpus_distortion(spark):
+    """The FAISS claim the sampled path rests on: centroids trained on the
+    stride subset still lower full-corpus distortion vs the seed. Uses the
+    registry query so the exact certified numbers are what's asserted."""
+    from pyspark_cdc_engine.operators.dedup_scale import (
+        kmeans_sampled_quality,
+    )
+
+    row = kmeans_sampled_quality(spark, SF_DIR).collect()[0]
+    assert row["n_train"] < row["n_vectors"]
+    assert row["mean_sim_sampled"] > row["mean_sim_seed"]
+
+
+def test_heldout_panel_is_disjoint_from_seeds(spark):
+    """ann_trained_recall_heldout's panel must never overlap the first-C
+    seed centroids (the r11 eval-honesty finding)."""
+    from pyspark_cdc_engine.operators.dedup_scale import (
+        _HELD_HI,
+        _HELD_LO,
+        _IVF_QUERIES,
+        ann_trained_recall_heldout,
+    )
+
+    assert _HELD_LO >= _IVF_C
+    assert _HELD_HI - _HELD_LO == _IVF_QUERIES
+    rows = ann_trained_recall_heldout(spark, SF_DIR).collect()
+    ids = sorted(r["query_id"] for r in rows)
+    assert ids == list(range(_HELD_LO, _HELD_HI))
+    assert all(0.0 <= r["recall_trained"] <= 1.0 for r in rows)
+
+
+def test_incremental_index_sampled_training_matches_direct(spark, vecs, tmp_path):
+    """IncrementalIvfIndex(train_sample_stride=S) persists exactly the
+    centroids direct sampled training produces."""
+    tbl = DeltaliteTable(spark, str(tmp_path / "emb"))
+    tbl.overwrite(vecs)
+    idx = IncrementalIvfIndex(
+        spark, tbl, str(tmp_path / "idx"),
+        train_iters=_KM_ITERS, train_sample_stride=3,
+    )
+    idx.refresh()
+    direct = _cent_map(
+        train_kmeans(vecs, _IVF_C, _KM_ITERS, sample_stride=3)
+    )
+    assert _cent_map(idx.centroids()) == direct
