@@ -168,9 +168,7 @@ def _scd2_stream_from_values(
         # blind-append conflict resolution against a concurrent appender
         # (idempotency is re-checked under retry; a racing non-append such as
         # OPTIMIZE still fails the batch for Structured Streaming to retry).
-        if not batch_df.isEmpty():
-            table.append(batch_df, txn_app=txn_app, txn_version=batch_id, retries=2)
-            _refresh_all(maintain)
+        _append_batch(table, batch_df, txn_app, batch_id, maintain)
 
     return (
         completed.writeStream.foreachBatch(sink)
@@ -179,6 +177,36 @@ def _scd2_stream_from_values(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _append_batch(
+    table: DeltaliteTable,
+    batch_df: DataFrame,
+    txn_app: str,
+    batch_id: int,
+    maintain: list | None,
+) -> None:
+    """Shared foreachBatch body for the append sinks: persist the batch and
+    materialize it with ``count()`` so the emptiness probe and the append
+    consume ONE cached materialization of the micro-batch plan.
+
+    Two traps measured here (r12, 13k events warm): unpersisted, every
+    action on ``batch_df`` re-executes the whole upstream plan — for the
+    stateful assembly that means running the applyInPandasWithState stage
+    twice per micro-batch (15.4s); persisted but probed with ``isEmpty()``,
+    only the one probed partition lands in the cache and the append's write
+    job recomputes the stateful stage for all the others (10.2s). A full
+    ``count()`` caches every partition once and the write reads the cache
+    (3.9s — the r8-era throughput)."""
+    batch_df.persist()
+    try:
+        if batch_df.count():
+            table.append(
+                batch_df, txn_app=txn_app, txn_version=batch_id, retries=2
+            )
+            _refresh_all(maintain)
+    finally:
+        batch_df.unpersist()
 
 
 def _refresh_all(maintain: list | None) -> None:
@@ -213,9 +241,7 @@ def documents_ingest_stream(
     txn_app = f"docs_ingest:{checkpoint_dir}"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            table.append(batch_df, txn_app=txn_app, txn_version=batch_id, retries=2)
-            _refresh_all(maintain)
+        _append_batch(table, batch_df, txn_app, batch_id, maintain)
 
     return (
         source.writeStream.foreachBatch(sink)
