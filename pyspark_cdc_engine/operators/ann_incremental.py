@@ -41,6 +41,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_cdc_engine.operators.dedup_scale import (
+    _PQ_K,
+    _PQ_T,
+    _pq_train_ctes_duck,
     _ASSIGN_CTE_DUCK,
     _DEC,
     _DOT_DEC_SPARK,
@@ -120,7 +123,89 @@ def assign_to_centroids(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-class IncrementalIvfIndex:
+class _ChangeFeedIndex:
+    """Watermark + refresh skeleton shared by the change-feed-maintained
+    vector indexes (:class:`IncrementalIvfIndex`'s assignment table,
+    :class:`IncrementalPqCodes`' codes table). Subclasses provide
+    ``_index`` (the maintained deltalite table), ``_txn_app``,
+    ``_rebuild(upto)`` and ``_fold_changes(changed, upto)``; this class
+    owns the crash-idempotent watermark bookkeeping and the
+    signed-fold-vs-rebuild decision, so every index answers "what changed
+    since I last looked?" identically."""
+
+    base: DeltaliteTable
+
+    @property
+    def _index(self) -> DeltaliteTable:
+        raise NotImplementedError
+
+    @property
+    def _txn_app(self) -> str:
+        raise NotImplementedError
+
+    def last_refreshed_version(self) -> int:
+        if not self._index.exists():
+            return -1
+        upto = -1
+        for commit in self._index.history():
+            if "refresh_upto" in commit:
+                upto = int(commit["refresh_upto"])
+                break
+        folded = self._index.last_txn_version(self._txn_app)
+        if folded is not None:
+            upto = max(upto, folded)
+        return upto
+
+    def _record_watermark(self, upto: int) -> None:
+        base_v, commit = self._index._snapshot()
+        extra = {"refresh_upto": upto}
+        if commit.get("schema"):
+            extra["schema"] = commit["schema"]
+        self._index._write_commit(
+            "refresh", commit["live"], extra, base_v, commit
+        )
+
+    def refresh(self) -> int:
+        """Index every base commit newer than the watermark. Every commit
+        whose exact change rows the feed reconstructs folds O(delta)
+        (``signed_fold_safe``): appends fold as index APPENDS; DV/predicate
+        DELETEs fold as index-row DELETIONS (the deleted vec_ids are
+        enumerated row-exactly by the change feed — no reason to rescan
+        100 TB because one commit tombstoned a day of vectors); UPDATEs and
+        DV MERGEs fold as re-derivations of the postimage rows. Only
+        commits the feed cannot express — cow MERGE without CDF, RESTORE —
+        or an OVERWRITE (where one rebuild scan beats a 2x-table signed
+        fold) force a full rebuild (with re-training, where the index
+        trains). Returns the new watermark."""
+        from pyspark_cdc_engine.incremental import signed_fold_safe
+
+        upto = self.base.latest_version()
+        since = self.last_refreshed_version()
+        if since >= upto:
+            return since
+        incremental_safe = since >= 0 and signed_fold_safe(
+            self.base.history(), since, upto, {"vec_id", "embedding"}
+        )
+        if not incremental_safe:
+            self._rebuild(upto)
+            return upto
+        try:
+            changed = self.base.read_changes(since, upto)
+        except NoChangesInWindow:  # physical-only commits: nothing to fold
+            self._record_watermark(upto)
+            return upto
+        except RetentionPrunedWindow:
+            # pruned feed window: the safety gate walked only surviving
+            # history, so rebuilding is the only sound move (same contract
+            # as IncrementalLshIndex.refresh)
+            self._rebuild(upto)
+            return upto
+        self._fold_changes(changed, upto)
+        self._record_watermark(upto)
+        return upto
+
+
+class IncrementalIvfIndex(_ChangeFeedIndex):
     """Maintains the IVF assignment table of a deltalite embeddings table
     incrementally from its change feed (module docstring has the contract).
 
@@ -155,30 +240,12 @@ class IncrementalIvfIndex:
         self.cents = DeltaliteTable(spark, index_path.rstrip("/") + "/centroids")
 
     @property
+    def _index(self) -> DeltaliteTable:
+        return self.assign
+
+    @property
     def _txn_app(self) -> str:
         return f"ivf:{self.assign.path}"
-
-    def last_refreshed_version(self) -> int:
-        if not self.assign.exists():
-            return -1
-        upto = -1
-        for commit in self.assign.history():
-            if "refresh_upto" in commit:
-                upto = int(commit["refresh_upto"])
-                break
-        folded = self.assign.last_txn_version(self._txn_app)
-        if folded is not None:
-            upto = max(upto, folded)
-        return upto
-
-    def _record_watermark(self, upto: int) -> None:
-        base_v, commit = self.assign._snapshot()
-        extra = {"refresh_upto": upto}
-        if commit.get("schema"):
-            extra["schema"] = commit["schema"]
-        self.assign._write_commit(
-            "refresh", commit["live"], extra, base_v, commit
-        )
 
     def centroids(self) -> DataFrame:
         return self.cents.read()
@@ -206,45 +273,6 @@ class IncrementalIvfIndex:
             txn_version=upto,
         )
         self._record_watermark(upto)
-
-    def refresh(self) -> int:
-        """Index every base commit newer than the watermark. Every commit
-        whose exact change rows the feed reconstructs folds O(delta)
-        against the frozen centroids (``signed_fold_safe``): appends fold
-        as assignment APPENDS; DV/predicate DELETEs fold as assignment-row
-        DELETIONS (the deleted vec_ids are enumerated row-exactly by the
-        change feed — no reason to rescan 100 TB because one commit
-        tombstoned a day of vectors); UPDATEs and DV MERGEs fold as
-        re-assignments of the postimage rows. Only commits the feed cannot
-        express — cow MERGE without CDF, RESTORE — or an OVERWRITE (where
-        one rebuild scan beats a 2x-table signed fold) force a full
-        rebuild with re-trained centroids. Returns the new watermark."""
-        from pyspark_cdc_engine.incremental import signed_fold_safe
-
-        upto = self.base.latest_version()
-        since = self.last_refreshed_version()
-        if since >= upto:
-            return since
-        incremental_safe = since >= 0 and signed_fold_safe(
-            self.base.history(), since, upto, {"vec_id", "embedding"}
-        )
-        if not incremental_safe:
-            self._rebuild(upto)
-            return upto
-        try:
-            changed = self.base.read_changes(since, upto)
-        except NoChangesInWindow:  # physical-only commits: nothing to fold
-            self._record_watermark(upto)
-            return upto
-        except RetentionPrunedWindow:
-            # pruned feed window: the safety gate walked only surviving
-            # history, so rebuilding is the only sound move (same contract
-            # as IncrementalLshIndex.refresh)
-            self._rebuild(upto)
-            return upto
-        self._fold_changes(changed, upto)
-        self._record_watermark(upto)
-        return upto
 
     def _fold_changes(self, changed: DataFrame, upto: int) -> None:
         """One MERGE folding a change-feed window into the assignment
@@ -588,3 +616,265 @@ def ann_ivf_trained_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return idx.search(queries, k=_IVF_K, nprobe=_IVF_NPROBE)
+
+
+# ---------------------------------------------------------------------------
+# Incremental PQ codes — the product-quantization sibling of
+# IncrementalIvfIndex: a (vec_id, m, code) table maintained O(delta) from
+# the embeddings change feed against codebooks FROZEN at build time
+# (FAISS's IndexIVFPQ add() contract: train once, encode forever).
+# ---------------------------------------------------------------------------
+
+
+def encode_pq(vectors: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, m, code, dist2): nearest sub-centroid per (vector,
+    subspace) against an explicit long-form codebook (m, k, pos, cval) —
+    the encode kernel of ``pq_trained_encode`` factored over an arbitrary
+    frame. ``dist2`` stays DECIMAL end-to-end so any downstream
+    reconstruction-error sum is exact (the floor-scale lesson: never let a
+    per-engine rounding choice into a stored number)."""
+    from pyspark_cdc_engine.operators.dedup_scale import _pq_d2_vs
+
+    ex = vectors.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    return (
+        _pq_d2_vs(ex, codebook)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr(
+                "min_by(k, named_struct('d', CAST(dist2 AS DOUBLE), 'k', k))"
+            ).alias("code"),
+            F.min("dist2").alias("dist2"),
+        )
+    )
+
+
+class IncrementalPqCodes(_ChangeFeedIndex):
+    """PQ-codes table of a deltalite embeddings table, maintained O(delta)
+    from its change feed. Codebooks are trained at (re)build time
+    (:func:`~pyspark_cdc_engine.operators.dedup_scale.train_pq_codebooks_from`,
+    ``n_iters`` per-subspace Lloyd's rounds over the snapshot — 0 keeps the
+    first-K seed) and persisted under ``<index>/codebook``; every later
+    fold ENCODES against that exact frozen codebook, so the incrementally
+    built codes table is row-identical to a from-scratch encode (a
+    vector's code depends only on its own embedding and the codebook).
+    Appends fold as code APPENDS, DV/predicate DELETEs as code-row
+    DELETIONS, UPDATEs as re-encodes of the postimage — the same
+    ``signed_fold_safe`` surface as :class:`IncrementalIvfIndex`; anything
+    the feed cannot express rebuilds WITH re-trained codebooks.
+
+    Index sizing at scale: ``_PQ_M`` (int, tinyint) rows per vector — the
+    compressed representation IS the index; ADC search never touches the
+    embedding payloads except for the |queries| side."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: DeltaliteTable,
+        index_path: str,
+        n_iters: int = 0,
+    ) -> None:
+        self.spark = spark
+        self.base = base
+        self.n_iters = n_iters
+        self.codes = DeltaliteTable(spark, index_path.rstrip("/") + "/codes")
+        self.cb = DeltaliteTable(spark, index_path.rstrip("/") + "/codebook")
+
+    @property
+    def _index(self) -> DeltaliteTable:
+        return self.codes
+
+    @property
+    def _txn_app(self) -> str:
+        return f"pqcodes:{self.codes.path}"
+
+    def codebook(self) -> DataFrame:
+        return self.cb.read()
+
+    def _rebuild(self, upto: int) -> None:
+        from pyspark_cdc_engine.operators.dedup_scale import (
+            train_pq_codebooks_from,
+        )
+
+        snap = self.base.read(version=upto).select("vec_id", "embedding")
+        self.cb.overwrite(train_pq_codebooks_from(snap, self.n_iters))
+        self.codes.overwrite(
+            encode_pq(snap, self.cb.read()),
+            txn_app=self._txn_app,
+            txn_version=upto,
+        )
+        self._record_watermark(upto)
+
+    def _fold_changes(self, changed: DataFrame, upto: int) -> None:
+        from pyspark_cdc_engine.streaming.replicate import net_changes
+
+        kinds = {
+            r["_change_type"]
+            for r in changed.select("_change_type").distinct().collect()
+        }
+        if kinds <= {"insert"}:
+            self.codes.append(
+                encode_pq(
+                    changed.select("vec_id", "embedding"), self.cb.read()
+                ),
+                txn_app=self._txn_app,
+                txn_version=upto,
+            )
+            return
+        net = net_changes(
+            changed.select(
+                "vec_id", "embedding",
+                "_change_type", "_commit_version", "_commit_timestamp",
+            ),
+            ["vec_id"],
+        ).persist()
+        try:
+            dtypes = dict(self.codes.read().dtypes)
+            ups = encode_pq(
+                net.filter(F.col("__op") == "U").select("vec_id", "embedding"),
+                self.cb.read(),
+            ).withColumn("__op", F.lit("U"))
+            from pyspark_cdc_engine.operators.dedup_scale import _PQ_M
+
+            # a delete tombstones every (vec_id, m) row of the vector
+            dels = (
+                net.filter(F.col("__op") == "D")
+                .select("vec_id")
+                .crossJoin(
+                    self.spark.range(_PQ_M).select(
+                        F.col("id").cast(dtypes["m"]).alias("m")
+                    )
+                )
+                .withColumn("code", F.lit(None).cast(dtypes["code"]))
+                .withColumn("dist2", F.lit(None).cast(dtypes["dist2"]))
+                .withColumn("__op", F.lit("D"))
+            )
+            self.codes.merge(
+                ups.unionByName(dels),
+                "target.vec_id = source.vec_id AND target.m = source.m",
+                [
+                    MergeClause("delete", condition="source.__op = 'D'"),
+                    MergeClause(
+                        "update",
+                        condition=None,
+                        assignments={
+                            "code": "source.code",
+                            "dist2": "source.dist2",
+                        },
+                    ),
+                    MergeClause(
+                        "insert",
+                        condition="source.__op = 'U'",
+                        assignments={
+                            "vec_id": "source.vec_id",
+                            "m": "source.m",
+                            "code": "source.code",
+                            "dist2": "source.dist2",
+                        },
+                    ),
+                ],
+                prune_on="vec_id",
+                txn_app=self._txn_app,
+                txn_version=upto,
+            )
+        finally:
+            net.unpersist()
+
+    def search(self, queries: DataFrame, k: int | None = None) -> DataFrame:
+        """ADC top-``k`` over the MAINTAINED codes: each query precomputes
+        its subspace distance table against the frozen codebook
+        (|queries| x M x K rows — always the broadcast side), every
+        indexed vector's approximate distance is the sum of its codes'
+        table entries (exact-decimal, cast once at the end), deterministic
+        (adist, neighbor_id) tie-break. A query that is itself an indexed
+        vector never returns itself."""
+        from pyspark_cdc_engine.operators.dedup_scale import (
+            _PQ_TOPK,
+            _pq_d2_vs,
+        )
+
+        if k is None:
+            k = _PQ_TOPK
+        qex = queries.select(
+            F.col("query_id").alias("vec_id"),
+            F.posexplode("qemb").alias("pos", "val"),
+        ).withColumn("val", F.col("val").cast("double"))
+        dtab = _pq_d2_vs(qex, self.cb.read()).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("qm"),
+            F.col("k").alias("qk"),
+            F.col("dist2").alias("qd2"),
+        )
+        scored = (
+            self.codes.read()
+            .join(
+                F.broadcast(dtab),
+                (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qk")),
+            )
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(F.sum("qd2").cast("double").alias("adist"))
+        )
+        w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "adist")
+        )
+
+
+@register(
+    "pq_incremental_encode",
+    survey="M5-ann,beyond-ref,S3,A2",
+    oracle=f"""
+    WITH {_pq_train_ctes_duck(_PQ_T, train_where=f"vec_id % 4 <> 0 OR vec_id < {_PQ_K}")},
+    best AS (
+      SELECT vec_id, m, k AS code, dist2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                ORDER BY CAST(dist2 AS DOUBLE), k) AS rn
+      FROM pd2t
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS code_key,
+           CAST(SUM(dist2) AS DOUBLE) AS recon_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def pq_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ encode pipeline under the FAISS train-once contract, end to
+    end: :class:`IncrementalPqCodes` builds over a base corpus (3/4 of the
+    vectors, containing the first-K codebook seeds) with ``n_iters``
+    per-subspace Lloyd's rounds, a late delta appends, and the refresh
+    folds the delta's ENCODES against the frozen trained codebooks — never
+    re-training on a fold. Returns the maintained codes table aggregated
+    to the ``pq_trained_encode`` contract (per-vector code key +
+    exact-decimal reconstruction error); the oracle re-derives the exact
+    split — unrolled per-subspace training over the base-subset CTE, final
+    encode over the whole corpus — so a hash match certifies trainer,
+    codebook freezing, the O(delta) fold, and the encode kernel in one
+    driver-checked number set. The vector-compression twin of
+    ``ann_ivf_trained_incremental``."""
+    from pyspark_cdc_engine.operators.dedup_incremental import (
+        _fresh_scratch_dir,
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = _fresh_scratch_dir(f"pqinc:{sf_dir}")
+    base_tbl = DeltaliteTable(spark, f"{tmp}/embs")
+    base_tbl.overwrite(
+        e.filter((F.col("vec_id") % 4 != 0) | (F.col("vec_id") < _PQ_K))
+    )
+    idx = IncrementalPqCodes(spark, base_tbl, f"{tmp}/pq_index", n_iters=_PQ_T)
+    idx.refresh()
+    base_tbl.append(
+        e.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") >= _PQ_K))
+    )
+    idx.refresh()
+    codes = idx.codes.read()
+    return codes.groupBy("vec_id").agg(
+        F.expr(
+            "concat_ws('-', transform(array_sort(collect_list("
+            "named_struct('m', m, 'code', code))), x -> CAST(x.code AS STRING)))"
+        ).alias("code_key"),
+        F.sum("dist2").cast("double").alias("recon_err"),
+    )

@@ -1080,7 +1080,19 @@ def _pq_d2_vs(ex: DataFrame, cb: DataFrame) -> DataFrame:
 def train_pq_codebooks(
     spark: SparkSession, sf_dir: str, n_iters: int = _PQ_T
 ) -> DataFrame:
-    """Per-subspace L2 k-means over the embeddings table: seed = the first
+    """Per-subspace L2 k-means over the sf_dir embeddings table — see
+    :func:`train_pq_codebooks_from` (this is the registry-query binding of
+    the same trainer to the standard test corpus)."""
+    return train_pq_codebooks_from(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        n_iters,
+    )
+
+
+def train_pq_codebooks_from(
+    vectors: DataFrame, n_iters: int = _PQ_T
+) -> DataFrame:
+    """Per-subspace L2 k-means over ``vectors``: seed = the first
     ``_PQ_K`` vectors' subvectors (``n_iters=0`` IS ``_pq_d2``'s
     training-free convention), then ``n_iters`` Lloyd's rounds — assign
     every (vector, subspace) to its nearest sub-centroid (exact-decimal
@@ -1116,7 +1128,10 @@ def train_pq_codebooks(
             [(m, k, p, v) for (m, k, p), v in sorted(cb_map.items())], schema
         )
 
-    ex = _pq_ex(spark, sf_dir)
+    spark = vectors.sparkSession
+    ex = vectors.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
     cb_map = {
         (r["pos"] // _PQ_SUB, r["vec_id"], r["pos"]): float(r["val"])
         for r in ex.filter(F.col("vec_id") < _PQ_K).collect()
@@ -1153,28 +1168,44 @@ def train_pq_codebooks(
     return cb
 
 
-def _pq_train_ctes_duck(n_iters: int = _PQ_T) -> str:
+def _pq_train_ctes_duck(
+    n_iters: int = _PQ_T, train_where: str | None = None
+) -> str:
     """DuckDB re-derivation of :func:`train_pq_codebooks` as unrolled CTEs:
     emits ``pex`` (components), ``pcb{{n}}`` codebooks, and ``pd2t`` — the
     distance table of every vector against the TRAINED codebook, mirroring
-    ``_pq_d2``'s shape so encode/search queries read identically."""
+    ``_pq_d2``'s shape so encode/search queries read identically.
+
+    ``train_where`` restricts the TRAINING rows (a SQL predicate over
+    ``pex``); the final ``pd2t`` always covers the whole corpus — the
+    build-then-fold split of :class:`IncrementalPqCodes`, same shape as
+    ``_kmeans_ctes_duck(train_src=...)``."""
+    src = "pex" if train_where is None else "pex_train"
     parts = [
         f"""
     pex AS MATERIALIZED (
       SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
-    ),
+    )"""
+    ]
+    if train_where is not None:
+        parts.append(
+            f""",
+    pex_train AS MATERIALIZED (SELECT * FROM pex WHERE {train_where})"""
+        )
+    parts.append(
+        f""",
     pcb0 AS MATERIALIZED (
       SELECT pos // {_PQ_SUB} AS m, vec_id AS k, pos, val AS cval
-      FROM pex WHERE vec_id < {_PQ_K})"""
-    ]
+      FROM {src} WHERE vec_id < {_PQ_K})"""
+    )
     for n in range(n_iters):
         parts.append(
             f""",
     pd2_{n} AS MATERIALIZED (
       SELECT e.vec_id, c.m, c.k,
              SUM(CAST((e.val - c.cval) * (e.val - c.cval) AS {_DEC})) AS dist2
-      FROM pex e JOIN pcb{n} c ON c.pos = e.pos
+      FROM {src} e JOIN pcb{n} c ON c.pos = e.pos
       GROUP BY 1, 2, 3
     ),
     pasg_{n} AS MATERIALIZED (
@@ -1189,7 +1220,7 @@ def _pq_train_ctes_duck(n_iters: int = _PQ_T) -> str:
       SELECT a.m, a.code AS k, e.pos,
              {_mean_duck('e.val')} AS cval_new
       FROM pasg_{n} a
-      JOIN pex e ON e.vec_id = a.vec_id AND e.pos // {_PQ_SUB} = a.m
+      JOIN {src} e ON e.vec_id = a.vec_id AND e.pos // {_PQ_SUB} = a.m
       GROUP BY 1, 2, 3
     ),
     pcb{n + 1} AS MATERIALIZED (

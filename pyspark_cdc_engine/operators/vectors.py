@@ -200,3 +200,152 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("e").alias("max_abs_err"),
     )
+
+
+@register(
+    "ann_dim_truncation_recall",
+    survey="M5-ann,W1,A2,beyond-ref",
+    oracle=f"""
+    WITH halved AS (
+      SELECT vec_id, embedding,
+             embedding[1:CAST(len(embedding) // 2 AS INT)] AS emb_h
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id,
+             CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {_DEC}))
+                   FROM UNNEST(embedding) AS t(x)) AS DOUBLE) AS norm2,
+             CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {_DEC}))
+                   FROM UNNEST(emb_h) AS t(x)) AS DOUBLE) AS norm2_h
+      FROM halved
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                           AS {_DEC})) AS DOUBLE) AS dot,
+             CAST(SUM(CASE WHEN i <= len(q.embedding) // 2 THEN
+                   CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                        AS {_DEC}) ELSE CAST(0 AS {_DEC}) END) AS DOUBLE) AS dot_h
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id,
+      UNNEST(range(1, len(q.embedding) + 1)) AS t(i)
+      WHERE q.vec_id < {_N_QUERIES}
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    full_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.query_id, d.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                  ORDER BY d.dot / SQRT(nq.norm2 * nc.norm2) DESC,
+                                           d.neighbor_id) AS rank
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.neighbor_id
+      ) WHERE rank <= {_TOP_K}
+    ),
+    half_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT d.query_id, d.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                  ORDER BY d.dot_h / SQRT(nq.norm2_h * nc.norm2_h) DESC,
+                                           d.neighbor_id) AS rank
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.neighbor_id
+      ) WHERE rank <= {_TOP_K}
+    )
+    SELECT f.query_id,
+           CAST(COUNT(h.neighbor_id) AS BIGINT) AS hits_half,
+           CAST(COUNT(h.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_half
+    FROM full_topk f
+    LEFT JOIN half_topk h
+      ON h.query_id = f.query_id AND h.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation eval: recall@{_TOP_K} of
+    brute-force cosine over the FIRST HALF of each embedding against the
+    full-dimension ground truth, per query-panel vector. The question a
+    100 TB pipeline asks before storing/indexing truncated vectors (MRL,
+    Kusupati et al. 2022: prefix dims of a matryoshka-trained embedding
+    retain most retrieval quality — this measures whether THESE embeddings
+    have that property; for the synthetic test vectors the answer is a
+    baseline, the operator is the deliverable). One corpus scan computes
+    BOTH dot products (the half-dim dot is a prefix subtotal of the same
+    exploded terms — no second pass, no second shuffle); exact-decimal
+    sums keep both rankings bit-identical to the oracle.
+
+    100 TB shape: identical to :func:`cosine_topk_bruteforce` — Q exploded
+    query rows broadcast, corpus scanned once, two hash aggs over the same
+    (neighbor, query) cells, per-query top-k windows over Q×N rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    half = F.expr("CAST(size(embedding) / 2 AS INT)")
+    dims = emb.select("vec_id", half.alias("half_dim"))
+
+    sq = F.expr(f"CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS {_DEC})")
+    norms = (
+        ex.join(dims, "vec_id")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(sq).cast("double").alias("norm2"),
+            F.sum(F.when(F.col("pos") < F.col("half_dim"), sq)
+                  .otherwise(F.expr(f"CAST(0 AS {_DEC})")))
+            .cast("double").alias("norm2_h"),
+        )
+    )
+    panel = F.col("vec_id") < _N_QUERIES
+    qex = ex.filter(panel).join(dims, "vec_id").select(
+        F.col("vec_id").alias("query_id"), "pos",
+        F.col("val").alias("qval"), "half_dim",
+    )
+    term = F.expr(f"CAST(CAST(val AS DOUBLE) * CAST(qval AS DOUBLE) AS {_DEC})")
+    dots = (
+        ex.join(F.broadcast(qex), "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("vec_id", "query_id")
+        .agg(
+            F.sum(term).cast("double").alias("dot"),
+            F.sum(F.when(F.col("pos") < F.col("half_dim"), term)
+                  .otherwise(F.expr(f"CAST(0 AS {_DEC})")))
+            .cast("double").alias("dot_h"),
+        )
+    )
+    qn = norms.filter(panel).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("norm2").alias("qn2"),
+        F.col("norm2_h").alias("qn2_h"),
+    )
+    scored = dots.join(norms, "vec_id").join(F.broadcast(qn), "query_id")
+    w_full = Window.partitionBy("query_id").orderBy(
+        (F.col("dot") / F.sqrt(F.col("qn2") * F.col("norm2"))).desc(),
+        F.col("vec_id"),
+    )
+    w_half = Window.partitionBy("query_id").orderBy(
+        (F.col("dot_h") / F.sqrt(F.col("qn2_h") * F.col("norm2_h"))).desc(),
+        F.col("vec_id"),
+    )
+    ranked = scored.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.row_number().over(w_full).alias("rank_full"),
+        F.row_number().over(w_half).alias("rank_half"),
+    )
+    full_topk = ranked.filter(F.col("rank_full") <= _TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    half_topk = (
+        ranked.filter(F.col("rank_half") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        full_topk.join(half_topk, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            hits.cast("bigint").alias("hits_half"),
+            (hits.cast("double") / _TOP_K).alias("recall_half"),
+        )
+    )

@@ -222,3 +222,134 @@ def test_ivf_index_as_streaming_maintain_hook(spark, tmp_path):
     fresh = IncrementalIvfIndex(spark, t, str(tmp_path / "ivf_fresh"))
     fresh.refresh()
     assert _assignments(idx) == _assignments(fresh)
+
+
+# ---------------------------------------------------------------- PQ codes
+@pytest.fixture()
+def pq_corpus(spark, tmp_path):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    t = DeltaliteTable(spark, str(tmp_path / "pq_embs"))
+    t.overwrite(e.filter((F.col("vec_id") % 4 != 0) | (F.col("vec_id") < 8)))
+    return t, e
+
+
+def _codes(idx):
+    return sorted(
+        (r["vec_id"], r["m"], r["code"]) for r in idx.codes.read().collect()
+    )
+
+
+def test_pq_incremental_fold_equals_rebuild(spark, pq_corpus, tmp_path):
+    """An appended delta folds as encode-only against the FROZEN trained
+    codebooks — row-identical to a from-scratch index over the same table
+    trained on the same base? No: a fresh index trains on the grown
+    corpus, so the comparison is against encode_pq with the INCREMENTAL
+    index's own codebook (the correctness anchor: a code depends only on
+    the vector and the codebook)."""
+    from pyspark_cdc_engine.operators.ann_incremental import (
+        IncrementalPqCodes,
+        encode_pq,
+    )
+
+    t, e = pq_corpus
+    idx = IncrementalPqCodes(spark, t, str(tmp_path / "pq"), n_iters=1)
+    v0 = idx.refresh()
+    assert idx.codes.read().count() == t.read().count() * 4
+    cb_before = sorted(map(tuple, idx.cb.read().collect()))
+
+    t.append(e.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") >= 8)))
+    v1 = idx.refresh()
+    assert v1 > v0
+    # codebook FROZEN across the fold
+    assert sorted(map(tuple, idx.cb.read().collect())) == cb_before
+    # maintained codes == from-scratch encode against the same codebook
+    scratch = encode_pq(t.read().select("vec_id", "embedding"), idx.cb.read())
+    want = sorted(
+        (r["vec_id"], r["m"], r["code"]) for r in scratch.collect()
+    )
+    assert _codes(idx) == want
+    assert idx.refresh() == v1  # idempotent
+
+
+def test_pq_delete_and_update_fold(spark, pq_corpus, tmp_path):
+    from pyspark_cdc_engine.operators.ann_incremental import (
+        IncrementalPqCodes,
+        encode_pq,
+    )
+
+    t, e = pq_corpus
+    idx = IncrementalPqCodes(spark, t, str(tmp_path / "pq"), n_iters=0)
+    idx.refresh()
+    cb_before = sorted(map(tuple, idx.cb.read().collect()))
+    t.delete("vec_id % 5 = 2 AND vec_id >= 8", mode="dv")
+    t.update({"embedding": "reverse(embedding)"}, "vec_id = 9", mode="dv")
+    idx.refresh()
+    assert sorted(map(tuple, idx.cb.read().collect())) == cb_before
+    scratch = encode_pq(t.read().select("vec_id", "embedding"), idx.cb.read())
+    assert _codes(idx) == sorted(
+        (r["vec_id"], r["m"], r["code"]) for r in scratch.collect()
+    )
+
+
+def test_pq_overwrite_forces_retrain_rebuild(spark, pq_corpus, tmp_path):
+    from pyspark_cdc_engine.operators.ann_incremental import (
+        IncrementalPqCodes,
+    )
+
+    t, e = pq_corpus
+    idx = IncrementalPqCodes(spark, t, str(tmp_path / "pq"), n_iters=1)
+    idx.refresh()
+    cb_before = sorted(map(tuple, idx.cb.read().collect()))
+    # an overwrite changes the corpus shape -> rebuild with RE-TRAINED books
+    t.overwrite(e.filter(F.col("vec_id") < 100))
+    idx.refresh()
+    assert idx.codes.read().count() == t.read().count() * 4
+    assert sorted(map(tuple, idx.cb.read().collect())) != cb_before
+
+
+def test_pq_search_matches_adc_over_codes(spark, pq_corpus, tmp_path):
+    """ADC search over the maintained index == the certified pq_search
+    derivation: per-query distance table against the SAME codebook,
+    per-neighbor sum over its codes, (adist, neighbor) tie-break."""
+    from pyspark_cdc_engine.operators.ann_incremental import (
+        IncrementalPqCodes,
+    )
+    from pyspark_cdc_engine.operators.dedup_scale import _pq_d2_vs
+
+    t, e = pq_corpus
+    idx = IncrementalPqCodes(spark, t, str(tmp_path / "pq"), n_iters=1)
+    idx.refresh()
+    queries = t.read().filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in idx.search(queries, k=3).collect()
+    }
+    # independent derivation through the library kernels
+    qex = queries.select(
+        F.col("query_id").alias("vec_id"),
+        F.posexplode("qemb").alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    dtab = _pq_d2_vs(qex, idx.cb.read()).select(
+        F.col("vec_id").alias("qid"), F.col("m").alias("qm"),
+        F.col("k").alias("qk"), F.col("dist2").alias("qd2"),
+    )
+    rows = (
+        idx.codes.read()
+        .join(dtab, (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qk")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").cast("double").alias("adist"))
+        .collect()
+    )
+    import collections
+
+    per_q = collections.defaultdict(list)
+    for r in rows:
+        per_q[r["qid"]].append((r["adist"], r["vec_id"]))
+    for qid, pairs in per_q.items():
+        for rank, (_, nid) in enumerate(sorted(pairs)[:3], start=1):
+            assert got[(qid, rank)] == nid, (qid, rank)
