@@ -230,6 +230,11 @@ HEAVY_QUERIES = [
     # r11: the removal half of ExactSubstr — token-level span join back,
     # the heaviest per-doc stage of the family
     "exact_substring_clean",
+    # r12: sampled training must scale SUBLINEARLY in the corpus (each
+    # Lloyd's iteration reads corpus/stride; the final assignment is the
+    # linear part) — the heavy lane is where that claim is checked; the
+    # truncation eval is brute-force-family (linear index side)
+    "ann_ivf_trained_sampled", "ann_dim_truncation_recall",
 ]
 
 

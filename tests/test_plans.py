@@ -511,6 +511,7 @@ _SWEEP_CROSS_OK = {
     "bpe_apply_token_count",    # broadcast 1-row merge-table pivot onto the vocab
     "tokenizer_fertility_report",  # same broadcast merge pivot (shared helper)
     "sequence_pack_bpe",           # same broadcast merge pivot (shared helper)
+    "kmeans_sampled_quality",   # deliberate crossJoins of four 1-row aggregates
 }
 _SWEEP_PYTHON_OK = {
     "embedding_cosine_near_dup",  # numpy gram scoring via applyInPandas (by design)

@@ -76,7 +76,7 @@ def test_generation_layout_is_write_training_shards(spark, corpus, tmp_path):
     shard_dirs = sorted(glob.glob(os.path.join(gen, "shard=*")))
     assert shard_dirs, "no shard dirs written"
     manifest = spark.read.parquet(gen + "/_manifest")
-    assert set(manifest.columns) == {"shard", "n_docs", "order_fp"}
+    assert set(manifest.columns) == {"shard", "n_docs", "order_fp", "n_shards"}
     assert manifest.agg({"n_docs": "sum"}).collect()[0][0] == t.read().count()
 
 
