@@ -268,11 +268,14 @@ def replicate_scd2_stream(
                 return  # only no-change commits in the window
         else:
             batch = batch_df
-        # Persist the batch: the SCD2 applier's MERGE runs several jobs and
-        # each would otherwise re-execute the full change enumeration.
+        # Persist the batch AND materialize with count(): the SCD2
+        # applier's MERGE runs several jobs and each would otherwise
+        # re-execute the full change enumeration — and an isEmpty() probe
+        # caches only its one probed partition, leaving the rest to be
+        # recomputed (the r12 ingest-sink lesson).
         batch.persist()
         try:
-            if batch.isEmpty():
+            if not batch.count():
                 return
             apply_changes_scd2(
                 dest, batch, key_cols, txn_app=txn_app, txn_version=batch_id
@@ -366,12 +369,13 @@ def replicate_stream(
             )
             _refresh_all(maintain)
             return
-        # python data path: persist the batch — the applier's MERGE runs
-        # several jobs and each would otherwise re-execute the Python CDF
-        # source end to end
+        # python data path: persist the batch and materialize with count()
+        # — the applier's MERGE runs several jobs and each would otherwise
+        # re-execute the Python CDF source end to end (isEmpty would cache
+        # only its probed partition; the r12 ingest-sink lesson)
         batch_df.persist()
         try:
-            if batch_df.isEmpty():
+            if not batch_df.count():
                 return
             apply_changes(
                 dest,
