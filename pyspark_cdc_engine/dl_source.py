@@ -284,8 +284,9 @@ def _update_bindings(spark, mutate) -> None:
             break
         except FileExistsError:
             # a crashed holder must not wedge every future session
+            # (wall clock, NOT monotonic: st_mtime is epoch time)
             try:
-                if time.monotonic() - lock.stat().st_mtime > 60.0:
+                if time.time() - lock.stat().st_mtime > 60.0:
                     lock.unlink(missing_ok=True)
                     continue
             except OSError:
