@@ -584,15 +584,32 @@ def main() -> None:
         not only or os.environ.get("BENCH_CDC") == "1"
     ):
         try:
+            cdc_tx = int(os.environ.get("BENCH_CDC_TX", "2000"))
+            cdc_impl = os.environ.get("BENCH_CDC_IMPL", "v1")
             _run_cdc = lambda: bench_cdc_pipeline(  # noqa: E731
-                spark,
-                n_tx=int(os.environ.get("BENCH_CDC_TX", "2000")),
-                impl=os.environ.get("BENCH_CDC_IMPL", "v1"),
+                spark, n_tx=cdc_tx, impl=cdc_impl,
             )
             cdc = rerun_pipeline_if_slow(
                 prev_artifact, "cdc_pipeline", "scd2_events_per_sec_warm",
                 _run_cdc(), _run_cdc,
             )
+            # r11 verdict ask #5: bench BOTH state impls so the v1/v2 choice
+            # (applyInPandasWithState vs transformWithStateInPandas) is a
+            # measured one, not an untimed default. The v1 numbers stay at
+            # the lane's top level (BASELINE.md-comparable); v2 nests under
+            # "v2" with its own rerun adjudication. BENCH_CDC_V2=0 skips it.
+            if cdc_impl == "v1" and os.environ.get("BENCH_CDC_V2", "1") != "0":
+                try:
+                    _run_v2 = lambda: bench_cdc_pipeline(  # noqa: E731
+                        spark, n_tx=cdc_tx, impl="v2",
+                    )
+                    cdc["v2"] = rerun_pipeline_if_slow(
+                        prev_artifact.get("cdc_pipeline") or {},
+                        "v2", "scd2_events_per_sec_warm",
+                        _run_v2(), _run_v2,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    cdc["v2"] = {"err": f"{type(e).__name__}: {e}"[:500]}
         except Exception as e:  # noqa: BLE001
             cdc = {"err": f"{type(e).__name__}: {e}"[:500]}
 

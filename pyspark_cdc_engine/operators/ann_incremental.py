@@ -674,10 +674,15 @@ class IncrementalPqCodes(_ChangeFeedIndex):
         base: DeltaliteTable,
         index_path: str,
         n_iters: int = 0,
+        train_sample_stride: int = 1,
     ) -> None:
         self.spark = spark
         self.base = base
         self.n_iters = n_iters
+        # FAISS-style bounded-sample training (the 100 TB path): Lloyd's
+        # rounds at (re)build time read only vec_id % stride == 0 plus the
+        # seeds; folds/encodes are unaffected (frozen-codebook contract).
+        self.train_sample_stride = train_sample_stride
         self.codes = DeltaliteTable(spark, index_path.rstrip("/") + "/codes")
         self.cb = DeltaliteTable(spark, index_path.rstrip("/") + "/codebook")
 
@@ -698,7 +703,11 @@ class IncrementalPqCodes(_ChangeFeedIndex):
         )
 
         snap = self.base.read(version=upto).select("vec_id", "embedding")
-        self.cb.overwrite(train_pq_codebooks_from(snap, self.n_iters))
+        self.cb.overwrite(
+            train_pq_codebooks_from(
+                snap, self.n_iters, sample_stride=self.train_sample_stride
+            )
+        )
         self.codes.overwrite(
             encode_pq(snap, self.cb.read()),
             txn_app=self._txn_app,

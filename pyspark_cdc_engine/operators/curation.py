@@ -2056,3 +2056,230 @@ def shard_verify_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("order_fp_actual").alias("order_fp"),
         "ok",
     )
+
+
+# ------------------------------------------------------------- r12 additions
+
+_TBF_BUCKETS = 64  # hash sub-streams per source for the bucket-parallel fill
+_TBF_FRAC = 0.5    # fraction of corpus tokens the fill targets
+_TBF_H_SPARK = (
+    "CAST(conv(substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 2), 16, 10)"
+    f" AS INT) % {_TBF_BUCKETS}"
+)
+_TBF_H_DUCK = (
+    "((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+    f" % {_TBF_BUCKETS}"
+)
+
+
+@register(
+    "token_budget_fill",
+    survey="M5-text,A2,W1,F5,beyond-ref",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS hkey,
+             {_TBF_H_DUCK} AS h
+      FROM documents
+    ),
+    src AS (SELECT source, SUM(n_tokens) AS t_src FROM docs GROUP BY source),
+    tot AS (
+      SELECT SUM(t_src) AS t_all,
+             CAST(SUM(CAST(SQRT(CAST(t_src AS DOUBLE)) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS s_all
+      FROM src
+    ),
+    budgets AS (
+      SELECT source,
+             CAST(FLOOR({_TBF_FRAC} * CAST(t_all AS DOUBLE)
+                        * SQRT(CAST(t_src AS DOUBLE)) / s_all) AS BIGINT)
+               AS source_budget
+      FROM src, tot
+    ),
+    bkt AS (SELECT source, h, SUM(n_tokens) AS bt FROM docs GROUP BY source, h),
+    bkt_cum AS (
+      SELECT source, h,
+             SUM(bt) OVER (PARTITION BY source ORDER BY h
+                           ROWS UNBOUNDED PRECEDING) - bt AS cum_before
+      FROM bkt
+    ),
+    positioned AS (
+      SELECT d.doc_id, d.source, d.n_tokens,
+             bc.cum_before
+               + SUM(d.n_tokens) OVER (PARTITION BY d.source, d.h
+                                       ORDER BY d.hkey, d.doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM docs d JOIN bkt_cum bc ON bc.source = d.source AND bc.h = d.h
+    )
+    SELECT p.doc_id, p.source, p.n_tokens,
+           CAST(p.cum_tokens AS BIGINT) AS cum_tokens, b.source_budget
+    FROM positioned p JOIN budgets b ON b.source = p.source
+    WHERE p.cum_tokens <= b.source_budget
+    """,
+)
+def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a global token budget with a temperature-weighted source mixture —
+    the step that turns "we want a {_TBF_FRAC:.0%}-of-corpus, sqrt-balanced
+    mix" into an actual document selection. Per-source budgets are
+    ``floor(frac * T * sqrt(t_src) / sum_u sqrt(t_u))`` (alpha=0.5 temperature
+    reweighting, the multilingual-mixture convention); documents are then
+    consumed in deterministic content-hash order until each source's budget
+    is exhausted (take-while on the running token count — reproducible
+    "random" order across engines, runs and partitionings).
+
+    The take-while is the scale problem: a naive per-source cumulative-sum
+    window is ONE sort partition per source, and at 100 TB a source is
+    billions of documents. This implements the distributed take-while:
+    documents hash into {_TBF_BUCKETS} sub-streams per source; per-bucket
+    token subtotals (corpus-sized hash agg) feed a bucket-level cumulative
+    offset (a <= {_TBF_BUCKETS}-rows-per-source window); each document then
+    needs only an INTRA-BUCKET running sum (windows partitioned by
+    (source, bucket) — {_TBF_BUCKETS}x the parallelism of the naive plan) and
+    its global position is ``bucket_offset + intra_cum``. Every arithmetic
+    step is integer except the budget derivation, whose float ops are
+    written as the identical IEEE expression tree in both engines (sqrt of
+    an integer is never a decimal midpoint, and the sqrt-sum accumulates in
+    DECIMAL), so the floor and the selected set are bit-reproducible."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)"
+        ).alias("n_tokens"),
+        F.expr("md5(CAST(CAST(doc_id AS STRING) AS BINARY))").alias("hkey"),
+        F.expr(_TBF_H_SPARK).alias("h"),
+    )
+    src = docs.groupBy("source").agg(F.sum("n_tokens").alias("t_src"))
+    tot = src.agg(
+        F.sum("t_src").alias("t_all"),
+        F.sum(F.sqrt(F.col("t_src").cast("double")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s_all"),
+    )
+    budgets = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.lit(_TBF_FRAC)
+            * F.col("t_all").cast("double")
+            * F.sqrt(F.col("t_src").cast("double"))
+            / F.col("s_all")
+        ).alias("source_budget"),
+    )
+    bkt = docs.groupBy("source", "h").agg(F.sum("n_tokens").alias("bt"))
+    w_bkt = (
+        Window.partitionBy("source")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bkt_cum = bkt.select(
+        "source", "h", (F.sum("bt").over(w_bkt) - F.col("bt")).alias("cum_before")
+    )
+    w_doc = (
+        Window.partitionBy("source", "h")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    positioned = docs.join(F.broadcast(bkt_cum), ["source", "h"]).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("cum_before") + F.sum("n_tokens").over(w_doc)).alias("cum_tokens"),
+    )
+    return positioned.join(F.broadcast(budgets), "source").filter(
+        F.col("cum_tokens") <= F.col("source_budget")
+    ).select("doc_id", "source", "n_tokens", "cum_tokens", "source_budget")
+
+
+@register(
+    "nb_token_vote_classifier",
+    survey="M5-text,A2,J3,F11,beyond-ref",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, lang, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+             UNNEST(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT word,
+             SUM(CASE WHEN is_en = 1 THEN 1 ELSE 0 END) AS c_pos,
+             SUM(CASE WHEN is_en = 1 THEN 0 ELSE 1 END) AS c_neg
+      FROM tokens GROUP BY word
+    ),
+    tot AS (SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg FROM wc),
+    votes AS (
+      SELECT t.doc_id, t.lang,
+             CASE WHEN CAST(w.c_pos AS DECIMAL(19,0)) * CAST(tot.n_neg AS DECIMAL(19,0))
+                     > CAST(w.c_neg AS DECIMAL(19,0)) * CAST(tot.n_pos AS DECIMAL(19,0))
+                  THEN 1 ELSE 0 END AS v_pos,
+             CASE WHEN CAST(w.c_neg AS DECIMAL(19,0)) * CAST(tot.n_pos AS DECIMAL(19,0))
+                     > CAST(w.c_pos AS DECIMAL(19,0)) * CAST(tot.n_neg AS DECIMAL(19,0))
+                  THEN 1 ELSE 0 END AS v_neg
+      FROM tokens t JOIN wc w ON w.word = t.word, tot
+    )
+    SELECT doc_id, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(v_pos) AS BIGINT) AS pos_votes,
+           CAST(SUM(v_neg) AS BIGINT) AS neg_votes,
+           CAST(CASE WHEN SUM(v_pos) > SUM(v_neg) THEN 1 ELSE 0 END AS INT) AS pred_en
+    FROM votes GROUP BY doc_id, lang
+    """,
+)
+def nb_token_vote_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised Naive-Bayes-style document classifier trained and applied
+    in one distributed pass — the exact-arithmetic analogue of the
+    fasttext-style quality/language classifiers pretraining pipelines gate
+    on. Class = ``lang == 'en'``; per-token likelihood comparison
+    ``p(w|pos) > p(w|neg)`` is evaluated as the integer cross-multiplication
+    ``c_pos(w) * N_neg > c_neg(w) * N_pos`` (no division, no log — the NB
+    decision boundary per token, exact in both engines; DECIMAL(19,0)
+    operands keep the product exact at any corpus size), each token votes
+    for the class its likelihood favors, and the document prediction is the
+    integer vote majority. Scored by resubstitution here (train corpus ==
+    scoring corpus, stated honestly); the production shape fits ``wc`` on a
+    labeled slice and broadcasts it, which is exactly the join below.
+
+    Plan: token explode; vocabulary counts via one hash shuffle on ``word``
+    (map-side partial combine -> one row per distinct word); the 1-row class
+    totals broadcast; tokens re-join the vocabulary on ``word`` (AQE
+    broadcasts the vocab side — it grows ~log of corpus size); final per-doc
+    hash agg. Integer end-to-end — the hash certification has zero float
+    surface."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("is_en"),
+        F.explode(F.split("text", " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    wc = tokens.groupBy("word").agg(
+        F.sum("is_en").alias("c_pos"),
+        F.sum(F.lit(1) - F.col("is_en")).alias("c_neg"),
+    )
+    tot = wc.agg(F.sum("c_pos").alias("n_pos"), F.sum("c_neg").alias("n_neg"))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    votes = (
+        tokens.join(wc, "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(dec("c_pos") * dec("n_neg") > dec("c_neg") * dec("n_pos"), 1)
+            .otherwise(0)
+            .alias("v_pos"),
+            F.when(dec("c_neg") * dec("n_pos") > dec("c_pos") * dec("n_neg"), 1)
+            .otherwise(0)
+            .alias("v_neg"),
+        )
+    )
+    return votes.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("v_pos").cast("bigint").alias("pos_votes"),
+        F.sum("v_neg").cast("bigint").alias("neg_votes"),
+        F.when(F.sum("v_pos") > F.sum("v_neg"), 1).otherwise(0).cast("int").alias("pred_en"),
+    )

@@ -1078,7 +1078,8 @@ def _pq_d2_vs(ex: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def train_pq_codebooks(
-    spark: SparkSession, sf_dir: str, n_iters: int = _PQ_T
+    spark: SparkSession, sf_dir: str, n_iters: int = _PQ_T,
+    sample_stride: int = 1,
 ) -> DataFrame:
     """Per-subspace L2 k-means over the sf_dir embeddings table — see
     :func:`train_pq_codebooks_from` (this is the registry-query binding of
@@ -1086,11 +1087,12 @@ def train_pq_codebooks(
     return train_pq_codebooks_from(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
         n_iters,
+        sample_stride=sample_stride,
     )
 
 
 def train_pq_codebooks_from(
-    vectors: DataFrame, n_iters: int = _PQ_T
+    vectors: DataFrame, n_iters: int = _PQ_T, sample_stride: int = 1
 ) -> DataFrame:
     """Per-subspace L2 k-means over ``vectors``: seed = the first
     ``_PQ_K`` vectors' subvectors (``n_iters=0`` IS ``_pq_d2``'s
@@ -1106,7 +1108,14 @@ def train_pq_codebooks_from(
     two hash aggs); only the M x K x SUB codebook crosses iterations —
     COLLECTED per round and fed back as a literal frame, the same bounded
     driver loop as :func:`train_kmeans` (512 doubles here; executor-side
-    lineage checkpoints measured several times slower)."""
+    lineage checkpoints measured several times slower).
+
+    ``sample_stride > 1`` is the 100 TB training path (FAISS trains its
+    product quantizer on a bounded sample, not the corpus): Lloyd's rounds
+    read only ``vec_id % sample_stride == 0`` plus the first-``_PQ_K``
+    seeds (stride-invariant, SQL-derivable so the oracle reproduces the
+    subset exactly), cutting each iteration's scan to corpus/stride; the
+    returned codebook still encodes every vector downstream."""
     from pyspark.sql.types import (
         DoubleType,
         IntegerType,
@@ -1132,6 +1141,14 @@ def train_pq_codebooks_from(
     ex = vectors.select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).withColumn("val", F.col("val").cast("double"))
+    ex_t = (
+        ex
+        if sample_stride <= 1
+        else ex.filter(
+            (F.col("vec_id") < _PQ_K)
+            | (F.col("vec_id") % sample_stride == 0)
+        )
+    )
     cb_map = {
         (r["pos"] // _PQ_SUB, r["vec_id"], r["pos"]): float(r["val"])
         for r in ex.filter(F.col("vec_id") < _PQ_K).collect()
@@ -1139,7 +1156,7 @@ def train_pq_codebooks_from(
     cb = literal(cb_map)
     for _ in range(n_iters):
         asg = (
-            _pq_d2_vs(ex, cb)
+            _pq_d2_vs(ex_t, cb)
             .groupBy("vec_id", "m")
             .agg(
                 F.expr(
@@ -1148,7 +1165,7 @@ def train_pq_codebooks_from(
             )
         )
         means = (
-            ex.withColumn("m", F.expr(f"pos div {_PQ_SUB}"))
+            ex_t.withColumn("m", F.expr(f"pos div {_PQ_SUB}"))
             .join(asg, ["vec_id", "m"])
             .groupBy("m", F.col("code").alias("k"), "pos")
             .agg(
@@ -1270,6 +1287,60 @@ def pq_trained_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon_err provably <= the untrained encoder's (asserted in tests) —
     the measured justification for paying the training scans."""
     cb = train_pq_codebooks(spark, sf_dir, _PQ_T)
+    best = (
+        _pq_d2_vs(_pq_ex(spark, sf_dir), cb)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr(
+                "min_by(k, named_struct('d', CAST(dist2 AS DOUBLE), 'k', k))"
+            ).alias("code"),
+            F.min("dist2").alias("dist2"),
+        )
+    )
+    return best.groupBy("vec_id").agg(
+        F.expr(
+            "concat_ws('-', transform(array_sort(collect_list("
+            "named_struct('m', m, 'code', code))), x -> CAST(x.code AS STRING)))"
+        ).alias("code_key"),
+        F.sum("dist2").cast("double").alias("recon_err"),
+    )
+
+
+_PQ_STRIDE = 4  # deterministic training-sample stride for the sampled trainer
+
+
+@register(
+    "pq_trained_encode_sampled",
+    survey="M5-ann,A2,beyond-ref",
+    oracle=f"""
+    WITH {_pq_train_ctes_duck(_PQ_T,
+        train_where=f"vec_id < {_PQ_K} OR vec_id % {_PQ_STRIDE} = 0")},
+    best AS (
+      SELECT vec_id, m, k AS code, dist2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                ORDER BY CAST(dist2 AS DOUBLE), k) AS rn
+      FROM pd2t
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS code_key,
+           CAST(SUM(dist2) AS DOUBLE) AS recon_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def pq_trained_encode_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`pq_trained_encode` with SAMPLE-based codebook training — the
+    100 TB PQ-training path (the product-quantization sibling of
+    ``ann_ivf_trained_sampled``; FAISS trains sub-quantizers on a bounded
+    sample and encodes the full corpus once). Lloyd's rounds read only
+    ``vec_id % {_PQ_STRIDE} == 0`` plus the first-{_PQ_K} seeds, so each of
+    the {_PQ_T} iterations scans corpus/{_PQ_STRIDE}; the ENCODE still
+    covers every vector against the sampled-trained books. The oracle
+    re-derives the sampled training as unrolled CTEs over the same subset
+    (``train_where``), so the hash certifies the restricted trainer
+    end-to-end. Quality retention is asserted in tests: sampled-trained
+    total reconstruction error still lands below the training-free
+    first-K-seed encoder on the full corpus."""
+    cb = train_pq_codebooks(spark, sf_dir, _PQ_T, sample_stride=_PQ_STRIDE)
     best = (
         _pq_d2_vs(_pq_ex(spark, sf_dir), cb)
         .groupBy("vec_id", "m")

@@ -349,3 +349,123 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hits.cast("double") / _TOP_K).alias("recall_half"),
         )
     )
+
+@register(
+    "hard_negative_mining",
+    survey="M5-ann,W1,J3,A2,beyond-ref",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id, label,
+             CAST((SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {_DEC}))
+                   FROM UNNEST(embedding) AS t(x)) AS DOUBLE) AS norm2
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label,
+             c.vec_id AS neighbor_id, c.label AS c_label,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                           AS {_DEC})) AS DOUBLE) AS dot
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id,
+      UNNEST(range(1, len(q.embedding) + 1)) AS t(i)
+      WHERE q.vec_id < {_N_QUERIES}
+      GROUP BY q.vec_id, q.label, c.vec_id, c.label
+    ),
+    scored AS (
+      SELECT d.query_id, d.q_label, d.neighbor_id, d.c_label,
+             d.dot / SQRT(nq.norm2 * nc.norm2) AS cos_sim
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nc ON nc.vec_id = d.neighbor_id
+    ),
+    pos AS (
+      SELECT query_id, MAX(cos_sim) AS best_pos_sim
+      FROM scored WHERE c_label = q_label GROUP BY query_id
+    ),
+    neg AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored WHERE c_label <> q_label
+    )
+    SELECT n.query_id, n.neighbor_id, n.rank, n.cos_sim, p.best_pos_sim,
+           n.cos_sim - p.best_pos_sim AS margin
+    FROM neg n LEFT JOIN pos p ON p.query_id = n.query_id
+    WHERE n.rank <= {_TOP_K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding/contrastive training data: for each
+    anchor in the query panel, the top-{_TOP_K} most-similar vectors with a
+    DIFFERENT ``label`` (the textbook hardest-negative set), alongside the
+    anchor's best same-label similarity and the triplet margin
+    ``cos(hard_negative) - cos(best_positive)`` (a positive margin means the
+    negative outranks every positive — the pairs a metric-learning run needs
+    most). Distinct from :func:`cosine_topk_bruteforce`: that query ranks
+    neighbors label-blind; this one is the supervised mining step that feeds
+    triplet/InfoNCE training.
+
+    Plan: one corpus scan; the {_N_QUERIES}-anchor panel (with labels)
+    broadcasts against it exactly like the brute-force baseline; the pair
+    frame splits into different-label (per-anchor top-k window over Q x N
+    rows) and same-label (per-anchor MAX — order-independent, so
+    cross-engine-safe on doubles) sides; a final broadcast-sized join glues
+    the margin on. Dot products and norms accumulate in DECIMAL, the
+    cosine and margin are single IEEE ops on bit-identical inputs, so ranks
+    and margins match the oracle exactly. 100 TB shape: same as the
+    brute-force kernel — anchors broadcast, corpus scanned once, no
+    corpus-sized shuffle except the per-anchor top-k."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("q_norm2"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("c_norm2"),
+    )
+    dot_expr = (
+        f"CAST(aggregate(zip_with(q_emb, c_emb, (x, y) -> "
+        f"CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {_DEC})), "
+        f"CAST(0 AS {_DEC}), (acc, p) -> CAST(acc + p AS {_DEC})) AS DOUBLE)"
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "c_label",
+            (F.expr(dot_expr) / F.sqrt(F.col("q_norm2") * F.col("c_norm2"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    pos = (
+        scored.filter(F.col("c_label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(F.max("cos_sim").alias("best_pos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    neg = (
+        scored.filter(F.col("c_label") != F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+    )
+    return neg.join(F.broadcast(pos), "query_id", "left").select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        "cos_sim",
+        "best_pos_sim",
+        (F.col("cos_sim") - F.col("best_pos_sim")).alias("margin"),
+    )

@@ -109,6 +109,29 @@ def test_trained_pq_reduces_reconstruction_error(spark):
     )
 
 
+def test_sampled_pq_training_retains_quality(spark):
+    """The sampled trainer (the 100 TB path) must still beat the
+    training-free seed on FULL-corpus reconstruction error, and its
+    training subset must be exactly seeds + every stride-th vector (the
+    codebook differs from full-corpus training only through that
+    restriction)."""
+    from pyspark_cdc_engine.operators.dedup_scale import (
+        _PQ_STRIDE,
+        pq_encode,
+        pq_trained_encode_sampled,
+    )
+
+    e0 = sum(r["recon_err"] for r in pq_encode(spark, SF_DIR).collect())
+    es = sum(
+        r["recon_err"]
+        for r in pq_trained_encode_sampled(spark, SF_DIR).collect()
+    )
+    assert es < e0, (
+        f"sampled training must still reduce total quantization error "
+        f"(stride={_PQ_STRIDE}): seed {e0} vs sampled-trained {es}"
+    )
+
+
 def test_trained_incremental_index_matches_direct_training(spark, vecs, tmp_path):
     """train_iters>0 trains at build, then folds stay O(delta) against the
     FROZEN trained centroids: the incrementally-built assignment table is

@@ -512,6 +512,9 @@ _SWEEP_CROSS_OK = {
     "tokenizer_fertility_report",  # same broadcast merge pivot (shared helper)
     "sequence_pack_bpe",           # same broadcast merge pivot (shared helper)
     "kmeans_sampled_quality",   # deliberate crossJoins of four 1-row aggregates
+    "hard_negative_mining",     # broadcast 8-anchor panel (brute-force kernel shape)
+    "token_budget_fill",        # broadcast 1-row grand-total token count
+    "nb_token_vote_classifier",  # broadcast 1-row class-prior token totals
 }
 _SWEEP_PYTHON_OK = {
     "embedding_cosine_near_dup",  # numpy gram scoring via applyInPandas (by design)
@@ -563,6 +566,22 @@ def test_sequence_pack_window_is_bucket_parallel(spark):
     plan = plan_of(spark, "sequence_pack_greedy")
     assert "SinglePartition" not in plan
     assert re.search(r"hashpartitioning\(bucket", plan), plan[:800]
+
+
+def test_token_budget_fill_window_is_bucket_parallel(spark):
+    """The distributed take-while must never sort a whole source in one
+    partition: the corpus-sized doc-level running sum partitions by
+    (source, h); every window in the plan is keyed at least by source (the
+    bucket-offset window is <= {buckets} rows per source). The only
+    SinglePartition exchange allowed is the 1-row grand-total aggregate."""
+    plan = plan_of(spark, "token_budget_fill")
+    # the doc window rides a (source, h) exchange
+    assert re.search(r"hashpartitioning\(source[^)]*, h", plan), plan[:800]
+    # every window spec is partitioned (no empty partition-by = global sort)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:800]
+    for s in specs:
+        assert s.lstrip().startswith("source"), f"unpartitioned window: {s}"
 
 
 def test_quantize_dim_stats_join_is_broadcast(spark):
