@@ -235,6 +235,13 @@ HEAVY_QUERIES = [
     # linear part) — the heavy lane is where that claim is checked; the
     # truncation eval is brute-force-family (linear index side)
     "ann_ivf_trained_sampled", "ann_dim_truncation_recall",
+    # r12: the distributed take-while (bucket-parallel budget fill) and
+    # the one-pass NB classifier are both corpus-linear by design — the
+    # lane checks no window or vocab join degrades super-linearly; the
+    # mining query is brute-force-family (panel x corpus scan); sampled
+    # PQ training mirrors the sampled-kmeans claim for the codebook path
+    "token_budget_fill", "nb_token_vote_classifier",
+    "hard_negative_mining", "pq_trained_encode_sampled",
 ]
 
 
