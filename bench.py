@@ -242,6 +242,11 @@ HEAVY_QUERIES = [
     # PQ training mirrors the sampled-kmeans claim for the codebook path
     "token_budget_fill", "nb_token_vote_classifier",
     "hard_negative_mining", "pq_trained_encode_sampled",
+    # r12: the census rides the LSH kernel (banded-family scaling); the
+    # novelty score is a corpus-linear shingle-hash agg + membership join
+    "cross_source_dup_rate", "ngram_novelty_score",
+    # r12: per-source top-k sketch build is the corpus-sized part of KMV
+    "source_overlap_kmv",
 ]
 
 

@@ -2283,3 +2283,67 @@ def nb_token_vote_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_neg").cast("bigint").alias("neg_votes"),
         F.when(F.sum("v_pos") > F.sum("v_neg"), 1).otherwise(0).cast("int").alias("pred_en"),
     )
+
+
+@register(
+    "ngram_novelty_score",
+    survey="M5-text,A2,J3,W1,beyond-ref",
+    oracle="""
+    WITH shingled AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), UNNEST(range(1, len(w) - 8 + 2)) AS t(i),
+      LATERAL (SELECT array_to_string(list_slice(w, i, i + 8 - 1), ' ') AS sh)
+    ),
+    hsets AS (
+      SELECT DISTINCT doc_id, substr(md5(sh), 1, 15) AS shh FROM shingled
+    ),
+    first AS (SELECT shh, MIN(doc_id) AS first_doc FROM hsets GROUP BY shh)
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM hsets h JOIN first f ON f.shh = h.shh
+    GROUP BY h.doc_id
+    """,
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty under ingestion order: the fraction of a
+    document's DISTINCT 8-word shingles whose globally FIRST appearance
+    (minimum doc_id over all documents containing the shingle) is this
+    document. A streaming-dedup / curriculum signal: late documents that
+    mostly repeat earlier material score near 0 and are the ones a
+    dedup-at-ingest policy would drop; high scorers carry genuinely new
+    text. Asymmetric by construction — unlike the symmetric Jaccard dedup
+    family, this answers "what did THIS doc add when it arrived", the
+    marginal-contribution framing (Lee et al. 2022 measure dedup value the
+    same way).
+
+    Plan: shingles are generated row-locally and hashed to 15-hex ids (the
+    shared MinHash shingle kernel — 15-byte keys through every shuffle);
+    the first-appearance table is ONE hash aggregate on shingle hash
+    (map-side combine; output is vocabulary-sized, linear in corpus but a
+    fraction of the token count); the membership join back is shingle-keyed,
+    and the per-doc aggregate is the only doc-keyed shuffle. Integer
+    end-to-end with one final IEEE division. Ties (two docs sharing a
+    brand-new shingle) credit the LOWER doc_id — the deterministic
+    ingestion-order convention, identical in both engines."""
+    from pyspark_cdc_engine.operators.dedup_scale import minhash_shingle_sets
+
+    d = load_table(spark, sf_dir, "documents")
+    hsets = minhash_shingle_sets(d)
+    first = hsets.groupBy("shh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        hsets.join(first, "shh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )

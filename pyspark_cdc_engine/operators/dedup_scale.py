@@ -4447,3 +4447,284 @@ def ann_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ndcg"),
     )
+
+
+@register(
+    "cross_source_dup_rate",
+    survey="M5-dedup,A2,J3,beyond-ref",
+    oracle=f"""
+    WITH {_MH_CTES_DUCK},
+    widths AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa, sb)) AS i,
+             len(sa) AS na, len(sb) AS nb
+      FROM cand
+    ),
+    nd AS (
+      SELECT * FROM widths
+      WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {_MH_TAU}
+    ),
+    lab AS (
+      SELECT nd.i, nd.na, nd.nb, da.source AS src_a, db.source AS src_b
+      FROM nd
+      JOIN documents da ON da.doc_id = nd.doc_a
+      JOIN documents db ON db.doc_id = nd.doc_b
+    )
+    SELECT LEAST(src_a, src_b) AS source_a,
+           GREATEST(src_a, src_b) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(i) AS BIGINT) AS sum_intersect,
+           CAST(SUM(na + nb - i) AS BIGINT) AS sum_union,
+           CAST(SUM(i) AS DOUBLE) / CAST(SUM(na + nb - i) AS DOUBLE)
+             AS micro_jaccard
+    FROM lab GROUP BY source_a, source_b
+    """,
+)
+def cross_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication census: which pairs of corpus sources (web
+    crawls, dumps, feeds) overlap, and how heavily — the diagnostic a
+    multi-source pretraining mix needs BEFORE choosing per-source dedup or
+    mixture weights (e.g. two crawls of the same sites will near-dup
+    heavily against each other). Near-dup pairs come from the SAME
+    banded-MinHash + exact-verify kernel as ``minhash_lsh_near_dup``
+    (identical candidate set and {_MH_TAU} Jaccard threshold), labeled with
+    each side's ``source`` and aggregated per unordered source pair:
+    pair count, summed intersection/union sizes (exact integers), and the
+    micro-averaged Jaccard ``sum_i / sum_u`` — a ratio of two exact integer
+    sums with ONE IEEE division, so the per-source-pair hash is float-safe
+    (a per-pair-jaccard mean would sum doubles whose 6-dp decimal casts can
+    land on rounding midpoints — i/u with u a power of two does).
+
+    100 TB shape: everything up to the census is the proven LSH kernel
+    (constant bytes/doc through the band join); the source labels join on
+    doc_id against the pair table (pairs << corpus) and the final aggregate
+    is |sources|^2-bounded — tiny. Self-pairs (source_a == source_b) stay
+    in the output: within-source duplication is the baseline the
+    cross-source numbers are read against."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = minhash_shingle_sets(d)
+    bands = lsh_band_table(minhash_signatures_from_sets(sets))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    shs = sets.groupBy("doc_id").agg(F.collect_set("shh").alias("shs"))
+    widths = (
+        cand.join(
+            shs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            shs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(sa, sb))").alias("i"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
+    )
+    nd = widths.filter(
+        F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+        >= _MH_TAU
+    )
+    src = d.select("doc_id", "source")
+    lab = nd.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+        "doc_b",
+    )
+    si = F.sum("i")
+    su = F.sum(F.col("na") + F.col("nb") - F.col("i"))
+    return lab.groupBy(
+        F.least("src_a", "src_b").alias("source_a"),
+        F.greatest("src_a", "src_b").alias("source_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        si.cast("bigint").alias("sum_intersect"),
+        su.cast("bigint").alias("sum_union"),
+        (si.cast("double") / su.cast("double")).alias("micro_jaccard"),
+    )
+
+
+_KMV_K = 64  # minima kept per source sketch
+# (K-1) * 2^48 — the KMV estimator numerator over 12-hex-digit normalized
+# hashes; 63 * 2^48 < 2^53, so the constant is exactly representable as a
+# DOUBLE in both engines
+_KMV_NUM = 17732923532771328
+
+
+@register(
+    "source_overlap_kmv",
+    survey="M5-dedup,A2,W1,beyond-ref",
+    oracle=f"""
+    WITH {_SHINGLE_CTE_DUCK},
+    hsrc AS (
+      SELECT DISTINCT d.source, substr(md5(s.sh), 1, 15) AS shh
+      FROM sets s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    kmv AS (
+      SELECT source, shh,
+             ('0x' || substr(shh, 1, 12))::BIGINT AS hv, rank
+      FROM (
+        SELECT source, shh,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY shh) AS rank
+        FROM hsrc
+      ) WHERE rank <= {_KMV_K}
+    ),
+    src_est AS (
+      SELECT source, MAX(rank) AS n,
+             MAX(CASE WHEN rank = {_KMV_K} THEN hv END) AS hvk,
+             CASE WHEN MAX(rank) < {_KMV_K} THEN CAST(MAX(rank) AS DOUBLE)
+                  ELSE CAST({_KMV_NUM} AS DOUBLE)
+                       / CAST(MAX(CASE WHEN rank = {_KMV_K} THEN hv END) AS DOUBLE)
+             END AS est
+      FROM kmv GROUP BY source
+    ),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.est AS est_distinct_a, b.est AS est_distinct_b
+      FROM src_est a JOIN src_est b ON a.source < b.source
+    ),
+    merged AS (
+      SELECT p.source_a, p.source_b, k.shh, k.hv
+      FROM p JOIN kmv k ON k.source = p.source_a
+      UNION ALL
+      SELECT p.source_a, p.source_b, k.shh, k.hv
+      FROM p JOIN kmv k ON k.source = p.source_b
+    ),
+    cells AS (
+      SELECT source_a, source_b, shh, ANY_VALUE(hv) AS hv,
+             COUNT(*) AS n_sides
+      FROM merged GROUP BY source_a, source_b, shh
+    ),
+    ranked AS (
+      SELECT source_a, source_b, shh, hv, n_sides,
+             ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+                                ORDER BY shh) AS rank
+      FROM cells
+    ),
+    topk AS (SELECT * FROM ranked WHERE rank <= {_KMV_K}),
+    u AS (
+      SELECT source_a, source_b, MAX(rank) AS union_n,
+             MAX(CASE WHEN rank = {_KMV_K} THEN hv END) AS hvk,
+             CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kmv_matches
+      FROM topk GROUP BY source_a, source_b
+    )
+    SELECT p.source_a, p.source_b, u.kmv_matches,
+           p.est_distinct_a, p.est_distinct_b,
+           CASE WHEN u.union_n < {_KMV_K} THEN CAST(u.union_n AS DOUBLE)
+                ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(u.hvk AS DOUBLE)
+           END AS est_union,
+           CAST(u.kmv_matches AS DOUBLE) / CAST(u.union_n AS DOUBLE)
+             AS est_jaccard,
+           (CAST(u.kmv_matches AS DOUBLE) / CAST(u.union_n AS DOUBLE))
+             * (CASE WHEN u.union_n < {_KMV_K} THEN CAST(u.union_n AS DOUBLE)
+                     ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(u.hvk AS DOUBLE)
+                END) AS est_intersect
+    FROM p JOIN u ON u.source_a = p.source_a AND u.source_b = p.source_b
+    """,
+)
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) set-overlap sketch between corpus sources —
+    the CONSTANT-STATE companion to :func:`cross_source_dup_rate`: where the
+    census verifies individual near-dup pairs, this estimates per-source
+    distinct-shingle cardinalities, union sizes, and Jaccard overlap for
+    EVERY source pair from {_KMV_K}-row sketches (Beyer et al., SIGMOD'07:
+    the k-th smallest normalized hash v_k of a distinct set estimates its
+    cardinality as (k-1)/v_k; two sketches union by merging and re-taking
+    the k minima, and the match fraction inside the merged top-k estimates
+    Jaccard). Sets smaller than k fall back to their exact count — the
+    standard KMV convention, branch identical in both engines.
+
+    Everything is deterministic md5 arithmetic: shingle hashes are the
+    shared 15-hex kernel, the sketch is "k smallest hashes" (lexicographic
+    = numeric for fixed-width hex), and the estimator divides the exact
+    integer constant (k-1)*2^48 (< 2^53, exactly representable) by the
+    12-hex-digit hash value — single IEEE ops written identically in both
+    engines, so even the ESTIMATES hash-certify exactly.
+
+    100 TB shape: the only corpus-sized stages are the shared shingle
+    kernel and one per-source top-k (a windowed rank that AQE executes as
+    per-partition partial top-k; k rows per source survive). Every pair
+    computation downstream runs on |sources| x {_KMV_K} rows — the whole
+    point of the sketch. The source-pair frame is |sources|^2-bounded and
+    broadcast by construction."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    hsrc = (
+        minhash_shingle_sets(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "shh")
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("shh")
+    kmv = (
+        hsrc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KMV_K)
+        .withColumn(
+            "hv", F.expr("CAST(conv(substr(shh, 1, 12), 16, 10) AS BIGINT)")
+        )
+    )
+    hvk = F.max(F.when(F.col("rank") == _KMV_K, F.col("hv")))
+    est = F.when(
+        F.max("rank") < _KMV_K, F.max("rank").cast("double")
+    ).otherwise(F.lit(float(_KMV_NUM)) / hvk.cast("double"))
+    src_est = kmv.groupBy("source").agg(est.alias("est"))
+    a = src_est.select(
+        F.col("source").alias("source_a"), F.col("est").alias("est_distinct_a")
+    )
+    b = src_est.select(
+        F.col("source").alias("source_b"), F.col("est").alias("est_distinct_b")
+    )
+    p = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    ka = kmv.select(F.col("source").alias("source_a"), "shh", "hv")
+    kb = kmv.select(F.col("source").alias("source_b"), "shh", "hv")
+    merged = p.select("source_a", "source_b").join(
+        F.broadcast(ka), "source_a"
+    ).unionByName(
+        p.select("source_a", "source_b").join(F.broadcast(kb), "source_b")
+        .select("source_a", "source_b", "shh", "hv")
+    )
+    cells = merged.groupBy("source_a", "source_b", "shh").agg(
+        F.any_value("hv").alias("hv"), F.count(F.lit(1)).alias("n_sides")
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy("shh")
+    topk = cells.withColumn("rank", F.row_number().over(wp)).filter(
+        F.col("rank") <= _KMV_K
+    )
+    uhvk = F.max(F.when(F.col("rank") == _KMV_K, F.col("hv")))
+    est_union = F.when(
+        F.max("rank") < _KMV_K, F.max("rank").cast("double")
+    ).otherwise(F.lit(float(_KMV_NUM)) / uhvk.cast("double"))
+    u = topk.groupBy("source_a", "source_b").agg(
+        F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("kmv_matches"),
+        F.max("rank").alias("union_n"),
+        est_union.alias("est_union"),
+    )
+    ej = F.col("kmv_matches").cast("double") / F.col("union_n").cast("double")
+    return p.join(u, ["source_a", "source_b"]).select(
+        "source_a",
+        "source_b",
+        "kmv_matches",
+        "est_distinct_a",
+        "est_distinct_b",
+        "est_union",
+        ej.alias("est_jaccard"),
+        (ej * F.col("est_union")).alias("est_intersect"),
+    )

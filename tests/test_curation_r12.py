@@ -73,3 +73,42 @@ def test_nb_classifier_votes_bounded(spark):
         assert 0 <= r.neg_votes <= r.n_tokens
         assert r.pos_votes + r.neg_votes <= r.n_tokens  # ties vote for neither
         assert r.pred_en == (1 if r.pos_votes > r.neg_votes else 0)
+
+
+def test_kmv_estimates_track_exact_counts(spark):
+    """On the fixed test corpus the KMV cardinality estimates must land
+    within the sketch's standard-error envelope (~1/sqrt(K) relative, take
+    4x slack) of the exact per-source distinct-shingle counts, and the
+    overlap outputs must be internally consistent."""
+    from pyspark.sql import functions as F
+
+    from pyspark_cdc_engine.operators.dedup_scale import (
+        _KMV_K,
+        minhash_shingle_sets,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {
+        r.source: r.n
+        for r in minhash_shingle_sets(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "shh")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out = REGISTRY["source_overlap_kmv"].spark(spark, SF_DIR).collect()
+    assert out
+    tol = 4.0 / (_KMV_K ** 0.5)
+    for r in out:
+        for src, est in ((r.source_a, r.est_distinct_a),
+                         (r.source_b, r.est_distinct_b)):
+            n = exact[src]
+            if n < _KMV_K:
+                assert est == float(n), (src, est, n)  # exact-count branch
+            else:
+                assert abs(est - n) <= tol * n, (src, est, n)
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert r.est_union >= max(r.est_distinct_a, r.est_distinct_b) * (1 - tol)
+        assert r.est_intersect <= r.est_union + 1e-9

@@ -513,6 +513,7 @@ _SWEEP_CROSS_OK = {
     "sequence_pack_bpe",           # same broadcast merge pivot (shared helper)
     "kmeans_sampled_quality",   # deliberate crossJoins of four 1-row aggregates
     "hard_negative_mining",     # broadcast 8-anchor panel (brute-force kernel shape)
+    "source_overlap_kmv",       # source-pair frame: |sources|^2-bounded sketch join
     "token_budget_fill",        # broadcast 1-row grand-total token count
     "nb_token_vote_classifier",  # broadcast 1-row class-prior token totals
 }
