@@ -8,7 +8,7 @@ import json
 from pathlib import Path
 
 import pytest
-from hypothesis import given
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from pyspark_cdc_engine.config import load
@@ -187,6 +187,13 @@ _json_scalars = st.one_of(
 )
 
 
+# deadline=None: the per-example 200ms default trips under full-suite box
+# load (observed once in r12 — the same seed passes idle in ms), and wall
+# time is not the property under test (test_properties.py sets the same)
+@settings(
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
 @given(
     st.dictionaries(
         st.text(
