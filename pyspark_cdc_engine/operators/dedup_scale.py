@@ -4728,3 +4728,139 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ej.alias("est_jaccard"),
         (ej * F.col("est_union")).alias("est_intersect"),
     )
+
+
+@register(
+    "kmv_merge_rollup",
+    survey="M5-dedup,A2,W1,beyond-ref",
+    oracle=f"""
+    WITH mk AS (
+      SELECT DISTINCT
+             EXTRACT(year FROM l_shipdate) * 100 + EXTRACT(month FROM l_shipdate) AS m,
+             EXTRACT(year FROM l_shipdate) * 10 + EXTRACT(quarter FROM l_shipdate) AS q,
+             l_partkey,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12))::BIGINT AS hv
+      FROM lineitem
+    ),
+    month_kmv AS (
+      SELECT * FROM (
+        SELECT m, q, l_partkey, hv,
+               ROW_NUMBER() OVER (PARTITION BY m ORDER BY hv, l_partkey) AS rank
+        FROM mk
+      ) WHERE rank <= {_KMV_K}
+    ),
+    qdirect AS (
+      SELECT q, MAX(rank) AS n,
+             MAX(CASE WHEN rank = {_KMV_K} THEN hv END) AS hvk
+      FROM (
+        SELECT q, hv,
+               ROW_NUMBER() OVER (PARTITION BY q ORDER BY hv, l_partkey) AS rank
+        FROM (SELECT DISTINCT q, l_partkey, hv FROM mk)
+      ) WHERE rank <= {_KMV_K}
+      GROUP BY q
+    ),
+    qmerged AS (
+      SELECT q, MAX(rank) AS n,
+             MAX(CASE WHEN rank = {_KMV_K} THEN hv END) AS hvk
+      FROM (
+        SELECT q, hv,
+               ROW_NUMBER() OVER (PARTITION BY q ORDER BY hv, l_partkey) AS rank
+        FROM (SELECT DISTINCT q, l_partkey, hv FROM month_kmv)
+      ) WHERE rank <= {_KMV_K}
+      GROUP BY q
+    ),
+    months AS (SELECT q, CAST(COUNT(DISTINCT m) AS BIGINT) AS n_months FROM mk GROUP BY q)
+    SELECT CAST(d.q AS BIGINT) AS quarter, months.n_months,
+           CAST(d.n AS INT) AS kmv_n,
+           CASE WHEN d.n < {_KMV_K} THEN CAST(d.n AS DOUBLE)
+                ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(d.hvk AS DOUBLE)
+           END AS est_distinct_parts,
+           CAST(CASE WHEN (CASE WHEN d.n < {_KMV_K} THEN CAST(d.n AS DOUBLE)
+                                ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(d.hvk AS DOUBLE) END)
+                     = (CASE WHEN g.n < {_KMV_K} THEN CAST(g.n AS DOUBLE)
+                             ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(g.hvk AS DOUBLE) END)
+                THEN 1 ELSE 0 END AS INT) AS merge_consistent
+    FROM qdirect d
+    JOIN qmerged g ON g.q = d.q
+    JOIN months ON months.q = d.q
+    """,
+)
+def kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch ALGEBRA certification — the property that makes sketches
+    the 100 TB answer: per-month KMV sketches of distinct parts shipped
+    MERGE into quarterly sketches (union the k-minima, re-take k minima)
+    that are EXACTLY the sketch a direct quarterly build produces (any
+    hash in the quarter's true top-k is in its month's top-k), so partial
+    per-partition sketching + a tiny merge replaces a corpus-wide
+    distinct. ``merge_consistent`` pins that equality: the row emits 1
+    only if the merged estimate equals the direct estimate bit-for-bit,
+    and the DuckDB oracle re-derives BOTH paths — a drifting merge
+    implementation flips the value and fails the hash compare (the
+    contract style of ``approx_distinct_sketch``, but here the estimator
+    itself is deterministic md5 arithmetic, so the estimates certify too).
+
+    Plan: one distinct over (month, part) — the only corpus-sized stage;
+    both sketch builds are windowed top-k over month- or quarter-keyed
+    frames (per-partition partial top-k under AQE); everything after is
+    |quarters| x k rows. At 100 TB the month sketches would be persisted
+    as the rollup state and quarters NEVER rescan raw data — this query
+    proves that fold is lossless."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    mk = li.select(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("m"),
+        (F.year("l_shipdate") * 10 + F.quarter("l_shipdate")).alias("q"),
+        "l_partkey",
+    ).distinct().withColumn(
+        "hv",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(CAST(l_partkey AS STRING) AS BINARY)),"
+            " 1, 12), 16, 10) AS BIGINT)"
+        ),
+    )
+    wm = Window.partitionBy("m").orderBy("hv", "l_partkey")
+    month_kmv = mk.withColumn("rank", F.row_number().over(wm)).filter(
+        F.col("rank") <= _KMV_K
+    )
+    wq = Window.partitionBy("q").orderBy("hv", "l_partkey")
+
+    def sketch(src: DataFrame) -> DataFrame:
+        ranked = (
+            src.select("q", "l_partkey", "hv")
+            .distinct()
+            .withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= _KMV_K)
+        )
+        return ranked.groupBy("q").agg(
+            F.max("rank").alias("n"),
+            F.max(F.when(F.col("rank") == _KMV_K, F.col("hv"))).alias("hvk"),
+        )
+
+    def est(n, hvk):
+        return F.when(n < _KMV_K, n.cast("double")).otherwise(
+            F.lit(float(_KMV_NUM)) / hvk.cast("double")
+        )
+
+    qd = sketch(mk).select(
+        "q", F.col("n").alias("nd"), F.col("hvk").alias("hvkd")
+    )
+    qg = sketch(month_kmv).select(
+        "q", F.col("n").alias("ng"), F.col("hvk").alias("hvkg")
+    )
+    months = mk.groupBy("q").agg(
+        F.countDistinct("m").cast("bigint").alias("n_months")
+    )
+    ed = est(F.col("nd"), F.col("hvkd"))
+    eg = est(F.col("ng"), F.col("hvkg"))
+    return (
+        qd.join(qg, "q")
+        .join(months, "q")
+        .select(
+            F.col("q").cast("bigint").alias("quarter"),
+            "n_months",
+            F.col("nd").cast("int").alias("kmv_n"),
+            ed.alias("est_distinct_parts"),
+            F.when(ed == eg, 1).otherwise(0).cast("int").alias("merge_consistent"),
+        )
+    )
