@@ -68,7 +68,11 @@ from pyspark_cdc_engine.tables import (
 )
 
 
-def assign_to_centroids(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    norms: DataFrame | None = None,
+) -> DataFrame:
     """(vec_id, centroid_id): every vector of ``vectors`` (vec_id, embedding)
     tagged with its nearest centroid from ``centroids`` (centroid_id, cemb) —
     the generalized form of ``_ivf_assigned_df``'s kernel, against an
@@ -85,7 +89,15 @@ def assign_to_centroids(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     the ``aggregate()`` HOF fold, order-independent decimal either way).
     The HOF form is interpreted, and projection collapse pushes it BELOW
     the explode, re-evaluating the whole fold once per exploded row —
-    measured 7.1 s vs 1.0 s per assignment on the sf0.1 corpus."""
+    measured 7.1 s vs 1.0 s per assignment on the sf0.1 corpus.
+
+    ``norms`` — optional precomputed (vec_id, norm2 double) frame. Norms
+    are input-invariant, so an iterative caller (Lloyd's loop: one
+    assignment per round) passes a materialized norm table computed ONCE
+    instead of paying a corpus-scan norm agg per round (r12, guide §2.4:
+    the norm sub-aggregate was an iteration-invariant shuffle repeated
+    every iteration). Must contain exactly the norm2 this function would
+    derive — callers reuse the same exploded-sum expression."""
     sq = F.expr(f"CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS {_DEC})")
     csq = F.expr(
         f"CAST(CAST(cval AS DOUBLE) * CAST(cval AS DOUBLE) AS {_DEC})"
@@ -96,9 +108,10 @@ def assign_to_centroids(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     cex = centroids.select(
         "centroid_id", F.posexplode("cemb").alias("pos", "cval")
     )
-    norms = ex.groupBy("vec_id").agg(
-        F.sum(sq).cast("double").alias("norm2")
-    )
+    if norms is None:
+        norms = ex.groupBy("vec_id").agg(
+            F.sum(sq).cast("double").alias("norm2")
+        )
     cns = cex.groupBy("centroid_id").agg(
         F.sum(csq).cast("double").alias("cn2")
     )

@@ -15,6 +15,7 @@ from pyspark_cdc_engine.operators.registry import (
     davg_sql,
     dsum,
     dsum_sql,
+    literal_frame,
     load_table,
     register,
 )
@@ -1114,7 +1115,8 @@ def value_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful of intervals per row — the plan shape that stays linear at 100 TB
     (never a cartesian against a large build side)."""
     ev = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
+    bands = literal_frame(
+        spark,
         [(i, lo, hi) for i, (lo, hi) in enumerate(_VALUE_BANDS)],
         "band_id int, lo double, hi double",
     )

@@ -1133,8 +1133,12 @@ def train_pq_codebooks_from(
     )
 
     def literal(cb_map: dict[tuple[int, int, int], float]) -> DataFrame:
-        return spark.createDataFrame(
-            [(m, k, p, v) for (m, k, p), v in sorted(cb_map.items())], schema
+        from pyspark_cdc_engine.operators.registry import literal_frame
+
+        return literal_frame(
+            spark,
+            [(m, k, p, v) for (m, k, p), v in sorted(cb_map.items())],
+            schema,
         )
 
     spark = vectors.sparkSession
@@ -2722,9 +2726,11 @@ def _train_kmeans_history(
         StructType,
     )
 
+    from pyspark_cdc_engine.checkpointing import materialize
     from pyspark_cdc_engine.operators.ann_incremental import (
         assign_to_centroids,
     )
+    from pyspark_cdc_engine.operators.registry import literal_frame
 
     spark = vectors.sparkSession
     schema = StructType(
@@ -2736,7 +2742,7 @@ def _train_kmeans_history(
 
     def literal(cent_map: dict[int, list[float]]) -> DataFrame:
         rows = [(cid, cent_map[cid]) for cid in sorted(cent_map)]
-        return spark.createDataFrame(rows, schema)
+        return literal_frame(spark, rows, schema)
 
     vecs = vectors.select("vec_id", "embedding")
     seed_rows = vecs.orderBy("vec_id").limit(n_centroids).collect()
@@ -2745,13 +2751,23 @@ def _train_kmeans_history(
         for i, r in enumerate(seed_rows)
     }
     history = [literal(cent_map)]
+    if n_iters <= 0:
+        return history
+    # Norms are iteration-invariant: compute the (vec_id, norm2) table ONCE
+    # and feed every round's assignment, instead of re-aggregating the same
+    # corpus-scan norm per iteration (r12, guide §2.4 — one shared pass; the
+    # materialized table is N x 16 bytes, the guide-§8 lightweight proxy).
+    # Exactly the norm2 assign_to_centroids would derive itself: same
+    # exploded 12-dp decimal sum, so assignments are bit-identical.
+    ex = vecs.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    sq = F.expr(f"CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS {_DEC})")
+    norms = materialize(
+        ex.groupBy("vec_id").agg(F.sum(sq).cast("double").alias("norm2"))
+    )
     for _ in range(n_iters):
-        assigned = assign_to_centroids(vecs, history[-1])
+        assigned = assign_to_centroids(vecs, history[-1], norms=norms)
         means = (
-            vecs.join(assigned, "vec_id")
-            .select(
-                "centroid_id", F.posexplode("embedding").alias("pos", "val")
-            )
+            ex.join(assigned, "vec_id")
             .withColumn("val", F.col("val").cast("double"))
             .groupBy("centroid_id", "pos")
             .agg(

@@ -162,6 +162,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def literal_frame(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Small driver-side literal table as a LocalRelation (LocalTableScan).
+
+    ``spark.createDataFrame(list_of_rows)`` parallelizes into
+    ``defaultParallelism`` RDD slices — a 16-row centroid table becomes a
+    32-partition ExistingRDD on a 32-core box, so every scan or broadcast
+    build of it is a 32-task stage (measured 2.1 s noop vs 0.1 s for the
+    LocalRelation form, guide §1.4). Routing the rows through pandas+Arrow
+    yields a LocalRelation instead: no tasks, broadcasts built driver-side,
+    and the optimizer can constant-fold through it. Arrow float64/int
+    conversion is exact (Python floats ARE doubles), so values — and every
+    DuckDB oracle hash downstream — are bit-identical to the RDD path
+    (asserted in tests/test_literal_frame.py).
+
+    The pandas route only yields a LocalRelation when Arrow interchange is
+    on, so the helper self-configures ``spark.sql.execution.arrow.pyspark.
+    enabled`` — the driver certifies queries on a PLAIN SparkSession, and
+    queries must self-configure (same pattern as ``load_table``'s
+    nanos conf). Falls back to the classic path coalesced to one slice when
+    pandas is unavailable or Arrow conversion fails."""
+    try:
+        import pandas as pd
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        if isinstance(schema, str):
+            parsed: StructType = _parse_datatype_string(schema)
+        else:
+            parsed = schema
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        cols = {
+            f.name: [r[i] for r in rows]
+            for i, f in enumerate(parsed.fields)
+        }
+        pdf = pd.DataFrame(cols, columns=[f.name for f in parsed.fields])
+        return spark.createDataFrame(pdf, parsed)
+    except Exception:  # pandas missing or Arrow conversion failed
+        return spark.createDataFrame(rows, schema).coalesce(1)
+
+
 def dsum(col: Column | str, scale: int = 6, precision: int = 28) -> Column:
     """Order-independent double sum: sum as DECIMAL, return DOUBLE.
 
