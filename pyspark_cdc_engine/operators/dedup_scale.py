@@ -260,8 +260,23 @@ def verified_pairs_from_bands(
     quoted inside a much longer one can miss candidacy: containment-over-LSH
     trades that recall for the bounded band join, the standard trade at
     scale). The verification itself is exact on whatever candidates band."""
+    widths = _candidate_widths_from_bands(bands, docs, shingle_sets)
+    if metric == "containment":
+        score = F.col("i").cast("double") / F.least("na", "nb")
+    else:
+        score = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    thresh = _MH_TAU if tau is None else tau
+    return widths.select("doc_a", "doc_b", score.alias(metric)).filter(
+        F.col(metric) >= thresh
+    )
+
+
+def _band_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): the deduped band-collision candidate pairs — the raw
+    id-only band self-join, UNmaterialized (the plan-gate test asserts the
+    no-arrays-through-band-buckets invariant on this frame's plan)."""
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -271,6 +286,31 @@ def verified_pairs_from_bands(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def _candidate_widths_from_bands(
+    bands: DataFrame,
+    docs: DataFrame | None = None,
+    shingle_sets: DataFrame | None = None,
+) -> DataFrame:
+    """The candidate + exact-set-width kernel behind
+    :func:`verified_pairs_from_bands`: (doc_a, doc_b, i, na, nb) for every
+    banded candidate pair — |∩| and both set sizes, before any metric is
+    applied. Split out so consumers that need the raw widths (the
+    cross-source census sums i and |∪| exactly) share the identical
+    candidate set, semi-join, and intersection arithmetic instead of
+    re-deriving the pipeline."""
+    # cand is consumed twice (the candidate-ids semi-join AND the width
+    # join) and its lineage holds the band SELF-join — i.e. two executions
+    # of the whole shingle→signature→band pipeline per consumer.
+    # Materialize the candidate-pair frame: it is small by construction
+    # (band-colliding pairs only — the same bound the whole LSH design
+    # rests on), and caching it caps the band pipeline at one execution
+    # regardless of consumer count (r12, guide §2.4). The id-only band-join
+    # invariant (no arrays through the hot band buckets) is asserted by
+    # tests/test_plans.py against :func:`_band_candidate_pairs`' plan — the
+    # eager cut hides it from the final query plan.
+    cand = materialize(_band_candidate_pairs(bands))
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -288,20 +328,12 @@ def verified_pairs_from_bands(
         shs_tbl.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb")),
         "doc_b",
     )
-    widths = pairs.select(
+    return pairs.select(
         "doc_a",
         "doc_b",
         F.expr("size(array_intersect(sa, sb))").alias("i"),
         F.size("sa").alias("na"),
         F.size("sb").alias("nb"),
-    )
-    if metric == "containment":
-        score = F.col("i").cast("double") / F.least("na", "nb")
-    else:
-        score = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    thresh = _MH_TAU if tau is None else tau
-    return widths.select("doc_a", "doc_b", score.alias(metric)).filter(
-        F.col(metric) >= thresh
     )
 
 
@@ -1470,6 +1502,11 @@ def pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def adc_topk(cb: DataFrame) -> DataFrame:
+        # d2 feeds both the code argmin and the query distance table, but
+        # dtab's re-derivation is pushdown-cheap (vec_id < Q reaches the
+        # scan, so its copy of the subtree is O(Q)) — measured: an eager
+        # materialize here cost 9->15 s by breaking the agg pipelining
+        # (r12; the same lesson as the r10 eval-sharing adjudication)
         d2 = _pq_d2_vs(ex, cb)
         codes = d2.groupBy("vec_id", "m").agg(
             F.expr(
@@ -2646,6 +2683,7 @@ def train_kmeans(
     n_centroids: int = _IVF_C,
     n_iters: int = _KM_ITERS,
     sample_stride: int = 1,
+    norms: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over ``vectors`` (vec_id, embedding): seed = first
     ``n_centroids`` vec_ids (the training-free convention every first-C
@@ -2674,11 +2712,18 @@ def train_kmeans(
     and each Lloyd's iteration scans corpus/stride instead of the corpus.
     The FINAL assignment (callers do it) still covers every vector. The
     stride predicate is SQL-expressible, so sampled training stays fully
-    oracle-certifiable (``ann_ivf_trained_sampled``)."""
+    oracle-certifiable (``ann_ivf_trained_sampled``).
+
+    ``norms`` — optional precomputed materialized (vec_id, norm2) frame
+    (:func:`_corpus_norms`); callers that also assign the full corpus after
+    training pass one shared table so the iteration-invariant norm agg runs
+    once per QUERY, not once per training call plus once per final
+    assignment (r12, guide §2.4)."""
     return _train_kmeans_history(
         _train_sample(vectors, n_centroids, sample_stride),
         n_centroids,
         n_iters,
+        norms=norms,
     )[-1]
 
 
@@ -2696,10 +2741,27 @@ def _train_sample(
     )
 
 
+def _corpus_norms(vectors: DataFrame) -> DataFrame:
+    """Materialized (vec_id, norm2 double) for ``vectors`` (vec_id,
+    embedding): the exploded codegen DECIMAL hash agg — exactly the norm2
+    :func:`assign_to_centroids` derives itself (same 12-dp x^2 terms,
+    order-independent decimal sum, so values are bit-identical to the
+    per-row ``aggregate()`` fold too). Computed once and localCheckpoint-ed
+    (N x 16 bytes — the guide-§8 lightweight proxy) so every assignment,
+    training iteration, and eval side of one query shares a single norm
+    pass instead of re-aggregating the corpus per consumer (r12, §2.4)."""
+    ex = vectors.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    sq = F.expr(f"CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS {_DEC})")
+    return materialize(
+        ex.groupBy("vec_id").agg(F.sum(sq).cast("double").alias("norm2"))
+    )
+
+
 def _train_kmeans_history(
     vectors: DataFrame,
     n_centroids: int = _IVF_C,
     n_iters: int = _KM_ITERS,
+    norms: DataFrame | None = None,
 ) -> list[DataFrame]:
     """:func:`train_kmeans` returning every intermediate centroid table
     [cent0 .. cent{n_iters}] — cent0 is the seed, cent{n} the table after
@@ -2758,12 +2820,13 @@ def _train_kmeans_history(
     # corpus-scan norm per iteration (r12, guide §2.4 — one shared pass; the
     # materialized table is N x 16 bytes, the guide-§8 lightweight proxy).
     # Exactly the norm2 assign_to_centroids would derive itself: same
-    # exploded 12-dp decimal sum, so assignments are bit-identical.
+    # exploded 12-dp decimal sum, so assignments are bit-identical. Callers
+    # pass a precomputed table (possibly covering a superset of vec_ids —
+    # the assignment join aligns on vec_id) to share it with their final
+    # full-corpus assignment and eval sides.
+    if norms is None:
+        norms = _corpus_norms(vecs)
     ex = vecs.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
-    sq = F.expr(f"CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS {_DEC})")
-    norms = materialize(
-        ex.groupBy("vec_id").agg(F.sum(sq).cast("double").alias("norm2"))
-    )
     for _ in range(n_iters):
         assigned = assign_to_centroids(vecs, history[-1], norms=norms)
         means = (
@@ -2940,8 +3003,11 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
     )
     vecs = emb.select("vec_id", "embedding")
-    cents = train_kmeans(vecs, _IVF_C, _KM_ITERS)
-    assigned = emb.join(assign_to_centroids(vecs, cents), "vec_id")
+    # one shared materialized norm table for training AND the final
+    # assignment (r12, guide §2.4 — the norm agg is input-invariant)
+    norms = _corpus_norms(vecs)
+    cents = train_kmeans(vecs, _IVF_C, _KM_ITERS, norms=norms)
+    assigned = emb.join(assign_to_centroids(vecs, cents, norms=norms), "vec_id")
     q = emb.filter(F.col("vec_id") < _IVF_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qemb"),
@@ -3151,8 +3217,13 @@ def ann_ivf_trained_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
     )
     vecs = emb.select("vec_id", "embedding")
-    cents = train_kmeans(vecs, _IVF_C, _KM_ITERS, sample_stride=_KM_STRIDE)
-    assigned = emb.join(assign_to_centroids(vecs, cents), "vec_id")
+    # shared norm table across sampled training + full final assignment
+    # (the sampled trainer's vec_id join simply reads a subset of it)
+    norms = _corpus_norms(vecs)
+    cents = train_kmeans(
+        vecs, _IVF_C, _KM_ITERS, sample_stride=_KM_STRIDE, norms=norms
+    )
+    assigned = emb.join(assign_to_centroids(vecs, cents, norms=norms), "vec_id")
     q = emb.filter(F.col("vec_id") < _IVF_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qemb"),
@@ -3237,12 +3308,17 @@ def kmeans_sampled_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(out)
         )
 
+    # one materialized norm pass feeds the seed assignment, the sampled
+    # training loop, and the trained assignment (r12, guide §2.4)
+    norms = _corpus_norms(vecs)
     cents_seed = _train_kmeans_history(vecs, _IVF_C, 0)[-1]
     seed_assigned = emb.join(
-        assign_to_centroids(vecs, cents_seed), "vec_id"
+        assign_to_centroids(vecs, cents_seed, norms=norms), "vec_id"
     )
-    cents_tr = train_kmeans(vecs, _IVF_C, _KM_ITERS, sample_stride=_KM_STRIDE)
-    tr_assigned = emb.join(assign_to_centroids(vecs, cents_tr), "vec_id")
+    cents_tr = train_kmeans(
+        vecs, _IVF_C, _KM_ITERS, sample_stride=_KM_STRIDE, norms=norms
+    )
+    tr_assigned = emb.join(assign_to_centroids(vecs, cents_tr, norms=norms), "vec_id")
 
     counts = _train_sample(vecs, _IVF_C, _KM_STRIDE).agg(
         F.count(F.lit(1)).alias("n_train")
@@ -3388,10 +3464,12 @@ def ann_trained_recall_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = (F.col("vec_id") >= _HELD_LO) & (F.col("vec_id") < _HELD_HI)
 
     # norms via the exploded codegen hash agg (the r11 HOF-norm lesson:
-    # interpreted aggregate() folds re-evaluate per exploded row)
+    # interpreted aggregate() folds re-evaluate per exploded row),
+    # MATERIALIZED: this frame feeds the brute-force side twice, the panel
+    # frame, the trained training loop, and the trained assignment — five
+    # consumers each re-ran the corpus norm agg before (r12, guide §2.4)
     ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
-    sq = F.expr(f"CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS {_DEC})")
-    norms = ex.groupBy("vec_id").agg(F.sum(sq).cast("double").alias("norm2"))
+    norms = _corpus_norms(emb)
     embn = emb.join(norms, "vec_id")
 
     q = embn.filter(panel).select(
@@ -3440,10 +3518,13 @@ def ann_trained_recall_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned_fc, _probes_vs_centroids(q, cents_fc, _IVF_NPROBE)
     ).withColumn("hitf", F.lit(1))
 
-    # trained search: same Lloyd's training as ann_ivf_trained
+    # trained search: same Lloyd's training as ann_ivf_trained, sharing the
+    # materialized norm table with the brute-force side above
     vecs = emb.select("vec_id", "embedding")
-    cents_tr = train_kmeans(vecs, _IVF_C, _KM_ITERS)
-    assigned_tr = embn.join(assign_to_centroids(vecs, cents_tr), "vec_id")
+    cents_tr = train_kmeans(vecs, _IVF_C, _KM_ITERS, norms=norms)
+    assigned_tr = embn.join(
+        assign_to_centroids(vecs, cents_tr, norms=norms), "vec_id"
+    )
     tr = _multiprobe_topk(
         assigned_tr, _probes_vs_centroids(q, cents_tr, _IVF_NPROBE)
     ).withColumn("hitt", F.lit(1))
@@ -3520,7 +3601,11 @@ def kmeans_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
     )
     vecs = emb.select("vec_id", "embedding")
-    history = _train_kmeans_history(vecs, _IVF_C, _KM_ITERS)
+    # one materialized norm pass shared by the training loop and all
+    # {_KM_ITERS}+1 per-iteration distortion assignments (r12, guide §2.4 —
+    # each eval previously re-aggregated the corpus norm independently)
+    norms = _corpus_norms(vecs)
+    history = _train_kmeans_history(vecs, _IVF_C, _KM_ITERS, norms=norms)
     dot_vc = _DOT_DEC_SPARK.format(a="embedding", b="cemb")
     parts = []
     for it, cents in enumerate(history):
@@ -3528,7 +3613,7 @@ def kmeans_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cn2", F.expr(f"CAST({_norm2_dec('cemb')} AS DOUBLE)")
         )
         sims = (
-            emb.join(assign_to_centroids(vecs, cents), "vec_id")
+            emb.join(assign_to_centroids(vecs, cents, norms=norms), "vec_id")
             .join(F.broadcast(cn), "centroid_id")
             .withColumn(
                 "sim",
@@ -4518,36 +4603,19 @@ def cross_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the output: within-source duplication is the baseline the
     cross-source numbers are read against."""
     d = load_table(spark, sf_dir, "documents")
-    sets = minhash_shingle_sets(d)
-    bands = lsh_band_table(minhash_signatures_from_sets(sets))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    shs = sets.groupBy("doc_id").agg(F.collect_set("shh").alias("shs"))
-    widths = (
-        cand.join(
-            shs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa")),
-            "doc_a",
-        )
-        .join(
-            shs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("size(array_intersect(sa, sb))").alias("i"),
-            F.size("sa").alias("na"),
-            F.size("sb").alias("nb"),
-        )
+    n_docs = table_row_count(spark, sf_dir, "documents")  # footer-only
+    # Shared-kernel plan (r12, guide §2.4): the original hand-rolled version
+    # re-derived the shingle pipeline once per band-join side plus once for
+    # the full-corpus collect_set — 3 corpus passes. Routing through the
+    # SAME gated kernel _minhash_lsh uses gets (a) the materialize gate on
+    # sets/sigs, (b) the candidate-ids semi-join so shingle arrays aggregate
+    # for candidate docs only, and (c) one definition of the candidate set.
+    # Widths (i, na, nb) are byte-identical: same candidate dedup, same
+    # full-set sizes for candidate docs.
+    sets = _maybe_materialize(minhash_shingle_sets(d), n_docs)
+    sigs = _maybe_materialize(minhash_signatures_from_sets(sets), n_docs)
+    widths = _candidate_widths_from_bands(
+        lsh_band_table(sigs), shingle_sets=sets
     )
     nd = widths.filter(
         F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
@@ -4688,7 +4756,13 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w = Window.partitionBy("source").orderBy("shh")
-    kmv = (
+    # The sketch is <= |sources| x k rows BY CONSTRUCTION, but its lineage
+    # contains the corpus-sized shingle kernel — and it feeds THREE consumers
+    # (src_est, and both sides of the merged-sketch union). Materialize the
+    # tiny frame so the shingle pass runs once instead of once per consumer
+    # (r12, guide §2.4; was 3 corpus passes / 78 Exchanges in the before
+    # plan). Constant state at any corpus size — this is the point of KMV.
+    kmv = materialize(
         hsrc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _KMV_K)
         .withColumn(
@@ -4824,16 +4898,25 @@ def kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    mk = li.select(
-        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("m"),
-        (F.year("l_shipdate") * 10 + F.quarter("l_shipdate")).alias("q"),
-        "l_partkey",
-    ).distinct().withColumn(
-        "hv",
-        F.expr(
-            "CAST(conv(substr(md5(CAST(CAST(l_partkey AS STRING) AS BINARY)),"
-            " 1, 12), 16, 10) AS BIGINT)"
-        ),
+    # mk (the distinct month/part frame) is the ONLY corpus-sized stage and
+    # it feeds three consumers (month sketches, the direct quarterly sketch,
+    # months-per-quarter) — materialize it so the lineitem scan + distinct +
+    # md5 run once instead of once per consumer (r12, guide §2.4; cold time
+    # carried 3 identical Exchange-topped subtrees). At 100 TB this frame IS
+    # the persisted rollup state the docstring describes, so cutting it here
+    # matches the production shape rather than fighting it.
+    mk = materialize(
+        li.select(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("m"),
+            (F.year("l_shipdate") * 10 + F.quarter("l_shipdate")).alias("q"),
+            "l_partkey",
+        ).distinct().withColumn(
+            "hv",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(CAST(l_partkey AS STRING) AS BINARY)),"
+                " 1, 12), 16, 10) AS BIGINT)"
+            ),
+        )
     )
     wm = Window.partitionBy("m").orderBy("hv", "l_partkey")
     month_kmv = mk.withColumn("rank", F.row_number().over(wm)).filter(

@@ -421,6 +421,10 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges feeds degree calc, orientation, and the closing-edge probe —
     # materialize once so the order-pair join doesn't rerun per consumer
     edges = materialize(edges)
+    # deg feeds four consumers, but each re-derivation is one agg over the
+    # already-materialized edges — measured: eagerly materializing deg (and
+    # oriented) regressed 4.3 -> 9-13 s warmed by serializing the job chain
+    # and blocking the broadcast the wedge join wants (r12; left as-is)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))

@@ -448,20 +448,30 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pos = (
-        scored.filter(F.col("c_label") == F.col("q_label"))
-        .groupBy("query_id")
-        .agg(F.max("cos_sim").alias("best_pos_sim"))
-    )
+    # One pass over the scored pairs: best_pos_sim is a whole-partition
+    # window MAX over the same query_id partitioning the rank window uses, so
+    # both share a single exchange and the Q x N cross join (with its
+    # per-pair decimal dot fold) is evaluated ONCE — the pos/neg split as two
+    # separate consumers re-ran the whole cross-join subtree per side (r12,
+    # guide §2.4). MAX over the identical same-label double set (NULL when a
+    # query has no same-label neighbor, matching the former left join) and an
+    # unchanged rank window keep every output value bit-identical.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
+    w_pos = Window.partitionBy("query_id")
     neg = (
-        scored.filter(F.col("c_label") != F.col("q_label"))
+        scored.withColumn(
+            "best_pos_sim",
+            F.max(
+                F.when(F.col("c_label") == F.col("q_label"), F.col("cos_sim"))
+            ).over(w_pos),
+        )
+        .filter(F.col("c_label") != F.col("q_label"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
     )
-    return neg.join(F.broadcast(pos), "query_id", "left").select(
+    return neg.select(
         "query_id",
         "neighbor_id",
         "rank",

@@ -286,7 +286,13 @@ def test_minhash_rejoin_band_join_carries_no_arrays(spark):
     (doc_id, band_id, band_hash) — bounded row width through hot band
     buckets; shingle arrays may touch candidate-keyed joins only. Both
     physical plans must produce identical pairs."""
-    from pyspark_cdc_engine.operators.dedup_scale import _minhash_lsh
+    from pyspark_cdc_engine.operators.dedup_scale import (
+        _band_candidate_pairs,
+        _minhash_lsh,
+        lsh_band_table,
+        minhash_shingle_sets,
+        minhash_signatures_from_sets,
+    )
     from pyspark_cdc_engine.operators.registry import load_table
 
     docs = load_table(spark, SF_DIR, "documents")
@@ -299,8 +305,15 @@ def test_minhash_rejoin_band_join_carries_no_arrays(spark):
 
     # the probe is meaningful: the single-pass plan DOES carry shs with bands
     assert any("shs" in ln for ln in band_lines(single))
-    # the scale plan never lets an array ride a band-keyed row
-    assert band_lines(rejoin) and not any("shs" in ln for ln in band_lines(rejoin))
+    # the scale plan never lets an array ride a band-keyed row. Since r12
+    # the candidate pairs are materialized (the band self-join executes once
+    # for all consumers), so the invariant is asserted on the frame that
+    # actually CONTAINS the band join — the same construction
+    # _candidate_widths_from_bands materializes.
+    cand = _band_candidate_pairs(
+        lsh_band_table(minhash_signatures_from_sets(minhash_shingle_sets(docs)))
+    )
+    assert band_lines(cand) and not any("shs" in ln for ln in band_lines(cand))
 
     key = lambda r: (r.doc_a, r.doc_b, round(r.jaccard, 12))
     assert sorted(map(key, single.collect())) == sorted(map(key, rejoin.collect()))
