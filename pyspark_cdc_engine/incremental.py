@@ -113,6 +113,21 @@ def signed_fold_safe(
     return True
 
 
+def window_insert_only(history: list[dict], since: int, upto: int) -> bool:
+    """True iff every commit in (since, upto] is row-preserving — i.e. the
+    change-feed window can only contain ``insert`` rows. The fold paths used
+    to learn this by scanning the window's feed rows for their distinct
+    ``_change_type`` set (one full pass over the delta per refresh); the
+    commit log already says it in O(#commits) driver-side metadata (r12,
+    guide §2.4 — appends produce inserts, physical/log-only ops produce no
+    feed rows, and every signed op is outside ``_ROW_PRESERVING_OPS``)."""
+    return all(
+        c["operation"] in _ROW_PRESERVING_OPS
+        for c in history
+        if since < c["version"] <= upto
+    )
+
+
 class IncrementalAggregate:
     """Maintains ``SELECT keys, COUNT(*), SUM(cols)... GROUP BY keys`` over a
     deltalite base table, incrementally.

@@ -141,7 +141,8 @@ class _ChangeFeedIndex:
     vector indexes (:class:`IncrementalIvfIndex`'s assignment table,
     :class:`IncrementalPqCodes`' codes table). Subclasses provide
     ``_index`` (the maintained deltalite table), ``_txn_app``,
-    ``_rebuild(upto)`` and ``_fold_changes(changed, upto)``; this class
+    ``_rebuild(upto)`` and ``_fold_changes(changed, upto, insert_only)``;
+    this class
     owns the crash-idempotent watermark bookkeeping and the
     signed-fold-vs-rebuild decision, so every index answers "what changed
     since I last looked?" identically."""
@@ -190,14 +191,18 @@ class _ChangeFeedIndex:
         or an OVERWRITE (where one rebuild scan beats a 2x-table signed
         fold) force a full rebuild (with re-training, where the index
         trains). Returns the new watermark."""
-        from pyspark_cdc_engine.incremental import signed_fold_safe
+        from pyspark_cdc_engine.incremental import (
+            signed_fold_safe,
+            window_insert_only,
+        )
 
         upto = self.base.latest_version()
         since = self.last_refreshed_version()
         if since >= upto:
             return since
+        history = self.base.history()
         incremental_safe = since >= 0 and signed_fold_safe(
-            self.base.history(), since, upto, {"vec_id", "embedding"}
+            history, since, upto, {"vec_id", "embedding"}
         )
         if not incremental_safe:
             self._rebuild(upto)
@@ -213,7 +218,9 @@ class _ChangeFeedIndex:
             # as IncrementalLshIndex.refresh)
             self._rebuild(upto)
             return upto
-        self._fold_changes(changed, upto)
+        self._fold_changes(
+            changed, upto, insert_only=window_insert_only(history, since, upto)
+        )
         self._record_watermark(upto)
         return upto
 
@@ -269,25 +276,38 @@ class IncrementalIvfIndex(_ChangeFeedIndex):
         overwrite both tables. Centroids land FIRST — a crash between the
         two overwrites leaves assignments stale behind the watermark, and
         the retry re-runs both (overwrites are idempotent)."""
-        from pyspark_cdc_engine.operators.dedup_scale import train_kmeans
+        from pyspark_cdc_engine.operators.dedup_scale import (
+            _corpus_norms,
+            train_kmeans,
+        )
 
         snap = self.base.read(version=upto).select("vec_id", "embedding")
+        # Trained rebuilds share ONE materialized norm table between the
+        # Lloyd's rounds and the final full-corpus assignment — with
+        # norms=None each side aggregated the same iteration-invariant
+        # corpus norm independently (r12, guide §2.4). Untrained rebuilds
+        # (train_iters=0) keep the inline norm agg: training never reads
+        # norms there, so a shared table would only add an eager cut.
+        norms = _corpus_norms(snap) if self.train_iters > 0 else None
         self.cents.overwrite(
             train_kmeans(
                 snap,
                 self.n_centroids,
                 self.train_iters,
                 sample_stride=self.train_sample_stride,
+                norms=norms,
             )
         )
         self.assign.overwrite(
-            assign_to_centroids(snap, self.cents.read()),
+            assign_to_centroids(snap, self.cents.read(), norms=norms),
             txn_app=self._txn_app,
             txn_version=upto,
         )
         self._record_watermark(upto)
 
-    def _fold_changes(self, changed: DataFrame, upto: int) -> None:
+    def _fold_changes(
+        self, changed: DataFrame, upto: int, insert_only: bool = False
+    ) -> None:
         """One MERGE folding a change-feed window into the assignment
         table: per-vec_id net effect (the replication netting — last state
         wins, preimages dropped), surviving upserts assigned against the
@@ -298,13 +318,11 @@ class IncrementalIvfIndex(_ChangeFeedIndex):
 
         # Insert-only windows (the overwhelmingly common case: appends)
         # keep the plain APPEND path — one write, base assignment dirs
-        # never touched. The bounded distinct (<= 4 change kinds) is how
-        # the fold knows whether the window carries signed rows at all.
-        kinds = {
-            r["_change_type"]
-            for r in changed.select("_change_type").distinct().collect()
-        }
-        if kinds <= {"insert"}:
+        # never touched. ``insert_only`` comes from the commit log
+        # (window_insert_only), not from scanning the feed for its distinct
+        # change kinds — that distinct was one full delta pass per refresh
+        # answering a question the log metadata already answers (r12).
+        if insert_only:
             self.assign.append(
                 assign_to_centroids(
                     changed.select("vec_id", "embedding"), self.cents.read()
@@ -728,14 +746,13 @@ class IncrementalPqCodes(_ChangeFeedIndex):
         )
         self._record_watermark(upto)
 
-    def _fold_changes(self, changed: DataFrame, upto: int) -> None:
+    def _fold_changes(
+        self, changed: DataFrame, upto: int, insert_only: bool = False
+    ) -> None:
         from pyspark_cdc_engine.streaming.replicate import net_changes
 
-        kinds = {
-            r["_change_type"]
-            for r in changed.select("_change_type").distinct().collect()
-        }
-        if kinds <= {"insert"}:
+        # insert_only from the commit log — see IncrementalIvfIndex
+        if insert_only:
             self.codes.append(
                 encode_pq(
                     changed.select("vec_id", "embedding"), self.cb.read()

@@ -375,12 +375,22 @@ def _esd_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     token position falls in at most one span."""
     from pyspark.sql import Window
 
+    from pyspark_cdc_engine.operators.dedup_scale import _maybe_materialize
+
     d = load_table(spark, sf_dir, "documents")
     shingled = d.select(
         "doc_id",
         F.posexplode(F.expr(_shingle_expr_spark(_ESD_L))).alias("pos", "sh"),
     ).select(
         "doc_id", "pos", F.md5(F.col("sh").cast("binary")).alias("h")
+    )
+    # shingled feeds BOTH the corpus-wide frequency agg and the position
+    # join back — above the materialize-docs gate, cut it once or every
+    # consumer re-runs the window split + md5 over the full text (r12,
+    # guide §2.4; same gate every shared LSH frame uses — below it the
+    # overlapping recompute on idle cores beats serializing two jobs).
+    shingled = _maybe_materialize(
+        shingled, table_row_count(spark, sf_dir, "documents")
     )
     # "hash occurs >= 2 times in the corpus" as one single-pass agg:
     # min/max doc_id differing catches cross-document copies, count > 1

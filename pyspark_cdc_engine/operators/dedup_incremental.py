@@ -104,10 +104,14 @@ class IncrementalLshIndex:
         since = self.last_refreshed_version()
         if since >= upto:
             return since
-        from pyspark_cdc_engine.incremental import signed_fold_safe
+        from pyspark_cdc_engine.incremental import (
+            signed_fold_safe,
+            window_insert_only,
+        )
 
+        history = self.base.history()
         incremental_safe = since >= 0 and signed_fold_safe(
-            self.base.history(), since, upto, {"doc_id", "text"}
+            history, since, upto, {"doc_id", "text"}
         )
         txn_app = self._txn_app
         if not incremental_safe:
@@ -130,11 +134,15 @@ class IncrementalLshIndex:
             self.index.overwrite(snap, txn_app=txn_app, txn_version=upto)
             self._record_watermark(upto)
             return upto
-        self._fold_changes(changed, upto)
+        self._fold_changes(
+            changed, upto, insert_only=window_insert_only(history, since, upto)
+        )
         self._record_watermark(upto)
         return upto
 
-    def _fold_changes(self, changed: DataFrame, upto: int) -> None:
+    def _fold_changes(
+        self, changed: DataFrame, upto: int, insert_only: bool = False
+    ) -> None:
         """One MERGE folding a change-feed window into the band table:
         per-doc net effect (replication netting — last state wins,
         preimages dropped), surviving upserts re-banded, net deletes —
@@ -147,13 +155,11 @@ class IncrementalLshIndex:
         from pyspark_cdc_engine.streaming.replicate import net_changes
 
         # Insert-only windows (the common case: appends) keep the plain
-        # APPEND path — one write, base band dirs never touched. Bounded
-        # distinct: <= 4 change kinds.
-        kinds = {
-            r["_change_type"]
-            for r in changed.select("_change_type").distinct().collect()
-        }
-        if kinds <= {"insert"}:
+        # APPEND path — one write, base band dirs never touched.
+        # ``insert_only`` comes from the commit log (window_insert_only),
+        # not from a distinct scan of the feed rows — the metadata already
+        # answers it with zero delta passes (r12).
+        if insert_only:
             self.index.append(
                 self._bands_of(changed),
                 txn_app=self._txn_app,

@@ -2762,10 +2762,22 @@ def _train_kmeans_history(
     n_centroids: int = _IVF_C,
     n_iters: int = _KM_ITERS,
     norms: DataFrame | None = None,
-) -> list[DataFrame]:
+    keep_assignments: bool = False,
+):
     """:func:`train_kmeans` returning every intermediate centroid table
     [cent0 .. cent{n_iters}] — cent0 is the seed, cent{n} the table after
     n Lloyd's updates.
+
+    ``keep_assignments=True`` additionally MATERIALIZES each round's
+    (vec_id, centroid_id) assignment table and returns
+    ``(history, assignments)`` where ``assignments[n]`` is the corpus
+    assigned against ``history[n]`` (n < n_iters). Lloyd's already derives
+    exactly these frames to compute the round's means; a caller that also
+    evaluates per-iteration quality (``kmeans_distortion_report``) was
+    re-running the whole N x C fixed-point argmax a second time per
+    iteration (r12, guide §2.4 — the assignment agg is the expensive
+    subtree; the materialized frame is N x 8 bytes). The means pass reads
+    the cached frame, so training itself keeps the same corpus-pass count.
 
     The per-round state that crosses iterations is C x dim doubles (~1k
     values here, a few MB at any realistic C) — so each round COLLECTS the
@@ -2814,7 +2826,7 @@ def _train_kmeans_history(
     }
     history = [literal(cent_map)]
     if n_iters <= 0:
-        return history
+        return (history, []) if keep_assignments else history
     # Norms are iteration-invariant: compute the (vec_id, norm2) table ONCE
     # and feed every round's assignment, instead of re-aggregating the same
     # corpus-scan norm per iteration (r12, guide §2.4 — one shared pass; the
@@ -2827,8 +2839,12 @@ def _train_kmeans_history(
     if norms is None:
         norms = _corpus_norms(vecs)
     ex = vecs.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    assignments: list[DataFrame] = []
     for _ in range(n_iters):
         assigned = assign_to_centroids(vecs, history[-1], norms=norms)
+        if keep_assignments:
+            assigned = materialize(assigned)
+            assignments.append(assigned)
         means = (
             ex.join(assigned, "vec_id")
             .withColumn("val", F.col("val").cast("double"))
@@ -2850,6 +2866,8 @@ def _train_kmeans_history(
             new_map[cid] = [dims[p] for p in sorted(dims)]
         cent_map = new_map
         history.append(literal(cent_map))
+    if keep_assignments:
+        return history, assignments
     return history
 
 
@@ -3121,16 +3139,25 @@ def ann_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     not. ``ann_trained_recall_heldout`` is the eval that CAN show
     generalization — a panel disjoint from the seeds, where the trained
     quantizer wins (20 vs 17 hits/40 at sf0.01) — keep this query for the
-    by-construction contrast it documents. Composes
-    :func:`cosine_topk_bruteforce`,
-    :func:`ann_ivf_multiprobe` (first-C), and :func:`ann_ivf_trained`
-    verbatim; every side is deterministic, so both recalls are exact
-    oracle-checkable numbers."""
-    from pyspark_cdc_engine.operators.vectors import (
-        _N_QUERIES,
-        _TOP_K,
-        cosine_topk_bruteforce,
+    by-construction contrast it documents.
+
+    Plan shape (r12, guide §2.4): identical structure to
+    :func:`ann_trained_recall_heldout` with the panel at ``vec_id <
+    {_IVF_QUERIES}`` — one materialized corpus norm table shared by the
+    brute-force side, the trained training loop, and the trained
+    assignment, and one inverted-list search tail
+    (:func:`_multiprobe_topk`) run for both quantizers. The previous
+    formulation composed :func:`cosine_topk_bruteforce` /
+    :func:`ann_ivf_multiprobe` / :func:`ann_ivf_trained` verbatim, so the
+    corpus norm agg ran once per side and the brute-force dot was the
+    interpreted per-pair HOF fold (the r11 lesson); every ranking input is
+    the same order-independent decimal/fixed-point sum, so all four output
+    numbers are bit-identical to the composed form and the oracle is
+    unchanged."""
+    from pyspark_cdc_engine.operators.ann_incremental import (
+        assign_to_centroids,
     )
+    from pyspark_cdc_engine.operators.vectors import _N_QUERIES, _TOP_K
 
     if _N_QUERIES != _IVF_QUERIES or _TOP_K != _IVF_K:
         raise ValueError(
@@ -3138,22 +3165,74 @@ def ann_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" vs IVF ({_IVF_QUERIES}, k={_IVF_K}) — keep the constants equal"
         )
 
-    bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    firstc = (
-        ann_ivf_multiprobe(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .withColumn("hitf", F.lit(1))
+    emb = load_table(spark, sf_dir, "embeddings")
+    panel = F.col("vec_id") < _IVF_QUERIES
+
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    norms = _corpus_norms(emb)
+    embn = emb.join(norms, "vec_id")
+
+    q = embn.filter(panel).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("norm2").alias("qn2"),
     )
-    trained = (
-        ann_ivf_trained(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .withColumn("hitt", F.lit(1))
+
+    # brute-force ground truth: exploded panel broadcast against the
+    # exploded corpus, exact-decimal dot per (neighbor, query) pair
+    qex = ex.filter(panel).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("val").alias("qval")
     )
+    bf_term = F.expr(
+        f"CAST(CAST(val AS DOUBLE) * CAST(qval AS DOUBLE) AS {_DEC})"
+    )
+    qn = norms.filter(panel).select(
+        F.col("vec_id").alias("query_id"), F.col("norm2").alias("qn2")
+    )
+    bf_dots = (
+        ex.join(F.broadcast(qex), "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("vec_id", "query_id")
+        .agg(F.sum(bf_term).cast("double").alias("dot"))
+    )
+    w_bf = Window.partitionBy("query_id").orderBy(
+        (F.col("dot") / F.sqrt(F.col("qn2") * F.col("norm2"))).desc(),
+        F.col("vec_id"),
+    )
+    bf = (
+        bf_dots.join(norms, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn("rank", F.row_number().over(w_bf))
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    # first-C search: the untrained-seed assignment every IVF kernel uses
+    assigned_fc = _ivf_assigned_df(spark, sf_dir)
+    cents_fc = emb.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cemb"),
+    )
+    fc = _multiprobe_topk(
+        assigned_fc, _probes_vs_centroids(q, cents_fc, _IVF_NPROBE)
+    ).withColumn("hitf", F.lit(1))
+
+    # trained search: same Lloyd's training as ann_ivf_trained, sharing the
+    # materialized norm table with the brute-force side above
+    vecs = emb.select("vec_id", "embedding")
+    cents_tr = train_kmeans(vecs, _IVF_C, _KM_ITERS, norms=norms)
+    assigned_tr = embn.join(
+        assign_to_centroids(vecs, cents_tr, norms=norms), "vec_id"
+    )
+    tr = _multiprobe_topk(
+        assigned_tr, _probes_vs_centroids(q, cents_tr, _IVF_NPROBE)
+    ).withColumn("hitt", F.lit(1))
+
     hf = F.sum(F.coalesce(F.col("hitf"), F.lit(0)))
     ht = F.sum(F.coalesce(F.col("hitt"), F.lit(0)))
     return (
-        bf.join(firstc, ["query_id", "neighbor_id"], "left")
-        .join(trained, ["query_id", "neighbor_id"], "left")
+        bf.join(fc, ["query_id", "neighbor_id"], "left")
+        .join(tr, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             hf.cast("bigint").alias("hits_firstc"),
@@ -3605,15 +3684,27 @@ def kmeans_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # {_KM_ITERS}+1 per-iteration distortion assignments (r12, guide §2.4 —
     # each eval previously re-aggregated the corpus norm independently)
     norms = _corpus_norms(vecs)
-    history = _train_kmeans_history(vecs, _IVF_C, _KM_ITERS, norms=norms)
+    # keep_assignments: training already derives assignments for
+    # history[0..K-1] to compute each round's means — reuse the materialized
+    # frames for those iterations' distortion evals instead of re-running
+    # the N x C argmax per iteration (r12, guide §2.4); only the FINAL
+    # centroid table's assignment is new work here.
+    history, assigns = _train_kmeans_history(
+        vecs, _IVF_C, _KM_ITERS, norms=norms, keep_assignments=True
+    )
     dot_vc = _DOT_DEC_SPARK.format(a="embedding", b="cemb")
     parts = []
     for it, cents in enumerate(history):
         cn = cents.withColumn(
             "cn2", F.expr(f"CAST({_norm2_dec('cemb')} AS DOUBLE)")
         )
+        asg = (
+            assigns[it]
+            if it < len(assigns)
+            else assign_to_centroids(vecs, cents, norms=norms)
+        )
         sims = (
-            emb.join(assign_to_centroids(vecs, cents, norms=norms), "vec_id")
+            emb.join(asg, "vec_id")
             .join(F.broadcast(cn), "centroid_id")
             .withColumn(
                 "sim",

@@ -392,8 +392,15 @@ def connected_components(
     convergence probe filters materialized rows (no extra job). ``stats``,
     when given, receives ``{"rounds": n}`` — the round-complexity contract is
     test-asserted on a long-chain graph."""
+    # materialize the pair list BEFORE mirroring it: the union's two branches
+    # are otherwise two independent executions of the whole pair-derivation
+    # subtree (shingle self-join / LSH verify) inside the edges job (r12,
+    # guide §2.4). The mirrored table then unions two cached projections.
+    half = materialize(pairs.toDF("src", "dst"))
     edges = materialize(
-        pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
+        half.union(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     )
     # both edge directions are present, so src alone covers every non-isolated
     # node; the loop's label table is the DUP SUBGRAPH, not the corpus
