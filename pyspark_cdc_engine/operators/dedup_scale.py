@@ -1109,6 +1109,37 @@ def _pq_d2_vs(ex: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+def _pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id): exact squared-L2 top-{_PQ_TOPK} ground truth
+    over the {_PQ_Q}-query PQ panel — the truth side every PQ recall eval
+    shares. Exploded codegen decimal hash agg, NOT the per-pair
+    zip_with/aggregate fold (interpreted, re-evaluated per pair — the r11
+    HOF lesson): identical 12-dp decimal terms, order-independent sum, so
+    d2 and the (d2, neighbor_id) ranking are bit-identical either way."""
+    ex = _pq_ex(spark, sf_dir)
+    truth_term = (
+        (F.col("qval") - F.col("val")) * (F.col("qval") - F.col("val"))
+    ).cast(_DEC)
+    qex = ex.filter(F.col("vec_id") < _PQ_Q).select(
+        F.col("vec_id").alias("q_id"), "pos", F.col("val").alias("qval")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("d2").cast("double"), F.col("neighbor_id")
+    )
+    return (
+        ex.join(F.broadcast(qex), "pos")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum(truth_term).alias("d2"))
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+
 def train_pq_codebooks(
     spark: SparkSession, sf_dir: str, n_iters: int = _PQ_T,
     sample_stride: int = 1,
@@ -1479,27 +1510,7 @@ def pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training effect. Distortion improves provably (Lloyd's); recall on
     a tiny panel may move either way — measured, not assumed."""
     ex = _pq_ex(spark, sf_dir)
-    truth_term = (
-        (F.col("qval") - F.col("val")) * (F.col("qval") - F.col("val"))
-    ).cast(_DEC)
-    qex = ex.filter(F.col("vec_id") < _PQ_Q).select(
-        F.col("vec_id").alias("q_id"), "pos", F.col("val").alias("qval")
-    )
-    w_exact = Window.partitionBy("query_id").orderBy(
-        F.col("d2").cast("double"), F.col("neighbor_id")
-    )
-    exact = (
-        ex.join(F.broadcast(qex), "pos")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy(
-            F.col("q_id").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-        )
-        .agg(F.sum(truth_term).alias("d2"))
-        .withColumn("rank", F.row_number().over(w_exact))
-        .filter(F.col("rank") <= _PQ_TOPK)
-        .select("query_id", "neighbor_id")
-    )
+    exact = _pq_exact_topk(spark, sf_dir)
 
     def adc_topk(cb: DataFrame) -> DataFrame:
         # d2 feeds both the code argmin and the query distance table, but
@@ -4108,30 +4119,12 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     pqk = pq_search(spark, sf_dir).select("query_id", "neighbor_id").withColumn(
         "hit", F.lit(1)
     )
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < _PQ_Q).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cemb")
-    )
-    d2_expr = (
-        f"CAST(aggregate(zip_with(qemb, cemb, (x, y) -> "
-        f"CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
-        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS {_DEC})), "
-        f"CAST(0 AS {_DEC}), (acc, p) -> CAST(acc + p AS {_DEC})) AS DOUBLE)"
-    )
-    pairs = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.expr(d2_expr).alias("d2"))
-    )
-    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    exact_topk = (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _PQ_TOPK)
-        .select("query_id", "neighbor_id")
-    )
+    # exact ground truth via the exploded codegen decimal hash agg — the
+    # per-pair zip_with/aggregate fold is interpreted and re-evaluated per
+    # pair (the r11 HOF lesson; same shape pq_trained_recall_at_k's truth
+    # side already uses). Identical 12-dp decimal terms, order-independent
+    # sum → bit-identical d2 and ranks (r12, guide §4.1).
+    exact_topk = _pq_exact_topk(spark, sf_dir)
     return (
         exact_topk.join(pqk, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -4246,40 +4239,64 @@ def ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vectors whose ADC distance collapses below their true distance), so
     bucketing can RAISE recall when true neighbors share the query's
     buckets and distractors don't (this corpus shows both directions;
-    per-query rows make the trade visible instead of assumed). Composes
-    :func:`pq_search` and :func:`ann_ivfpq_search` verbatim; deterministic
-    neighbor_id tie-breaks keep both recalls exact."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < _PQ_Q).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    per-query rows make the trade visible instead of assumed). Both sides
+    rank with :func:`pq_search` / :func:`ann_ivfpq_search`'s exact
+    derivations over ONE shared PQ kernel (r12, guide §2.4): the corpus
+    code table is the argmin both sides consume IN FULL (no pushdown can
+    prune it), so it is materialized once — N x {_PQ_M} ints — instead of
+    re-deriving the exploded distance kernel per side; the exact ground
+    truth is the shared :func:`_pq_exact_topk` (exploded codegen decimal
+    hash agg, not a per-pair interpreted fold). Deterministic neighbor_id
+    tie-breaks keep both recalls exact."""
+    exact = _pq_exact_topk(spark, sf_dir)
+    d2 = _pq_d2(spark, sf_dir)
+    codes = materialize(
+        d2.groupBy("vec_id", "m").agg(
+            F.expr(
+                "min_by(k, named_struct('d', CAST(dist2 AS DOUBLE), 'k', k))"
+            ).alias("code")
+        )
     )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cemb")
+    dtab = d2.filter(F.col("vec_id") < _PQ_Q).select(
+        F.col("vec_id").alias("q_id"), "m", "k", F.col("dist2").alias("qd2")
     )
-    d2_expr = (
-        f"CAST(aggregate(zip_with(qemb, cemb, (x, y) -> "
-        f"CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
-        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS {_DEC})), "
-        f"CAST(0 AS {_DEC}), (acc, p) -> CAST(acc + p AS {_DEC})) AS DOUBLE)"
-    )
-    pairs = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.expr(d2_expr).alias("d2e"))
-    )
-    w = Window.partitionBy("query_id").orderBy("d2e", "neighbor_id")
-    exact = (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _PQ_TOPK)
-        .select("query_id", "neighbor_id")
-    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     pq = (
-        pq_search(spark, sf_dir)
+        codes.join(
+            F.broadcast(dtab),
+            (codes["m"] == dtab["m"]) & (codes["code"] == dtab["k"]),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy(F.col("q_id").alias("query_id"), F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd2").cast("double").alias("adist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
         .select("query_id", "neighbor_id")
         .withColumn("hit_pq", F.lit(1))
     )
+    assigned = _ivf_assigned_df(spark, sf_dir).select("vec_id", "centroid_id")
+    probes = (
+        _ivf_query_probes(spark, sf_dir, _IVF_NPROBE)
+        .filter(F.col("query_id") < _PQ_Q)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
     ivfpq = (
-        ann_ivfpq_search(spark, sf_dir)
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(dtab),
+            (F.col("q_id") == F.col("query_id"))
+            & (dtab["m"] == codes["m"])
+            & (dtab["k"] == F.col("code")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd2").cast("double").alias("adist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
         .select("query_id", "neighbor_id")
         .withColumn("hit_v", F.lit(1))
     )
