@@ -2344,9 +2344,14 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH needs no centroid seed and its buckets are data-independent, the
     trade-off being recall on low-similarity corpora. Per-item shuffle payload
     is (vec_id, bucket) — constant bytes, the property that matters at 100 TB."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
-    )
+    return _lsh_probe_topk(spark, sf_dir, multi=False)
+
+
+def _lsh_buckets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket): the sign-LSH 2^H signature table — the ONE
+    definition of the hyperplane→sign-sum→bucket pipeline every sign-LSH
+    query derives from."""
+    emb = load_table(spark, sf_dir, "embeddings")
     hp = (
         spark.range(_LSH_H).toDF("h")
         .crossJoin(spark.range(64).toDF("i"))
@@ -2359,23 +2364,53 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "h")
         .agg(F.sum(term).alias("d"))
     )
-    buckets = sig.groupBy("vec_id").agg(
+    return sig.groupBy("vec_id").agg(
         F.sum(
             F.when(F.col("d") > 0, F.expr("CAST(POWER(2, h) AS BIGINT)")).otherwise(0)
         ).cast("bigint").alias("bucket")
     )
+
+
+def _lsh_probe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    multi: bool,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Shared probe/score/top-k tail of the sign-LSH queries. ``buckets``
+    accepts a precomputed corpus signature table; every current caller
+    leaves it None — an r12 experiment passing one materialized table to
+    both probe modes of the recall eval REGRESSED (see
+    :func:`lsh_multiprobe_recall_at_k`): the hyperplane kernel is cheap
+    enough that branch recomputation overlaps on idle cores, while the
+    eager cut serializes the job chain."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
+    )
+    if buckets is None:
+        buckets = _lsh_buckets_df(spark, sf_dir)
     tagged = emb.join(buckets, "vec_id")
-    q = tagged.filter(F.col("vec_id") < _LSH_Q).select(
+    qbase = tagged.filter(F.col("vec_id") < _LSH_Q)
+    if multi:
+        probe_col = F.explode(
+            F.expr(
+                f"concat(array(bucket), transform(sequence(0, {_LSH_H - 1}),"
+                f" h -> bucket ^ shiftleft(CAST(1 AS BIGINT), h)))"
+            )
+        )
+    else:
+        probe_col = F.col("bucket")
+    probes = qbase.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qemb"),
         F.col("norm2").alias("qn2"),
-        F.col("bucket").alias("qbucket"),
+        probe_col.alias("pbucket"),
     )
     dot = _DOT_DEC_SPARK.format(a="qemb", b="embedding")
     scored = (
         tagged.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("query_id")),
         )
         .withColumn("cos_sim", F.expr(dot) / F.sqrt(F.col("qn2") * F.col("norm2")))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
@@ -2460,56 +2495,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures are pairwise distinct. 100 TB shape unchanged: the probe
     list is Q x (H+1) rows broadcast to the corpus-side bucket table; the
     per-item shuffle payload is still (vec_id, bucket)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
-    )
-    hp = (
-        spark.range(_LSH_H).toDF("h")
-        .crossJoin(spark.range(64).toDF("i"))
-        .withColumn("w", F.expr(_HP_W_SPARK))
-    )
-    comp = emb.select("vec_id", F.posexplode("embedding").alias("i", "val"))
-    term = (F.col("val").cast("double") * F.col("w").cast("double")).cast(_DEC)
-    sig = (
-        comp.join(F.broadcast(hp), "i")
-        .groupBy("vec_id", "h")
-        .agg(F.sum(term).alias("d"))
-    )
-    buckets = sig.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("d") > 0, F.expr("CAST(POWER(2, h) AS BIGINT)")).otherwise(0)
-        ).cast("bigint").alias("bucket")
-    )
-    tagged = emb.join(buckets, "vec_id")
-    probes = (
-        tagged.filter(F.col("vec_id") < _LSH_Q)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qemb"),
-            F.col("norm2").alias("qn2"),
-            F.explode(
-                F.expr(
-                    f"concat(array(bucket), transform(sequence(0, {_LSH_H - 1}),"
-                    f" h -> bucket ^ shiftleft(CAST(1 AS BIGINT), h)))"
-                )
-            ).alias("pbucket"),
-        )
-    )
-    dot = _DOT_DEC_SPARK.format(a="qemb", b="embedding")
-    scored = (
-        tagged.join(
-            F.broadcast(probes),
-            (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("query_id")),
-        )
-        .withColumn("cos_sim", F.expr(dot) / F.sqrt(F.col("qn2") * F.col("norm2")))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _LSH_TOPK)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
-    )
+    return _lsh_probe_topk(spark, sf_dir, multi=True)
 
 
 @register(
@@ -2595,9 +2581,15 @@ def lsh_multiprobe_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 2^{_LSH_H}-bucket table over a few thousand vectors starves most
     buckets; bit-flip probing recovers a measurable fraction). The probe
     set is a superset of the single bucket, so recall_multi >=
-    recall_single by construction. Composes :func:`cosine_topk_bruteforce`,
-    :func:`ann_lsh_hyperplane`, and :func:`ann_lsh_multiprobe` verbatim;
-    deterministic tie-breaks keep both recalls exact."""
+    recall_single by construction. Both probe modes score through
+    :func:`_lsh_probe_topk` (one definition of the probe/score/top-k
+    tail); composition is otherwise verbatim — an r12 experiment that
+    materialized the corpus signature table once for both sides REGRESSED
+    3.0-3.3 s -> ~4-5 s control-normalized (the hyperplane kernel is one
+    broadcast join + two aggs, cheap enough that recomputation overlaps on
+    idle cores while the eager cut serializes the job chain — the same
+    criterion that killed the pq-d2 and copurchase materializations).
+    Deterministic tie-breaks keep both recalls exact."""
     from pyspark_cdc_engine.operators.vectors import (
         _N_QUERIES,
         _TOP_K,
@@ -2612,12 +2604,12 @@ def lsh_multiprobe_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bf = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     single = (
-        ann_lsh_hyperplane(spark, sf_dir)
+        _lsh_probe_topk(spark, sf_dir, multi=False)
         .select("query_id", "neighbor_id")
         .withColumn("hit1", F.lit(1))
     )
     multi = (
-        ann_lsh_multiprobe(spark, sf_dir)
+        _lsh_probe_topk(spark, sf_dir, multi=True)
         .select("query_id", "neighbor_id")
         .withColumn("hitp", F.lit(1))
     )
