@@ -1359,11 +1359,21 @@ def train_bpe_merges(
     documents. Per step only the single best (x, y, count) row reaches the
     driver. Ties break (count desc, x, y) — the same total order the
     one-shot ranking uses. ``localCheckpoint`` truncates the per-step
-    lineage so step N's plan doesn't replay steps 1..N-1.
+    lineage so step N's plan doesn't replay steps 1..N-1 — LAZILY (r12,
+    guide §1.5/§2.4): an eager checkpoint paid a dedicated job per step
+    (2k jobs total, plus one for the final rewrite nobody consumes); a
+    lazy one materializes inside the NEXT step's pair-count job — the
+    global sort behind ``first()`` computes every partition, so the
+    checkpoint is always complete — cutting the loop to k+1 jobs with
+    bit-identical merges.
 
     Greedy-leftmost rewrite as a fold: append each symbol, merging with
     the accumulator's tail when (tail, s) == (x, y) — a merged token can
-    never re-match its own pair (xy != x), so one pass per step is exact."""
+    never re-match its own pair (xy != x), so one pass per step is exact.
+    Rows whose word is fully merged (one symbol left) are dropped from the
+    working table permanently: a row can never regain symbols, so it can
+    never contribute a pair again — the checkpointed frame only shrinks
+    (r12; the returned merge list is provably unchanged)."""
     enc = words.select(
         "cnt",
         F.expr(
@@ -1371,12 +1381,11 @@ def train_bpe_merges(
             "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) "
             "END"
         ).alias("syms"),
-    ).localCheckpoint(eager=True)
+    ).filter(F.size("syms") >= 2).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(k):
         best = (
-            enc.filter(F.size("syms") >= 2)
-            .select(
+            enc.select(
                 "cnt",
                 F.explode(
                     F.expr(
@@ -1396,21 +1405,25 @@ def train_bpe_merges(
         merges.append((best.x, best.y))
         x, y = F.lit(best.x), F.lit(best.y)
         merged = F.concat(x, y)
-        enc = enc.select(
-            "cnt",
-            F.aggregate(
-                "syms",
-                F.expr("CAST(array() AS array<string>)"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == x)
-                    & (s == y),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
-                    ),
-                ).otherwise(F.concat(acc, F.array(s))),
-            ).alias("syms"),
-        ).localCheckpoint(eager=True)
+        enc = (
+            enc.select(
+                "cnt",
+                F.aggregate(
+                    "syms",
+                    F.expr("CAST(array() AS array<string>)"),
+                    lambda acc, s: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == x)
+                        & (s == y),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                        ),
+                    ).otherwise(F.concat(acc, F.array(s))),
+                ).alias("syms"),
+            )
+            .filter(F.size("syms") >= 2)
+            .localCheckpoint(eager=False)
+        )
     return merges
 
 
