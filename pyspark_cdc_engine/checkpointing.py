@@ -25,12 +25,24 @@ from pyspark.sql import DataFrame
 from pyspark_cdc_engine.config import get_config
 
 
-def materialize(df: DataFrame) -> DataFrame:
+def materialize_lazy(df: DataFrame) -> DataFrame:
+    """Lineage cut that materializes inside the NEXT action instead of
+    paying a dedicated job now (``eager=False``) — the per-step cut of the
+    BPE training loop (k lazy cuts = k+1 jobs instead of 2k+1, r12). Routes
+    between local and reliable checkpointing on ``engine.checkpoint-dir``
+    exactly like :func:`materialize`, so configuring a durable directory
+    upgrades the k-step loop to executor-loss-safe checkpoints with no code
+    change (r13 ADVICE #3 — the loop previously called ``localCheckpoint``
+    directly and never saw the config)."""
+    return materialize(df, eager=False)
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut ``df``'s lineage: reliable ``checkpoint()`` when
     ``engine.checkpoint-dir`` is configured, ``localCheckpoint()`` otherwise."""
     ckpt_dir = get_config().get_str("engine.checkpoint-dir")
     if not ckpt_dir:
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=eager)
     from pathlib import PurePath
 
     sc = df.sparkSession.sparkContext
@@ -47,4 +59,4 @@ def materialize(df: DataFrame) -> DataFrame:
         active_root = str(PurePath(path_part).parent)
     if active_root != str(PurePath(ckpt_dir.rstrip("/"))):
         sc.setCheckpointDir(ckpt_dir)
-    return df.checkpoint(eager=True)
+    return df.checkpoint(eager=eager)

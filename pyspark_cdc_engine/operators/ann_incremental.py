@@ -59,7 +59,7 @@ from pyspark_cdc_engine.operators.dedup_scale import (
     _kmeans_ctes_duck,
     _norm2_dec,
 )
-from pyspark_cdc_engine.operators.registry import load_table, register
+from pyspark_cdc_engine.operators.registry import fan_out, load_table, register
 from pyspark_cdc_engine.tables import (
     DeltaliteTable,
     MergeClause,
@@ -666,7 +666,8 @@ def encode_pq(vectors: DataFrame, codebook: DataFrame) -> DataFrame:
     per-engine rounding choice into a stored number)."""
     from pyspark_cdc_engine.operators.dedup_scale import _pq_d2_vs
 
-    ex = vectors.select(
+    # fan_out: ×(dim·K) encode work per vector — see assign_to_centroids
+    ex = fan_out(vectors).select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).withColumn("val", F.col("val").cast("double"))
     return (
@@ -846,7 +847,7 @@ class IncrementalPqCodes(_ChangeFeedIndex):
             F.col("dist2").alias("qd2"),
         )
         scored = (
-            self.codes.read()
+            fan_out(self.codes.read())
             .join(
                 F.broadcast(dtab),
                 (F.col("m") == F.col("qm")) & (F.col("code") == F.col("qk")),

@@ -14,7 +14,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_cdc_engine.config import get_config
-from pyspark_cdc_engine.operators.registry import load_table, register, table_row_count
+from pyspark_cdc_engine.operators.registry import (
+    fan_out,
+    load_table,
+    register,
+    table_row_count,
+)
 from pyspark_cdc_engine.operators.dedup_scale import _shingle_expr_spark
 from pyspark_cdc_engine.operators.text import (
     _BPE_APPLY_CTES,
@@ -55,7 +60,7 @@ def word_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab side when it's small — vocab grows ~log of corpus size, so even at
     100 TB the frequency table is millions of rows, not billions); final hash
     agg on doc_id."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     tokens = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
@@ -115,7 +120,7 @@ def bigram_predictability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     size(w) >= 2 guard: Spark's sequence(1, size-1) would DESCEND for a
     1-token doc ([1, 0]) instead of being empty; DuckDB's range(1, 0) is
     empty, so the filter also keeps the two engines' row sets identical."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= 2
     )
@@ -186,7 +191,7 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall narrows to pairs whose JACCARD also bands (the short-doc-in-long
     subset case can miss candidacy), the standard trade at scale. mode=exact
     keeps the loud refusal as an explicit opt-in."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     limit = get_config().get_int("engine.jaccard-exact-max-docs")
     n_docs = table_row_count(spark, sf_dir, "documents")
     mode = get_config().get_str("engine.pair-source")
@@ -377,7 +382,7 @@ def _esd_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark_cdc_engine.operators.dedup_scale import _maybe_materialize
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     shingled = d.select(
         "doc_id",
         F.posexplode(F.expr(_shingle_expr_spark(_ESD_L))).alias("pos", "sh"),
@@ -487,7 +492,7 @@ def _esd_flagged_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     the range LEFT JOIN matches each token at most once (no duplication).
     The join is doc_id-equi with a range residual — tokens never leave
     their doc's hash partition at 100 TB."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
@@ -617,7 +622,7 @@ def chunk_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup can't see. Plan: map-side chunk explode (no shuffle of text — only
     16-byte hashes shuffle into the frequency agg), hash join back on the
     chunk hash, one final agg on doc_id. All counts integer-exact."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     # empty-text guard: Spark's sequence(0, -1) yields [0, -1] (descending),
     # which would emit two phantom '' chunks; DuckDB's range(0, 0) is empty —
     # make the Spark side explicitly empty too
@@ -770,7 +775,7 @@ def sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs once over the vocabulary, per-doc counts join back, then the
     32-stream bucket cumsum assigns sequence ids; the only corpus-sized
     stages are the word explode and two hash aggs."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     dw = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -815,7 +820,7 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling — this report is what corrects it. Plan: map-side md5 + token
     arithmetic; one agg on the 16-byte hash (keepers), hash join back, one
     agg on source. Integer-exact throughout."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     per_doc = d.select(
         "source",
         "doc_id",
@@ -906,7 +911,7 @@ def domain_similarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc) contribute p_target each; adding them would need a dense 16-way
     expansion — omitted on BOTH sides identically, keeping the score a
     same-support L1 (rank-equivalent for filtering)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id",
         "lang",
@@ -1073,7 +1078,7 @@ def bm25_odds_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query terms (the WHERE prunes before the shuffle — at 100 TB this is the
     inverted-index probe, a tiny fraction of the corpus); 4-row df and 1-row
     corpus stats broadcast; TakeOrdered top-{_BM25_TOP}."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     from pyspark.sql import Window
 
     tok = d.select(
@@ -2155,7 +2160,7 @@ def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL), so the floor and the selected set are bit-reproducible."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     docs = d.select(
         "doc_id",
         "source",
@@ -2260,7 +2265,7 @@ def nb_token_vote_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the vocab side — it grows ~log of corpus size); final per-doc
     hash agg. Integer end-to-end — the hash certification has zero float
     surface."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     tokens = d.select(
         "doc_id",
         "lang",
@@ -2342,7 +2347,7 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingestion-order convention, identical in both engines."""
     from pyspark_cdc_engine.operators.dedup_scale import minhash_shingle_sets
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     hsets = minhash_shingle_sets(d)
     first = hsets.groupBy("shh").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(

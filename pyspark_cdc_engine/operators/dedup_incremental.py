@@ -41,7 +41,7 @@ from pyspark_cdc_engine.operators.dedup_scale import (
     minhash_signatures,
     verified_pairs_from_bands,
 )
-from pyspark_cdc_engine.operators.registry import load_table, register
+from pyspark_cdc_engine.operators.registry import fan_out, load_table, register
 from pyspark_cdc_engine.tables import (
     DeltaliteTable,
     MergeClause,
@@ -280,7 +280,7 @@ def minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute, which is exactly what the oracle does (same CTE chain as
     minhash_lsh_near_dup). This is the CDC-side MV-refresh machinery
     (incremental.py's watermark pattern) driving the dedup-side index."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     tmp = _fresh_scratch_dir(sf_dir)
     base_tbl = DeltaliteTable(spark, f"{tmp}/docs")
     base_tbl.overwrite(d.filter(F.col("doc_id") % 4 != 0))

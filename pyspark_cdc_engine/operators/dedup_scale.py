@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 from pyspark_cdc_engine.checkpointing import materialize
 from pyspark_cdc_engine.config import get_config
-from pyspark_cdc_engine.operators.registry import load_table, register, table_row_count
+from pyspark_cdc_engine.operators.registry import (
+    fan_out,
+    load_table,
+    register,
+    table_row_count,
+)
 from pyspark_cdc_engine.operators.vectors import _DEC, _norm2_dec
 
 # ---------------------------------------------------------------------------
@@ -196,9 +201,11 @@ def _maybe_materialize(df: DataFrame, n_docs: int) -> DataFrame:
 
 def minhash_shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, shh): distinct 15-hex shingle hashes per document (one md5
-    per shingle; 15-byte keys through every downstream shuffle)."""
+    per shingle; 15-byte keys through every downstream shuffle).
+    ``fan_out`` spreads the ×(words/doc) shingle+md5 explode across cores
+    when the corpus scan is a single split (r13, guide §2.5)."""
     return (
-        docs.select(
+        fan_out(docs).select(
             "doc_id", F.explode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("sh")
         )
         .select("doc_id", F.expr("substr(md5(CAST(sh AS BINARY)), 1, 15)").alias("shh"))
@@ -472,8 +479,9 @@ def _simhash_fingerprint_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 hex digits = 32 bits; each bit votes +1/-1; fingerprint bit =
     (vote sum > 0). All bit surgery is FLOOR-div/mod on the hex-digit value
     (instr into '0123…f'), the only formulation that is expression-identical
-    across engines."""
-    d = load_table(spark, sf_dir, "documents")
+    across engines. ``fan_out`` spreads the ×(words/doc) shingle+md5
+    explode across cores on single-split scans (r13, guide §2.5)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     # only the first 8 md5 hex digits are used: dedup features on THAT
     # (8 bytes/row through the distinct shuffle instead of ~20-char shingles;
     # 32-bit collisions merge features identically in both engines)
@@ -819,7 +827,7 @@ def _pq_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector's m-th subvector to every per-subspace sub-centroid k. The shared
     kernel of PQ encode (argmin per (vec_id, m)) and ADC search (rows where
     vec_id is a query ARE the distance table)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).withColumn("val", F.col("val").cast("double"))
@@ -1088,8 +1096,10 @@ _PQ_T = 2  # Lloyd's iterations for the certified trained codebooks
 
 
 def _pq_ex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out before the ×64 explode: single-split scans otherwise run the
+    # whole subspace-distance pipeline in one task (r13, guide §2.5)
     return (
-        load_table(spark, sf_dir, "embeddings")
+        fan_out(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
         .withColumn("val", F.col("val").cast("double"))
     )
@@ -1205,7 +1215,11 @@ def train_pq_codebooks_from(
         )
 
     spark = vectors.sparkSession
-    ex = vectors.select(
+    # fan_out: each Lloyd's round multiplies per-row work ×(dim·K); a
+    # single-split scan would train single-threaded (r13, guide §2.5).
+    # cut=True (gate-bounded): the seed collect + every iteration's two
+    # consumers re-executed the repartition exchange per job otherwise.
+    ex = fan_out(vectors, cut=True).select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).withColumn("val", F.col("val").cast("double"))
     ex_t = (
@@ -1628,7 +1642,7 @@ def sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle larger than (vec_id, pos, code). All double arithmetic is
     per-component IEEE ops identical across engines; rounding is an
     explicit floor(x + 0.5), never a libm/banker's round."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), cut=True)
     comp = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).withColumn("val", F.col("val").cast("double"))
@@ -1704,7 +1718,7 @@ def sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the per-dim stats are a 64-row broadcast; the corpus side
     shuffles only (vec_id, pos, code) triples into the per-(query, vector)
     fold — at dim bytes per vector this is the smallest index in the family."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), cut=True)
     comp = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).withColumn("val", F.col("val").cast("double"))
@@ -1815,7 +1829,7 @@ def sq8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern: every quantizer family in the engine (IVF, multiprobe, PQ,
     IVF-PQ, sign-LSH, SQ8) ships with its measured recall, not an assumed
     one."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), cut=True)
     sq = (
         sq8_search(spark, sf_dir)
         .select("query_id", "neighbor_id")
@@ -2351,7 +2365,7 @@ def _lsh_buckets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, bucket): the sign-LSH 2^H signature table — the ONE
     definition of the hyperplane→sign-sum→bucket pipeline every sign-LSH
     query derives from."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     hp = (
         spark.range(_LSH_H).toDF("h")
         .crossJoin(spark.range(64).toDF("i"))
@@ -2375,21 +2389,19 @@ def _lsh_probe_topk(
     spark: SparkSession,
     sf_dir: str,
     multi: bool,
-    buckets: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared probe/score/top-k tail of the sign-LSH queries. ``buckets``
-    accepts a precomputed corpus signature table; every current caller
-    leaves it None — an r12 experiment passing one materialized table to
-    both probe modes of the recall eval REGRESSED (see
-    :func:`lsh_multiprobe_recall_at_k`): the hyperplane kernel is cheap
-    enough that branch recomputation overlaps on idle cores, while the
-    eager cut serializes the job chain."""
+    """Shared probe/score/top-k tail of the sign-LSH queries. Each caller
+    re-derives the corpus signature table (:func:`_lsh_buckets_df`) — an
+    r12 experiment sharing one MATERIALIZED table across both probe modes
+    of the recall eval REGRESSED (see :func:`lsh_multiprobe_recall_at_k`):
+    the hyperplane kernel is cheap enough that branch recomputation
+    overlaps on idle cores, while the eager cut serializes the job chain.
+    (A ``buckets`` injection parameter existed for that experiment; it was
+    dead — every caller passed None — and was dropped, r13 ADVICE #2.)"""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
     )
-    if buckets is None:
-        buckets = _lsh_buckets_df(spark, sf_dir)
-    tagged = emb.join(buckets, "vec_id")
+    tagged = emb.join(_lsh_buckets_df(spark, sf_dir), "vec_id")
     qbase = tagged.filter(F.col("vec_id") < _LSH_Q)
     if multi:
         probe_col = F.explode(
@@ -2752,8 +2764,11 @@ def _corpus_norms(vectors: DataFrame) -> DataFrame:
     per-row ``aggregate()`` fold too). Computed once and localCheckpoint-ed
     (N x 16 bytes — the guide-§8 lightweight proxy) so every assignment,
     training iteration, and eval side of one query shares a single norm
-    pass instead of re-aggregating the corpus per consumer (r12, §2.4)."""
-    ex = vectors.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    pass instead of re-aggregating the corpus per consumer (r12, §2.4).
+    ``fan_out`` keeps the ×dim exploded agg off a single scan task (r13)."""
+    ex = fan_out(vectors).select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    )
     sq = F.expr(f"CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) AS {_DEC})")
     return materialize(
         ex.groupBy("vec_id").agg(F.sum(sq).cast("double").alias("norm2"))
@@ -3171,7 +3186,10 @@ def ann_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     panel = F.col("vec_id") < _IVF_QUERIES
 
-    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    # fan only the brute-force side's exploded-decimal subtree — the one
+    # measured-heavy single-task stage here; the fixed-point assignment
+    # loops are job-count-bound and regress under fanning (r13, guide §1.1)
+    ex = fan_out(emb).select("vec_id", F.posexplode("embedding").alias("pos", "val"))
     norms = _corpus_norms(emb)
     embn = emb.join(norms, "vec_id")
 
@@ -4848,7 +4866,7 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast by construction."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     hsrc = (
         minhash_shingle_sets(d)
         .join(d.select("doc_id", "source"), "doc_id")

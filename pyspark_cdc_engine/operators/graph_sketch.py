@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 
 from pyspark_cdc_engine.checkpointing import materialize
 from pyspark_cdc_engine.operators.dedup_scale import _SHINGLE_W, _shingle_expr_spark
-from pyspark_cdc_engine.operators.registry import load_table, register
+from pyspark_cdc_engine.operators.registry import fan_out, load_table, register
 from pyspark_cdc_engine.operators.text import _JACCARD_PAIRS_SQL, near_dup_edges
 
 _MG_K = 64  # Misra-Gries counter budget; error bound = n / (K + 1)
@@ -88,7 +88,7 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sketch_found`` (the merged sketch surfaced the item) and
     ``within_bound`` (exact − estimate ≤ n/(K+1)). At 100 TB the exact-freq
     yardstick drops and the sketch stands alone — same state size."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     tokens = d.select(
         F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -262,7 +262,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join ever materializes the per-doc cross product — then distinct +
     per-doc aggregation. Everything is keyed on doc_id: embarrassingly
     parallel at 100 TB."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     from pyspark.sql import Window
 
     shingled = d.select(

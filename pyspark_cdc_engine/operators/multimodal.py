@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pyspark_cdc_engine.operators.registry import load_table, register
+from pyspark_cdc_engine.operators.registry import fan_out, load_table, register
 
 _HIST_BINS = 4
 _HIST_BYTES = 128  # histogram over the first N payload bytes
@@ -183,7 +183,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the UTF-8 bytes of ``documents.text``, ASCII in this corpus, so DuckDB's
     per-character ``ascii()`` sees the same byte values the Python kernel
     does — the same contract ``media_decode_real``'s oracle relies on)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     feats = extract_media_features(with_media_columns(d))
     return feats.select(
         "doc_id",
@@ -486,7 +486,7 @@ def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as `media_features`). The DuckDB oracle recomputes the identical
     features straight from the content bytes, which certifies the
     synthesize→decode loop is lossless where it must be."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     media = with_media_columns(d)
     return media.select("doc_id", "payload", "modality").mapInPandas(
         _decode_real_kernel, schema=REAL_MEDIA_SCHEMA

@@ -162,6 +162,75 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, cut: bool = False) -> DataFrame:
+    """Scale-adaptive parallelism floor for CPU-dense pipelines rooted at a
+    small scan (guide §2.5 — "input skew: one huge unsplittable file …
+    repartition immediately after the read"; §6 input split size).
+
+    The bench corpora are single sub-128 MB / one-row-group parquet files, so
+    every scan is ONE split = ONE task — and the explode-×dim vector kernels
+    multiply per-row work ×(dim·K), which serialized the whole trained/ANN
+    family onto one core (r13 job profile: a 7.5 s single-task Lloyd's means
+    job inside ``pq_trained_encode``; the r12 verdict's 8- vs 32-core scaling
+    ratio ≈ 1 across the family is exactly this). Round-robin repartition to
+    ``defaultParallelism`` when (and only when) the plan's estimated input
+    size would yield fewer than half that many scan splits. Both inputs of
+    the decision derive from the session (core count, maxPartitionBytes), so
+    nothing is tuned to local[32]; at production scale the scan out-splits
+    the core count and this is a NO-OP — no added shuffle.
+
+    Results are unaffected: every consumer downstream is an aggregation /
+    join keyed on ids with order-independent arithmetic (decimal and
+    fixed-point sums, deterministic tie-breaks), so row placement cannot
+    change values. An upstream round-robin repartition or checkpointed RDD
+    (walked through narrow Project/Filter nodes) short-circuits, so
+    composed kernels that each call ``fan_out`` don't stack exchanges.
+
+    ``cut=True`` additionally MATERIALIZES the fanned frame (one eager
+    localCheckpoint job). For a corpus root consumed by MANY separate jobs
+    (a Lloyd's training loop plus its assignment/eval sides), a plain
+    repartition is re-executed by every consumer job and each pays the
+    extra exchange's AQE stage-jobs — measured r13: the trained-kmeans
+    family's job count tripled and walls regressed 1.7-3× under plain
+    fanning. The cut bounds that at ONE execution; the gate bounds the
+    cached bytes (only frames under target×maxPartitionBytes/2 ever fan,
+    and at scale the gate makes the whole call a no-op, so nothing
+    corpus-sized is ever pinned). The cut does defeat scan pushdown for
+    pruned consumers — acceptable exactly because the gate proved the
+    frame tiny."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        node = plan
+        for _ in range(8):  # walk past narrow nodes to find an earlier fan
+            name = node.getClass().getSimpleName()
+            if name in ("Repartition", "RepartitionByExpression",
+                        "RebalancePartitions", "LogicalRDD"):
+                # LogicalRDD = an upstream materialize()/localCheckpoint —
+                # it already carries the fanned partitioning
+                return df
+            if name in ("Project", "Filter") and node.children().size() == 1:
+                node = node.children().apply(0)
+                continue
+            break
+        size = int(str(plan.stats().sizeInBytes()))
+        max_pb = int(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        ))
+        est_splits = max(1, -(-size // max_pb))
+        if 2 * est_splits >= target:
+            return df  # the scan already parallelizes; keep it shuffle-free
+    except Exception:
+        return df  # introspection failed: never inject a corpus shuffle blind
+    df = df.repartition(target)
+    if cut:
+        from pyspark_cdc_engine.checkpointing import materialize
+
+        df = materialize(df)
+    return df
+
+
 def literal_frame(spark: SparkSession, rows: list, schema) -> DataFrame:
     """Small driver-side literal table as a LocalRelation (LocalTableScan).
 
@@ -177,11 +246,13 @@ def literal_frame(spark: SparkSession, rows: list, schema) -> DataFrame:
     (asserted in tests/test_literal_frame.py).
 
     The pandas route only yields a LocalRelation when Arrow interchange is
-    on, so the helper self-configures ``spark.sql.execution.arrow.pyspark.
-    enabled`` — the driver certifies queries on a PLAIN SparkSession, and
-    queries must self-configure (same pattern as ``load_table``'s
-    nanos conf). Falls back to the classic path coalesced to one slice when
-    pandas is unavailable or Arrow conversion fails."""
+    on, so the helper enables ``spark.sql.execution.arrow.pyspark.enabled``
+    FOR THE CONVERSION ONLY and restores the session's previous value after
+    (r12 verdict #4: a query function must not mutate session conf as a
+    side effect) — the driver certifies queries on a PLAIN SparkSession, so
+    the flag cannot be assumed on. Falls back to the classic path coalesced
+    to one slice when pandas is unavailable or Arrow conversion fails."""
+    _ARROW_CONF = "spark.sql.execution.arrow.pyspark.enabled"
     try:
         import pandas as pd
         from pyspark.sql.types import StructType, _parse_datatype_string
@@ -190,13 +261,20 @@ def literal_frame(spark: SparkSession, rows: list, schema) -> DataFrame:
             parsed: StructType = _parse_datatype_string(schema)
         else:
             parsed = schema
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-        cols = {
-            f.name: [r[i] for r in rows]
-            for i, f in enumerate(parsed.fields)
-        }
-        pdf = pd.DataFrame(cols, columns=[f.name for f in parsed.fields])
-        return spark.createDataFrame(pdf, parsed)
+        prev = spark.conf.get(_ARROW_CONF, None)
+        spark.conf.set(_ARROW_CONF, "true")
+        try:
+            cols = {
+                f.name: [r[i] for r in rows]
+                for i, f in enumerate(parsed.fields)
+            }
+            pdf = pd.DataFrame(cols, columns=[f.name for f in parsed.fields])
+            return spark.createDataFrame(pdf, parsed)
+        finally:
+            if prev is None:
+                spark.conf.unset(_ARROW_CONF)
+            else:
+                spark.conf.set(_ARROW_CONF, prev)
     except Exception:  # pandas missing or Arrow conversion failed
         return spark.createDataFrame(rows, schema).coalesce(1)
 

@@ -13,10 +13,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspark_cdc_engine.checkpointing import materialize
+from pyspark_cdc_engine.checkpointing import materialize, materialize_lazy
 from pyspark_cdc_engine.config import get_config
 from pyspark_cdc_engine.operators.dedup_scale import _shingle_expr_spark
-from pyspark_cdc_engine.operators.registry import load_table, register, table_row_count
+from pyspark_cdc_engine.operators.registry import (
+    fan_out,
+    load_table,
+    register,
+    table_row_count,
+)
 
 
 def _occurrences(col: str, needle: str) -> F.Column:
@@ -169,7 +174,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-marker language ID heuristic (counts of high-frequency English
     function words); at scale this generalizes to a per-language marker matrix."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     score = _occurrences("text", " the ") + _occurrences("text", " a ")
     return d.select(
         "doc_id",
@@ -230,7 +235,7 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``JACCARD_EXACT_MAX_DOCS``, default 20k docs) and points at the LSH
     sibling instead of silently launching an all-pairs explosion on a
     cluster."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     limit = get_config().get_int("engine.jaccard-exact-max-docs")
     n_docs = table_row_count(spark, sf_dir, "documents")  # footer-only, no scan
     if n_docs > limit:
@@ -526,7 +531,7 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride) — the context-window preparation step of a training pipeline, as a
     pure Generate + column expressions (no UDF): chunk count per doc is
     computed map-side, chunks never shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.posexplode(
@@ -561,7 +566,7 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building: global term + document frequencies, top-50. The
     token explode stays map-side; only (term, partial counts) shuffle (partial
     aggregation), and the top-50 plans TakeOrderedAndProject."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
         F.col("term") != ""
     )
@@ -599,7 +604,7 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone-equivalent of tf-idf for a fixed corpus, chosen over tf*ln(N/df)
     because division is exact cross-engine while libm ln() may differ by an
     ulp. df joins broadcast (vocabulary is small relative to the corpus)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
         F.col("w") != ""
     )
@@ -690,7 +695,7 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan: the gate's filter pushes to the scan, dedup is the only wide shuffle
     of full text, chunking is a Generate, split/statistics aggregate map-side
     partials."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     words = _occurrences("text", " ") + 1
     stop = _occurrences("text", "the ")
     kept = d.filter((F.length("text") >= 200) & (words >= 40) & (stop >= 1))
@@ -779,7 +784,7 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
     decontamination pipelines use), so worst-case join work per shingle is
     bounded. The benchmark side is a ~5% broadcast-unfriendly set at scale, so
     the plan keys the shuffle on the hash — never on raw text."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     w = _SHINGLE_W
     sets = (
         d.select(
@@ -876,7 +881,7 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     failure mode this avoids. The global total is a scalar cross join
     (1 row). Bigram min-count pruning happens before the joins, shrinking
     the probe side first."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     words = d.select(F.split("text", " ").alias("w"))
     # Guard size(w) < 2: sequence(1, 0) is the DESCENDING array [1, 0] in
     # Spark, which would emit two spurious null bigrams per 1-word doc —
@@ -963,7 +968,7 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash agg keyed by doc_id with a distinct-count expansion; no joins,
     no self-comparison. The ratio is one fixed-shape double expression
     (deterministic IEEE), so the filter decision is engine-exact."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     grams = d.select(
         "doc_id",
         F.explode(F.expr(_shingle_expr_spark(_REP_W))).alias("g"),
@@ -1024,7 +1029,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex subset Java and RE2 interpret identically; a deterministic
     contaminated suffix guarantees every row exercises both patterns in both
     engines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     t = F.concat(F.col("text"), F.lit(_PII_SUFFIX))
     scrubbed = F.regexp_replace(
         F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
@@ -1081,7 +1086,7 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     billions of documents; all integer arithmetic (exact cross-engine),
     two hash aggregations (word, then pair), one top-k window over the
     pair table (tiny)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     wf = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.length("w") >= 2)
@@ -1197,7 +1202,7 @@ def bpe_apply_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     on word and doc_id. At 100 TB the corpus-facing work is exactly the
     word explode and one broadcast-join-count — the BPE loop itself never
     touches corpus-sized data."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     dw = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -1315,6 +1320,9 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as :func:`bpe_apply_token_count` (the apply runs once
     over the vocabulary); the report itself adds only source-keyed hash
     aggs — a ~tens-of-rows output at any corpus size."""
+    # measured r13: fanning (plain or cut) REGRESSES this query (1.4 s ->
+    # 1.9-9 s) — the BPE apply tail is vocabulary-sized and join-bound, not
+    # scan-bound, so the extra exchange/cut only lengthens the job chain
     d = load_table(spark, sf_dir, "documents")
     dw = d.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
@@ -1381,7 +1389,7 @@ def train_bpe_merges(
             "ELSE transform(sequence(1, length(w)), i -> substring(w, i, 1)) "
             "END"
         ).alias("syms"),
-    ).filter(F.size("syms") >= 2).localCheckpoint(eager=False)
+    ).filter(F.size("syms") >= 2).transform(materialize_lazy)
     merges: list[tuple[str, str]] = []
     for _ in range(k):
         best = (
@@ -1422,7 +1430,7 @@ def train_bpe_merges(
                 ).alias("syms"),
             )
             .filter(F.size("syms") >= 2)
-            .localCheckpoint(eager=False)
+            .transform(materialize_lazy)
         )
     return merges
 
@@ -1547,7 +1555,7 @@ def bpe_trained_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sennrich et al.'s published loop), the apply runs once per distinct
     word, and only (word -> count) joins back to the corpus-sized
     explode."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     wf = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.length("w") >= 2)
@@ -1680,7 +1688,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ref parity anchor: the reference has no decontamination surface; this is
     the beyond-reference training-pipeline family (SURVEY §7 M5)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     hashed = (
         d.select(
             "doc_id", F.explode(F.expr(_shingle_expr_spark(_SHINGLE_W))).alias("sh")

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspark_cdc_engine.operators.registry import load_table, register
+from pyspark_cdc_engine.operators.registry import fan_out, load_table, register
 
 # Precision 18 keeps Spark's decimal in its compact unscaled-long encoding
 # (no BigDecimal allocation per fold step) — measurably faster for the
@@ -70,8 +70,10 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (small) query set against the
     full corpus, dot products via zip_with + exact decimal fold (no UDF, no
     shuffle until the per-query top-k). At 100 TB: queries broadcast, corpus
-    scanned once, TakeOrdered per query — the right baseline before IVF/LSH."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    scanned once, TakeOrdered per query — the right baseline before IVF/LSH.
+    ``fan_out`` spreads the ×(dim·Q) per-row fold work across cores when the
+    scan is a single split (r13, guide §2.5)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
         "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
     )
     q = (
@@ -279,7 +281,7 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: identical to :func:`cosine_topk_bruteforce` — Q exploded
     query rows broadcast, corpus scanned once, two hash aggs over the same
     (neighbor, query) cells, per-query top-k windows over Q×N rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), cut=True)
     ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
     half = F.expr("CAST(size(embedding) / 2 AS INT)")
     dims = emb.select("vec_id", half.alias("half_dim"))
@@ -414,8 +416,9 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine and margin are single IEEE ops on bit-identical inputs, so ranks
     and margins match the oracle exactly. 100 TB shape: same as the
     brute-force kernel — anchors broadcast, corpus scanned once, no
-    corpus-sized shuffle except the per-anchor top-k."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    corpus-sized shuffle except the per-anchor top-k. ``fan_out`` spreads
+    the ×(dim·Q) per-row fold across cores on single-split scans (r13)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
         "norm2", F.expr(f"CAST({_norm2_dec('embedding')} AS DOUBLE)")
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(

@@ -224,6 +224,7 @@ def test_spark_confs_hive_metastore_wiring(tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_enable_hive_support_builds_hive_catalog(tmp_path):
     """SparkSessionCreator.scala:39 parity: the enable-hive-support toggle
     yields a session whose catalogImplementation is hive (persistent

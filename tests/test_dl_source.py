@@ -252,6 +252,7 @@ spark.stop()
 """
 
 
+@pytest.mark.heavy
 def test_binding_persists_across_sessions(tmp_path):
     """Two separate OS processes share a warehouse dir: the first binds
     the deltalite table to a name, the second — a completely fresh

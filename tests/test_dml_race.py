@@ -25,6 +25,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pyspark_cdc_engine import log as txlog
@@ -138,9 +140,11 @@ def _race(spark, tmp_path, partitioned: bool) -> None:
     assert t.read().count() == len(want)
 
 
+@pytest.mark.heavy
 def test_os_process_dml_race_converges_to_serial_oracle(spark, tmp_path):
     _race(spark, tmp_path, partitioned=False)
 
 
+@pytest.mark.heavy
 def test_os_process_dml_race_partitioned(spark, tmp_path):
     _race(spark, tmp_path, partitioned=True)

@@ -215,6 +215,7 @@ def test_sampled_training_still_improves_full_corpus_distortion(spark):
     assert row["mean_sim_sampled"] > row["mean_sim_seed"]
 
 
+@pytest.mark.heavy
 def test_heldout_panel_is_disjoint_from_seeds(spark):
     """ann_trained_recall_heldout's panel must never overlap the first-C
     seed centroids (the r11 eval-honesty finding)."""

@@ -53,6 +53,7 @@ def test_oracle_parity(spark, ddb, name):
 
 
 @pytest.mark.oracle
+@pytest.mark.heavy
 def test_all_queries_return_rows(spark):
     for name, q in REGISTRY.items():
         n = q.spark(spark, SF_DIR).count()
