@@ -25,6 +25,42 @@ from pyspark.sql import DataFrame
 from pyspark_cdc_engine.config import get_config
 
 
+def materialize_async(df: DataFrame):
+    """Start :func:`materialize` of ``df`` on a driver thread and return a
+    zero-arg callable that joins and yields the materialized frame.
+
+    Guide §2.6 — overlap independent jobs: Spark happily runs several jobs
+    at once inside one application; actions are only sequential because
+    driver code calls them sequentially. A recall eval's ground-truth side
+    is independent of its training loop, so materializing it concurrently
+    hides its wall entirely behind the (inherently serial) Lloyd's rounds
+    instead of appending it to them (r13, the r12 verdict's #1: the trained
+    family is a chain of small serial jobs). ``InheritableThread`` keeps
+    job-group/description props and py4j thread cleanup correct. Errors
+    re-raise at join time; results are identical to a synchronous
+    materialize (same lineage cut, same values)."""
+    from pyspark import InheritableThread
+
+    box: dict = {}
+
+    def _run() -> None:
+        try:
+            box["df"] = materialize(df)
+        except BaseException as e:  # noqa: BLE001 — re-raised at join
+            box["err"] = e
+
+    t = InheritableThread(target=_run, daemon=True)
+    t.start()
+
+    def result() -> DataFrame:
+        t.join()
+        if "err" in box:
+            raise box["err"]
+        return box["df"]
+
+    return result
+
+
 def materialize_lazy(df: DataFrame) -> DataFrame:
     """Lineage cut that materializes inside the NEXT action instead of
     paying a dedicated job now (``eager=False``) — the per-step cut of the

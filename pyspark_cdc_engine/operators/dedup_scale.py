@@ -30,7 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspark_cdc_engine.checkpointing import materialize
+from pyspark_cdc_engine.checkpointing import materialize, materialize_async
 from pyspark_cdc_engine.config import get_config
 from pyspark_cdc_engine.operators.registry import (
     fan_out,
@@ -1522,9 +1522,18 @@ def pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     index sides run the identical ADC plan (distance table broadcast,
     corpus joins only codes); only the codebook differs, so the delta IS
     the training effect. Distortion improves provably (Lloyd's); recall on
-    a tiny panel may move either way — measured, not assumed."""
+    a tiny panel may move either way — measured, not assumed.
+
+    The exact ground truth is independent of codebook training, so it
+    materializes on a driver thread WHILE the Lloyd's rounds run (guide
+    §2.6 — overlap independent jobs; r13): its wall hides behind the
+    inherently serial training collects instead of appending to them. The
+    frame is Q×k rows; values are the same order-independent decimal sums
+    either way."""
+    from pyspark_cdc_engine.checkpointing import materialize_async
+
     ex = _pq_ex(spark, sf_dir)
-    exact = _pq_exact_topk(spark, sf_dir)
+    exact_async = materialize_async(_pq_exact_topk(spark, sf_dir))
 
     def adc_topk(cb: DataFrame) -> DataFrame:
         # d2 feeds both the code argmin and the query distance table, but
@@ -1568,6 +1577,7 @@ def pq_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hf = F.sum(F.coalesce(F.col("hitf"), F.lit(0)))
     ht = F.sum(F.coalesce(F.col("hitt"), F.lit(0)))
+    exact = exact_async()
     return (
         exact.join(firstk, ["query_id", "neighbor_id"], "left")
         .join(trained, ["query_id", "neighbor_id"], "left")
@@ -3227,6 +3237,10 @@ def ann_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _IVF_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
+    # The ground truth is training-independent: materialize it on a driver
+    # thread so its wall hides behind the serial Lloyd's collects below
+    # (guide §2.6 — overlap independent jobs; r13). Output is panel×k rows.
+    bf_async = materialize_async(bf)
 
     # first-C search: the untrained-seed assignment every IVF kernel uses
     assigned_fc = _ivf_assigned_df(spark, sf_dir)
@@ -3251,6 +3265,7 @@ def ann_trained_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hf = F.sum(F.coalesce(F.col("hitf"), F.lit(0)))
     ht = F.sum(F.coalesce(F.col("hitt"), F.lit(0)))
+    bf = bf_async()
     return (
         bf.join(fc, ["query_id", "neighbor_id"], "left")
         .join(tr, ["query_id", "neighbor_id"], "left")
@@ -3606,6 +3621,10 @@ def ann_trained_recall_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _IVF_K)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
+    # The ground truth is training-independent: materialize it on a driver
+    # thread so its wall hides behind the serial Lloyd's collects below
+    # (guide §2.6 — overlap independent jobs; r13). Output is panel×k rows.
+    bf_async = materialize_async(bf)
 
     # first-C search: the untrained-seed assignment every IVF kernel uses,
     # probes ranked against the same first-C centroid frame
@@ -3631,6 +3650,7 @@ def ann_trained_recall_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hf = F.sum(F.coalesce(F.col("hitf"), F.lit(0)))
     ht = F.sum(F.coalesce(F.col("hitt"), F.lit(0)))
+    bf = bf_async()
     return (
         bf.join(fc, ["query_id", "neighbor_id"], "left")
         .join(tr, ["query_id", "neighbor_id"], "left")
