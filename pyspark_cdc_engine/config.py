@@ -89,6 +89,13 @@ DEFAULTS: dict[str, Any] = {
     # deltalite log: commits between parquet state checkpoints (Delta's
     # checkpointInterval analog; 0 disables — full replay from version 0).
     "engine.log-checkpoint-interval": 20,
+    # fan_out floor: inputs estimated below this many bytes never fan — a
+    # repartition exchange's fixed cost (extra AQE stage-jobs per consumer)
+    # cannot amortize on tiny frames even at x(dim*K) work multipliers
+    # (measured r13: fanning the <=193 KB sf0.001/sf0.01 test corpora only
+    # slowed the oracle lanes, while the >=595 KB one-row-group sf0.1
+    # corpora gained 2-3x). 0 fans everything the split gate lets through.
+    "engine.fan-out-min-bytes": 262_144,
 }
 
 # Pre-module env names kept as first-class aliases (highest layer, probed

@@ -221,6 +221,12 @@ def fan_out(df: DataFrame, cut: bool = False) -> DataFrame:
         est_splits = max(1, -(-size // max_pb))
         if 2 * est_splits >= target:
             return df  # the scan already parallelizes; keep it shuffle-free
+        from pyspark_cdc_engine.config import get_config
+
+        if size < get_config().get_int("engine.fan-out-min-bytes"):
+            # too small for the exchange's fixed cost to ever amortize —
+            # e.g. the sf0.001/sf0.01 oracle corpora (measured r13)
+            return df
     except Exception:
         return df  # introspection failed: never inject a corpus shuffle blind
     df = df.repartition(target)
